@@ -1,0 +1,70 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a noop write (full pipeline execution, no
+driver collect) — the same way you'd measure on a cluster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from go_streams_spark.session import get_spark
+from go_streams_spark.queries import QUERIES
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "map_project",
+    "filter_predicate",
+    "flatmap_words",
+    "reduce_running_max",
+    "fold_running_sum",
+    "tumbling_window_events",
+    "sliding_window_events",
+    "session_window_events",
+    "split_merge_branches",
+    "fanout_merge",
+    "batch_by_count",
+    "throttler_discard",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("go-streams-spark-bench")
+    # warm the JVM + parquet footers once so timings measure the queries
+    for name in BENCH_QUERIES[:1]:
+        force(QUERIES[name](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        force(QUERIES[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

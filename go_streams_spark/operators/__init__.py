@@ -1,0 +1,17 @@
+"""Operator inventory (SURVEY.md §2) — Spark-first implementations."""
+
+from .core import Map, FlatMap, Filter, PassThrough, Flatten
+from .aggregate import running_reduce, running_fold, running_fold_py, final_reduce
+from .batch import batch_by_count, batch_by_time, collect_batches
+from .windows import tumbling_window, sliding_window, session_window, keyed
+from .topology import split, fan_out, round_robin, merge, zip_with
+from .throttle import throttle_options, discard_over_quota
+
+__all__ = [
+    "Map", "FlatMap", "Filter", "PassThrough", "Flatten",
+    "running_reduce", "running_fold", "running_fold_py", "final_reduce",
+    "batch_by_count", "batch_by_time", "collect_batches",
+    "tumbling_window", "sliding_window", "session_window", "keyed",
+    "split", "fan_out", "round_robin", "merge", "zip_with",
+    "throttle_options", "discard_over_quota",
+]

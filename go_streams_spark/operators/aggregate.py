@@ -1,0 +1,114 @@
+"""Fold / Reduce: running (per-element-emitting) aggregates.
+
+Reference semantics:
+  - Fold: seeded running accumulate, emits accumulator after EVERY element
+    (``flow/fold.go:8,34,83-90``; golden prefix-concat ``flow/fold_test.go:38-39``).
+  - Reduce: seedless — first element is the initial accumulator
+    (``flow/reduce.go:8,31,80-91``; golden prefix-sums [1,3,6,10,15]
+    ``flow/reduce_test.go:34-35``).
+
+Both are strictly sequential in the reference (``flow/fold.go:80-82``) —
+a total order is required. Spark-first mapping: a running aggregate is a
+window function over an explicit order column —
+``Window.orderBy(ord).rowsBetween(unboundedPreceding, currentRow)``.
+With ``partition_by`` the scan distributes per key (the scalable form);
+without it Spark must range-sort but each partition still computes its
+frame locally. For non-algebraic Python accumulators use
+``running_fold_py`` (applyInPandas, per-key sequential).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..api import Flow
+
+_BUILTIN = {
+    "sum": F.sum, "min": F.min, "max": F.max, "count": F.count,
+    "avg": F.avg, "collect_list": F.collect_list, "product": F.product,
+    "concat": lambda c: F.array_join(F.collect_list(c), ""),
+}
+
+
+def _window(order_by: Sequence[Column | str], partition_by: Sequence[Column | str] | None):
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    w = Window.orderBy(*cols)
+    if partition_by:
+        w = Window.partitionBy(*[F.col(c) if isinstance(c, str) else c for c in partition_by]).orderBy(*cols)
+    return w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+
+def running_reduce(col: Column | str, *, order_by: Sequence[Column | str],
+                   partition_by: Sequence[Column | str] | None = None,
+                   fn: str | Callable[[Column], Column] = "sum",
+                   output: str = "acc") -> Flow:
+    """Seedless running aggregate (Reduce, ``flow/reduce.go:80-91``).
+
+    ``fn`` is an algebraic aggregate name or a Column aggregator; the
+    emitted column holds the accumulator value at each element, matching
+    the reference's emit-after-every-element contract.
+    """
+    agg = _BUILTIN[fn] if isinstance(fn, str) else fn
+    c = F.col(col) if isinstance(col, str) else col
+    w = _window(order_by, partition_by)
+    return Flow(lambda df: df.withColumn(output, agg(c).over(w)), name="reduce")
+
+
+def running_fold(col: Column | str, init, *, order_by: Sequence[Column | str],
+                 partition_by: Sequence[Column | str] | None = None,
+                 fn: str | Callable[[Column], Column] = "sum",
+                 combine_init: Callable[[Column, object], Column] | None = None,
+                 output: str = "acc") -> Flow:
+    """Seeded running aggregate (Fold, ``flow/fold.go:83-90``).
+
+    For an algebraic ``fn`` the seed merges via ``combine_init`` (defaults
+    to ``+`` for sum-like folds), preserving ``f(x, acc)`` left-fold
+    semantics when f is associative-with-identity-shifted-seed.
+    """
+    inner = running_reduce(col, order_by=order_by, partition_by=partition_by,
+                           fn=fn, output=output)
+    merge = combine_init or (lambda acc, z: acc + F.lit(z))
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return inner(df).withColumn(output, merge(F.col(output), init))
+
+    return Flow(_apply, name="fold")
+
+
+def final_reduce(*aggs: Column) -> Flow:
+    """Final-value-only aggregate — plain ``df.agg`` (map-side partials +
+    one exchange; the scalable default when only the last accumulator is
+    wanted)."""
+    return Flow(lambda df: df.agg(*aggs), name="reduce_final")
+
+
+def running_fold_py(fold_fn: Callable, init, *, order_col: str, value_col: str,
+                    key_cols: Sequence[str], output_schema: str,
+                    output: str = "acc") -> Flow:
+    """Arbitrary-Python running fold, sequential per key via applyInPandas.
+
+    The per-key group is sorted by ``order_col`` then folded left-to-right
+    — exactly the reference loop (``flow/fold.go:83-90``) but parallel
+    across keys. Keys shuffle once; each group must fit in executor memory
+    (same contract as any Spark grouped-map op).
+    """
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col)
+        acc = init
+        out = []
+        for v in pdf[value_col]:
+            acc = fold_fn(v, acc)
+            out.append(acc)
+        pdf = pdf.copy()
+        pdf[output] = out
+        return pdf
+
+    def _apply(df: DataFrame) -> DataFrame:
+        return df.groupBy(*key_cols).applyInPandas(_fold, schema=output_schema)
+
+    return Flow(_apply, name="fold_py")

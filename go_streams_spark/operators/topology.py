@@ -1,0 +1,100 @@
+"""Fan-out / fan-in / set-like topology utilities.
+
+Reference semantics (reugn/go-streams ``flow/util.go``):
+  - Split      predicate-routed 2-way partition      (``flow/util.go:23-41``)
+  - FanOut     duplicate to N branches               (``flow/util.go:45-63``)
+  - RoundRobin each element to exactly one of N      (``flow/util.go:67-80``)
+  - Merge      N->1 bag union (no dedup)             (``flow/util.go:84-105``)
+  - ZipWith    positional zip w/ zero padding        (``flow/util.go:116-171``)
+
+Spark-first: branches are just multiple references to one lazy DataFrame —
+Catalyst dedups the scan when the plan is collapsed, and in streaming you'd
+use ``foreachBatch`` to avoid double source reads. Merge is UNION ALL
+(duplicates preserved — pinned by ``flow/flow_test.go:208-214``).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def split(df: DataFrame, predicate: Column) -> tuple[DataFrame, DataFrame]:
+    """Disjoint 2-way partition by predicate (``flow/util.go:23-41``).
+
+    Null predicate results go to the negative branch, preserving the
+    reference's strict boolean routing.
+    """
+    pos = df.filter(predicate)
+    neg = df.filter(~F.coalesce(predicate, F.lit(False)))
+    return pos, neg
+
+
+def fan_out(df: DataFrame, magnitude: int) -> list[DataFrame]:
+    """Duplicate the stream to N branches (``flow/util.go:45-63``)."""
+    if magnitude < 1:
+        raise ValueError("magnitude must be positive")
+    return [df] * magnitude
+
+
+def round_robin(df: DataFrame, magnitude: int, *, by: Column | None = None) -> list[DataFrame]:
+    """Competing-consumer N-way distribution (``flow/util.go:67-80``).
+
+    With ``by`` (a deterministic numeric column) routing is reproducible:
+    branch i gets rows where ``pmod(by, n) == i``. Without it we hash the
+    whole row — still exactly-one-branch per element. At scale this is a
+    single pass: branches share one cached scan; no shuffle is required
+    because routing is a narrow filter.
+    """
+    if magnitude < 1:
+        raise ValueError("magnitude must be positive")
+    key = by if by is not None else F.abs(F.hash(*[F.col(c) for c in df.columns]))
+    routed = df.withColumn("__rr", F.pmod(key.cast("long"), F.lit(magnitude)))
+    return [routed.filter(F.col("__rr") == i).drop("__rr") for i in range(magnitude)]
+
+
+def merge(*dfs: DataFrame) -> DataFrame:
+    """N->1 interleaved bag union — UNION ALL (``flow/util.go:84-105``)."""
+    if not dfs:
+        raise ValueError("merge requires at least one input")
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=False)
+    return out
+
+
+def _ordinal(df: DataFrame, order_by: Sequence[Column | str], idx: str) -> DataFrame:
+    w = Window.orderBy(*[F.col(c) if isinstance(c, str) else c for c in order_by])
+    return df.withColumn(idx, F.row_number().over(w))
+
+
+def zip_with(combine: Callable[..., Column], dfs: Sequence[DataFrame],
+             order_bys: Sequence[Sequence[Column | str]],
+             value_cols: Sequence[str], zeros: Sequence[object],
+             *, output: str = "value") -> DataFrame:
+    """Positional N-way zip with zero-value padding (``flow/util.go:116-171``).
+
+    i-th element of each input is combined by ``combine``; shorter inputs
+    are padded with their ``zeros`` value (goldens: ``flow/flow_test.go:
+    296-345`` expect e.g. ``[2 0]``, ``[0 5 0]``).
+
+    Each input gets an ordinal via ``row_number`` over its ``order_by``,
+    then a cascade of full-outer equi-joins on the ordinal. NOTE: a global
+    row_number forces a single-partition sort — positional semantics are
+    inherently order-total. At 100 TB you would zip on an explicit shared
+    key instead (this helper accepts any monotonically derived order
+    column, so a pre-computed distributed ordinal also works).
+    """
+    if not (len(dfs) == len(order_bys) == len(value_cols) == len(zeros)):
+        raise ValueError("dfs, order_bys, value_cols, zeros must align")
+    idx = "__zip_idx"
+    sides = []
+    for i, (d, ob, vc) in enumerate(zip(dfs, order_bys, value_cols)):
+        sides.append(_ordinal(d, ob, idx).select(F.col(idx), F.col(vc).alias(f"__v{i}")))
+    joined = sides[0]
+    for s in sides[1:]:
+        joined = joined.join(s, on=idx, how="full_outer")
+    padded = [F.coalesce(F.col(f"__v{i}"), F.lit(z)) for i, z in enumerate(zeros)]
+    return joined.select(F.col(idx), combine(*padded).alias(output)).orderBy(idx).drop(idx)

@@ -1,0 +1,89 @@
+"""Golden tests for stateless core flows, ported from the reference
+(`flow/map_test.go`, `flow/filter_test.go`, `flow/flat_map_test.go`,
+`flow/flow_test.go`)."""
+
+from pyspark.sql import functions as F
+
+from go_streams_spark import Source
+from go_streams_spark.operators import Map, FlatMap, Filter, PassThrough, Flatten
+
+
+def _vals(df, col="value"):
+    return [r[col] for r in df.collect()]
+
+
+def strings_df(spark, items):
+    return spark.createDataFrame([(s,) for s in items], "value string")
+
+
+def test_map_upper_expression(spark):
+    # flow/map_test.go:52 / flow/flow_test.go:97 (strings.ToUpper)
+    df = strings_df(spark, ["a", "b", "c"])
+    out = Source(df).via(Map(F.upper(F.col("value")))).to_df()
+    assert sorted(_vals(out)) == ["A", "B", "C"]
+
+
+def test_map_python_callable(spark):
+    df = strings_df(spark, ["a", "b", "c"])
+    out = Source(df).via(Map(lambda s: s + "!")).to_df()
+    assert sorted(_vals(out)) == ["a!", "b!", "c!"]
+
+
+def test_map_projection_dict(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "id int, name string")
+    out = Source(df).via(Map({"id2": F.col("id") * 2, "name": "upper(name)"})).to_df()
+    rows = sorted((r["id2"], r["name"]) for r in out.collect())
+    assert rows == [(2, "X"), (4, "Y")]
+
+
+def test_filter_odd(spark):
+    # flow/filter_test.go:12-62 (keep odds)
+    df = spark.createDataFrame([(i,) for i in range(1, 11)], "value int")
+    out = Source(df).via(Filter("value % 2 = 1")).to_df()
+    assert sorted(_vals(out)) == [1, 3, 5, 7, 9]
+
+
+def test_filter_python_callable(spark):
+    df = spark.createDataFrame([(i,) for i in range(1, 11)], "value int")
+    out = Source(df).via(Filter(lambda v: v % 2 == 0, column="value")).to_df()
+    assert sorted(_vals(out)) == [2, 4, 6, 8, 10]
+
+
+def test_flat_map_expression(spark):
+    # flow/flat_map_test.go:13-88 — each element expands in order
+    df = strings_df(spark, ["a", "b"])
+    out = Source(df).via(FlatMap(F.array(F.col("value"), F.upper("value")))).to_df()
+    assert sorted(_vals(out)) == ["A", "B", "a", "b"]
+
+
+def test_flat_map_python(spark):
+    df = strings_df(spark, ["ab", "c"])
+    out = Source(df).via(FlatMap(lambda s: list(s))).to_df()
+    assert sorted(_vals(out)) == ["a", "b", "c"]
+
+
+def test_pass_through(spark):
+    # flow/pass_through.go:63-68
+    df = strings_df(spark, ["a", "b", "c"])
+    out = Source(df).via(PassThrough()).to_df()
+    assert sorted(_vals(out)) == ["a", "b", "c"]
+
+
+def test_flatten(spark):
+    # flow/util.go:175-179, flow/flow_test.go:247-294
+    df = spark.createDataFrame([([1, 2],), ([3],)], "value array<int>")
+    out = Source(df).via(Flatten()).to_df()
+    assert sorted(_vals(out)) == [1, 2, 3]
+
+
+def test_composed_pipeline(spark):
+    # flow/flow_test.go:92-124: Map→FlatMap→Filter composition
+    df = strings_df(spark, ["a", "b", "c"])
+    out = (
+        Source(df)
+        .via(Map(F.upper("value")))
+        .via(FlatMap(F.array(F.concat("value", F.lit("*")), F.concat("value", F.lit("**")))))
+        .via(Filter(F.col("value").startswith("B") | F.col("value").startswith("C")))
+        .to_df()
+    )
+    assert sorted(_vals(out)) == ["B*", "B**", "C*", "C**"]
