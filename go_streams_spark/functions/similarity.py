@@ -1,0 +1,108 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the standard ANN playbook:
+  - ``brute_force_knn``: exact cosine top-k via cross join — the
+    correctness baseline. O(N^2); only for small N or per-bucket use.
+  - ``sign_lsh_knn``: bucketed variant — random-hyperplane LSH
+    degenerated to axis-sign projections (deterministic, zero setup):
+    bucket key = sign bits of the first ``nbits`` dimensions. Candidates
+    come only from the same bucket, turning the cross join into an
+    equi-join on the bucket key; this is the shape that survives scale
+    (same plan as IVF with learned centroids — swap the bucket expression
+    for an argmin-centroid id when a codebook exists).
+
+Dot products use ``F.zip_with`` + ``F.aggregate`` (JVM-side, sequential
+left fold in doubles — bit-identical to the DuckDB oracle's list_sum of
+per-element products).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column | str) -> Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+                    k: int = 5, round_dp: int = 6) -> DataFrame:
+    """Exact top-k cosine neighbors for every vector (cross join).
+
+    Ranking uses the ROUNDED similarity with id tie-break so results are
+    stable across engines and accumulation orders.
+    """
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    pairs = (a.join(b, F.col("id_a") != F.col("id_b"))
+             .select("id_a", "id_b",
+                     F.round(cosine(F.col("va"), F.col("vb")), round_dp).alias("sim")))
+    w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("id_a").alias(id_col), F.col("id_b").alias("neighbor_id"),
+                    "sim", "rank"))
+
+
+def sign_bucket(vec: Column | str, nbits: int = 8) -> Column:
+    """LSH bucket key: packed sign bits of the first ``nbits`` dims."""
+    v = as_double(vec)
+    bits = [F.when(F.element_at(v, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(nbits)]
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out.cast("long")
+
+
+def sign_lsh_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+                 k: int = 3, nbits: int = 8, round_dp: int = 6) -> DataFrame:
+    """Approximate top-k: exact cosine ranking within each sign-bucket.
+
+    The join is an equi-join on the bucket key — shuffle-partitioned,
+    broadcast-free, and the per-bucket pair count is N_b^2 rather than
+    N^2. Recall improves with multi-probe (query neighboring buckets) —
+    documented extension, not needed for the oracle contract.
+    """
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"),
+                     sign_bucket(vec_col, nbits).alias("bucket"))
+    a = base.select(F.col("bucket"), F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = base.select(F.col("bucket"), F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    pairs = (a.join(b, "bucket")
+             .where(F.col("id_a") != F.col("id_b"))
+             .select("bucket", "id_a", "id_b",
+                     F.round(cosine(F.col("va"), F.col("vb")), round_dp).alias("sim")))
+    w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("id_a").alias(id_col), F.col("bucket"),
+                    F.col("id_b").alias("neighbor_id"), "sim", "rank"))
+
+
+def cosine_near_dup(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+                    threshold: float = 0.9, round_dp: int = 6) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t)."""
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(cosine(F.col("va"), F.col("vb")), round_dp).alias("sim"))
+            .where(F.col("sim") >= threshold))

@@ -442,3 +442,370 @@ SELECT n_nationkey, n_name, n_regionkey FROM nation
 def pass_through_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PassThrough identity (flow/pass_through.go:63-68)."""
     return Source(_t(spark, sf_dir, "nation")).via(PassThrough()).to_df()
+
+
+# ===========================================================================
+# Training-data pipeline ops (north star): text analysis, dedup,
+# similarity search, multimodal plumbing
+# ===========================================================================
+
+from .functions import text as T          # noqa: E402
+from .functions import dedup as D         # noqa: E402
+from .functions import similarity as S    # noqa: E402
+from .functions import multimodal as M    # noqa: E402
+
+
+@query("text_stats", """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_tokens_bpe,
+       round(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','for','on','with')))
+             / greatest(len(toks), 1), 4) AS stopword_ratio,
+       round(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) / greatest(length(text), 1), 4) AS punct_ratio,
+       round(list_sum(list_transform(toks, x -> length(x))) / greatest(len(toks), 1), 4) AS avg_token_len
+FROM t
+""")
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) and quality ratios —
+    all JVM-side array/regexp expressions, zero UDFs, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.bpe_token_count("text").alias("n_tokens_bpe"),
+        F.round(T.stopword_ratio("text"), 4).alias("stopword_ratio"),
+        F.round(T.punct_ratio("text"), 4).alias("punct_ratio"),
+        F.round(T.avg_token_len("text"), 4).alias("avg_token_len"),
+    )
+
+
+@query("quality_scores", """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), r AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','for','on','with')))
+           / greatest(len(toks), 1) AS sw,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) / greatest(length(text), 1) AS pr,
+         list_sum(list_transform(toks, x -> length(x))) / greatest(len(toks), 1) AS tl
+  FROM t
+)
+SELECT doc_id,
+       round(least(1.0, greatest(0.0,
+             0.4 * least(sw * 4, 1.0)
+           + 0.4 * (CASE WHEN tl >= 3 AND tl <= 10 THEN 1.0 ELSE 0.5 END)
+           + 0.2 * (1 - least(pr * 5, 1.0)))), 4) AS quality
+FROM r
+""")
+def quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristic (length/punct/stopword ratios)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.round(T.quality_score("text"), 4).alias("quality"))
+
+
+@query("lang_id_counts", """
+WITH s AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split(text, ' '), x -> x <> ''), x -> lower(x)) AS toks
+  FROM documents
+), sc AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','for','on','with'))) AS en,
+         len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','ein','mit','zu','auf'))) AS de,
+         len(list_filter(toks, x -> x IN ('le','la','les','et','est','un','une','pour','dans','que'))) AS fr
+  FROM s
+)
+SELECT CASE WHEN en > 0 AND en >= de AND en >= fr THEN 'en'
+            WHEN de > 0 AND de >= fr THEN 'de'
+            WHEN fr > 0 THEN 'fr'
+            ELSE 'und' END AS lang_pred,
+       count(*) AS cnt
+FROM sc
+GROUP BY 1
+""")
+def lang_id_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID (marker-word n-gram heuristic), aggregated."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select(T.lang_id("text").alias("lang_pred"))
+            .groupBy("lang_pred").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+@query("doc_fingerprint", """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 4 THEN
+           list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                          for i in generate_series(1, len(toks) - 3)])
+         ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id, list_min(list_transform(grams, x -> md5(x))) AS fingerprint
+FROM g
+""")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint: min-md5 over word 4-gram shingles."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text", 4).alias("fingerprint"))
+
+
+@query("dedup_exact", """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS dup_key,
+       min(doc_id) AS keeper,
+       count(*)    AS cnt
+FROM documents
+GROUP BY 1
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized content digest."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.exact_dedup(docs)
+
+
+@query("minhash_signatures", """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     for i in generate_series(1, len(toks) - 2)])
+    ELSE [] END) AS s
+  FROM t
+)
+SELECT sh.doc_id, seeds.seed::INT AS seed,
+       min(md5(seeds.seed || ':' || sh.s)) AS minhash
+FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+GROUP BY sh.doc_id, seeds.seed
+""")
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (12 hashes over word-3gram shingles), long
+    format (doc_id, seed, minhash). Signature computed per-row with
+    array lambdas — no shuffle; the unpivot is stack()."""
+    docs = _t(spark, sf_dir, "documents")
+    shingled = docs.select("doc_id", T.word_ngrams("text", 3).alias("sh"))
+    mh = D.minhash_signature(F.col("sh"), 12)
+    stack_args = ", ".join(f"{i}, mh{i}" for i in range(12))
+    return (shingled.select("doc_id", *[c.alias(f"mh{i}") for i, c in enumerate(mh)])
+            .selectExpr("doc_id", f"stack(12, {stack_args}) as (seed, minhash)"))
+
+
+@query("dedup_minhash_pairs", """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     for i in generate_series(1, len(toks) - 2)])
+    ELSE [] END) AS s
+  FROM t
+), mh AS (
+  SELECT sh.doc_id, seeds.seed, min(md5(seeds.seed || ':' || sh.s)) AS m
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+  GROUP BY sh.doc_id, seeds.seed
+), bands AS (
+  SELECT doc_id, seed // 3 AS band, md5(string_agg(m, '|' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, seed // 3
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), cnts AS (
+  SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       round(i.i / greatest(ca.c + cb.c - i.i, 1), 4) AS jaccard
+FROM inter i
+JOIN cnts ca ON ca.doc_id = i.id_a
+JOIN cnts cb ON cb.doc_id = i.id_b
+WHERE round(i.i / greatest(ca.c + cb.c - i.i, 1), 4) >= 0.5
+""")
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pipeline: shingle -> 12-hash signature ->
+    4 bands -> bucket equi-join -> exact Jaccard verify >= 0.5.
+    Never materializes the O(N^2) pair space."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, ngram=3, threshold=0.5,
+                                 num_hashes=12, rows_per_band=3)
+
+
+@query("simhash_docs", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, md5(tok) AS h FROM toks
+), bits AS (
+  SELECT doc_id, j.j,
+         ((strpos('0123456789abcdef', substr(th.h, (j.j // 4) + 1, 1)) - 1) >> (j.j % 4)) & 1 AS bit
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) j
+), sums AS (
+  SELECT doc_id, j, sum(2 * bit - 1) AS s FROM bits GROUP BY doc_id, j
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS simhash
+FROM sums GROUP BY doc_id
+""")
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (md5 bit votes over distinct tokens)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash32(docs)
+
+
+@query("simhash_near_pairs", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, md5(tok) AS h FROM toks
+), bits AS (
+  SELECT doc_id, j.j,
+         ((strpos('0123456789abcdef', substr(th.h, (j.j // 4) + 1, 1)) - 1) >> (j.j % 4)) & 1 AS bit
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS j) j
+), sums AS (
+  SELECT doc_id, j, sum(2 * bit - 1) AS s FROM bits GROUP BY doc_id, j
+), simh AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END)::BIGINT AS simhash
+  FROM sums GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+""")
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: hamming distance <= 6 on 32-bit hashes."""
+    docs = _t(spark, sf_dir, "documents")
+    sim = D.simhash32(docs)
+    out = D.simhash_pairs(sim, max_hamming=6)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+@query("embedding_knn", """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS sim
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+)
+SELECT id_a AS vec_id, id_b AS neighbor_id, sim, rank::INT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rank
+      FROM pairs)
+WHERE rank <= 5
+""")
+def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 per vector — the ANN correctness
+    baseline (cross join; only for small N / per-bucket use)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.brute_force_knn(emb, k=5)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query("ann_sign_lsh", """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), bv AS (
+  SELECT vec_id, v,
+         (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END
+        + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
+        + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END
+        + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END
+        + CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END
+        + CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END
+        + CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END
+        + CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END)::BIGINT AS bucket
+  FROM v
+), pairs AS (
+  SELECT a.vec_id AS id_a, a.bucket, b.vec_id AS id_b,
+         round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS sim
+  FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT id_a AS vec_id, bucket, id_b AS neighbor_id, sim, rank::INT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rank
+      FROM pairs)
+WHERE rank <= 3
+""")
+def ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN (sign-LSH): equi-join on the bucket key instead of a
+    cross join — the plan shape that survives 100 TB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.sign_lsh_knn(emb, k=3, nbits=8)
+    return out.withColumn("rank", F.col("rank").cast("int"))
+
+
+@query("embedding_near_dup", """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+            / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+               * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) >= 0.5
+""")
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (sim >= 0.5)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup(emb, threshold=0.5)
+
+
+@query("multimodal_meta", """
+SELECT doc_id,
+       octet_length(text::BLOB)::BIGINT AS byte_len,
+       'application/octet-stream'       AS media_type,
+       md5(text)                        AS content_hash
+FROM documents
+""")
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: opaque binary + typed metadata
+    (magic-byte sniffing, sizes, digests) — JVM-side only."""
+    docs = _t(spark, sf_dir, "documents")
+    blob = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.length(blob).cast("long").alias("byte_len"),
+        M.sniff_media_type(blob).alias("media_type"),
+        F.md5("text").alias("content_hash"),
+    )
+
+
+@query("multimodal_features")  # no SQL oracle: mapInPandas stub decode (rows-only check)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stubbed decode/feature-extract over binary media via mapInPandas —
+    real Arrow plumbing (schema, batch shape, partition parallelism),
+    fake deterministic features (no codec libs in this container)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.col("text").cast("binary").alias("media"))
+    tagged = M.attach_media_metadata(media)
+    feats = M.extract_features(tagged)
+    return feats.select("doc_id", "media_type", "n_frames",
+                        F.round(F.element_at("feature", 1), 4).alias("f0"))

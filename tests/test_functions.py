@@ -1,0 +1,105 @@
+"""Tests for training-data pipeline ops: dedup, similarity, text,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_streams_spark.functions import text as T, dedup as D, similarity as S, multimodal as M
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),          # exact dup of 0
+        (2, "the quick brown fox jumps over the sleepy dog"),        # near dup of 0
+        (3, "completely different content about spark engines here"),
+        (4, "THE  Quick   Brown fox jumps over the lazy dog"),       # normalized dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["keeper"]: r["cnt"] for r in D.exact_dedup(docs).collect()}
+    assert out[0] == 3  # docs 0, 1, 4 normalize to the same digest
+    assert out[2] == 1 and out[3] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = D.ngram_jaccard_pairs(docs, ngram=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 1) in got            # exact dup must survive verify
+    assert (0, 2) in got or (1, 2) in got  # near dup above 0.5
+    assert all(r["jaccard"] <= 1.0 for r in pairs)
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert exact[(0, 1)] == 1.0
+
+
+def test_simhash_close_for_similar(docs):
+    sim = {r["doc_id"]: r["simhash"] for r in D.simhash32(docs).collect()}
+    assert sim[0] == sim[1]  # identical text -> identical simhash
+    ham_near = bin(sim[0] ^ sim[2]).count("1")
+    ham_far = bin(sim[0] ^ sim[3]).count("1")
+    assert ham_near < ham_far  # similar docs closer than unrelated ones
+
+
+def test_knn_identical_vector_is_top1(spark):
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0]),
+            (3, [-1.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    knn = S.brute_force_knn(emb, k=1).collect()
+    top = {r["vec_id"]: (r["neighbor_id"], r["sim"]) for r in knn}
+    assert top[0] == (1, 1.0) and top[1] == (0, 1.0)
+    assert top[3] == (2, 0.0)  # best neighbor of [-1,0,0] is the orthogonal one
+
+
+def test_sign_lsh_buckets_split_join(spark):
+    rows = [(0, [1.0, 1.0]), (1, [1.0, 1.0]), (2, [-1.0, -1.0]), (3, [-1.0, -1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.sign_lsh_knn(emb, k=1, nbits=2).collect()
+    # same-bucket pairs only: 0<->1 and 2<->3
+    got = {(r["vec_id"], r["neighbor_id"]) for r in out}
+    assert got == {(0, 1), (1, 0), (2, 3), (3, 2)}
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame([(1, "the cat!! sat on a mat")], "doc_id long, text string")
+    row = df.select(
+        T.token_count("text").alias("n"),
+        T.bpe_token_count("text").alias("nb"),
+        F.round(T.stopword_ratio("text"), 4).alias("sw"),
+        T.lang_id("text").alias("lang"),
+    ).collect()[0]
+    assert row["n"] == 6
+    assert row["nb"] == 8  # the, cat, !, !, sat, on, a, mat
+    assert row["sw"] == round(3 / 6, 4)  # the, on, a
+    assert row["lang"] == "en"
+
+
+def test_lang_id_other_languages(spark):
+    df = spark.createDataFrame(
+        [(1, "der hund ist nicht da"), (2, "le chat est dans la maison"), (3, "xyz qqq")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["lang"] for r in df.select("doc_id", T.lang_id("text").alias("lang")).collect()}
+    assert out == {1: "de", 2: "fr", 3: "und"}
+
+
+def test_multimodal_plumbing(spark):
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+    jpg = b"\xff\xd8\xff\xe0" + b"\x01" * 64
+    df = spark.createDataFrame([(1, bytearray(png)), (2, bytearray(jpg))],
+                               "doc_id long, media binary")
+    meta = M.attach_media_metadata(df)
+    types = {r["doc_id"]: r["media_type"] for r in meta.collect()}
+    assert types == {1: "image/png", 2: "image/jpeg"}
+    feats = M.extract_features(meta, dim=8).collect()
+    assert len(feats) == 2
+    assert all(len(r["feature"]) == 8 for r in feats)
+    # deterministic: same media -> same feature
+    again = M.extract_features(meta, dim=8).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, again))
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        M._decode_stub(b"x", "unsupported/raise", 4)
