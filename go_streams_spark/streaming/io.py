@@ -1,0 +1,139 @@
+"""Streaming sources and sinks (SURVEY §2.4 mapping).
+
+Reference connectors -> Spark built-ins:
+  - FileSource (extension/file.go:25)      -> readStream.text/json/parquet
+  - ChanSource (extension/chan.go:17)      -> rate / file stream + availableNow
+  - StdoutSink (extension/sink_stdout.go)  -> format("console")
+  - IgnoreSink (extension/sink_ignore.go)  -> format("noop")
+  - ChanSink (extension/chan.go:41)        -> format("memory") (test sink)
+  - Kafka source/sink (kafka/kafka_sarama.go:26,151) -> format("kafka")
+  - custom connectors (Redis/NATS/Pulsar/WebSocket/Aerospike) ->
+    sources/custom.py (Python Data Source API) or foreach_batch_sink
+    bridges.
+
+Bounded pipelines (the entire reference test suite) run with
+``Trigger.AvailableNow`` — the final-microbatch flush matches the
+reference's flush-on-close semantics (flow/batch.go:98-104).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import DataStreamWriter
+
+from ..api import Sink
+
+
+def file_stream_source(spark: SparkSession, path: str, fmt: str = "text",
+                       schema=None, **options) -> DataFrame:
+    """File-based streaming source (line-oriented text matches the
+    reference FileSource; json/parquet/csv are the columnar upgrades
+    the reference lacks)."""
+    reader = spark.readStream.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load(path)
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 100, **options) -> DataFrame:
+    """Built-in rate source — the test/throughput analogue of ChanSource;
+    also the Backpressure-mode Throttler when rows_per_second is the
+    quota (flow/throttler.go:160-170)."""
+    reader = spark.readStream.format("rate").option("rowsPerSecond", str(rows_per_second))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def _writer(df: DataFrame, available_now: bool, checkpoint: str | None) -> DataStreamWriter:
+    w = df.writeStream
+    if available_now:
+        w = w.trigger(availableNow=True)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    return w
+
+
+def memory_sink(name: str, *, output_mode: str = "append",
+                available_now: bool = True, await_termination: bool = True) -> Sink:
+    """In-memory table sink (ChanSink analogue, for tests)."""
+
+    def run(df: DataFrame):
+        q = (_writer(df, available_now, None)
+             .format("memory").queryName(name).outputMode(output_mode).start())
+        if await_termination:
+            q.awaitTermination()
+        return q
+
+    return Sink(run, name=f"memory:{name}")
+
+
+def console_sink(*, output_mode: str = "append", available_now: bool = True) -> Sink:
+    """StdoutSink analogue (extension/sink_stdout.go:31-36)."""
+    return Sink(lambda df: _writer(df, available_now, None)
+                .format("console").outputMode(output_mode).start(),
+                name="console")
+
+
+def noop_sink(*, output_mode: str = "append", available_now: bool = True) -> Sink:
+    """IgnoreSink analogue (extension/sink_ignore.go:25-27)."""
+    return Sink(lambda df: _writer(df, available_now, None)
+                .format("noop").outputMode(output_mode).start(),
+                name="noop")
+
+
+def foreach_batch_sink(fn: Callable[[DataFrame, int], None], *,
+                       checkpoint: str | None = None, output_mode: str = "append",
+                       available_now: bool = True,
+                       await_termination: bool = True) -> Sink:
+    """foreachBatch bridge — the universal custom-sink adapter used for
+    every connector without a native Spark writer (Redis XADD
+    redis/redis_stream.go:176-210, NATS publish nats/nats_jetstream.go:
+    239-275, Aerospike batch-write aerospike/aerospike.go:255-332, ...).
+    Exactly-once = idempotent writes keyed by (batchId, row identity)."""
+
+    def run(df: DataFrame):
+        q = (_writer(df, available_now, checkpoint)
+             .outputMode(output_mode).foreachBatch(fn).start())
+        if await_termination:
+            q.awaitTermination()
+        return q
+
+    return Sink(run, name="foreach_batch")
+
+
+def kafka_source(spark: SparkSession, bootstrap_servers: str, subscribe: str,
+                 starting_offsets: str = "earliest", **options) -> DataFrame:
+    """Kafka consumer source (kafka/kafka_sarama.go:26,57-136): offsets
+    ride in the checkpoint (the MarkMessage analogue); output columns
+    key/value/topic/partition/offset/timestamp mirror the reference's
+    ConsumerMessage envelope. Requires the spark-sql-kafka package on
+    the cluster."""
+    reader = (spark.readStream.format("kafka")
+              .option("kafka.bootstrap.servers", bootstrap_servers)
+              .option("subscribe", subscribe)
+              .option("startingOffsets", starting_offsets))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def kafka_sink(bootstrap_servers: str, topic: str, *, checkpoint: str,
+               available_now: bool = False, **options) -> Sink:
+    """Kafka producer sink (kafka/kafka_sarama.go:151,174-209): expects
+    key/value columns."""
+
+    def run(df: DataFrame):
+        w = (_writer(df, available_now, checkpoint)
+             .format("kafka")
+             .option("kafka.bootstrap.servers", bootstrap_servers)
+             .option("topic", topic))
+        for k, v in options.items():
+            w = w.option(k, v)
+        return w.start()
+
+    return Sink(run, name=f"kafka:{topic}")

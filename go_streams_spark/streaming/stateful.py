@@ -1,0 +1,115 @@
+"""Custom stateful streaming operators — the two reference semantics
+Structured Streaming does not ship (SURVEY §4.2):
+
+  1. Running Fold/Reduce with per-element emission in a stream
+     (flow/fold.go:83-90, flow/reduce.go:80-91).
+  2. Count-OR-time Batch (flow/batch.go:86-112): emit a batch when the
+     buffer reaches max_size OR the interval elapses, whichever first.
+
+Both build on ``applyInPandasWithState``: state is partitioned by key
+(Spark's per-key state store — RocksDB-backed on a real cluster, so
+state size scales horizontally), and each micro-batch processes a key's
+new rows as Arrow batches.
+
+Ordering contract: the reference is globally ordered (one goroutine);
+a distributed engine can only promise per-key order. Rows are sorted by
+the event-order column within each micro-batch; cross-micro-batch
+reordering is bounded by the watermark. This delta is inherent and
+documented (SURVEY §7 "what's hard" #1).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_fold_stream(df: DataFrame, *, key_cols: list[str], value_col: str,
+                        order_col: str, fold_fn: Callable[[Any, Any], Any],
+                        init: Any, output_schema: str,
+                        state_schema: str = "acc double",
+                        output_mode: str = "append") -> DataFrame:
+    """Streaming Fold: emits the accumulator after EVERY element, keyed.
+
+    Output rows = input rows (one per element, with ``acc`` column),
+    matching the reference's per-element emission. The accumulator
+    persists in the state store across micro-batches.
+    """
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        acc = state.get[0] if state.exists else init
+        frames = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            accs = []
+            for v in pdf[value_col]:
+                acc = fold_fn(v, acc)
+                accs.append(acc)
+            pdf = pdf.copy()
+            pdf["acc"] = accs
+            frames.append(pdf)
+        state.update((acc,))
+        out_cols = [c.strip().split(" ")[0] for c in output_schema.split(",")]
+        for f in frames:
+            yield f[out_cols]
+
+    return (df.groupBy(*key_cols)
+            .applyInPandasWithState(fold, output_schema, state_schema,
+                                    output_mode, GroupStateTimeout.NoTimeout))
+
+
+def count_or_time_batch_stream(df: DataFrame, *, key_cols: list[str],
+                               value_col: str, max_size: int,
+                               interval_ms: int, output_schema: str,
+                               output_mode: str = "append") -> DataFrame:
+    """Streaming Batch: flush buffered elements as an array when the
+    buffer reaches ``max_size`` OR ``interval_ms`` of processing time
+    elapses — whichever first (flow/batch.go:86-112; timer resets on
+    size-flush, flow/batch.go:92-96). Residual buffer flushes on timeout,
+    matching flush-on-close for AvailableNow runs.
+
+    Output rows: (key..., batch array<...>, batch_size, reason).
+
+    Run with a ``processingTime`` trigger and stop explicitly: with
+    ``Trigger.AvailableNow`` Spark keeps cycling the "no new data but
+    cleaning up state" phase forever when processing-time timeouts are
+    registered, so the query never self-terminates (observed on Spark
+    4.1; the size/time flushes themselves are all emitted correctly).
+    """
+
+    def batcher(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        buf: list = list(state.get[0]) if state.exists else []
+        out_batches: list[tuple] = []
+        for pdf in pdfs:
+            for v in pdf[value_col]:
+                buf.append(v)
+                if len(buf) >= max_size:
+                    out_batches.append((buf, "size"))
+                    buf = []
+        if state.hasTimedOut and buf:
+            out_batches.append((buf, "time"))
+            buf = []
+        if buf:
+            # keep state + a single pending timer for the residual buffer
+            state.update((buf,))
+            state.setTimeoutDuration(interval_ms)
+        elif state.exists:
+            # empty buffer: drop state AND timer so AvailableNow runs can
+            # terminate (a re-registered timer loops the cleanup phase
+            # forever); next element re-creates both
+            state.remove()
+        if out_batches:
+            yield pd.DataFrame({
+                **{k: [key[i]] * len(out_batches) for i, k in enumerate(key_cols)},
+                "batch": [b for b, _ in out_batches],
+                "batch_size": [len(b) for b, _ in out_batches],
+                "reason": [r for _, r in out_batches],
+            })
+
+    return (df.groupBy(*key_cols)
+            .applyInPandasWithState(batcher, output_schema,
+                                    "buf array<double>", output_mode,
+                                    GroupStateTimeout.ProcessingTimeTimeout))

@@ -1,0 +1,122 @@
+"""Structured Streaming tests: bounded streams (Trigger.AvailableNow,
+the reference's closed-channel analogue) through the same operator code
+paths as batch, plus the custom stateful ops."""
+
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_streams_spark.api import Source
+from go_streams_spark.operators import Map, Filter, tumbling_window
+from go_streams_spark.streaming import (
+    file_stream_source, memory_sink, running_fold_stream, count_or_time_batch_stream,
+)
+
+
+@pytest.fixture()
+def stream_dir(spark):
+    d = tempfile.mkdtemp(prefix="gss_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _mem_name():
+    return "t" + uuid.uuid4().hex[:10]
+
+
+def test_stream_map_filter_pipeline(spark, stream_dir):
+    # reference pipeline shape: FileSource -> Map -> Filter -> sink
+    spark.createDataFrame([(i,) for i in range(10)], "value int") \
+        .coalesce(1).write.mode("overwrite").parquet(stream_dir)
+    src = file_stream_source(spark, stream_dir, fmt="parquet",
+                             schema="value int")
+    name = _mem_name()
+    (Source(src)
+     .via(Map(F.col("value") * 10, output="value"))
+     .via(Filter("value >= 50"))
+     .to(memory_sink(name)))
+    got = sorted(r["value"] for r in spark.table(name).collect())
+    assert got == [50, 60, 70, 80, 90]
+
+
+def test_stream_tumbling_window_watermark(spark, stream_dir):
+    rows = [("2024-01-01 00:00:05", 1.0), ("2024-01-01 00:00:30", 2.0),
+            ("2024-01-01 00:01:10", 3.0), ("2024-01-01 00:02:50", 4.0)]
+    spark.createDataFrame(rows, "ts string, value double") \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "value") \
+        .coalesce(1).write.mode("overwrite").parquet(stream_dir)
+    src = file_stream_source(spark, stream_dir, fmt="parquet",
+                             schema="ts timestamp, value double")
+    windowed = Source(src).via(tumbling_window(
+        "ts", "1 minute", F.sum("value").alias("total"),
+        watermark="10 seconds")).to_df()
+
+    # append mode: only watermark-closed windows emit — the final window
+    # stays open (no flush-on-close in append; documented delta vs
+    # flow/tumbling_window.go:96-101)
+    name_a = _mem_name()
+    Source(windowed).to(memory_sink(name_a, output_mode="append"))
+    got_a = {str(r["window_start"]): r["total"] for r in spark.table(name_a).collect()}
+    assert got_a == {"2024-01-01 00:00:00": 3.0,
+                     "2024-01-01 00:01:00": 3.0}
+
+    # complete mode: all windows including the open one — the
+    # flush-on-close analogue for bounded runs
+    name_c = _mem_name()
+    Source(windowed).to(memory_sink(name_c, output_mode="complete"))
+    got_c = {str(r["window_start"]): r["total"] for r in spark.table(name_c).collect()}
+    assert got_c == {"2024-01-01 00:00:00": 3.0,
+                     "2024-01-01 00:01:00": 3.0,
+                     "2024-01-01 00:02:00": 4.0}
+
+
+def test_running_fold_stream(spark, stream_dir):
+    rows = [(1, i, float(i)) for i in range(1, 6)] + [(2, i, 10.0) for i in range(3)]
+    spark.createDataFrame(rows, "k int, seq int, value double") \
+        .coalesce(1).write.mode("overwrite").parquet(stream_dir)
+    src = file_stream_source(spark, stream_dir, fmt="parquet",
+                             schema="k int, seq int, value double")
+    out = running_fold_stream(
+        src, key_cols=["k"], value_col="value", order_col="seq",
+        fold_fn=lambda v, acc: acc + v, init=0.0,
+        output_schema="k int, seq int, value double, acc double")
+    name = _mem_name()
+    Source(out).to(memory_sink(name, output_mode="append"))
+    rows = spark.table(name).collect()
+    accs = {(r["k"], r["seq"]): r["acc"] for r in rows}
+    # reduce golden semantics: prefix sums (flow/reduce_test.go:34-35)
+    assert [accs[(1, i)] for i in range(1, 6)] == [1.0, 3.0, 6.0, 10.0, 15.0]
+    assert [accs[(2, i)] for i in range(3)] == [10.0, 20.0, 30.0]
+
+
+def test_count_or_time_batch_stream(spark, stream_dir):
+    rows = [(1, float(i)) for i in range(10)]
+    spark.createDataFrame(rows, "k int, value double") \
+        .coalesce(1).write.mode("overwrite").parquet(stream_dir)
+    src = file_stream_source(spark, stream_dir, fmt="parquet",
+                             schema="k int, value double")
+    out = count_or_time_batch_stream(
+        src, key_cols=["k"], value_col="value", max_size=3, interval_ms=3000,
+        output_schema="k int, batch array<double>, batch_size int, reason string")
+    name = _mem_name()
+    # processing-time timeouts + AvailableNow never self-terminate (see
+    # stateful.py docstring) -> continuous trigger, poll, explicit stop
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    import time
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table(name).count() < 4:
+        time.sleep(1)
+    q.stop()
+    got = spark.table(name).collect()
+    # 10 elements, size 3 -> three size-flushes + the residual element
+    # flushed by the processing-time timeout (count OR time, whichever
+    # first — flow/batch.go:86-112)
+    assert len(got) == 4
+    sizes = sorted((r["batch_size"], r["reason"]) for r in got)
+    assert sizes == [(1, "time"), (3, "size"), (3, "size"), (3, "size")]
+    flat = sorted(v for r in got for v in r["batch"])
+    assert flat == [float(i) for i in range(10)]
