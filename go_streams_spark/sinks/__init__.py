@@ -1,0 +1,11 @@
+"""Batch sinks (SURVEY §2.4): file writers, collectors, discard."""
+
+from .files import (
+    text_sink, json_sink, csv_sink, parquet_sink, noop_sink_batch,
+    stdout_sink, collect_sink,
+)
+
+__all__ = [
+    "text_sink", "json_sink", "csv_sink", "parquet_sink", "noop_sink_batch",
+    "stdout_sink", "collect_sink",
+]

@@ -1,0 +1,71 @@
+"""Batch sinks.
+
+Reference mapping:
+  - FileSink (extension/file.go:106,126-186) -> df.write.text; the
+    reference's per-element retry callback maps to Spark task retries
+    (spark.task.maxFailures) + job-level restart.
+  - WriterSink (extension/sink_writer.go:27) -> any format writer.
+  - StdoutSink (extension/sink_stdout.go:19) -> df.show.
+  - IgnoreSink (extension/sink_ignore.go:14) -> noop format.
+  - ChanSink (extension/chan.go:41) -> collect (tests only — never in a
+    production pipeline; everything else here streams through executors).
+
+Writers accept ``partition_by`` so output layout matches downstream
+read patterns (partition pruning at 100 TB starts with how you WRITE).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+
+from ..api import Sink
+
+
+def _write(df: DataFrame, path: str, fmt: str, mode: str,
+           partition_by: Sequence[str] | None, **options):
+    w = df.write.format(fmt).mode(mode).options(**options)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def text_sink(path: str, *, mode: str = "overwrite") -> Sink:
+    """Line-oriented text writer (FileSink analogue): expects one string
+    column named ``value``."""
+    return Sink(lambda df: _write(df, path, "text", mode, None), name=f"text:{path}")
+
+
+def json_sink(path: str, *, mode: str = "overwrite",
+              partition_by: Sequence[str] | None = None, **options) -> Sink:
+    return Sink(lambda df: _write(df, path, "json", mode, partition_by, **options),
+                name=f"json:{path}")
+
+
+def csv_sink(path: str, *, mode: str = "overwrite", header: bool = True,
+             partition_by: Sequence[str] | None = None, **options) -> Sink:
+    return Sink(lambda df: _write(df, path, "csv", mode, partition_by,
+                                  header=str(header).lower(), **options),
+                name=f"csv:{path}")
+
+
+def parquet_sink(path: str, *, mode: str = "overwrite",
+                 partition_by: Sequence[str] | None = None, **options) -> Sink:
+    return Sink(lambda df: _write(df, path, "parquet", mode, partition_by, **options),
+                name=f"parquet:{path}")
+
+
+def noop_sink_batch() -> Sink:
+    """Discard everything after full execution (IgnoreSink; also the
+    standard benchmarking sink)."""
+    return Sink(lambda df: df.write.format("noop").mode("overwrite").save(), name="noop")
+
+
+def stdout_sink(n: int = 20, truncate: bool = False) -> Sink:
+    return Sink(lambda df: df.show(n, truncate=truncate), name="stdout")
+
+
+def collect_sink() -> Sink:
+    """Driver-side collect — ChanSink analogue, tests only."""
+    return Sink(lambda df: df.collect(), name="collect")

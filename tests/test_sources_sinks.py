@@ -1,0 +1,106 @@
+"""Sources/sinks tests, including the Python Data Source API connector
+(batch + micro-batch streaming with offsets)."""
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+
+from go_streams_spark.api import Source
+from go_streams_spark.sinks import text_sink, parquet_sink, collect_sink
+from go_streams_spark.sources import (
+    text_source, parquet_source, binary_source, register_replay_source,
+)
+from go_streams_spark.sources.custom import redis_stream_source
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="gss_io_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_text_roundtrip(spark, tmpdir):
+    # FileSource -> FileSink pipeline (extension/file.go), batch mode
+    path_in = os.path.join(tmpdir, "in")
+    path_out = os.path.join(tmpdir, "out")
+    spark.createDataFrame([("hello",), ("world",)], "value string") \
+        .coalesce(1).write.text(path_in)
+    df = text_source(spark, path_in)
+    Source(df).to(text_sink(path_out))
+    back = sorted(r["value"] for r in text_source(spark, path_out).collect())
+    assert back == ["hello", "world"]
+
+
+def test_binary_source_object_shape(spark, tmpdir):
+    # object-store source shape: (path, length, content) like S3Object{Key, Data}
+    blob_path = os.path.join(tmpdir, "obj.bin")
+    with open(blob_path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\nrest")
+    df = binary_source(spark, tmpdir, path_glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["length"] == 12
+    assert bytes(rows[0]["content"])[:4] == b"\x89PN" + b"G"
+
+
+def test_parquet_partitioned_sink(spark, tmpdir):
+    out = os.path.join(tmpdir, "pq")
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "a")], "id int, part string")
+    Source(df).to(parquet_sink(out, partition_by=["part"]))
+    entries = [e for e in sorted(os.listdir(out)) if not e.endswith(".crc")]
+    assert entries == ["_SUCCESS", "part=a", "part=b"]
+    back = parquet_source(spark, out)
+    assert back.count() == 3
+    # partition pruning: reading one partition touches only its directory
+    assert back.where("part = 'a'").count() == 2
+
+
+def test_replay_datasource_batch(spark, tmpdir):
+    path = os.path.join(tmpdir, "rows.jsonl")
+    with open(path, "w") as f:
+        for i in range(20):
+            f.write(json.dumps({"id": i, "name": f"row{i}"}) + "\n")
+    fmt = register_replay_source(spark)
+    df = (spark.read.format(fmt)
+          .option("path", path)
+          .option("ddl", "id int, name string")
+          .option("numPartitions", "3")
+          .load())
+    assert df.rdd.getNumPartitions() == 3  # partition planning happens driver-side
+    rows = sorted((r["id"], r["name"]) for r in df.collect())
+    assert rows[0] == (0, "row0") and len(rows) == 20
+
+
+def test_replay_datasource_streaming_offsets(spark, tmpdir):
+    path = os.path.join(tmpdir, "rows.jsonl")
+    with open(path, "w") as f:
+        for i in range(15):
+            f.write(json.dumps({"id": i}) + "\n")
+    fmt = register_replay_source(spark)
+    name = "t" + uuid.uuid4().hex[:10]
+    # availableNow consults latestOffset only once for Python stream
+    # readers, so rate-limited sources need a continuous trigger
+    q = (spark.readStream.format(fmt)
+         .option("path", path)
+         .option("ddl", "id int")
+         .option("rowsPerBatch", "6")
+         .load()
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    import time
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table(name).count() < 15:
+        time.sleep(1)
+    q.stop()
+    got = sorted(r["id"] for r in spark.table(name).collect())
+    assert got == list(range(15))  # all micro-batches (6+6+3) delivered
+
+
+def test_network_connector_stubs_raise():
+    with pytest.raises(ImportError, match="redis"):
+        redis_stream_source()
