@@ -20,6 +20,7 @@ from go_streams_spark.session import get_spark
 from go_streams_spark.queries import QUERIES
 
 BENCH_QUERIES = [
+    # reference-operator surface
     "q1_pricing_summary",
     "map_project",
     "filter_predicate",
@@ -33,6 +34,19 @@ BENCH_QUERIES = [
     "fanout_merge",
     "batch_by_count",
     "throttler_discard",
+    # relational (joins / windows / set ops)
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_orders_per_customer",
+    "set_ops_users",
+    "json_props_extract",
+    # training-data pipeline ops
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "simhash_docs",
+    "embedding_knn",
+    "ann_sign_lsh",
 ]
 
 

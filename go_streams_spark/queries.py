@@ -585,7 +585,8 @@ WITH t AS (
   FROM t
 )
 SELECT sh.doc_id, seeds.seed::INT AS seed,
-       min(md5(seeds.seed || ':' || sh.s)) AS minhash
+       min(('0x' || substr(md5(sh.s), 1, 15))::BIGINT
+           + seeds.seed * (('0x' || substr(md5(sh.s), 16, 15))::BIGINT % 1000000007)) AS minhash
 FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
 GROUP BY sh.doc_id, seeds.seed
 """)
@@ -594,11 +595,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     format (doc_id, seed, minhash). Signature computed per-row with
     array lambdas — no shuffle; the unpivot is stack()."""
     docs = _t(spark, sf_dir, "documents")
-    shingled = docs.select("doc_id", T.word_ngrams("text", 3).alias("sh"))
-    mh = D.minhash_signature(F.col("sh"), 12)
-    stack_args = ", ".join(f"{i}, mh{i}" for i in range(12))
-    return (shingled.select("doc_id", *[c.alias(f"mh{i}") for i, c in enumerate(mh)])
-            .selectExpr("doc_id", f"stack(12, {stack_args}) as (seed, minhash)"))
+    return D.minhash_rows(D.shingle_rows(docs), num_hashes=12)
 
 
 @query("dedup_minhash_pairs", """
@@ -613,11 +610,13 @@ WITH t AS (
     ELSE [] END) AS s
   FROM t
 ), mh AS (
-  SELECT sh.doc_id, seeds.seed, min(md5(seeds.seed || ':' || sh.s)) AS m
+  SELECT sh.doc_id, seeds.seed,
+         min(('0x' || substr(md5(sh.s), 1, 15))::BIGINT
+             + seeds.seed * (('0x' || substr(md5(sh.s), 16, 15))::BIGINT % 1000000007)) AS m
   FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
   GROUP BY sh.doc_id, seeds.seed
 ), bands AS (
-  SELECT doc_id, seed // 3 AS band, md5(string_agg(m, '|' ORDER BY seed)) AS band_key
+  SELECT doc_id, seed // 3 AS band, md5(string_agg(m::VARCHAR, '|' ORDER BY seed)) AS band_key
   FROM mh GROUP BY doc_id, seed // 3
 ), cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -721,7 +720,7 @@ def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-5 per vector — the ANN correctness
     baseline (cross join; only for small N / per-bucket use)."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = S.brute_force_knn(emb, k=5)
+    out = S.brute_force_knn_matmul(emb, k=5)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -809,3 +808,179 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = M.extract_features(tagged)
     return feats.select("doc_id", "media_type", "n_frames",
                         F.round(F.element_at("feature", 1), 4).alias("f0"))
+
+
+# ===========================================================================
+# Relational capabilities beyond the reference surface (ship free with
+# Spark — SURVEY §2.5: joins, analytic windows, set ops, sorts/limits,
+# scalar function catalog). Broadcast/shuffle strategy noted per query.
+# ===========================================================================
+
+
+@query("q3_shipping_priority", """
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate  > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: 3-way join + agg + top-10.
+
+    Scale: customer filter prunes before the join; orders/lineitem join
+    shuffles on the orderkey (both sides huge — sort-merge/shuffle-hash,
+    AQE picks); the filtered customer side is broadcast-eligible and
+    hinted so. LIMIT after ORDER BY = TakeOrderedAndProject (no global
+    sort materialization).
+    """
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+    return (li
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), "l_orderkey")
+            .limit(10))
+
+
+@query("q5_local_supplier_volume", """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+""")
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-way join through the star schema.
+
+    Scale: region/nation/supplier are broadcast (tiny dims — no shuffle);
+    the orders-lineitem join is the one real shuffle; customer-supplier
+    nation equality is applied as a post-join filter exactly as in the
+    spec. Catalyst reorders the join tree; AQE re-plans on runtime stats.
+    """
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    return (li
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(customer, orders.o_custkey == customer.c_custkey)
+            .join(F.broadcast(supplier),
+                  (li.l_suppkey == supplier.s_suppkey)
+                  & (customer.c_nationkey == supplier.s_nationkey))
+            .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+            .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+            .groupBy("n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+@query("top_orders_per_customer", """
+SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice, rn::INT AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+""")
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational analytic window (ranking) — absent in the reference
+    (SURVEY §2.5); one shuffle on the partition key, per-key local sort."""
+    from pyspark.sql import Window
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (orders
+            .select(F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice",
+                    F.row_number().over(w).cast("int").alias("rn"))
+            .where(F.col("rn") <= 3))
+
+
+@query("set_ops_users", """
+SELECT user_id, 'both' AS tag FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+UNION ALL
+SELECT user_id, 'purchase_only' AS tag FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+""")
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT — set ops beyond the reference's UNION ALL
+    Merge (flow/util.go:84-105). Hash-based set operators, one shuffle."""
+    ev = _t(spark, sf_dir, "events")
+    purch = ev.where("event_type = 'purchase'").select("user_id")
+    err = ev.where("event_type = 'error'").select("user_id")
+    both = purch.intersect(err).withColumn("tag", F.lit("both"))
+    only = purch.subtract(err).withColumn("tag", F.lit("purchase_only"))  # EXCEPT (set)
+    return both.unionByName(only)
+
+
+@query("json_props_extract", """
+SELECT event_type,
+       count(*) AS cnt,
+       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+""")
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the events props column — part of the
+    scalar catalog the reference delegates to user closures (SURVEY
+    §2.5). get_json_object is codegen'd; no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.avg(F.get_json_object("props", "$.k").cast("long")), 4)
+                 .alias("avg_k")))
+
+
+@query("scalar_function_sampler", """
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS DATE)       AS order_month,
+       year(o_orderdate)                                    AS order_year,
+       substr(o_orderpriority, 1, 1)                        AS prio_code,
+       concat(o_orderstatus, '-', o_orderpriority)          AS status_prio,
+       round(abs(o_totalprice - 100000.0), 2)               AS price_dist,
+       o_orderkey % 7                                       AS bucket7,
+       round(sqrt(o_totalprice), 4)                         AS price_sqrt
+FROM orders
+""")
+def scalar_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar catalog sampler — the pyspark.sql.functions
+    surface standing in for the reference's arbitrary Go closures."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("price_dist"),
+        (F.col("o_orderkey") % 7).alias("bucket7"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
+    )

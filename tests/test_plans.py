@@ -1,0 +1,51 @@
+"""Plan-shape regression tests: pushdown reaches the scan, columns are
+pruned, small dims broadcast, shuffle counts stay minimal. These pin
+the 100 TB-relevant properties of the headline queries."""
+
+from go_streams_spark.plans import (
+    pushed_filters, read_schema_columns, count_exchanges,
+    has_broadcast_join, wholestage_codegen_spans,
+)
+from go_streams_spark.queries import QUERIES
+
+
+def test_q1_filter_pushdown_and_pruning(spark, sf_dir):
+    df = QUERIES["q1_pricing_summary"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed  # predicate reached the parquet scan
+    (cols,) = read_schema_columns(df)
+    assert len(cols) == 7  # 7 of 11 lineitem columns — pruning works
+    assert count_exchanges(df) <= 2  # partial agg -> final agg -> sort
+
+
+def test_map_project_no_shuffle(spark, sf_dir):
+    df = QUERIES["map_project"](spark, sf_dir)
+    assert count_exchanges(df) == 0  # pure projection: scan -> project
+    (cols,) = read_schema_columns(df)
+    assert set(cols) == {"l_orderkey", "l_linenumber", "l_extendedprice",
+                         "l_discount", "l_returnflag"}
+    assert wholestage_codegen_spans(df) >= 1
+
+
+def test_q3_broadcasts_filtered_dim(spark, sf_dir):
+    df = QUERIES["q3_shipping_priority"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 2  # one shuffle for the big join/agg + top-k
+
+
+def test_q5_broadcasts_small_dims(spark, sf_dir):
+    df = QUERIES["q5_local_supplier_volume"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    # the only shuffle should be orders<->lineitem + final agg
+    assert count_exchanges(df) <= 2
+
+
+def test_dedup_minhash_no_cross_join(spark, sf_dir):
+    # LSH candidates must come from an equi-join on (band, band_key),
+    # never a cartesian pair product. (The broadcast nested-loop join of
+    # the 12-row seed table is an intentional fan-out, not a pair join.)
+    from go_streams_spark.plans import explain_str
+    df = QUERIES["dedup_minhash_pairs"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "band_key" in plan and ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan)
