@@ -30,7 +30,11 @@ from ..api import Flow
 _BUILTIN = {
     "sum": F.sum, "min": F.min, "max": F.max, "count": F.count,
     "avg": F.avg, "collect_list": F.collect_list, "product": F.product,
-    "concat": lambda c: F.array_join(F.collect_list(c), ""),
+}
+
+# aggregators that post-process the windowed aggregate: fn(col, window)
+_BUILTIN_WINDOWED = {
+    "concat": lambda c, w: F.array_join(F.collect_list(c).over(w), ""),
 }
 
 
@@ -52,10 +56,14 @@ def running_reduce(col: Column | str, *, order_by: Sequence[Column | str],
     emitted column holds the accumulator value at each element, matching
     the reference's emit-after-every-element contract.
     """
-    agg = _BUILTIN[fn] if isinstance(fn, str) else fn
     c = F.col(col) if isinstance(col, str) else col
     w = _window(order_by, partition_by)
-    return Flow(lambda df: df.withColumn(output, agg(c).over(w)), name="reduce")
+    if isinstance(fn, str) and fn in _BUILTIN_WINDOWED:
+        expr = _BUILTIN_WINDOWED[fn](c, w)
+    else:
+        agg = _BUILTIN[fn] if isinstance(fn, str) else fn
+        expr = agg(c).over(w)
+    return Flow(lambda df: df.withColumn(output, expr), name="reduce")
 
 
 def running_fold(col: Column | str, init, *, order_by: Sequence[Column | str],

@@ -984,3 +984,134 @@ def scalar_function_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 7).alias("bucket7"),
         F.round(F.sqrt("o_totalprice"), 4).alias("price_sqrt"),
     )
+
+
+# ===========================================================================
+# Remaining §2 inventory demonstrations: Batch->[]T->Flatten round-trip,
+# final Reduce, Python-UDF Map path, arbitrary-Python Fold, and
+# batch/streaming parity through the SAME operator code path.
+# ===========================================================================
+
+
+@query("batch_collect_flatten", """
+WITH batched AS (
+  SELECT floor((row_number() OVER (ORDER BY event_id) - 1) / 50)::BIGINT AS batch_id,
+         event_id
+  FROM events
+)
+SELECT batch_id, count(*) AS n, min(event_id) AS first_id, max(event_id) AS last_id
+FROM batched
+GROUP BY batch_id
+""")
+def batch_collect_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch -> []T -> Flatten round-trip (flow/batch.go:14 element shape,
+    flow/util.go:175-179 inverse): batch into arrays of 50, flatten back,
+    prove bijection via per-batch stats."""
+    from .operators import collect_batches, Flatten
+    ev = _t(spark, sf_dir, "events")
+    batched = Source(ev.select("event_id")) \
+        .via(batch_by_count(50, order_by=["event_id"])) \
+        .via(collect_batches("event_id", group_cols=["batch_id"], output="value")) \
+        .to_df()
+    # flatten back and recompute stats per batch (round-trip proof)
+    exploded = batched.select("batch_id", F.explode("value").alias("event_id"))
+    return (exploded.groupBy("batch_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("event_id").alias("first_id"),
+                 F.max("event_id").alias("last_id")))
+
+
+@query("reduce_final_global", """
+SELECT count(*) AS n_rows,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+       round(max(l_extendedprice), 2) AS max_price,
+       round(min(l_extendedprice), 2) AS min_price
+FROM lineitem
+""")
+def reduce_final_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final-value Reduce (flow/reduce.go:8 when only the last accumulator
+    matters): plain df.agg — map-side partials, single-row exchange."""
+    from .operators import final_reduce
+    li = _t(spark, sf_dir, "lineitem")
+    return Source(li).via(final_reduce(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("total_revenue"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+    )).to_df()
+
+
+@query("map_python_udf", """
+SELECT doc_id, upper(substr(text, 1, 16)) AS head
+FROM documents
+""")
+def map_python_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map with an arbitrary Python callable (MapFunction[T,R],
+    flow/map.go:11) routed through an Arrow pandas UDF — proving the
+    UDF path yields byte-identical results to the SQL catalog."""
+    docs = _t(spark, sf_dir, "documents")
+    out = Source(docs.withColumn("value", F.col("text"))) \
+        .via(Map(lambda s: s[:16].upper(), output="head", column="value")) \
+        .to_df()
+    return out.select("doc_id", "head")
+
+
+@query("fold_python_per_key", """
+SELECT user_id, event_id,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE value * 0.1 END)
+             OVER (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS acc
+FROM events
+""")
+def fold_python_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-Python Fold via applyInPandas (FoldFunction analogue,
+    flow/fold.go:8): per-key sequential accumulate with custom logic the
+    Column algebra can't express as one aggregate — still parallel
+    across keys (one shuffle), matching the reference's per-key chain."""
+    from .operators import running_fold_py
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+
+    def step(row, acc):
+        # struct columns arrive as dicts in the pandas exchange
+        v, et = row["value"], row["event_type"]
+        return acc + (v if et == "purchase" else v * 0.1)
+
+    df = ev.withColumn("__pair", F.struct("value", "event_type"))
+    out = Source(df).via(running_fold_py(
+        step, 0.0, order_col="event_id", value_col="__pair",
+        key_cols=["user_id"],
+        output_schema="user_id long, event_id long, event_type string, "
+                      "value double, __pair struct<value:double,event_type:string>, acc double",
+    )).to_df()
+    return out.select("user_id", "event_id", F.round("acc", 4).alias("acc"))
+
+
+@query("stream_batch_parity_tumbling", """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       count(*)             AS cnt,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1
+""")
+def stream_batch_parity_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch/streaming parity: the SAME tumbling_window flow executed as
+    a Structured Streaming query (file stream -> availableNow -> memory
+    sink), returned as the materialized result. Proves the streaming
+    path computes byte-identical answers to the SQL oracle."""
+    import uuid as _uuid
+    from .streaming import file_stream_source, memory_sink
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = file_stream_source(
+        spark, sf_dir, fmt="parquet",
+        schema="event_id long, ts long, user_id long, event_type string, "
+               "value double, props string",
+        pathGlobFilter="events.parquet")
+    src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    windowed = Source(src).via(tumbling_window(
+        "ts", "1 hour",
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"))).to_df()
+    name = "parity_" + _uuid.uuid4().hex[:10]
+    Source(windowed).to(memory_sink(name, output_mode="complete"))
+    return spark.table(name).select("window_start", "cnt", "sum_value")

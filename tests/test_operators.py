@@ -1,0 +1,95 @@
+"""Golden tests for stateful/topology operators, ported from the
+reference goldens (fold/reduce prefix emissions, zip padding matrix,
+batch grouping, throttler validation)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_streams_spark.api import Source
+from go_streams_spark.operators import (
+    running_fold, running_reduce, running_fold_py, final_reduce,
+    batch_by_count, collect_batches, zip_with, split, merge, round_robin,
+    discard_over_quota, throttle_options,
+)
+
+
+def test_reduce_prefix_sums(spark):
+    # flow/reduce_test.go:34-35: [1,2,3,4,5] -> [1,3,6,10,15]
+    df = spark.createDataFrame([(i, i) for i in range(1, 6)], "ord int, value int")
+    out = Source(df).via(running_reduce("value", order_by=["ord"], fn="sum")).to_df()
+    assert [r["acc"] for r in out.orderBy("ord").collect()] == [1, 3, 6, 10, 15]
+
+
+def test_fold_seeded_concat(spark):
+    # flow/fold_test.go:38-39: seed "" + concat -> ["1","12","123","1234","12345"]
+    df = spark.createDataFrame([(i, str(i)) for i in range(1, 6)], "ord int, value string")
+    out = Source(df).via(running_reduce("value", order_by=["ord"], fn="concat")).to_df()
+    assert [r["acc"] for r in out.orderBy("ord").collect()] == \
+        ["1", "12", "123", "1234", "12345"]
+
+
+def test_fold_seed_merge(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(1, 4)], "ord int, value double")
+    out = Source(df).via(running_fold("value", 100.0, order_by=["ord"], fn="sum")).to_df()
+    assert [r["acc"] for r in out.orderBy("ord").collect()] == [101.0, 103.0, 106.0]
+
+
+def test_running_fold_py_per_key(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 2.0), (1, 2, 3.0), (2, 1, 5.0)], "k int, ord int, value double")
+    out = Source(df).via(running_fold_py(
+        lambda v, acc: acc * v, 1.0, order_col="ord", value_col="value",
+        key_cols=["k"], output_schema="k int, ord int, value double, acc double")).to_df()
+    got = {(r["k"], r["ord"]): r["acc"] for r in out.collect()}
+    assert got == {(1, 1): 2.0, (1, 2): 6.0, (2, 1): 5.0}
+
+
+def test_final_reduce(spark):
+    df = spark.createDataFrame([(i,) for i in range(1, 6)], "value int")
+    out = Source(df).via(final_reduce(F.sum("value").alias("s"))).to_df()
+    assert out.collect()[0]["s"] == 15
+
+
+def test_zip_with_padding_goldens(spark):
+    # flow/flow_test.go:296-345: zip [1,2] with [3] (sum) -> [4, 2] (zero pad)
+    a = spark.createDataFrame([(1,), (2,)], "v int")
+    b = spark.createDataFrame([(3,)], "w int")
+    out = zip_with(lambda x, y: x + y, [a, b], [["v"], ["w"]], ["v", "w"], [0, 0])
+    assert [r["value"] for r in out.collect()] == [4, 2]
+    # [].zip([5]) with three inputs of len 0/1/0 -> [0 5 0] analogue:
+    empty = spark.createDataFrame([], "v int")
+    c = spark.createDataFrame([(5,)], "w int")
+    out3 = zip_with(lambda x, y, z: F.concat_ws(" ", x, y, z),
+                    [empty, c, empty], [["v"], ["w"], ["v"]],
+                    ["v", "w", "v"], [0, 0, 0])
+    assert [r["value"] for r in out3.collect()] == ["0 5 0"]
+
+
+def test_batch_by_count_final_partial(spark):
+    # flow/batch_test.go:40-44: 8 elements, size 4 -> [4,3,1]-ish partials kept
+    df = spark.createDataFrame([(i,) for i in range(8)], "v int")
+    out = Source(df).via(batch_by_count(3, order_by=["v"])) \
+        .via(collect_batches("v", group_cols=["batch_id"])).to_df()
+    sizes = {r["batch_id"]: len(r["value"]) for r in out.collect()}
+    assert sizes == {0: 3, 1: 3, 2: 2}  # final partial batch emitted
+
+
+def test_batch_invalid_args():
+    # flow/batch_test.go:82-89 constructor panics -> ValueError
+    with pytest.raises(ValueError):
+        batch_by_count(0, order_by=["v"])
+    with pytest.raises(ValueError):
+        throttle_options(0, 1.0)
+    with pytest.raises(ValueError):
+        discard_over_quota(0, "ts", "1 hour")
+
+
+def test_split_round_robin_merge(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "v int")
+    hi, lo = split(df, F.col("v") >= 5)
+    assert hi.count() == 5 and lo.count() == 5
+    assert merge(hi, lo).count() == 10
+    branches = round_robin(df, 3, by=F.col("v"))
+    counts = sorted(b.count() for b in branches)
+    assert sum(counts) == 10  # exactly-one-branch per element
+    assert counts == [3, 3, 4]
