@@ -200,23 +200,29 @@ def simhash32(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") 
     """32-bit SimHash per document from distinct lowercase tokens.
 
     Bit j of md5(token) (hex-decoded) contributes +1/-1; simhash bit j is
-    the sign of the sum. Entirely relational: explode tokens x 32 bit
-    positions, two aggregations — shuffles are keyed by (doc, j) then doc
-    and combine map-side. Exactly mirrors the SQL oracle.
+    the sign of the sum. One row per (doc, distinct token) and ONE
+    codegen'd aggregation pass with 32 conditional-sum columns — no
+    32-way bit explosion (the naive explode is 32x the rows and was ~3x
+    slower). Single shuffle keyed by doc with map-side partials.
+    Bit-identical to the SQL oracle's exploded formulation.
     """
     toks = (df.select(F.col(id_col),
                       F.explode(F.array_distinct(F.transform(tokens(text_col), F.lower)))
                       .alias("tok"))
             .withColumn("h", F.md5("tok")))
-    bits = (toks.select(id_col, "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"))
-            .withColumn("digit",
-                        F.instr(F.lit("0123456789abcdef"),
-                                F.substring(F.col("h"), (F.col("j") / 4 + 1).cast("int"), 1)) - 1)
-            .withColumn("bit", F.expr("(digit >> (j % 4)) & 1")))
-    sums = bits.groupBy(id_col, "j").agg(F.sum(F.col("bit") * 2 - 1).alias("s"))
-    return (sums.groupBy(id_col)
-            .agg(F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)"))
-                       .otherwise(F.lit(0))).alias("simhash")))
+    # digit value of hex char at position j//4; bit = (digit >> j%4) & 1
+    votes = []
+    for j in range(32):
+        digit = F.instr(F.lit("0123456789abcdef"),
+                        F.substring(F.col("h"), j // 4 + 1, 1)) - 1
+        bit = F.shiftright(digit, j % 4).bitwiseAND(F.lit(1))
+        votes.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    sums = toks.groupBy(id_col).agg(*votes)
+    simhash = None
+    for j in range(32):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return sums.select(id_col, simhash.alias("simhash"))
 
 
 def simhash_pairs(sim: DataFrame, *, id_col: str = "doc_id",

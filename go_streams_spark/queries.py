@@ -1115,3 +1115,60 @@ def stream_batch_parity_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "parity_" + _uuid.uuid4().hex[:10]
     Source(windowed).to(memory_sink(name, output_mode="complete"))
     return spark.table(name).select("window_start", "cnt", "sum_value")
+
+
+@query("q6_forecast_revenue", """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure scan-filter-aggregate. The whole query is one
+    codegen stage + a single-row exchange; every predicate pushes to the
+    parquet scan (range + between + comparison)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n")))
+
+
+@query("semi_anti_join_customers", """
+SELECT tag, count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal
+FROM (
+  SELECT c_custkey, c_acctbal, 'has_urgent' AS tag
+  FROM customer
+  WHERE EXISTS (SELECT 1 FROM orders
+                WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+  UNION ALL
+  SELECT c_custkey, c_acctbal, 'no_urgent' AS tag
+  FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+)
+GROUP BY tag
+""")
+def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins (EXISTS / NOT EXISTS) — join types the
+    reference lacks entirely (SURVEY §2.5 'no semi/anti'). Semi/anti
+    never duplicate or widen rows: the probe side streams through one
+    hash lookup, the build side ships only the key column."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    has_urgent = (cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+                  .withColumn("tag", F.lit("has_urgent")))
+    no_urgent = (cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_anti")
+                 .withColumn("tag", F.lit("no_urgent")))
+    both = has_urgent.select("c_custkey", "c_acctbal", "tag").unionByName(
+        no_urgent.select("c_custkey", "c_acctbal", "tag"))
+    return (both.groupBy("tag")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
