@@ -1,0 +1,40 @@
+"""Streaming pipeline with event-time tumbling windows — the analogue of
+the reference's tumbling-window flows (flow/tumbling_window.go) on a
+file stream, with AvailableNow as the bounded-run trigger.
+
+Run: python examples/streaming_pipeline.py
+"""
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from go_streams_spark import Source, get_spark
+from go_streams_spark.operators import tumbling_window
+from go_streams_spark.streaming import file_stream_source, memory_sink
+
+
+def main():
+    spark = get_spark("example-stream")
+    d = tempfile.mkdtemp()
+    rows = [("2024-01-01 00:00:05", 1.0), ("2024-01-01 00:00:40", 2.0),
+            ("2024-01-01 00:01:10", 3.0)]
+    (spark.createDataFrame(rows, "ts string, value double")
+     .select(F.col("ts").cast("timestamp").alias("ts"), "value")
+     .write.mode("overwrite").parquet(d))
+
+    src = file_stream_source(spark, d, fmt="parquet", schema="ts timestamp, value double")
+    (Source(src)
+     .via(tumbling_window("ts", "1 minute",
+                          F.count(F.lit(1)).alias("cnt"),
+                          F.sum("value").alias("total"),
+                          watermark="10 seconds"))
+     .to(memory_sink("windows", output_mode="complete")))
+    spark.table("windows").orderBy("window_start").show(truncate=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,44 @@
+"""Training-data curation pipeline over the synthetic documents table:
+quality-filter -> language-gate -> exact dedup -> near-dup (MinHash LSH)
+-> token accounting. The 100 TB shape: every stage is a narrow projection
+or a keyed equi-join.
+
+Run: python examples/training_data_pipeline.py [sf_dir]
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from go_streams_spark import get_spark
+from go_streams_spark.functions import text as T, dedup as D
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("example-curation")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    scored = docs.select(
+        "doc_id", "text",
+        T.lang_id("text").alias("lang_pred"),
+        F.round(T.quality_score("text"), 4).alias("quality"),
+        T.token_count("text").alias("n_tokens"))
+    kept = scored.where((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+
+    exact = D.exact_dedup(kept)
+    survivors = kept.join(exact.select(F.col("keeper").alias("doc_id")), "doc_id")
+
+    near = D.ngram_jaccard_pairs(survivors, threshold=0.5)
+    drop = near.select(F.col("id_b").alias("doc_id")).distinct()
+    final = survivors.join(drop, "doc_id", "left_anti")
+
+    print(f"input={docs.count()} kept={kept.count()} "
+          f"exact_survivors={survivors.count()} final={final.count()}")
+    final.select(F.sum("n_tokens").alias("total_tokens")).show()
+
+
+if __name__ == "__main__":
+    main()

@@ -1172,3 +1172,32 @@ def semi_anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (both.groupBy("tag")
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
+
+
+@query("ann_query_vector_topk", """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), q AS (
+  SELECT v AS qv FROM v WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(list_sum(list_transform(list_zip(v.v, q.qv), p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(v.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(q.qv, x -> x * x)))), 6) AS sim
+FROM v, q
+WHERE vec_id <> 0
+ORDER BY sim DESC, vec_id
+LIMIT 10
+""")
+def ann_query_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search for ONE query vector: broadcast the query,
+    score every row JVM-side, TakeOrderedAndProject for top-k — the
+    single-probe ANN shape (no shuffle except the final top-k gather)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", S.as_double("embedding").alias("v"))
+    q = v.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    scored = (v.join(F.broadcast(q))
+              .where(F.col("vec_id") != 0)
+              .select("vec_id",
+                      F.round(S.cosine(F.col("v"), F.col("qv")), 6).alias("sim")))
+    return scored.orderBy(F.col("sim").desc(), "vec_id").limit(10)

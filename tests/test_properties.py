@@ -1,0 +1,63 @@
+"""Property-based tests (hypothesis) checking operator semantics against
+plain-Python reference models — the upgrade over the reference's
+golden-only strategy (SURVEY §5)."""
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from go_streams_spark.api import Source
+from go_streams_spark.operators import (
+    running_reduce, batch_by_count, zip_with, split, merge,
+)
+
+ints = st.lists(st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=30)
+SETTINGS = dict(max_examples=8, deadline=None)  # Spark jobs are slow; few, meaty examples
+
+
+@given(xs=ints)
+@settings(**SETTINGS)
+def test_running_sum_matches_python_scan(spark, xs):
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(xs)], "ord int, value long")
+    out = Source(df).via(running_reduce("value", order_by=["ord"], fn="sum")).to_df()
+    got = [r["acc"] for r in out.orderBy("ord").collect()]
+    expect, acc = [], 0
+    for v in xs:
+        acc += v
+        expect.append(acc)
+    assert got == expect
+
+
+@given(xs=ints, size=st.integers(min_value=1, max_value=7))
+@settings(**SETTINGS)
+def test_batch_partition_sizes(spark, xs, size):
+    df = spark.createDataFrame([(i,) for i in range(len(xs))], "v int")
+    out = Source(df).via(batch_by_count(size, order_by=["v"])).to_df()
+    sizes = [r["cnt"] for r in
+             out.groupBy("batch_id").agg(F.count(F.lit(1)).alias("cnt"))
+             .orderBy("batch_id").collect()]
+    n = len(xs)
+    expect = [size] * (n // size) + ([n % size] if n % size else [])
+    assert sizes == expect  # all full batches + one final partial (flow/batch.go:98-104)
+
+
+@given(a=ints, b=ints)
+@settings(**SETTINGS)
+def test_zip_with_matches_python_zip_padded(spark, a, b):
+    da = spark.createDataFrame([(i, v) for i, v in enumerate(a)], "ord int, v long")
+    db = spark.createDataFrame([(i, v) for i, v in enumerate(b)], "ord int, w long")
+    out = zip_with(lambda x, y: x + y, [da, db], [["ord"], ["ord"]], ["v", "w"], [0, 0])
+    got = [r["value"] for r in out.collect()]
+    n = max(len(a), len(b))
+    pa = a + [0] * (n - len(a))
+    pb = b + [0] * (n - len(b))
+    assert got == [x + y for x, y in zip(pa, pb)]
+
+
+@given(xs=ints, pivot=st.integers(min_value=-1000, max_value=1000))
+@settings(**SETTINGS)
+def test_split_merge_is_partition(spark, xs, pivot):
+    df = spark.createDataFrame([(v,) for v in xs], "v long")
+    hi, lo = split(df, F.col("v") >= pivot)
+    assert sorted(r["v"] for r in merge(hi, lo).collect()) == sorted(xs)
+    assert all(r["v"] >= pivot for r in hi.collect())
+    assert all(r["v"] < pivot for r in lo.collect())
