@@ -15,3 +15,5 @@ __all__ = [
     "split", "fan_out", "round_robin", "merge", "zip_with",
     "throttle_options", "discard_over_quota",
 ]
+from .topology import distributed_ordinal, zip_with_distributed  # noqa: E402
+__all__ += ["distributed_ordinal", "zip_with_distributed"]

@@ -98,3 +98,59 @@ def zip_with(combine: Callable[..., Column], dfs: Sequence[DataFrame],
         joined = joined.join(s, on=idx, how="full_outer")
     padded = [F.coalesce(F.col(f"__v{i}"), F.lit(z)) for i, z in enumerate(zeros)]
     return joined.select(F.col(idx), combine(*padded).alias(output)).orderBy(idx).drop(idx)
+
+
+def distributed_ordinal(df: DataFrame, *, order_by: Sequence[Column | str],
+                        idx: str = "__ord", strict: bool = True) -> DataFrame:
+    """Contiguous 1-based ordinal without a single-partition sort.
+
+    Two-pass scheme: (1) range-repartition on the order key (strict mode)
+    so partitions hold disjoint key ranges, sort locally, number rows
+    within each partition; (2) collect per-partition COUNTS (one tiny row
+    per partition), prefix-sum them on the driver, and add the broadcast
+    offsets. The only data-sized movement is the range shuffle — the
+    global row_number's Exchange SinglePartition never happens, which is
+    the difference between working and not working at 10^10 rows.
+
+    strict=False skips the range shuffle and numbers rows in the existing
+    partition order — the "arrival order" contract of the reference's
+    channels (streams.go:4-19), zero shuffles.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    if strict:
+        df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+    part = df.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(*cols)
+    local = part.withColumn("__rn", F.row_number().over(w))
+    counts = {r["__pid"]: r["c"] for r in
+              part.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long")
+    return (local.join(F.broadcast(off_df), "__pid")
+            .withColumn(idx, (F.col("__off") + F.col("__rn")).cast("long"))
+            .drop("__pid", "__rn", "__off"))
+
+
+def zip_with_distributed(combine: Callable[..., Column], dfs: Sequence[DataFrame],
+                         order_bys: Sequence[Sequence[Column | str]],
+                         value_cols: Sequence[str], zeros: Sequence[object],
+                         *, output: str = "value") -> DataFrame:
+    """ZipWith on distributed ordinals: same semantics as ``zip_with``
+    (positional, zero-padded — flow/util.go:116-171) but every input is
+    numbered via ``distributed_ordinal`` and the join shuffles on the
+    ordinal — no single-partition stage anywhere."""
+    idx = "__zip_idx"
+    sides = []
+    for i, (d, ob, vc) in enumerate(zip(dfs, order_bys, value_cols)):
+        sides.append(distributed_ordinal(d, order_by=ob, idx=idx)
+                     .select(F.col(idx), F.col(vc).alias(f"__v{i}")))
+    joined = sides[0]
+    for s in sides[1:]:
+        joined = joined.join(s, on=idx, how="full_outer")
+    padded = [F.coalesce(F.col(f"__v{i}"), F.lit(z)) for i, z in enumerate(zeros)]
+    return joined.select(F.col(idx), combine(*padded).alias(output)).orderBy(idx).drop(idx)

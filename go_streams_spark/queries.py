@@ -1201,3 +1201,77 @@ def ann_query_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("vec_id",
                       F.round(S.cosine(F.col("v"), F.col("qv")), 6).alias("sim")))
     return scored.orderBy(F.col("sim").desc(), "vec_id").limit(10)
+
+
+@query("keyed_tumbling_window", """
+SELECT user_id,
+       time_bucket(INTERVAL '6 hours', ts) AS window_start,
+       count(*)             AS cnt,
+       round(sum(value), 2) AS sum_value,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY 1, 2
+""")
+def keyed_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed composed with a window flow (flow/keyed.go:53-158 wrapping
+    flow/tumbling_window.go) — per-key independent window state in the
+    reference collapses to ONE grouped aggregation on (key, window):
+    single shuffle, map-side partials, per-key parallelism for free."""
+    ev = _t(spark, sf_dir, "events")
+    out = Source(ev).via(tumbling_window(
+        "ts", "6 hours",
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.max("value"), 2).alias("max_value"),
+        keys=["user_id"],
+    )).to_df()
+    return out.select("user_id", "window_start", "cnt", "sum_value", "max_value")
+
+
+@query("pandas_udaf_weighted_avg", """
+SELECT event_type,
+       round(sum(value * (1.0 + user_id % 5)) / sum(1.0 + user_id % 5), 4) AS wavg
+FROM events
+GROUP BY event_type
+""")
+def pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-defined aggregate via pandas_udf GROUPED_AGG (the
+    FoldFunction-as-UDAF surface, SURVEY §2.5): weighted average with
+    per-row weights, Arrow-vectorized per group. Oracle mirrors the
+    arithmetic exactly (sum-of-products order is per-group sequential)."""
+    from pyspark.sql.functions import pandas_udf, PandasUDFType
+
+    # explicit functionType: `from __future__ import annotations` makes the
+    # type hints strings, which defeats Spark's signature inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def wavg(v, w):
+        return float((v * w).sum() / w.sum())
+
+    ev = _t(spark, sf_dir, "events")
+    weighted = ev.withColumn("w", 1.0 + (F.col("user_id") % 5))
+    return (weighted.groupBy("event_type")
+            .agg(F.round(wavg("value", "w"), 4).alias("wavg")))
+
+
+@query("zip_distributed_full", """
+WITH a AS (
+  SELECT row_number() OVER (ORDER BY o_orderkey) AS idx, o_totalprice
+  FROM orders
+), b AS (
+  SELECT row_number() OVER (ORDER BY c_custkey) AS idx, c_acctbal
+  FROM customer
+)
+SELECT round(coalesce(a.o_totalprice, 0) + coalesce(b.c_acctbal, 0), 2) AS value
+FROM a FULL OUTER JOIN b USING (idx)
+""")
+def zip_distributed_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZipWith at scale: both inputs numbered via the two-pass
+    distributed ordinal (range shuffle + broadcast offsets — no
+    Exchange SinglePartition), zipped over the full tables."""
+    from .operators import zip_with_distributed
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return zip_with_distributed(
+        lambda a, b: F.round(a + b, 2),
+        [orders, cust], [["o_orderkey"], ["c_custkey"]],
+        ["o_totalprice", "c_acctbal"], [0.0, 0.0])

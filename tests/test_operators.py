@@ -93,3 +93,34 @@ def test_split_round_robin_merge(spark):
     counts = sorted(b.count() for b in branches)
     assert sum(counts) == 10  # exactly-one-branch per element
     assert counts == [3, 3, 4]
+
+
+def test_distributed_ordinal_matches_global_row_number(spark):
+    from go_streams_spark.operators import distributed_ordinal
+    import random
+    rng = random.Random(7)
+    vals = list(range(200))
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v int").repartition(8)
+    out = distributed_ordinal(df, order_by=["v"], idx="ord")
+    got = {r["v"]: r["ord"] for r in out.collect()}
+    assert got == {v: v + 1 for v in range(200)}  # ordinal == rank in v-order
+
+
+def test_distributed_ordinal_no_single_partition_exchange(spark):
+    from go_streams_spark.operators import distributed_ordinal
+    from go_streams_spark.plans import explain_str
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    out = distributed_ordinal(df, order_by=["v"], idx="ord")
+    assert "Exchange SinglePartition" not in explain_str(out, "simple")
+
+
+def test_zip_with_distributed_matches_zip_with(spark):
+    from go_streams_spark.operators import zip_with_distributed
+    a = spark.createDataFrame([(i,) for i in range(50)], "v int").repartition(4)
+    b = spark.createDataFrame([(i * 10,) for i in range(30)], "w int").repartition(3)
+    out = zip_with_distributed(lambda x, y: x + y, [a, b],
+                               [["v"], ["w"]], ["v", "w"], [0, 0])
+    got = [r["value"] for r in out.collect()]
+    expect = [i + i * 10 for i in range(30)] + list(range(30, 50))
+    assert got == expect
