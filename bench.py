@@ -37,9 +37,14 @@ BENCH_QUERIES = [
     # relational (joins / windows / set ops)
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "semi_anti_join_customers",
     "top_orders_per_customer",
+    "keyed_tumbling_window",
     "set_ops_users",
     "json_props_extract",
+    "pandas_udaf_weighted_avg",
+    "zip_distributed_full",
     # training-data pipeline ops
     "text_stats",
     "dedup_exact",
@@ -47,6 +52,7 @@ BENCH_QUERIES = [
     "simhash_docs",
     "embedding_knn",
     "ann_sign_lsh",
+    "ann_query_vector_topk",
 ]
 
 

@@ -103,39 +103,51 @@ def shingle_rows(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
             .distinct())
 
 
-def minhash_rows(shingles: DataFrame, *, id_col: str = "doc_id",
+def minhash_wide(shingles: DataFrame, *, id_col: str = "doc_id",
                  num_hashes: int = 12) -> DataFrame:
-    """(doc, seed, minhash) rows from (doc, shingle) rows.
+    """One row per doc with mh0..mh{n-1} minhash columns.
 
-    One codegen'd md5 per shingle, Carter-Wegman seed derivation, then a
-    hash aggregate min over (doc, seed) — map-side partials make the
-    shuffle carry only num_hashes rows per doc.
+    One codegen'd md5 per shingle, Carter-Wegman seed derivation as
+    num_hashes conditional-min AGGREGATE COLUMNS in a single pass — no
+    seed fan-out join (the 12x row explosion was the cold-path cost),
+    one shuffle by doc with map-side partials.
     """
     d = F.md5("s")
     h1 = F.conv(F.substring(d, 1, 15), 16, 10).cast("long")
     h2 = F.conv(F.substring(d, 16, 15), 16, 10).cast("long") % _CW_MOD
-    seeds = shingles.sparkSession.range(num_hashes).select(F.col("id").cast("int").alias("seed"))
-    return (shingles
-            .select(F.col(id_col), h1.alias("h1"), h2.alias("h2"))
-            .join(F.broadcast(seeds))
-            .groupBy(id_col, "seed")
-            .agg(F.min(F.col("h1") + F.col("seed") * F.col("h2")).alias("minhash")))
+    pre = shingles.select(F.col(id_col), h1.alias("h1"), h2.alias("h2"))
+    aggs = [F.min(F.col("h1") + i * F.col("h2")).alias(f"mh{i}")
+            for i in range(num_hashes)]
+    return pre.groupBy(id_col).agg(*aggs)
 
 
-def band_rows(mh: DataFrame, *, id_col: str = "doc_id",
+def minhash_rows(shingles: DataFrame, *, id_col: str = "doc_id",
+                 num_hashes: int = 12) -> DataFrame:
+    """(doc, seed, minhash) long format — unpivot of ``minhash_wide``
+    (num_hashes rows per doc, produced after aggregation)."""
+    wide = minhash_wide(shingles, id_col=id_col, num_hashes=num_hashes)
+    stack = ", ".join(f"{i}, mh{i}" for i in range(num_hashes))
+    return wide.selectExpr(
+        id_col, f"stack({num_hashes}, {stack}) as (seed, minhash)") \
+        .withColumn("seed", F.col("seed").cast("int"))
+
+
+def band_rows(mh_wide: DataFrame, *, id_col: str = "doc_id",
               rows_per_band: int = 3) -> DataFrame:
-    """(doc, band, band_key) rows: md5 of the '|'-joined minhashes of
-    each band (ordered by seed)."""
-    grouped = (mh.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-               .groupBy(id_col, "band")
-               .agg(F.array_sort(F.collect_list(F.struct("seed", "minhash"))).alias("ms")))
-    joined = F.array_join(F.transform("ms", lambda x: x["minhash"].cast("string")), "|")
-    return grouped.select(id_col, "band", F.md5(joined).alias("band_key"))
+    """(doc, band, band_key) rows from the wide signature: band_key =
+    md5 of the '|'-joined minhashes of each band. A cheap posexplode of
+    num_bands precomputed keys per doc-row."""
+    mh_cols = [c for c in mh_wide.columns if c.startswith("mh")]
+    keys = [F.md5(F.concat_ws("|", *mh_cols[b:b + rows_per_band]))
+            for b in range(0, len(mh_cols), rows_per_band)]
+    return mh_wide.select(
+        F.col(id_col), F.posexplode(F.array(*keys)).alias("band", "band_key"))
 
 
 def minhash_lsh_candidates(df: DataFrame, *, text_col: str = "text",
                            id_col: str = "doc_id", ngram: int = 3,
-                           num_hashes: int = 12, rows_per_band: int = 3) -> DataFrame:
+                           num_hashes: int = 12, rows_per_band: int = 3,
+                           shingles: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH bucket.
 
     Plan shape: shingle rows -> signature rows -> band rows -> self
@@ -144,9 +156,10 @@ def minhash_lsh_candidates(df: DataFrame, *, text_col: str = "text",
     pair. Boilerplate-heavy corpora skew some buckets — AQE skew-join
     splits them at runtime.
     """
+    if shingles is None:
+        shingles = shingle_rows(df, text_col=text_col, id_col=id_col, ngram=ngram)
     bands = band_rows(
-        minhash_rows(shingle_rows(df, text_col=text_col, id_col=id_col, ngram=ngram),
-                     id_col=id_col, num_hashes=num_hashes),
+        minhash_wide(shingles, id_col=id_col, num_hashes=num_hashes),
         id_col=id_col, rows_per_band=rows_per_band)
     a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, ["band", "band_key"])
@@ -158,7 +171,8 @@ def minhash_lsh_candidates(df: DataFrame, *, text_col: str = "text",
 
 def jaccard_verify(df: DataFrame, candidates: DataFrame, *, text_col: str = "text",
                    id_col: str = "doc_id", ngram: int = 3,
-                   threshold: float = 0.5) -> DataFrame:
+                   threshold: float = 0.5,
+                   shingles: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only; keep >= threshold.
 
     Fully relational: |A ∩ B| via a shingle equi-join restricted to the
@@ -166,7 +180,8 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, *, text_col: str = "tex
     jaccard = i / (|A| + |B| - i). Shuffle-hash joins on doc ids;
     shingle sets never materialize as arrays.
     """
-    sh = shingle_rows(df, text_col=text_col, id_col=id_col, ngram=ngram)
+    sh = shingles if shingles is not None else \
+        shingle_rows(df, text_col=text_col, id_col=id_col, ngram=ngram)
     cnts = sh.groupBy(F.col(id_col).alias("cid")).agg(F.count(F.lit(1)).alias("c"))
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
     sb = sh.select(F.col(id_col).alias("__idb"), F.col("s").alias("s_b"))
@@ -185,11 +200,22 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, *, text_col: str = "tex
 def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
                         ngram: int = 3, threshold: float = 0.5,
                         num_hashes: int = 12, rows_per_band: int = 3) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify."""
+    """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
+
+    The shingle rows feed four consumers (signature, intersection join
+    x2, per-doc counts). Catalyst does not reuse the exchange across
+    them; measured locally, persist()'s cache-fill barrier costs more
+    than the recompute, so the subtree is shared lazily. At 100 TB the
+    right call flips: materialize shingles to parquet once (the standard
+    first stage of a corpus-dedup pipeline) and feed all consumers from
+    that scan.
+    """
+    sh = shingle_rows(df, text_col=text_col, id_col=id_col, ngram=ngram)
     cands = minhash_lsh_candidates(df, text_col=text_col, id_col=id_col, ngram=ngram,
-                                   num_hashes=num_hashes, rows_per_band=rows_per_band)
+                                   num_hashes=num_hashes, rows_per_band=rows_per_band,
+                                   shingles=sh)
     return jaccard_verify(df, cands, text_col=text_col, id_col=id_col,
-                          ngram=ngram, threshold=threshold)
+                          ngram=ngram, threshold=threshold, shingles=sh)
 
 
 # ---------------------------------------------------------------------------
