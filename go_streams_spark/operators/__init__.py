@@ -17,3 +17,5 @@ __all__ = [
 ]
 from .topology import distributed_ordinal, zip_with_distributed  # noqa: E402
 __all__ += ["distributed_ordinal", "zip_with_distributed"]
+from .joins import asof_join  # noqa: E402
+__all__ += ["asof_join"]

@@ -1,0 +1,58 @@
+"""Join operators Spark lacks natively: as-of (point-in-time) join.
+
+The reference has no relational joins at all (SURVEY §2.5); this module
+adds the one join family large-scale event/feature pipelines always need
+and Spark does not ship: the as-of join (each left row matched to the
+most recent right row at-or-before its timestamp, per key).
+
+Implementation is the scalable union trick — NOT a range join:
+tag both sides, union, one window pass per key ordered by (ts, side)
+carrying the last-seen right payload forward (``last(..., ignorenulls)``
+over an unbounded-preceding frame), then keep left rows. Cost: ONE
+shuffle on the key, no join node, no range-explosion — the same plan
+shape at 10^3 or 10^12 rows. An equality-ts tie resolves to the right
+row (right sorts before left at equal ts), matching DuckDB's
+``ASOF JOIN ... ON r.ts <= l.ts``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, *, on: Sequence[str],
+              left_ts: str, right_ts: str,
+              right_values: Sequence[str],
+              suffix: str = "_asof") -> DataFrame:
+    """For each left row: values of the latest right row with
+    ``right_ts <= left_ts`` sharing the ``on`` keys (backward as-of).
+
+    Returns all left columns plus ``<v><suffix>`` for each requested
+    right value column (null when no right row precedes).
+    """
+    lcols = left.columns
+    tagged_l = left.withColumn("__ts", F.col(left_ts)) \
+        .withColumn("__side", F.lit(1))
+    for v in right_values:
+        tagged_l = tagged_l.withColumn(f"__rv_{v}", F.lit(None).cast(dict(right.dtypes)[v]))
+    tagged_r = right.select(
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.col(v).alias(f"__rv_{v}") for v in right_values])
+    for c in lcols:
+        if c not in tagged_r.columns:
+            tagged_r = tagged_r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = tagged_l.unionByName(tagged_r.select(tagged_l.columns))
+    # right rows (side 0) sort before left rows at equal ts => <= semantics
+    w = (Window.partitionBy(*on).orderBy("__ts", "__side")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = unioned
+    for v in right_values:
+        carried = carried.withColumn(
+            f"{v}{suffix}", F.last(f"__rv_{v}", ignorenulls=True).over(w))
+    return (carried.where(F.col("__side") == 1)
+            .select(*lcols, *[f"{v}{suffix}" for v in right_values]))

@@ -1275,3 +1275,50 @@ def zip_distributed_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, b: F.round(a + b, 2),
         [orders, cust], [["o_orderkey"], ["c_custkey"]],
         ["o_totalprice", "c_acctbal"], [0.0, 0.0])
+
+
+@query("asof_join_purchases", """
+SELECT c.event_id, c.user_id,
+       round(c.value, 2) AS click_value,
+       round(p.value, 2) AS last_purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND p.ts <= c.ts
+""")
+def asof_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join — each click joined to the user's most
+    recent purchase at-or-before it. Implemented as the union + window
+    carry-forward trick (operators/joins.py): ONE shuffle on user_id, no
+    range join, no explosion; oracle is DuckDB's native ASOF JOIN."""
+    from .operators import asof_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click")
+    purchases = ev.where(F.col("event_type") == "purchase")
+    out = asof_join(clicks, purchases, on=["user_id"], left_ts="ts",
+                    right_ts="ts", right_values=["value"])
+    return out.select(
+        "event_id", "user_id",
+        F.round("value", 2).alias("click_value"),
+        F.round("value_asof", 2).alias("last_purchase_value"))
+
+
+@query("rollup_status_priority", """
+SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*)                          AS cnt,
+       round(sum(o_totalprice), 2)       AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (status -> priority -> grand total) — grouping
+    sets are absent from the reference (SURVEY §2.5 'no grouping sets/
+    cube/rollup'); Spark expands them in ONE pass over the data (single
+    shuffle, expand node), not one job per level."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                    "cnt", "total"))

@@ -1,0 +1,94 @@
+"""Scale-pattern tests: bucketed co-located joins (shuffle-free), as-of
+join plan shape, foreachBatch multi-sink fan-out."""
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_streams_spark.operators import asof_join
+from go_streams_spark.plans import explain_str, count_exchanges
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="gss_scale_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "c1"), (1, 20, "c2"), (2, 5, "c3")], "k int, ts int, name string")
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 15, 200.0), (2, 9, 300.0)], "k int, ts int, val double")
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                    right_values=["val"])
+    got = {(r["k"], r["ts"]): r["val_asof"] for r in out.collect()}
+    # latest right at-or-before; none before -> null (DuckDB ASOF parity)
+    assert got == {(1, 10): 100.0, (1, 20): 200.0, (2, 5): None}
+
+
+def test_asof_join_equal_ts_matches(spark):
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame([(1, 10, 7.0)], "k int, ts int, val double")
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                    right_values=["val"])
+    assert out.collect()[0]["val_asof"] == 7.0  # <= includes equality
+
+
+def test_asof_join_single_shuffle_no_join_node(spark):
+    left = spark.createDataFrame([(1, 10)], "k int, ts int")
+    right = spark.createDataFrame([(1, 8, 1.0)], "k int, ts int, val double")
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                    right_values=["val"])
+    plan = explain_str(out, "simple")
+    assert "Join" not in plan  # union + window, not a join
+    assert count_exchanges(out) <= 2  # union sides feed one hash shuffle
+
+
+def test_bucketed_join_no_shuffle(spark, tmpdir):
+    """Pre-bucketed tables co-locate join keys at WRITE time: the join
+    plan has no Exchange on either side — the bucketing strategy that
+    makes repeated 100 TB fact-fact joins affordable."""
+    warehouse = os.path.join(tmpdir, "wh")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    a_name = "ba_" + uuid.uuid4().hex[:8]
+    b_name = "bb_" + uuid.uuid4().hex[:8]
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(500).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    for df, name in [(a, a_name), (b, b_name)]:
+        (df.write.mode("overwrite")
+         .option("path", os.path.join(warehouse, name))
+         .bucketBy(8, "k").sortBy("k").saveAsTable(name))
+    ta, tb = spark.table(a_name), spark.table(b_name)
+    joined = ta.join(tb, "k").select("k", "va", "vb")
+    plan = explain_str(joined, "simple")
+    assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+    assert joined.count() == 500
+    spark.sql(f"DROP TABLE IF EXISTS {a_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {b_name}")
+
+
+def test_foreach_batch_multi_sink(spark, tmpdir):
+    """FanOut across SINKS in streaming: one foreachBatch writes N
+    destinations from a single source read (SURVEY §3.3)."""
+    src_dir = os.path.join(tmpdir, "src")
+    spark.createDataFrame([(i,) for i in range(10)], "v int") \
+        .coalesce(1).write.parquet(src_dir)
+    stream = spark.readStream.schema("v int").parquet(src_dir)
+    out_a, out_b = [], []
+
+    def write_both(batch_df, batch_id):
+        rows = [r["v"] for r in batch_df.collect()]
+        out_a.extend(v for v in rows if v % 2 == 0)
+        out_b.extend(v for v in rows if v % 2 == 1)
+
+    q = (stream.writeStream.trigger(availableNow=True)
+         .foreachBatch(write_both).start())
+    q.awaitTermination(60)
+    assert sorted(out_a) == [0, 2, 4, 6, 8]
+    assert sorted(out_b) == [1, 3, 5, 7, 9]
