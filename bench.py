@@ -45,6 +45,9 @@ BENCH_QUERIES = [
     "json_props_extract",
     "pandas_udaf_weighted_avg",
     "zip_distributed_full",
+    "asof_join_purchases",
+    "rollup_status_priority",
+    "salted_agg_user_totals",
     # training-data pipeline ops
     "text_stats",
     "dedup_exact",

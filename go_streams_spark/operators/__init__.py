@@ -19,3 +19,5 @@ from .topology import distributed_ordinal, zip_with_distributed  # noqa: E402
 __all__ += ["distributed_ordinal", "zip_with_distributed"]
 from .joins import asof_join  # noqa: E402
 __all__ += ["asof_join"]
+from .aggregate import salted_agg  # noqa: E402
+__all__ += ["salted_agg"]

@@ -120,3 +120,49 @@ def running_fold_py(fold_fn: Callable, init, *, order_col: str, value_col: str,
         return df.groupBy(*key_cols).applyInPandas(_fold, schema=output_schema)
 
     return Flow(_apply, name="fold_py")
+
+
+def salted_agg(keys: Sequence[str], aggs: dict, *, salt_buckets: int = 16,
+               salt_col: str = "__salt") -> Flow:
+    """Two-phase skew-resistant aggregation: partial agg on
+    (keys + salt), final merge on keys.
+
+    For hot keys (one key >> everything else) a plain groupBy funnels
+    the key's entire volume through one reducer; salting spreads the
+    partial aggregation across ``salt_buckets`` reducers and the final
+    merge handles only ``salt_buckets`` rows per key. Only algebraic
+    aggregates decompose this way — ``aggs`` maps output column ->
+    (partial_fn, merge_fn) pairs, e.g. {"cnt": ("count", "sum"),
+    "total": ("sum", "sum"), "mx": ("max", "max")}.
+
+    AQE's skew handling covers JOINS; skewed AGGREGATION keys still need
+    this (or partial-agg push-down, which Spark does apply — salting is
+    the explicit form when partials alone can't keep up).
+    """
+    _fns = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)), "max": F.max,
+            "min": F.min}
+
+    def _apply(df: DataFrame) -> DataFrame:
+        salted = df.withColumn(salt_col, F.pmod(F.spark_partition_id()
+                                                + F.crc32(F.concat_ws("|", *keys)),
+                                                F.lit(salt_buckets)))
+        partial = salted.groupBy(*keys, salt_col).agg(
+            *[_fns[p](c if p != "count" else F.lit(1)).alias(f"__p_{out}")
+              for out, (p, _m, c) in _normalize(aggs).items()])
+        return partial.groupBy(*keys).agg(
+            *[_fns[m](F.col(f"__p_{out}")).alias(out)
+              for out, (_p, m, _c) in _normalize(aggs).items()])
+
+    return Flow(_apply, name="salted_agg")
+
+
+def _normalize(aggs: dict) -> dict:
+    out = {}
+    for name, spec in aggs.items():
+        if len(spec) == 2:
+            p, m = spec
+            out[name] = (p, m, name)
+        else:
+            p, m, c = spec
+            out[name] = (p, m, c)
+    return out

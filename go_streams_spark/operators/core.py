@@ -40,6 +40,13 @@ def _maybe_repartition(df: DataFrame, parallelism: int | None) -> DataFrame:
     return df.repartition(parallelism) if parallelism else df
 
 
+def _check_parallelism(parallelism: int | None) -> None:
+    # reference constructors panic on non-positive parallelism
+    # (flow/map.go:42-44 and every *_InvalidArguments test)
+    if parallelism is not None and parallelism < 1:
+        raise ValueError("parallelism must be positive")
+
+
 def Map(expr: Expr, *, output: str = "value", column: str = "value",
         return_type: str = "string", parallelism: int | None = None) -> Flow:
     """1->1 element transform.
@@ -48,6 +55,7 @@ def Map(expr: Expr, *, output: str = "value", column: str = "value",
     - ``Mapping[name, expr]`` -> multi-column projection (element == row)
     - Python callable        -> Arrow pandas UDF over ``column``
     """
+    _check_parallelism(parallelism)
     if callable(expr) and not isinstance(expr, Column):
         fn = expr
 
@@ -74,6 +82,7 @@ def FlatMap(expr: Expr, *, output: str = "value", column: str = "value",
     Matches reference in-order item emission (``flow/flat_map.go:96-104``)
     within a partition; ``explode`` drops empty arrays (0-output case).
     """
+    _check_parallelism(parallelism)
     if callable(expr) and not isinstance(expr, Column):
         fn = expr
 
@@ -95,6 +104,7 @@ def Filter(pred: Expr, *, column: str = "value", parallelism: int | None = None)
     Column/SQL predicates push down to the scan; Python callables are
     wrapped in a boolean pandas UDF (no pushdown — prefer expressions).
     """
+    _check_parallelism(parallelism)
     if callable(pred) and not isinstance(pred, Column):
         fn = pred
 
@@ -117,5 +127,6 @@ def PassThrough() -> Flow:
 def Flatten(column: str = "value", *, output: str = "value",
             parallelism: int | None = None) -> Flow:
     """[]T -> T, inverse of Batch/windows (``flow/util.go:175-179``)."""
+    _check_parallelism(parallelism)
     return Flow(lambda df: _maybe_repartition(df, parallelism)
                 .select(F.explode(F.col(column)).alias(output)), name="flatten")

@@ -1322,3 +1322,27 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
                     F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
                     "cnt", "total"))
+
+
+@query("salted_agg_user_totals", """
+SELECT user_id, count(*) AS cnt, round(sum(value), 2) AS total,
+       round(max(value), 2) AS mx
+FROM events
+GROUP BY user_id
+""")
+def salted_agg_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant two-phase aggregation (salt on partition id):
+    identical results to a plain groupBy — the point is the PLAN (hot
+    keys spread over salt_buckets reducers before the tiny final merge).
+    """
+    from .operators import salted_agg
+    ev = _t(spark, sf_dir, "events")
+    out = Source(ev).via(salted_agg(
+        ["user_id"],
+        {"cnt": ("count", "sum"),
+         "__total_raw": ("sum", "sum", "value"),
+         "__mx_raw": ("max", "max", "value")},
+        salt_buckets=8)).to_df()
+    return out.select("user_id", "cnt",
+                      F.round("__total_raw", 2).alias("total"),
+                      F.round("__mx_raw", 2).alias("mx"))

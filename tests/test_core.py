@@ -87,3 +87,14 @@ def test_composed_pipeline(spark):
         .to_df()
     )
     assert sorted(_vals(out)) == ["B*", "B**", "C*", "C**"]
+
+
+def test_invalid_parallelism_raises():
+    # reference constructor panics (flow/map.go:42-44, *_InvalidArguments)
+    import pytest
+    from pyspark.sql import functions as F
+    for make in (lambda: Map(F.upper("value"), parallelism=0),
+                 lambda: FlatMap(F.split("value", " "), parallelism=-1),
+                 lambda: Filter("value > 0", parallelism=0)):
+        with pytest.raises(ValueError):
+            make()

@@ -124,3 +124,18 @@ def test_zip_with_distributed_matches_zip_with(spark):
     got = [r["value"] for r in out.collect()]
     expect = [i + i * 10 for i in range(30)] + list(range(30, 50))
     assert got == expect
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from go_streams_spark.operators import salted_agg
+    df = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(100)], "k int, v double").repartition(8)
+    out = Source(df).via(salted_agg(
+        ["k"], {"cnt": ("count", "sum"), "total": ("sum", "sum", "v"),
+                "mx": ("max", "max", "v")}, salt_buckets=4)).to_df()
+    got = {r["k"]: (r["cnt"], r["total"], r["mx"]) for r in out.collect()}
+    plain = {r["k"]: (r["cnt"], r["total"], r["mx"]) for r in
+             df.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"),
+                                 F.sum("v").alias("total"),
+                                 F.max("v").alias("mx")).collect()}
+    assert got == plain

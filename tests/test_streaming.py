@@ -120,3 +120,47 @@ def test_count_or_time_batch_stream(spark, stream_dir):
     assert sizes == [(1, "time"), (3, "size"), (3, "size"), (3, "size")]
     flat = sorted(v for r in got for v in r["batch"])
     assert flat == [float(i) for i in range(10)]
+
+
+def test_stream_session_window(spark, stream_dir):
+    rows = [("2024-01-01 00:00:00", 1, 1.0), ("2024-01-01 00:10:00", 1, 2.0),
+            ("2024-01-01 01:00:00", 1, 3.0), ("2024-01-01 00:05:00", 2, 4.0)]
+    spark.createDataFrame(rows, "ts string, k int, value double") \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "k", "value") \
+        .coalesce(1).write.mode("overwrite").parquet(stream_dir)
+    src = file_stream_source(spark, stream_dir, fmt="parquet",
+                             schema="ts timestamp, k int, value double")
+    from go_streams_spark.operators import session_window
+    name = _mem_name()
+    (Source(src)
+     .via(session_window("ts", "30 minutes", F.sum("value").alias("total"),
+                         keys=["k"], watermark="1 minute"))
+     .to(memory_sink(name, output_mode="complete")))
+    got = {(r["k"], str(r["window_start"])): r["total"]
+           for r in spark.table(name).collect()}
+    # user 1: two sessions (00:00-00:10 merged by 30m gap; 01:00 separate)
+    assert got == {(1, "2024-01-01 00:00:00"): 3.0,
+                   (1, "2024-01-01 01:00:00"): 3.0,
+                   (2, "2024-01-01 00:05:00"): 4.0}
+
+
+def test_stream_sliding_window(spark, stream_dir):
+    rows = [("2024-01-01 00:00:10", 1.0), ("2024-01-01 00:00:50", 2.0)]
+    spark.createDataFrame(rows, "ts string, value double") \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "value") \
+        .coalesce(1).write.mode("overwrite").parquet(stream_dir)
+    src = file_stream_source(spark, stream_dir, fmt="parquet",
+                             schema="ts timestamp, value double")
+    from go_streams_spark.operators import sliding_window
+    name = _mem_name()
+    (Source(src)
+     .via(sliding_window("ts", "1 minute", "30 seconds",
+                         F.sum("value").alias("total")))
+     .to(memory_sink(name, output_mode="complete")))
+    got = {str(r["window_start"]): r["total"] for r in spark.table(name).collect()}
+    # floor-to-slide alignment (flow/sliding_window.go:309-326 == Spark):
+    # event 00:00:10 -> windows starting 23:59:30 and 00:00:00
+    # event 00:00:50 -> windows starting 00:00:00 and 00:00:30
+    assert got == {"2023-12-31 23:59:30": 1.0,
+                   "2024-01-01 00:00:00": 3.0,
+                   "2024-01-01 00:00:30": 2.0}
