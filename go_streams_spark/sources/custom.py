@@ -92,15 +92,25 @@ if _HAS_DS_API:
             return {"offset": 0}
 
         def latestOffset(self):
-            # advance at most rows_per_batch per micro-batch: the
-            # maxOffsetsPerTrigger/Throttler-Backpressure analogue
-            # (flow/throttler.go:160-170)
+            # advance at most rows_per_batch per COMMITTED micro-batch:
+            # the maxOffsetsPerTrigger/Throttler-Backpressure analogue
+            # (flow/throttler.go:160-170). Spark may call latestOffset
+            # several times while planning one trigger — only advance
+            # when the previous range was committed, else the cap
+            # silently collapses into one giant batch.
+            # gate on the planning callback (partitions), not commit():
+            # Spark does not reliably call commit() on this instance, but
+            # partitions(start, end) fires exactly once per planned batch.
+            planned = getattr(self, "_planned", 0)
             cur = getattr(self, "_last", 0)
+            if cur > planned:
+                return {"offset": cur}
             nxt = min(cur + self.rows_per_batch, self._total())
             self._last = nxt
             return {"offset": nxt}
 
         def partitions(self, start, end):
+            self._planned = max(getattr(self, "_planned", 0), end["offset"])
             return [_RangePartition(self.path, start["offset"], end["offset"])]
 
         def read(self, partition: "_RangePartition"):
@@ -114,8 +124,9 @@ if _HAS_DS_API:
         def commit(self, end):
             # ack analogue (kafka MarkMessage kafka_sarama.go:128, NATS
             # Ack nats_jetstream.go:135-140): offsets below `end` are
-            # durable in the checkpoint; nothing to do for a file.
-            pass
+            # durable in the checkpoint; unblocks the next rate-limited
+            # advance in latestOffset.
+            self._committed = end["offset"]
 
     class ReplayDataSource(DataSource):
         """format("gss_replay"): options path, ddl, numPartitions,
