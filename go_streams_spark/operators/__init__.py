@@ -21,3 +21,5 @@ from .joins import asof_join  # noqa: E402
 __all__ += ["asof_join"]
 from .aggregate import salted_agg  # noqa: E402
 __all__ += ["salted_agg"]
+from .joins import interval_join  # noqa: E402
+__all__ += ["interval_join"]

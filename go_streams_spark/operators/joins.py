@@ -56,3 +56,41 @@ def asof_join(left: DataFrame, right: DataFrame, *, on: Sequence[str],
             f"{v}{suffix}", F.last(f"__rv_{v}", ignorenulls=True).over(w))
     return (carried.where(F.col("__side") == 1)
             .select(*lcols, *[f"{v}{suffix}" for v in right_values]))
+
+
+def interval_join(left: DataFrame, right: DataFrame, *, on: Sequence[str],
+                  left_ts: str, right_ts: str,
+                  lower_seconds: float, upper_seconds: float,
+                  how: str = "inner") -> DataFrame:
+    """Interval/range join: pairs where
+    ``left_ts + lower <= right_ts <= left_ts + upper``, per key.
+
+    Naive range joins degenerate to per-key cross products (Spark plans
+    them as BroadcastNestedLoopJoin). This bucketizes time into
+    ``width = upper - lower`` slots: each left row lands in the <=2
+    buckets its interval can span (sequence + explode), each right row
+    in exactly one, the join is a (key, bucket) EQUI-join, and the exact
+    range predicate filters afterwards. Pair work is bounded by real
+    temporal locality instead of key cardinality — the standard
+    stream-stream interval-join plan (same shape Spark uses for
+    stream-stream joins with time bounds).
+    """
+    if upper_seconds <= lower_seconds:
+        raise ValueError("upper must be greater than lower")
+    width = max(upper_seconds - lower_seconds, 1e-9)
+    l_sec = F.unix_micros(F.col(left_ts)) / 1_000_000.0
+    r_sec = F.unix_micros(F.col(right_ts)) / 1_000_000.0
+    lo_bucket = F.floor((l_sec + lower_seconds) / width)
+    hi_bucket = F.floor((l_sec + upper_seconds) / width)
+    lb = left.withColumn("__bucket",
+                         F.explode(F.sequence(lo_bucket.cast("long"),
+                                              hi_bucket.cast("long"))))
+    rb = right.withColumn("__bucket", F.floor(r_sec / width).cast("long"))
+    cond = [lb["__bucket"] == rb["__bucket"]] + \
+        [lb[k] == rb[k] for k in on]
+    joined = lb.join(rb, cond, how)
+    in_range = ((F.unix_micros(rb[right_ts]) / 1_000_000.0
+                 >= F.unix_micros(lb[left_ts]) / 1_000_000.0 + lower_seconds)
+                & (F.unix_micros(rb[right_ts]) / 1_000_000.0
+                   <= F.unix_micros(lb[left_ts]) / 1_000_000.0 + upper_seconds))
+    return joined.where(in_range).drop("__bucket")

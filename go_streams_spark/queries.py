@@ -1346,3 +1346,42 @@ def salted_agg_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "cnt",
                       F.round("__total_raw", 2).alias("total"),
                       F.round("__mx_raw", 2).alias("mx"))
+
+
+@query("interval_join_purchase_context", """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, ts AS p_ts, value AS p_value FROM events WHERE event_type = 'purchase'
+), matched AS (
+  SELECT c.event_id, count(*) AS n_purchases, round(sum(p.p_value), 2) AS purchase_sum
+  FROM clicks c JOIN purchases p
+    ON p.user_id = c.user_id
+   AND p.p_ts >= c.ts - INTERVAL '1 hour' AND p.p_ts <= c.ts
+  GROUP BY c.event_id
+)
+SELECT c.event_id, c.user_id,
+       coalesce(m.n_purchases, 0) AS n_purchases,
+       coalesce(m.purchase_sum, 0.0) AS purchase_sum
+FROM clicks c LEFT JOIN matched m ON m.event_id = c.event_id
+""")
+def interval_join_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: purchases within the hour BEFORE each click,
+    per user. Bucketized into a (key, time-bucket) equi-join + exact
+    range filter (operators/joins.py::interval_join) — never a
+    nested-loop range join."""
+    from .operators import interval_join
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where("event_type = 'click'").select("event_id", "user_id", "ts")
+    purchases = ev.where("event_type = 'purchase'").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("value").alias("p_value"))
+    pairs = interval_join(clicks, purchases, on=["user_id"],
+                          left_ts="ts", right_ts="p_ts",
+                          lower_seconds=-3600, upper_seconds=0)
+    matched = (pairs.groupBy("event_id")
+               .agg(F.count(F.lit(1)).alias("n_purchases"),
+                    F.round(F.sum("p_value"), 2).alias("purchase_sum")))
+    return (clicks.join(matched, "event_id", "left")
+            .select("event_id", "user_id",
+                    F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+                    F.coalesce("purchase_sum", F.lit(0.0)).alias("purchase_sum")))

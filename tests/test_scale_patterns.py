@@ -92,3 +92,23 @@ def test_foreach_batch_multi_sink(spark, tmpdir):
     q.awaitTermination(60)
     assert sorted(out_a) == [0, 2, 4, 6, 8]
     assert sorted(out_b) == [1, 3, 5, 7, 9]
+
+
+def test_interval_join_no_nested_loop(spark):
+    from go_streams_spark.operators import interval_join
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00")],
+        "k int, ts string").select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 5.0), (1, "2024-01-01 09:00:01", 2.0),
+         (1, "2024-01-01 08:59:59", 9.0), (2, "2024-01-01 09:30:00", 7.0)],
+        "k int, rts string, v double") \
+        .select("k", F.col("rts").cast("timestamp").alias("rts"), "v")
+    out = interval_join(left, right, on=["k"], left_ts="ts", right_ts="rts",
+                        lower_seconds=-3600, upper_seconds=0)
+    got = sorted((str(r["ts"]), r["v"]) for r in out.collect())
+    # 10:00 matches 09:30 and 09:00:01 (within the prior hour, same key);
+    # 08:59:59 is out of range; key 2 row never matches key 1
+    assert got == [("2024-01-01 10:00:00", 2.0), ("2024-01-01 10:00:00", 5.0)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
