@@ -32,7 +32,13 @@ ORACLE: dict[str, str] = {}
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a synthetic table. ``events.ts`` is parquet TIMESTAMP(NANOS)
     which Spark's vectorized reader rejects — read nanos as long and
-    convert (integer div, matching DuckDB's truncation to micros)."""
+    convert (integer div, matching DuckDB's truncation to micros).
+
+    Session timezone is pinned to UTC here because the DRIVER's session
+    (not ours) executes these queries: a non-UTC session would shift
+    every collected timestamp relative to the DuckDB oracle's naive-UTC
+    values and window alignment for day-scale windows."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
