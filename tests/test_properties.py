@@ -61,3 +61,30 @@ def test_split_merge_is_partition(spark, xs, pivot):
     assert sorted(r["v"] for r in merge(hi, lo).collect()) == sorted(xs)
     assert all(r["v"] >= pivot for r in hi.collect())
     assert all(r["v"] < pivot for r in lo.collect())
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=15),
+    rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 50),
+                              st.floats(0, 100, allow_nan=False)), min_size=0, max_size=15),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_python_model(spark, lefts, rights):
+    from go_streams_spark.operators import asof_join
+    # dedupe right (k, ts) to keep the model unambiguous (the engine
+    # breaks exact ties by arbitrary order within equal (ts, side))
+    seen = {}
+    for k, ts, v in rights:
+        seen[(k, ts)] = v
+    rights = [(k, ts, v) for (k, ts), v in seen.items()]
+    left = spark.createDataFrame([(k, ts, i) for i, (k, ts) in enumerate(lefts)],
+                                 "k int, ts int, rowid int")
+    right = spark.createDataFrame(rights, "k int, ts int, val double") \
+        if rights else spark.createDataFrame([], "k int, ts int, val double")
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="ts",
+                    right_values=["val"])
+    got = {r["rowid"]: r["val_asof"] for r in out.collect()}
+    for i, (k, ts) in enumerate(lefts):
+        cands = [(rts, v) for rk, rts, v in rights if rk == k and rts <= ts]
+        expect = max(cands)[1] if cands else None
+        assert got[i] == expect, (i, k, ts, cands)

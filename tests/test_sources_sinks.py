@@ -104,3 +104,17 @@ def test_replay_datasource_streaming_offsets(spark, tmpdir):
 def test_network_connector_stubs_raise():
     with pytest.raises(ImportError, match="redis"):
         redis_stream_source()
+
+
+def test_csv_json_roundtrip(spark, tmpdir):
+    from go_streams_spark.sources import csv_source, json_source
+    from go_streams_spark.sinks import csv_sink, json_sink
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    csv_path, json_path = os.path.join(tmpdir, "c"), os.path.join(tmpdir, "j")
+    Source(df).to(csv_sink(csv_path))
+    Source(df).to(json_sink(json_path))
+    back_csv = csv_source(spark, csv_path, schema="id int, name string")
+    back_json = json_source(spark, json_path, schema="id int, name string")
+    expect = [(1, "a"), (2, "b")]
+    assert sorted((r["id"], r["name"]) for r in back_csv.collect()) == expect
+    assert sorted((r["id"], r["name"]) for r in back_json.collect()) == expect
