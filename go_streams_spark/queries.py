@@ -1391,3 +1391,23 @@ def interval_join_purchase_context(spark: SparkSession, sf_dir: str) -> DataFram
             .select("event_id", "user_id",
                     F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
                     F.coalesce("purchase_sum", F.lit(0.0)).alias("purchase_sum")))
+
+
+@query("percentiles_by_flag", """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem
+GROUP BY l_returnflag
+""")
+def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (linear interpolation — Spark
+    percentile() == DuckDB quantile_cont). At 100 TB you'd swap to
+    percentile_approx (t-digest, mergeable partials) and lose oracle
+    exactness — the exact form here doubles as that path's test anchor."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99")))

@@ -1,0 +1,72 @@
+"""Stream-stream join (watermarked, time-bounded) and the Throttler
+Backpressure contract on the custom source."""
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import functions as F
+
+from go_streams_spark.sources import register_replay_source
+
+
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """Two streams joined with watermarks + a time-range condition — the
+    streaming analogue of interval_join. State on both sides is bounded
+    by the watermark (Spark evicts rows outside the join window)."""
+    d = str(tmp_path)
+    clicks_dir, buys_dir = os.path.join(d, "clicks"), os.path.join(d, "buys")
+    spark.createDataFrame(
+        [("2024-01-01 00:00:10", 1), ("2024-01-01 00:05:00", 2)],
+        "ts string, user int") \
+        .select(F.col("ts").cast("timestamp").alias("c_ts"), "user") \
+        .coalesce(1).write.parquet(clicks_dir)
+    spark.createDataFrame(
+        [("2024-01-01 00:00:30", 1, 9.0),   # 20s after user 1's click -> match
+         ("2024-01-01 00:20:00", 2, 5.0)],  # 15min after user 2's click -> no match
+        "ts string, user int, amount double") \
+        .select(F.col("ts").cast("timestamp").alias("b_ts"), "user", "amount") \
+        .coalesce(1).write.parquet(buys_dir)
+
+    clicks = (spark.readStream.schema("c_ts timestamp, user int").parquet(clicks_dir)
+              .withWatermark("c_ts", "10 seconds"))
+    buys = (spark.readStream.schema("b_ts timestamp, user int, amount double")
+            .parquet(buys_dir).withWatermark("b_ts", "10 seconds"))
+    joined = clicks.join(
+        buys,
+        (clicks.user == buys.user)
+        & (buys.b_ts >= clicks.c_ts)
+        & (buys.b_ts <= clicks.c_ts + F.expr("interval 1 minute")))
+    name = "ssj_" + uuid.uuid4().hex[:8]
+    q = (joined.writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination(120)
+    rows = [(r["user"], r["amount"]) for r in spark.table(name).collect()]
+    assert rows == [(1, 9.0)]  # only the within-a-minute purchase joins
+
+
+def test_replay_source_backpressure_contract(spark, tmp_path):
+    """Throttler Backpressure (flow/throttler.go:160-170) == per-batch
+    admission cap: no micro-batch ever exceeds rowsPerBatch."""
+    path = str(tmp_path / "rows.jsonl")
+    with open(path, "w") as f:
+        for i in range(12):
+            f.write(json.dumps({"id": i}) + "\n")
+    fmt = register_replay_source(spark)
+    name = "bp_" + uuid.uuid4().hex[:8]
+    q = (spark.readStream.format(fmt)
+         .option("path", path).option("ddl", "id int")
+         .option("rowsPerBatch", "5").load()
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table(name).count() < 12:
+        time.sleep(1)
+    sizes = {}
+    for p in q.recentProgress:
+        sizes[p["batchId"]] = max(sizes.get(p["batchId"], 0), p["numInputRows"])
+    q.stop()
+    assert spark.table(name).count() == 12
+    assert all(n <= 5 for n in sizes.values())  # quota never exceeded
+    assert sorted(sizes.values(), reverse=True)[:2] == [5, 5]  # and actually used
