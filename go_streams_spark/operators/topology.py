@@ -139,11 +139,15 @@ def distributed_ordinal(df: DataFrame, *, order_by: Sequence[Column | str],
 def zip_with_distributed(combine: Callable[..., Column], dfs: Sequence[DataFrame],
                          order_bys: Sequence[Sequence[Column | str]],
                          value_cols: Sequence[str], zeros: Sequence[object],
-                         *, output: str = "value") -> DataFrame:
+                         *, output: str = "value", sort_output: bool = True) -> DataFrame:
     """ZipWith on distributed ordinals: same semantics as ``zip_with``
     (positional, zero-padded — flow/util.go:116-171) but every input is
     numbered via ``distributed_ordinal`` and the join shuffles on the
-    ordinal — no single-partition stage anywhere."""
+    ordinal — no single-partition stage anywhere.
+
+    ``sort_output=False`` skips the final global sort — correct whenever
+    the consumer doesn't need positional OUTPUT order (aggregations,
+    writes, set comparisons), which at scale is almost always."""
     idx = "__zip_idx"
     sides = []
     for i, (d, ob, vc) in enumerate(zip(dfs, order_bys, value_cols)):
@@ -153,4 +157,7 @@ def zip_with_distributed(combine: Callable[..., Column], dfs: Sequence[DataFrame
     for s in sides[1:]:
         joined = joined.join(s, on=idx, how="full_outer")
     padded = [F.coalesce(F.col(f"__v{i}"), F.lit(z)) for i, z in enumerate(zeros)]
-    return joined.select(F.col(idx), combine(*padded).alias(output)).orderBy(idx).drop(idx)
+    out = joined.select(F.col(idx), combine(*padded).alias(output))
+    if sort_output:
+        out = out.orderBy(idx)
+    return out.drop(idx)

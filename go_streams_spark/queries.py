@@ -1280,7 +1280,8 @@ def zip_distributed_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zip_with_distributed(
         lambda a, b: F.round(a + b, 2),
         [orders, cust], [["o_orderkey"], ["c_custkey"]],
-        ["o_totalprice", "c_acctbal"], [0.0, 0.0])
+        ["o_totalprice", "c_acctbal"], [0.0, 0.0],
+        sort_output=False)  # hash compare is order-insensitive
 
 
 @query("asof_join_purchases", """
