@@ -1,10 +1,12 @@
 """Sources (SURVEY §2.4): file/object-store readers and custom Python
 Data Source API connectors."""
 
-from .files import text_source, json_source, csv_source, parquet_source, binary_source
+from .files import (text_source, json_source, csv_source, parquet_source,
+                    binary_source, framed_binary_source)
 from .custom import register_replay_source, REPLAY_SOURCE_NAME
 
 __all__ = [
     "text_source", "json_source", "csv_source", "parquet_source", "binary_source",
+    "framed_binary_source",
     "register_replay_source", "REPLAY_SOURCE_NAME",
 ]

@@ -65,3 +65,35 @@ def binary_source(spark: SparkSession, path: str, *, path_glob: str | None = Non
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     return reader.load(path)
+
+
+def framed_binary_source(spark: SparkSession, path: str, *, delimiter: bytes = b"\n",
+                         path_glob: str | None = None,
+                         output: str = "frame") -> DataFrame:
+    """ReaderSource with pluggable framing (extension/source_reader.go:15,
+    60-97): read whole objects via binaryFile, split each into frames on
+    a byte delimiter with an Arrow-batched mapInPandas splitter.
+
+    Framing runs fully parallel per object partition; one object's
+    frames never leave their task until a downstream op asks for a
+    shuffle. For delimiter-free fixed-width framing, slice in the same
+    splitter. (Line-oriented text should use ``text_source`` — this path
+    is for binary protocols.)
+    """
+    from typing import Iterator
+    import pandas as pd
+
+    raw = binary_source(spark, path, path_glob=path_glob)
+
+    def _split(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            paths, frames = [], []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for fr in bytes(content).split(delimiter):
+                    if fr:
+                        paths.append(p)
+                        frames.append(fr)
+            yield pd.DataFrame({"path": paths, output: frames})
+
+    return raw.select("path", "content").mapInPandas(
+        _split, schema=f"path string, {output} binary")

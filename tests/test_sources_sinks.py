@@ -118,3 +118,36 @@ def test_csv_json_roundtrip(spark, tmpdir):
     expect = [(1, "a"), (2, "b")]
     assert sorted((r["id"], r["name"]) for r in back_csv.collect()) == expect
     assert sorted((r["id"], r["name"]) for r in back_json.collect()) == expect
+
+
+def test_framed_binary_source(spark, tmpdir):
+    # ReaderSource framing analogue: custom delimiter, empty frames dropped
+    p = os.path.join(tmpdir, "frames.bin")
+    with open(p, "wb") as f:
+        f.write(b"\x01\x02|\x03||\x04\x05\x06|")
+    from go_streams_spark.sources import framed_binary_source
+    df = framed_binary_source(spark, tmpdir, delimiter=b"|", path_glob="*.bin")
+    frames = sorted(bytes(r["frame"]) for r in df.collect())
+    assert frames == [b"\x01\x02", b"\x03", b"\x04\x05\x06"]
+
+
+def test_json_error_modes(spark, tmpdir):
+    # FileSink/Source error policy (extension/file.go:126-186 retry fn):
+    # Spark's analogue is per-record parse modes + task retries
+    p = os.path.join(tmpdir, "bad.json")
+    with open(p, "w") as f:
+        f.write('{"id": 1}\n')
+        f.write('{"id": NOT_JSON\n')
+        f.write('{"id": 3}\n')
+    from go_streams_spark.sources import json_source
+    permissive = json_source(spark, p, schema="id int, _corrupt_record string",
+                             mode="PERMISSIVE", columnNameOfCorruptRecord="_corrupt_record")
+    rows = permissive.collect()
+    good = sorted(r["id"] for r in rows if r["id"] is not None)
+    corrupt = [r for r in rows if r["_corrupt_record"] is not None]
+    assert good == [1, 3] and len(corrupt) == 1
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    failfast = json_source(spark, p, schema="id int", mode="FAILFAST")
+    with _pytest.raises(Exception):
+        failfast.collect()

@@ -164,3 +164,34 @@ def test_stream_sliding_window(spark, stream_dir):
     assert got == {"2023-12-31 23:59:30": 1.0,
                    "2024-01-01 00:00:00": 3.0,
                    "2024-01-01 00:00:30": 2.0}
+
+
+def test_running_fold_stream_matches_batch_window(spark):
+    """Cross-validation: the custom stateful streaming fold
+    (applyInPandasWithState) computes EXACTLY what the batch window
+    frame computes, on real events data (sf0.001)."""
+    from go_streams_spark.queries import _t
+    from go_streams_spark.operators import running_reduce
+
+    ev = _t(spark, "/root/testdata/sf0.001", "events") \
+        .select("user_id", "event_id", "value")
+    batch = Source(ev).via(running_reduce(
+        "value", order_by=["event_id"], partition_by=["user_id"],
+        fn="sum", output="acc")).to_df()
+    expect = {(r["user_id"], r["event_id"]): round(r["acc"], 6)
+              for r in batch.collect()}
+
+    import tempfile
+    d = tempfile.mkdtemp(prefix="gss_xval_")
+    ev.coalesce(1).write.mode("overwrite").parquet(d)
+    src = file_stream_source(spark, d, fmt="parquet",
+                             schema="user_id long, event_id long, value double")
+    out = running_fold_stream(
+        src, key_cols=["user_id"], value_col="value", order_col="event_id",
+        fold_fn=lambda v, acc: acc + v, init=0.0,
+        output_schema="user_id long, event_id long, value double, acc double")
+    name = _mem_name()
+    Source(out).to(memory_sink(name, output_mode="append"))
+    got = {(r["user_id"], r["event_id"]): round(r["acc"], 6)
+           for r in spark.table(name).collect()}
+    assert got == expect  # identical accumulator at every element
