@@ -265,3 +265,42 @@ def simhash_pairs(sim: DataFrame, *, id_col: str = "doc_id",
     return (a.join(b, F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b", ham.alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
+
+
+def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_b",
+                         max_iterations: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs — the clustering stage
+    that turns pairwise matches into dedup groups (keep one doc per
+    component). Returns (id, component) with component = min id reachable.
+
+    Min-label propagation: every node starts labeled with itself; each
+    iteration joins labels across edges and keeps the per-node min;
+    stops when no label changes. Iteration count is bounded by the
+    component diameter — near-dup graphs are shallow (stars/cliques), so
+    a handful of passes suffice at any scale. Each pass is one
+    shuffle-join + one min-agg; no driver-side graph state beyond the
+    convergence counter.
+    """
+    edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+             .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+             .distinct())
+    labels = (edges.select(F.col("a").alias("id"))
+              .union(edges.select(F.col("b").alias("id")))
+              .distinct()
+              .withColumn("component", F.col("id")))
+    for _ in range(max_iterations):
+        neighbor_min = (edges.join(labels, edges.b == labels.id)
+                        .groupBy(edges.a.alias("id"))
+                        .agg(F.min("component").alias("n_comp")))
+        new_labels = (labels.join(neighbor_min, "id", "left")
+                      .select("id", F.least(
+                          F.col("component"),
+                          F.coalesce("n_comp", F.col("component"))).alias("component")))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

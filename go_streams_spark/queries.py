@@ -1412,3 +1412,71 @@ def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
                  F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
                  F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99")))
+
+
+@query("text_redact_pii", """
+SELECT doc_id,
+       length(text) - length(
+         regexp_replace(
+           regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+           '\\d{3}[-.]?\\d{3}[-.]?\\d{4}', '<PHONE>', 'g')
+       ) AS delta_chars,
+       md5(regexp_replace(
+           regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+           '\\d{3}[-.]?\\d{3}[-.]?\\d{4}', '<PHONE>', 'g')) AS redacted_hash
+FROM documents
+""")
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing (emails, phone numbers) as pure regexp
+    projections — the redaction stage of a curation pipeline; codegen'd,
+    zero shuffles. Output is the redacted-content digest so the oracle
+    verifies the exact transform without shipping full texts."""
+    docs = _t(spark, sf_dir, "documents")
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    phone = r"\d{3}[-.]?\d{3}[-.]?\d{4}"
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        (F.length("text") - F.length(redacted)).cast("long").alias("delta_chars"),
+        F.md5(redacted).alias("redacted_hash"))
+
+
+@query("sentence_stats", """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '[.!?]+'), x -> trim(x)),
+                     x -> x <> '') AS sents
+  FROM documents
+)
+SELECT doc_id,
+       len(sents)::BIGINT AS n_sentences,
+       round(list_sum(list_transform(sents, x -> length(x)))
+             / greatest(len(sents), 1), 4) AS avg_sentence_len
+FROM s
+""")
+def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation (regex splitter) + per-doc stats — array
+    lambdas over a per-row split; no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), "[.!?]+"), lambda x: F.trim(x)),
+        lambda x: x != "")
+    total_len = F.aggregate(F.transform(sents, F.length), F.lit(0), lambda a, x: a + x)
+    return docs.select(
+        "doc_id",
+        F.size(sents).cast("long").alias("n_sentences"),
+        F.round(total_len / F.greatest(F.size(sents), F.lit(1)), 4)
+        .alias("avg_sentence_len"))
+
+
+@query("dedup_components")  # iterative algorithm: rows-only check (no single SQL oracle)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: connected components over the MinHash-LSH
+    pair graph (iterative min-label propagation — the genuinely
+    non-SQL-expressible op in the dedup pipeline). Output: one row per
+    clustered doc with its component id (= canonical keeper)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    comps = D.connected_components(pairs)
+    return comps.orderBy("id").select("id", "component")

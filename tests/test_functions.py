@@ -103,3 +103,11 @@ def test_multimodal_plumbing(spark):
 def test_multimodal_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         M._decode_stub(b"x", "unsupported/raise", 4)
+
+
+def test_connected_components(spark):
+    # two chains and an isolated pair: {1,2,3,4}, {10,11}, {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], "id_a long, id_b long")
+    comps = {r["id"]: r["component"] for r in D.connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
