@@ -1480,3 +1480,18 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
     comps = D.connected_components(pairs)
     return comps.orderBy("id").select("id", "component")
+
+
+@query("approx_distinct_users")  # HLL implementations differ across engines: rows-only
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct users per event type via HyperLogLog++
+    (approx_count_distinct, rsd=2%). The sketch is MERGEABLE — partial
+    sketches combine across partitions/executors without a global
+    shuffle of raw values, which is why this (not exact distinct) is the
+    100 TB cardinality path. No oracle: DuckDB's HLL differs by
+    implementation; accuracy is pinned in tests instead (within 5% of
+    exact on the same data)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+                 F.count(F.lit(1)).alias("events")))

@@ -111,3 +111,14 @@ def test_connected_components(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20)], "id_a long, id_b long")
     comps = {r["id"]: r["component"] for r in D.connected_components(pairs).collect()}
     assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_approx_distinct_within_tolerance(spark):
+    from go_streams_spark.queries import QUERIES
+    rows = QUERIES["approx_distinct_users"](spark, "/root/testdata/sf0.001").collect()
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exact = {r["event_type"]: r["x"] for r in
+             ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("x")).collect()}
+    for r in rows:
+        e = exact[r["event_type"]]
+        assert abs(r["approx_users"] - e) <= max(2, 0.05 * e)
