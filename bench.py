@@ -46,8 +46,10 @@ BENCH_QUERIES = [
     "pandas_udaf_weighted_avg",
     "zip_distributed_full",
     "asof_join_purchases",
+    "interval_join_purchase_context",
     "rollup_status_priority",
     "salted_agg_user_totals",
+    "percentiles_by_flag",
     # training-data pipeline ops
     "text_stats",
     "dedup_exact",

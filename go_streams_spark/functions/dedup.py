@@ -232,18 +232,21 @@ def simhash32(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") 
     slower). Single shuffle keyed by doc with map-side partials.
     Bit-identical to the SQL oracle's exploded formulation.
     """
-    toks = (df.select(F.col(id_col),
-                      F.explode(F.array_distinct(F.transform(tokens(text_col), F.lower)))
-                      .alias("tok"))
-            .withColumn("h", F.md5("tok")))
-    # digit value of hex char at position j//4; bit = (digit >> j%4) & 1
-    votes = []
+    toks = df.select(F.col(id_col),
+                     F.explode(F.array_distinct(F.transform(tokens(text_col), F.lower)))
+                     .alias("tok"))
+    # dictionary trick: hash each DISTINCT token once (vocab << corpus),
+    # join the +-1 vote columns back — md5 + hex decoding runs |vocab|
+    # times instead of |doc x token| times
+    vocab = toks.select("tok").distinct().withColumn("h", F.md5("tok"))
     for j in range(32):
         digit = F.instr(F.lit("0123456789abcdef"),
                         F.substring(F.col("h"), j // 4 + 1, 1)) - 1
         bit = F.shiftright(digit, j % 4).bitwiseAND(F.lit(1))
-        votes.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
-    sums = toks.groupBy(id_col).agg(*votes)
+        vocab = vocab.withColumn(f"v{j}", (bit * 2 - 1).cast("int"))
+    joined = toks.join(vocab.drop("h"), "tok")
+    sums = joined.groupBy(id_col).agg(
+        *[F.sum(F.col(f"v{j}")).alias(f"s{j}") for j in range(32)])
     simhash = None
     for j in range(32):
         term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
