@@ -3,10 +3,12 @@ Data Source API connectors."""
 
 from .files import (text_source, json_source, csv_source, parquet_source,
                     binary_source, framed_binary_source)
-from .custom import register_replay_source, REPLAY_SOURCE_NAME
+from .custom import (register_replay_source, REPLAY_SOURCE_NAME,
+                     register_cdc_polling_source)
 
 __all__ = [
     "text_source", "json_source", "csv_source", "parquet_source", "binary_source",
     "framed_binary_source",
     "register_replay_source", "REPLAY_SOURCE_NAME",
+    "register_cdc_polling_source",
 ]

@@ -193,3 +193,76 @@ def aerospike_polling_source(*_a, **_k):
     micro-batch filtered by ExpLastUpdate > offset. Requires
     'aerospike'."""
     _require("aerospike", "Aerospike")
+
+
+if _HAS_DS_API:
+
+    class CDCPollingStreamReader(DataSourceStreamReader):
+        """CDC-by-last-update polling (the Aerospike source pattern,
+        aerospike/aerospike.go:52,91-127): the offset is the high-water
+        LAST-UPDATE TIMESTAMP; each micro-batch reads rows with
+        ``offset < last_update <= new_offset`` — exactly the reference's
+        ``ExpLastUpdate > lastPoll`` scan filter, with replayability.
+
+        Reads a JSONL changelog with an integer ``__updated_at`` field
+        per row; swap ``_scan`` for a real client scan (Aerospike
+        expression filter, JDBC ``WHERE updated_at > ?``, ...) and
+        nothing else changes.
+        """
+
+        def __init__(self, options, ddl: str):
+            self.path = options.get("path")
+            self.ts_field = options.get("tsfield", "__updated_at")
+            self.ddl = ddl
+
+        def _max_ts(self) -> int:
+            mx = 0
+            with open(self.path) as f:
+                for line in f:
+                    if line.strip():
+                        mx = max(mx, int(json.loads(line)[self.ts_field]))
+            return mx
+
+        def initialOffset(self):
+            return {"ts": 0}
+
+        def latestOffset(self):
+            return {"ts": self._max_ts()}
+
+        def partitions(self, start, end):
+            return [_RangePartition(self.path, start["ts"], end["ts"])]
+
+        def read(self, partition: "_RangePartition"):
+            fields = [c.strip().split(" ")[0] for c in self.ddl.split(",")]
+            with open(partition.path) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    row = json.loads(line)
+                    ts = int(row[self.ts_field])
+                    if partition.start < ts <= partition.end:
+                        yield tuple(row[k] for k in fields)
+
+        def commit(self, end):
+            pass
+
+    class CDCPollingDataSource(DataSource):
+        """format("gss_cdc_poll"): options path, ddl, tsField."""
+
+        @classmethod
+        def name(cls):
+            return "gss_cdc_poll"
+
+        def schema(self):
+            return self.options.get("ddl", DEFAULT_DDL)
+
+        def streamReader(self, schema):
+            return CDCPollingStreamReader(self.options, self.options.get("ddl", DEFAULT_DDL))
+
+
+def register_cdc_polling_source(spark: SparkSession) -> str:
+    """Register the CDC polling source; returns the format name."""
+    if not _HAS_DS_API:  # pragma: no cover
+        raise RuntimeError("Python Data Source API requires pyspark >= 4.0")
+    spark.dataSource.register(CDCPollingDataSource)
+    return "gss_cdc_poll"

@@ -195,3 +195,39 @@ def test_running_fold_stream_matches_batch_window(spark):
     got = {(r["user_id"], r["event_id"]): round(r["acc"], 6)
            for r in spark.table(name).collect()}
     assert got == expect  # identical accumulator at every element
+
+
+def test_sliding_window_emit_partial(spark, tmp_path):
+    """EmitPartialWindow (flow/sliding_window.go:12-32): update output
+    mode re-emits a window's aggregate as each new element lands in it —
+    partial results before the window closes. Replay source at one row
+    per micro-batch makes the emission sequence deterministic."""
+    import json, time, uuid
+    from go_streams_spark.sources import register_replay_source
+    from go_streams_spark.operators import tumbling_window
+
+    path = str(tmp_path / "rows.jsonl")
+    with open(path, "w") as f:
+        for ts, v in [("2024-01-01 00:00:10", 1.0), ("2024-01-01 00:00:20", 2.0),
+                      ("2024-01-01 00:00:40", 4.0)]:
+            f.write(json.dumps({"ts": ts, "value": v}) + "\n")
+    fmt = register_replay_source(spark)
+    src = (spark.readStream.format(fmt)
+           .option("path", path).option("ddl", "ts string, value double")
+           .option("rowsPerBatch", "1").load()
+           .select(F.col("ts").cast("timestamp").alias("ts"), "value"))
+    windowed = Source(src).via(tumbling_window(
+        "ts", "1 minute", F.sum("value").alias("total"))).to_df()
+    name = "partial_" + uuid.uuid4().hex[:8]
+    q = (windowed.writeStream.format("memory").queryName(name)
+         .outputMode("update").start())
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        totals = sorted(r["total"] for r in spark.table(name).collect())
+        if 7.0 in totals:
+            break
+        time.sleep(0.5)
+    q.stop()
+    totals = sorted(r["total"] for r in spark.table(name).collect())
+    # one window, three progressive partials: 1.0 -> 3.0 -> 7.0
+    assert totals == [1.0, 3.0, 7.0]
