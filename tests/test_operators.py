@@ -139,3 +139,45 @@ def test_salted_agg_matches_plain_groupby(spark):
                                  F.sum("v").alias("total"),
                                  F.max("v").alias("mx")).collect()}
     assert got == plain
+
+
+def _keyed_elements():
+    # flow/keyed_test.go:146-158: i%3==0 -> key 3, else i%7==0 -> 7,
+    # else i%10==0 -> 10, else key i; 30 elements
+    out = []
+    for i in range(30):
+        for d in (3, 7, 10):
+            if i % d == 0:
+                out.append(d)
+                break
+        else:
+            out.append(i)
+    return out
+
+
+def test_keyed_batch_golden(spark):
+    """Keyed(keySelector) with a per-key Batch(4) chain
+    (flow/keyed_test.go:29-61): 30 elements -> 20 batches, key-sum 292.
+    Spark form: per-key count-batching = batch_by_count partitioned by
+    the key; one shuffle gives every key its independent chain."""
+    els = _keyed_elements()
+    df = spark.createDataFrame([(i, k) for i, k in enumerate(els)], "ord int, key int")
+    batched = Source(df).via(batch_by_count(
+        4, order_by=["ord"], partition_by=["key"])) \
+        .via(collect_batches("key", group_cols=["key", "batch_id"])).to_df()
+    rows = batched.collect()
+    assert len(rows) == 20  # 20 per-key batches
+    assert sum(v for r in rows for v in r["value"]) == 292
+
+
+def test_keyed_multiple_operators_golden(spark):
+    """Keyed -> per-key Batch -> per-key Map(sum) -> global window sum
+    (flow/keyed_test.go:101-138): final value 292."""
+    els = _keyed_elements()
+    df = spark.createDataFrame([(i, k) for i, k in enumerate(els)], "ord int, key int")
+    per_key = Source(df).via(batch_by_count(
+        4, order_by=["ord"], partition_by=["key"])) \
+        .via(collect_batches("key", group_cols=["key", "batch_id"])).to_df() \
+        .select(F.aggregate("value", F.lit(0), lambda a, x: a + x).alias("batch_sum"))
+    total = per_key.agg(F.sum("batch_sum").alias("total")).collect()[0]["total"]
+    assert total == 292
