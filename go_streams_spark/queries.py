@@ -1495,3 +1495,36 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (ev.groupBy("event_type")
             .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
                  F.count(F.lit(1)).alias("events")))
+
+
+@query("stream_parity_sliding", """
+SELECT ws AS window_start, count(*) AS cnt, round(sum(value), 2) AS sum_value
+FROM (
+  SELECT e.value,
+         unnest([time_bucket(INTERVAL '30 minutes', e.ts),
+                 time_bucket(INTERVAL '30 minutes', e.ts) - INTERVAL '30 minutes']) AS ws
+  FROM events e
+)
+GROUP BY ws
+""")
+def stream_parity_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window batch/streaming parity: the same sliding_window
+    flow as the batch query, executed as a Structured Streaming query
+    (availableNow -> complete-mode memory sink), hash-matched against
+    the SQL oracle."""
+    import uuid as _uuid
+    from .streaming import file_stream_source, memory_sink
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = file_stream_source(
+        spark, sf_dir, fmt="parquet",
+        schema="event_id long, ts long, user_id long, event_type string, "
+               "value double, props string",
+        pathGlobFilter="events.parquet")
+    src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    windowed = Source(src).via(sliding_window(
+        "ts", "1 hour", "30 minutes",
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"))).to_df()
+    name = "parity_sw_" + _uuid.uuid4().hex[:10]
+    Source(windowed).to(memory_sink(name, output_mode="complete"))
+    return spark.table(name).select("window_start", "cnt", "sum_value")

@@ -181,3 +181,20 @@ def test_keyed_multiple_operators_golden(spark):
         .select(F.aggregate("value", F.lit(0), lambda a, x: a + x).alias("batch_sum"))
     total = per_key.agg(F.sum("batch_sum").alias("total")).collect()[0]["total"]
     assert total == 292
+
+
+def test_empty_input_semantics(spark):
+    # reference empty-stream/early-closure windows emit nothing
+    # (flow/sliding_window_test.go:200-259)
+    from go_streams_spark.operators import tumbling_window, running_reduce
+    empty = spark.createDataFrame([], "ts timestamp, value double, ord int")
+    win = Source(empty).via(tumbling_window(
+        "ts", "1 minute", F.sum("value").alias("total"))).to_df()
+    assert win.count() == 0
+    red = Source(empty).via(running_reduce(
+        "value", order_by=["ord"], fn="sum")).to_df()
+    assert red.count() == 0
+    from go_streams_spark.operators import zip_with
+    a = spark.createDataFrame([], "v int")
+    out = zip_with(lambda x, y: x + y, [a, a], [["v"], ["v"]], ["v", "v"], [0, 0])
+    assert out.count() == 0
