@@ -231,3 +231,32 @@ def test_sliding_window_emit_partial(spark, tmp_path):
     totals = sorted(r["total"] for r in spark.table(name).collect())
     # one window, three progressive partials: 1.0 -> 3.0 -> 7.0
     assert totals == [1.0, 3.0, 7.0]
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """Stateful streaming dedup (dropDuplicates on a stream): duplicate
+    ids arriving in LATER micro-batches are suppressed by the state
+    store — the exactly-once ingest dedup a training pipeline runs in
+    front of everything else."""
+    import json, time, uuid
+    from go_streams_spark.sources import register_replay_source
+    path = str(tmp_path / "rows.jsonl")
+    rows = [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}, {"id": 1, "v": "a-dup"},
+            {"id": 3, "v": "c"}, {"id": 2, "v": "b-dup"}]
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    fmt = register_replay_source(spark)
+    src = (spark.readStream.format(fmt)
+           .option("path", path).option("ddl", "id int, v string")
+           .option("rowsPerBatch", "2").load())
+    deduped = src.dropDuplicates(["id"])
+    name = "dd_" + uuid.uuid4().hex[:8]
+    q = (deduped.writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table(name).count() < 3:
+        time.sleep(0.5)
+    q.stop()
+    got = {r["id"]: r["v"] for r in spark.table(name).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # first occurrence wins, dups dropped
