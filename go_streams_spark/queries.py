@@ -1528,3 +1528,72 @@ def stream_parity_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = "parity_sw_" + _uuid.uuid4().hex[:10]
     Source(windowed).to(memory_sink(name, output_mode="complete"))
     return spark.table(name).select("window_start", "cnt", "sum_value")
+
+
+@query("window_functions_sampler", """
+SELECT o_custkey, o_orderkey,
+       dense_rank() OVER w                    AS drank,
+       ntile(4) OVER w                        AS quartile,
+       round(lag(o_totalprice) OVER w, 2)     AS prev_price,
+       round(lead(o_totalprice) OVER w, 2)    AS next_price,
+       round(o_totalprice - max(o_totalprice) OVER (PARTITION BY o_custkey), 2)
+                                              AS dev_from_max
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+""")
+def window_functions_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window catalog beyond ranking: dense_rank, ntile, lag,
+    lead, windowed avg deviation — one shuffle on the partition key
+    serves every function (shared WINDOW clause == shared exchange)."""
+    from pyspark.sql import Window
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    wp = Window.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        F.round(F.lead("o_totalprice").over(w), 2).alias("next_price"),
+        F.round(F.col("o_totalprice") - F.max("o_totalprice").over(wp), 2)
+        .alias("dev_from_max"))  # max: order-independent, exact in doubles
+
+
+@query("cogroup_user_activity", """
+WITH c AS (
+  SELECT user_id, count(*) AS clicks, round(sum(value), 2) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+), p AS (
+  SELECT user_id, count(*) AS purchases, round(sum(value), 2) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT coalesce(c.user_id, p.user_id) AS user_id,
+       coalesce(c.clicks, 0)          AS clicks,
+       coalesce(c.click_value, 0.0)   AS click_value,
+       coalesce(p.purchases, 0)       AS purchases,
+       coalesce(p.purchase_value, 0.0) AS purchase_value
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+""")
+def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed COGROUP of two streams (clicks x purchases per user) via
+    applyInPandas cogroup — both sides shuffle once on the key and meet
+    in a single Arrow-batched function; the relational equivalent (two
+    aggs + full outer join) is the oracle."""
+    import pandas as pd
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where("event_type = 'click'").select("user_id", "value")
+    purchases = ev.where("event_type = 'purchase'").select("user_id", "value")
+
+    def merge(key, c: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": [key[0]],
+            "clicks": [len(c)],
+            "click_value": [round(float(c["value"].sum()), 2) if len(c) else 0.0],
+            "purchases": [len(p)],
+            "purchase_value": [round(float(p["value"].sum()), 2) if len(p) else 0.0],
+        })
+
+    return (clicks.groupBy("user_id").cogroup(purchases.groupBy("user_id"))
+            .applyInPandas(merge,
+                           schema="user_id long, clicks long, click_value double, "
+                                  "purchases long, purchase_value double"))
