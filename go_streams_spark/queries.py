@@ -1597,3 +1597,35 @@ def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .applyInPandas(merge,
                            schema="user_id long, clicks long, click_value double, "
                                   "purchases long, purchase_value double"))
+
+
+@query("udtf_word_positions", """
+SELECT doc_id, word, pos
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+  WHERE doc_id < 10
+)
+WHERE word <> ''
+""")
+def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 @udtf) — the FlatMapFunction-as-table-function
+    surface (SURVEY §2.5 'UDTF'): one input row -> N output rows with
+    arbitrary Python logic, used via LATERAL join. Slow path by design;
+    the explode/posexplode form is the JVM fast path for this shape."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text):
+            for i, w in enumerate((text or "").split(" ")):
+                if w:
+                    yield w, i
+
+    docs = _t(spark, sf_dir, "documents").where("doc_id < 10")
+    spark.udtf.register("gss_split_words", SplitWords)
+    docs.createOrReplaceTempView("gss_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.word, s.pos "
+        "FROM gss_udtf_docs d, LATERAL gss_split_words(d.text) s")
