@@ -38,6 +38,9 @@ BENCH_QUERIES = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q12_shipmode_priority",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
     "semi_anti_join_customers",
     "top_orders_per_customer",
     "keyed_tumbling_window",

@@ -1629,3 +1629,81 @@ def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT d.doc_id, s.word, s.pos "
         "FROM gss_udtf_docs d, LATERAL gss_split_words(d.text) s")
+
+
+@query("q17_small_quantity_revenue", """
+SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey)
+""")
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style: correlated scalar subquery (per-part average)
+    decorrelated by Catalyst into an aggregate + join — the subquery
+    never executes per-row. Brand filter prunes parts before the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")) \
+        .agg((F.avg("l_quantity") * 0.2).alias("qty_limit"))
+    return (li
+            .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(per_part, li.l_partkey == per_part.pk)
+            .where(F.col("l_quantity") < F.col("qty_limit"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")))
+
+
+@query("q12_shipmode_priority", """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+""")
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: conditional aggregation (pivot-by-CASE) over a
+    fact-fact join; the CASE folds into the partial aggregate so only
+    two counters per group cross the exchange."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_linestatus")
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count")))
+
+
+@query("q18_large_orders", """
+SELECT c_name, o_orderkey, round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+""")
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style: HAVING-filtered aggregate feeding joins + top-k.
+    The aggregate shrinks lineitem to qualifying orderkeys BEFORE any
+    join; customer lookup broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("total_qty"))
+           .where(F.col("total_qty") > 150))
+    return (big.join(orders, orders.o_orderkey == big.l_orderkey)
+            .join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+            .select("c_name", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty")
+            .orderBy(F.col("total_qty").desc(), "o_orderkey")
+            .limit(20))
