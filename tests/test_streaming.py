@@ -260,3 +260,37 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     q.stop()
     got = {r["id"]: r["v"] for r in spark.table(name).collect()}
     assert got == {1: "a", 2: "b", 3: "c"}  # first occurrence wins, dups dropped
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: dedup state is EVICTED once the
+    watermark passes — the bounded-state form that survives unbounded
+    streams (plain dropDuplicates state grows forever). Duplicates
+    arriving within the watermark window are suppressed."""
+    import json, time, uuid
+    from go_streams_spark.sources import register_replay_source
+    path = str(tmp_path / "rows.jsonl")
+    rows = [
+        {"id": 1, "ts": "2024-01-01 00:00:00"},
+        {"id": 1, "ts": "2024-01-01 00:00:05"},   # dup within watermark -> dropped
+        {"id": 2, "ts": "2024-01-01 00:00:10"},
+    ]
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    fmt = register_replay_source(spark)
+    src = (spark.readStream.format(fmt)
+           .option("path", path).option("ddl", "id int, ts string")
+           .option("rowsPerBatch", "1").load()
+           .select("id", F.col("ts").cast("timestamp").alias("ts"))
+           .withWatermark("ts", "1 minute"))
+    deduped = src.dropDuplicatesWithinWatermark(["id"])
+    name = "ddw_" + uuid.uuid4().hex[:8]
+    q = (deduped.writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table(name).count() < 2:
+        time.sleep(0.5)
+    q.stop()
+    got = sorted(r["id"] for r in spark.table(name).collect())
+    assert got == [1, 2]  # the duplicate id=1 within the watermark was dropped
