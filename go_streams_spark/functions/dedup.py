@@ -161,7 +161,13 @@ def minhash_lsh_candidates(df: DataFrame, *, text_col: str = "text",
     bands = band_rows(
         minhash_wide(shingles, id_col=id_col, num_hashes=num_hashes),
         id_col=id_col, rows_per_band=rows_per_band)
-    a, b = bands.alias("a"), bands.alias("b")
+    # shuffle-hash, not broadcast: bands is a corpus-scale intermediate
+    # (num_bands rows per doc). Local parquet stats undersell it (the
+    # explode/window expansion is invisible to size estimates), so
+    # Catalyst would broadcast EACH side of the self-join — five
+    # broadcast exchanges of the whole corpus at 100 TB. The hint pins
+    # the partitioned plan; AQE still splits skewed buckets.
+    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
     return (a.join(b, ["band", "band_key"])
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
@@ -182,16 +188,23 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, *, text_col: str = "tex
     """
     sh = shingles if shingles is not None else \
         shingle_rows(df, text_col=text_col, id_col=id_col, ngram=ngram)
+    # every join below pins shuffle_hash on the shingle/count side:
+    # those are corpus-scale intermediates whose size the optimizer
+    # underestimates (explode hides behind a small scan), and
+    # broadcasting them is exactly what must not happen at 100 TB
     cnts = sh.groupBy(F.col(id_col).alias("cid")).agg(F.count(F.lit(1)).alias("c"))
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
     sb = sh.select(F.col(id_col).alias("__idb"), F.col("s").alias("s_b"))
-    inter = (candidates.join(sa, "id_a")
-             .join(sb, (F.col("id_b") == F.col("__idb")) & (F.col("s_a") == F.col("s_b")))
+    inter = (candidates.join(sa.hint("shuffle_hash"), "id_a")
+             .join(sb.hint("shuffle_hash"),
+                   (F.col("id_b") == F.col("__idb")) & (F.col("s_a") == F.col("s_b")))
              .groupBy("id_a", "id_b")
              .agg(F.count(F.lit(1)).alias("i")))
     out = (inter
-           .join(cnts.withColumnRenamed("cid", "id_a").withColumnRenamed("c", "ca"), "id_a")
-           .join(cnts.withColumnRenamed("cid", "id_b").withColumnRenamed("c", "cb"), "id_b"))
+           .join(cnts.withColumnRenamed("cid", "id_a").withColumnRenamed("c", "ca")
+                 .hint("shuffle_hash"), "id_a")
+           .join(cnts.withColumnRenamed("cid", "id_b").withColumnRenamed("c", "cb")
+                 .hint("shuffle_hash"), "id_b"))
     jac = F.round(F.col("i") / F.greatest(F.col("ca") + F.col("cb") - F.col("i"), F.lit(1)), 4)
     return (out.select("id_a", "id_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
@@ -226,30 +239,51 @@ def simhash32(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") 
     """32-bit SimHash per document from distinct lowercase tokens.
 
     Bit j of md5(token) (hex-decoded) contributes +1/-1; simhash bit j is
-    the sign of the sum. One row per (doc, distinct token) and ONE
-    codegen'd aggregation pass with 32 conditional-sum columns — no
-    32-way bit explosion (the naive explode is 32x the rows and was ~3x
-    slower). Single shuffle keyed by doc with map-side partials.
+    the sign of the sum. One row per (doc, distinct token), ONE shuffle
+    keyed by doc with map-side partials.
+
+    Vote sums are PACKED: the 32 bit-votes ride in 8 longs with 16-bit
+    lanes (4 bits per long), so the aggregate is 8 packed sums + a
+    count — not 32 sum columns. The earlier 32-column form generated a
+    whole-stage method so large the JIT intermittently left it
+    interpreted (5-60s swings in a long-lived session); 9 small
+    aggregates codegen to JIT-friendly methods and run in a stable
+    ~2.5s at sf0.1. The +-1 vote sum is recovered as 2*s_j - n (s_j =
+    per-bit 1-count, n = token count); lanes overflow only past 32767
+    distinct tokens per doc — far beyond any real document.
     Bit-identical to the SQL oracle's exploded formulation.
     """
     toks = df.select(F.col(id_col),
                      F.explode(F.array_distinct(F.transform(tokens(text_col), F.lower)))
                      .alias("tok"))
-    # dictionary trick: hash each DISTINCT token once (vocab << corpus),
-    # join the +-1 vote columns back — md5 + hex decoding runs |vocab|
-    # times instead of |doc x token| times
-    vocab = toks.select("tok").distinct().withColumn("h", F.md5("tok"))
-    for j in range(32):
-        digit = F.instr(F.lit("0123456789abcdef"),
-                        F.substring(F.col("h"), j // 4 + 1, 1)) - 1
-        bit = F.shiftright(digit, j % 4).bitwiseAND(F.lit(1))
-        vocab = vocab.withColumn(f"v{j}", (bit * 2 - 1).cast("int"))
-    joined = toks.join(vocab.drop("h"), "tok")
-    sums = joined.groupBy(id_col).agg(
-        *[F.sum(F.col(f"v{j}")).alias(f"s{j}") for j in range(32)])
+    # One conv() decodes the first 8 md5 hex chars into a 32-bit int;
+    # hex char j//4+1 is nibble (7 - j//4) of that int and bit j%4 of
+    # the nibble is vote bit j — identical bits to the oracle's
+    # strpos-per-char formulation. Computed INLINE per (doc, token) row:
+    # md5 is cheap and embarrassingly parallel, and inlining keeps the
+    # plan one straight scan->explode->agg pipeline with NO broadcast
+    # join (an earlier hash-the-vocab-once + broadcast-join variant
+    # added two extra query stages whose single-task broadcast jobs
+    # intermittently sat unscheduled for tens of seconds in long-lived
+    # sessions). Subexpression elimination collapses the md5/conv to one
+    # evaluation per row at codegen time.
+    h32 = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+
+    def bit(j):
+        return F.shiftright(h32, 4 * (7 - j // 4) + (j % 4)).bitwiseAND(F.lit(1))
+
+    def packed(g):  # lanes j = 4g..4g+3, 16 bits apart
+        lanes = [F.shiftleft(bit(4 * g + k), 16 * k) for k in range(4)]
+        return sum(lanes[1:], lanes[0]).alias(f"p{g}")
+
+    voted = toks.select(F.col(id_col), *[packed(g) for g in range(8)])
+    sums = voted.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col(f"p{g}")).alias(f"S{g}") for g in range(8)])
     simhash = None
     for j in range(32):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0))
+        s_j = F.shiftright(F.col(f"S{j//4}"), 16 * (j % 4)).bitwiseAND(F.lit(0xFFFF))
+        term = F.when(2 * s_j > F.col("n"), F.lit(1 << j).cast("long")).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
     return sums.select(id_col, simhash.alias("simhash"))
 

@@ -1408,10 +1408,13 @@ def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_approx (t-digest, mergeable partials) and lose oracle
     exactness — the exact form here doubles as that path's test anchor."""
     li = _t(spark, sf_dir, "lineitem")
+    # one percentile buffer per group (array of quantiles), not three
     return (li.groupBy("l_returnflag")
-            .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
-                 F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
-                 F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99")))
+            .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("q"))
+            .select("l_returnflag",
+                    F.round(F.col("q")[0], 4).alias("p50"),
+                    F.round(F.col("q")[1], 4).alias("p90"),
+                    F.round(F.col("q")[2], 4).alias("p99")))
 
 
 @query("text_redact_pii", """
