@@ -41,6 +41,11 @@ BENCH_QUERIES = [
     "q12_shipmode_priority",
     "q17_small_quantity_revenue",
     "q18_large_orders",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q19_disjunctive_revenue",
     "semi_anti_join_customers",
     "top_orders_per_customer",
     "keyed_tumbling_window",

@@ -1710,3 +1710,353 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("o_totalprice", 2).alias("o_totalprice"), "total_qty")
             .orderBy(F.col("total_qty").desc(), "o_orderkey")
             .limit(20))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational coverage, round 2 (adapted to the simplified
+# synthetic schema: no partsupp, no commit/receipt dates, no phone).
+# ---------------------------------------------------------------------------
+
+@query("q4_order_priority", """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+GROUP BY o_orderpriority
+""")
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: EXISTS decorrelated to a LEFT SEMI join.
+
+    Scale: the semi join carries only the orderkey from lineitem (column
+    pruning drops everything else at the scan), dedupes on the build
+    side, and the date filter prunes orders before the shuffle.
+    """
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+@query("q7_nation_volume", """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+         year(l_shipdate)::INT AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+  JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+  WHERE ((sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+      OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: bilateral nation-pair trade volume by year.
+
+    Scale: both nation dims broadcast; the disjunctive nation-pair
+    predicate applies after the dim joins (cheap, on broadcast values);
+    the only real shuffles are lineitem-orders and orders-customer.
+    """
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between("1996-01-01", "1997-12-31"))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+            | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+            .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+            .where(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("int").alias("l_year"))
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+@query("q8_market_share", """
+SELECT o_year,
+       round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+             / sum(volume), 4) AS mkt_share
+FROM (
+  SELECT year(o_orderdate)::INT AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         sn.n_name AS nation
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+  JOIN region r   ON r.r_regionkey = cn.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+  JOIN part p     ON p.p_partkey = l.l_partkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+) all_nations
+GROUP BY o_year
+""")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: one nation's share of a region's market by year.
+
+    Scale: the share is a conditional-sum / sum on ONE aggregation pass
+    (no self-join, no second scan); part filter broadcast-prunes the
+    fact early; region restriction rides the customer-nation broadcast.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").between("1996-01-01", "1997-12-31"))
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    cn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    sn = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+            .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+            .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+            .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.round(
+                F.sum(F.when(F.col("nation") == "NATION_5", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol), 4).alias("mkt_share")))
+
+
+@query("q9_product_profit", """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation, year(o.o_orderdate)::INT AS o_year,
+         l.l_extendedprice * (1 - l.l_discount)
+           - p.p_retailprice * 0.6 * l.l_quantity AS amount
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN nation n   ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+""")
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-line profit (supply cost approximated as
+    60% of retail price — the synthetic schema has no partsupp).
+
+    Scale: part filter broadcasts into the fact scan; supplier/nation
+    broadcast; the single big shuffle is lineitem-orders.
+    """
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").like("%red%"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("p_retailprice") * 0.6 * F.col("l_quantity"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+            .join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("o_orderdate").cast("int").alias("o_year"))
+            .agg(F.round(F.sum(amount), 2).alias("sum_profit")))
+
+
+@query("q10_returned_items", """
+SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(c_acctbal, 2) AS c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top-20 customers by returned-item revenue.
+
+    Scale: returnflag + date filters push to the scans; one shuffle for
+    lineitem-orders, customer join shuffles on custkey, nation
+    broadcasts; TakeOrderedAndProject caps the result without a global
+    sort.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = _t(spark, sf_dir, "nation")
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("c_custkey", "c_name", "revenue",
+                    F.round("c_acctbal", 2).alias("c_acctbal"), "n_name")
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20))
+
+
+@query("q13_customer_distribution", """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+""")
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: two-level aggregation over an outer join
+    (customers grouped by how many non-urgent orders they placed,
+    including zero). Scale: the outer join shuffles on custkey; the
+    second agg's key space is tiny (order counts) so its exchange is
+    negligible; count(col) vs count(*) null semantics preserved.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "1-URGENT")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left")
+            .groupBy(c.c_custkey)
+            .agg(F.count("o_orderkey").alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+@query("q14_promo_revenue", """
+SELECT round(100.00 * sum(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+""")
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo revenue share: conditional sum / sum in a
+    single global aggregate; part broadcasts; month filter pushes down.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .agg(F.round(
+                100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev), 4).alias("promo_revenue")))
+
+
+@query("q15_top_supplier", """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: top supplier via scalar-subquery max over a CTE.
+
+    Scale: the revenue aggregate is computed once and reused for both
+    the max and the filter (Spark dedups the subquery subtree); the
+    max is a 1-row broadcast into the filter — no second scan of
+    lineitem, no window over the full aggregate.
+    """
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp")))
+    s = _t(spark, sf_dir, "supplier")
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (s.join(rev, s.s_suppkey == rev.supplier_no)
+            .join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+@query("q19_disjunctive_revenue", """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40))
+""")
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style: disjunctive mixed-table predicate over an
+    equi-join. Scale: Catalyst extracts the common p_partkey equi-key
+    (hash join, never nested-loop) and pushes the single-table parts of
+    the OR (brand/size) into the part scan as an IN-filter.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40)))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+            .where(cond)
+            .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+@query("q22_idle_rich_customers", """
+SELECT seg, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM (
+  SELECT substr(c_mktsegment, 1, 4) AS seg, c_acctbal
+  FROM customer c
+  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+) custsale
+GROUP BY seg
+""")
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: above-average-balance customers with no orders
+    with no RECENT orders (scalar subquery + anti join), grouped by
+    segment prefix.
+
+    Scale: the average is a 1-row broadcast; NOT EXISTS is a LEFT ANTI
+    join shuffling only custkeys; both inputs column-pruned to the keys.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+         .select("o_custkey"))
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("ab"))
+    return (c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("ab"))
+            .join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .groupBy(F.substring("c_mktsegment", 1, 4).alias("seg"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))

@@ -48,4 +48,7 @@ def test_dedup_minhash_no_cross_join(spark, sf_dir):
     df = QUERIES["dedup_minhash_pairs"](spark, sf_dir)
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan
-    assert "band_key" in plan and ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan)
+    # corpus-scale intermediates are pinned to shuffle joins (broadcast
+    # of an exploded subtree is the 100 TB anti-pattern)
+    assert "band_key" in plan and ("ShuffledHashJoin" in plan or "SortMergeJoin" in plan)
+    assert "BroadcastHashJoin" not in plan
