@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "simhash_docs",
     "embedding_knn",
     "ann_sign_lsh",
+    "ann_ivf_knn",
     "ann_query_vector_topk",
 ]
 

@@ -2060,3 +2060,47 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.substring("c_mktsegment", 1, 4).alias("seg"))
             .agg(F.count(F.lit(1)).alias("numcust"),
                  F.round(F.sum("c_acctbal"), 2).alias("totacctbal")))
+
+
+@query("ann_ivf_knn", """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16
+), csims AS (
+  SELECT v.vec_id, c.cid, v.v,
+         round(list_sum(list_transform(list_zip(v.v, c.cv), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(v.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 6) AS csim
+  FROM v CROSS JOIN c
+), ranked AS (
+  SELECT vec_id, cid, v,
+         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
+  FROM csims
+), assign AS (
+  SELECT vec_id AS id_b, v AS vb, cid FROM ranked WHERE crn = 1
+), probes AS (
+  SELECT vec_id AS id_a, v AS va, cid FROM ranked WHERE crn <= 4
+), pairs AS (
+  SELECT id_a, id_b,
+         max(round(list_sum(list_transform(list_zip(va, vb), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(va, x -> x * x)))
+                  * sqrt(list_sum(list_transform(vb, x -> x * x)))), 6)) AS sim
+  FROM probes JOIN assign USING (cid)
+  WHERE id_a <> id_b
+  GROUP BY id_a, id_b
+)
+SELECT id_a AS vec_id, id_b AS neighbor_id, sim, rank::INT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rank
+      FROM pairs)
+WHERE rank <= 3
+""")
+def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: deterministic codebook, broadcast assignment,
+    top-nprobe probing, per-list exact re-rank (functions/similarity.py
+    ::ivf_knn). The 100 TB plan: one broadcast join against the codebook
+    builds inverted lists AND probe lists in a single pass; candidate
+    generation is an equi-join on the list id."""
+    from .functions.similarity import ivf_knn
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_knn(emb, k=3, nlist=16, nprobe=4)

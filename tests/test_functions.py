@@ -122,3 +122,25 @@ def test_approx_distinct_within_tolerance(spark):
     for r in rows:
         e = exact[r["event_type"]]
         assert abs(r["approx_users"] - e) <= max(2, 0.05 * e)
+
+
+def test_ivf_knn_recall_and_plan(spark):
+    from go_streams_spark.functions.similarity import ivf_knn, brute_force_knn
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    approx = ivf_knn(emb, k=3, nlist=8, nprobe=3)
+    # plan shape: candidates come from an equi-join on the list id, and
+    # the only cross product is the broadcast codebook join
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    got = {(r["vec_id"], r["neighbor_id"]) for r in approx.collect()}
+    exact = {(r["vec_id"], r["neighbor_id"])
+             for r in brute_force_knn(emb, k=3).collect()}
+    recall = len(got & exact) / len(exact)
+    # IVF with nprobe=3/8 lists on random-ish vectors: recall well above
+    # chance; pin a floor so a broken bucketing (empty candidates,
+    # self-matches) fails loudly
+    assert recall >= 0.5, f"recall {recall:.2f}"
+    # every query returns <= k unique ranked neighbors starting at 1
+    import collections
+    per_q = collections.Counter(q for q, _ in got)
+    assert max(per_q.values()) <= 3
