@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "percentiles_by_flag",
     # training-data pipeline ops
     "text_stats",
+    "tfidf_top_terms",
+    "curation_pipeline",
     "dedup_exact",
     "dedup_minhash_pairs",
     "simhash_docs",

