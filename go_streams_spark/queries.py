@@ -2204,3 +2204,48 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (kept.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .select("doc_id", F.round("quality", 4).alias("quality"), "n_tokens"))
+
+
+@query("cube_status_flag", """
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       count(*) AS cnt,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""")
+def cube_status_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all 4 grouping combinations in ONE
+    pass (single shuffle through an Expand node), complementing the
+    ROLLUP query; absent from the reference (SURVEY §2.5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("l_quantity"), 2).alias("qty"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+                    "cnt", "qty"))
+
+
+@query("range_frame_rolling_revenue", """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL '30 days' PRECEDING AND CURRENT ROW), 2)
+         AS revenue_30d
+FROM orders
+""")
+def range_frame_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame analytic window: per-customer 30-day trailing revenue.
+    A VALUE-based frame (interval preceding), not a row count — one
+    shuffle on the partition key, per-key local sort, single pass."""
+    from pyspark.sql import Window
+    o = _t(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ; session tz is pinned UTC so the
+    # epoch-seconds ordering key matches the oracle's naive timestamps
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+         .rangeBetween(-30 * 86400, 0))
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_30d"))

@@ -52,3 +52,14 @@ def test_dedup_minhash_no_cross_join(spark, sf_dir):
     # of an exploded subtree is the 100 TB anti-pattern)
     assert "band_key" in plan and ("ShuffledHashJoin" in plan or "SortMergeJoin" in plan)
     assert "BroadcastHashJoin" not in plan
+
+
+def test_simhash_no_broadcast_stages(spark, sf_dir):
+    # simhash must stay one straight scan->explode->agg pipeline: the
+    # vocab-broadcast variant added single-task broadcast-exchange jobs
+    # with pathological tail latency in long-lived sessions (SCALE.md §8)
+    from go_streams_spark.plans import explain_str
+    from go_streams_spark.queries import QUERIES
+    plan = explain_str(QUERIES["simhash_docs"](spark, sf_dir), "simple")
+    assert "BroadcastExchange" not in plan
+    assert "BroadcastHashJoin" not in plan

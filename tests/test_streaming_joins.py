@@ -70,3 +70,28 @@ def test_replay_source_backpressure_contract(spark, tmp_path):
     assert spark.table(name).count() == 12
     assert all(n <= 5 for n in sizes.values())  # quota never exceeded
     assert sorted(sizes.values(), reverse=True)[:2] == [5, 5]  # and actually used
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join — the dimension-enrichment pattern: a streaming
+    fact joins a static (broadcastable) dimension with NO streaming state
+    at all (each micro-batch joins the static side independently; on a
+    cluster the dim is a broadcast per batch)."""
+    d = str(tmp_path)
+    facts_dir = os.path.join(d, "facts")
+    spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "nation_key int, amount double") \
+        .coalesce(1).write.parquet(facts_dir)
+    dim = spark.createDataFrame(
+        [(1, "NATION_1"), (2, "NATION_2")], "n_key int, n_name string")
+    facts = spark.readStream.schema("nation_key int, amount double").parquet(facts_dir)
+    enriched = (facts.join(F.broadcast(dim),
+                           facts.nation_key == dim.n_key, "left")
+                .select("nation_key", "amount",
+                        F.coalesce("n_name", F.lit("UNKNOWN")).alias("n_name")))
+    name = "sse_" + uuid.uuid4().hex[:8]
+    q = (enriched.writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination(120)
+    rows = {(r["nation_key"], r["n_name"]) for r in spark.table(name).collect()}
+    assert rows == {(1, "NATION_1"), (2, "NATION_2"), (3, "UNKNOWN")}
