@@ -2249,3 +2249,165 @@ def range_frame_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey", "o_orderkey", "o_orderdate",
         F.round(F.sum("o_totalprice").over(w), 2).alias("revenue_30d"))
+
+
+@query("pivot_priority_counts", """
+SELECT o_orderstatus AS status,
+       count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+       count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS high,
+       count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+       count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+       count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+FROM orders
+GROUP BY o_orderstatus
+""")
+def pivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (long -> wide): explicit value list so Catalyst skips the
+    extra distinct-values collect job and plans ONE hash aggregate with
+    conditional counters — no per-value scan, no second shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    piv = (o.groupBy(F.col("o_orderstatus").alias("status"))
+           .pivot("o_orderpriority",
+                  ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"])
+           .count())
+    renames = [("1-URGENT", "urgent"), ("2-HIGH", "high"), ("3-MEDIUM", "medium"),
+               ("4-NOT SPECIFIED", "not_specified"), ("5-LOW", "low")]
+    return piv.select(
+        "status", *[F.coalesce(F.col(f"`{old}`"), F.lit(0)).alias(new)
+                    for old, new in renames])
+
+
+@query("unpivot_lineitem_measures", """
+SELECT metric, round(sum(value), 2) AS total
+FROM (
+  SELECT 'quantity' AS metric, l_quantity AS value FROM lineitem
+  UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'discount', l_discount FROM lineitem
+  UNION ALL SELECT 'tax', l_tax FROM lineitem
+)
+GROUP BY metric
+""")
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long) via the native melt/Expand node: one scan
+    of the 4 measure columns (vs the naive 4x UNION ALL re-scan), then a
+    single hash aggregate over 4 groups."""
+    li = _t(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        [], ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric", "value")
+    return (long.groupBy(F.expr("substring(metric, 3)").alias("metric"))
+            .agg(F.round(F.sum("value"), 2).alias("total")))
+
+
+@query("deterministic_sample_docs", """
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
+FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10 = 0
+GROUP BY lang
+""")
+def deterministic_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-mod sampling — the reproducible 10% corpus
+    sample a training pipeline uses instead of rand(): stable across
+    runs/engines/partitionings, pushes down as a plain filter, and the
+    same doc set is selected on re-runs at any cluster size."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                    16, 10).cast("long") % 10
+    return (d.where(bucket == 0)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("chars")))
+
+
+@query("domain_quota_sample", """
+SELECT lang, source, doc_id, rk FROM (
+  SELECT lang, source, doc_id,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY md5(doc_id::VARCHAR)) AS rk
+  FROM documents)
+WHERE rk <= 3
+""")
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling (corpus balancing): keep at most K docs
+    per (lang, source) cell, chosen by deterministic hash order. One
+    shuffle on the cell key; rank is computed per-partition after a
+    local sort, so no global ordering bottleneck."""
+    from pyspark.sql import Window
+    d = _t(spark, sf_dir, "documents")
+    w = (Window.partitionBy("lang", "source")
+         .orderBy(F.md5(F.col("doc_id").cast("string"))))
+    return (d.select("lang", "source", "doc_id",
+                     F.row_number().over(w).cast("int").alias("rk"))
+            .where(F.col("rk") <= 3))
+
+
+@query("gopher_repetition_stats", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+  FROM documents
+), pos AS (
+  SELECT doc_id, generate_subscripts(ts, 1) AS p, unnest(ts) AS tok
+  FROM toks
+), tri AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS tg
+  FROM pos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+  QUALIFY lead(tok, 2) OVER w IS NOT NULL
+), cnts AS (
+  SELECT doc_id, tg, count(*) AS c FROM tri GROUP BY doc_id, tg
+)
+SELECT doc_id,
+       sum(c)::BIGINT AS n_trigrams,
+       sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_dup,
+       round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / sum(c), 4) AS dup_frac
+FROM cnts GROUP BY doc_id
+""")
+def gopher_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition filter: fraction of word
+    trigrams that are duplicated inside the document. Relational form —
+    posexplode + per-doc window (lead x2) + two hash aggregates, all in
+    whole-stage codegen; ONE shuffle on doc_id serves the window and
+    both aggregations (same key)."""
+    from pyspark.sql import Window
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    pos = d.select("doc_id", F.posexplode(toks).alias("p", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    tri = (pos.select(
+        "doc_id",
+        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w),
+                    F.lead("tok", 2).over(w)).alias("tg"),
+        F.lead("tok", 2).over(w).alias("_t2"))
+        .where(F.col("_t2").isNotNull()))
+    cnts = tri.groupBy("doc_id", "tg").agg(F.count(F.lit(1)).alias("c"))
+    dup = F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+    return (cnts.groupBy("doc_id")
+            .agg(F.sum("c").alias("n_trigrams"),
+                 dup.alias("n_dup"),
+                 F.round(dup / F.sum("c"), 4).alias("dup_frac")))
+
+
+@query("array_functions_sampler", """
+SELECT vec_id,
+       round(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE),
+                         (a, b) -> a + b), 3) AS norm_sq,
+       len(list_filter(embedding, x -> x::DOUBLE > 0)) AS n_pos,
+       round(embedding[1]::DOUBLE, 4) AS first_dim
+FROM embeddings
+""")
+def array_functions_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding column: transform
+    / aggregate (fold) / filter — the Column-lambda surface a user needs
+    for vector features without leaving the JVM. Narrow (zero-shuffle)
+    map-only plan. For the bulk-numeric hot path prefer the matmul
+    mapInPandas kNN (SCALE.md) — this is the expression-level API."""
+    e = _t(spark, sf_dir, "embeddings")
+    arr = F.transform("embedding", lambda x: x.cast("double"))
+    norm_sq = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x * x)
+    return e.select(
+        "vec_id",
+        F.round(norm_sq, 3).alias("norm_sq"),
+        F.size(F.filter(arr, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(F.element_at(arr, 1), 4).alias("first_dim"))
