@@ -2411,3 +2411,148 @@ def array_functions_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(norm_sq, 3).alias("norm_sq"),
         F.size(F.filter(arr, lambda x: x > 0)).cast("long").alias("n_pos"),
         F.round(F.element_at(arr, 1), 4).alias("first_dim"))
+
+
+@query("chunk_dedup_reassembly", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+  FROM documents
+), pos AS (
+  SELECT doc_id, generate_subscripts(ts, 1) - 1 AS p, unnest(ts) AS tok
+  FROM toks
+), chunks AS (
+  SELECT doc_id, p // 8 AS cid, string_agg(tok, ' ' ORDER BY p) AS chunk
+  FROM pos GROUP BY doc_id, p // 8
+), keep AS (
+  SELECT doc_id, cid, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id, cid) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_chunks,
+       count(*) FILTER (WHERE rn = 1)::BIGINT AS n_kept,
+       CASE WHEN count(*) FILTER (WHERE rn = 1) = 0 THEN NULL
+            ELSE md5(string_agg(chunk, ' ' ORDER BY cid) FILTER (WHERE rn = 1))
+       END AS clean_digest
+FROM keep GROUP BY doc_id
+""")
+def chunk_dedup_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level chunk dedup WITH document reassembly: split
+    every doc into 8-word chunks, keep only the globally-first occurrence
+    of each distinct chunk (min doc_id, then position), and rebuild each
+    document from its surviving chunks in order. Three shuffles total —
+    (doc_id,cid) chunk build, chunk-text dedup window, doc_id regroup —
+    each keyed, no global sort, no driver collect; at 100 TB every stage
+    is a plain hash exchange. Output pins the cleaned text via digest."""
+    from pyspark.sql import Window
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    pos = d.select("doc_id", F.posexplode(toks).alias("p", "tok"))
+    chunks = (pos.groupBy("doc_id", (F.col("p") / 8).cast("long").alias("cid"))
+              .agg(F.concat_ws(
+                  " ", F.transform(
+                      F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                      lambda s: s.tok)).alias("chunk")))
+    w = Window.partitionBy("chunk").orderBy("doc_id", "cid")
+    keep = chunks.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("cid", "chunk"))
+    n_kept = F.count(F.when(F.col("rn") == 1, F.lit(1)))
+    clean = F.concat_ws(" ", F.transform(
+        F.array_sort(F.collect_list(kept_struct)), lambda s: s.chunk))
+    return (keep.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 n_kept.alias("n_kept"),
+                 F.when(n_kept == 0, F.lit(None).cast("string"))
+                  .otherwise(F.md5(clean)).alias("clean_digest")))
+
+
+@query("decontaminate_ngram_overlap", """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+  FROM documents
+), pos AS (
+  SELECT doc_id, source, generate_subscripts(ts, 1) AS p, unnest(ts) AS tok
+  FROM toks
+), grams AS (
+  SELECT doc_id, source,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS g
+  FROM pos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+  QUALIFY lead(tok, 4) OVER w IS NOT NULL
+), eval_grams AS (
+  SELECT DISTINCT g FROM grams WHERE source = 'src0'
+), train_grams AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0'
+)
+SELECT t.doc_id, count(*)::BIGINT AS n_hits
+FROM train_grams t JOIN eval_grams e USING (g)
+GROUP BY t.doc_id
+""")
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any word
+    5-gram with the eval slice (source='src0'). Distinct-gram sets on
+    both sides, then an equi-join on the gram text and a per-doc count.
+    The train side never materializes a cross product — the join is
+    gram-keyed, and skewed stop-grams are already thinned by DISTINCT.
+    Joined via shuffle_hash: the eval side is an exploded+distinct
+    intermediate, the shape whose BroadcastExchange stalls aged local
+    sessions (SCALE.md §8); on a real cluster where the eval set is a
+    fixed small benchmark suite, flip the hint to broadcast."""
+    from pyspark.sql import Window
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    pos = d.select("doc_id", "source", F.posexplode(toks).alias("p", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    leads = [F.lead("tok", i).over(w) for i in range(1, 5)]
+    grams = (pos.select("doc_id", "source",
+                        F.concat_ws(" ", F.col("tok"), *leads).alias("g"),
+                        leads[-1].alias("_t4"))
+             .where(F.col("_t4").isNotNull()))
+    eval_g = grams.where(F.col("source") == "src0").select("g").distinct()
+    train_g = (grams.where(F.col("source") != "src0")
+               .select("doc_id", "g").distinct())
+    return (train_g.join(eval_g.hint("shuffle_hash"), "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+
+
+@query("label_centroids", """
+WITH dims AS (
+  SELECT label, generate_subscripts(embedding, 1) AS dim,
+         unnest(embedding)::DOUBLE AS v
+  FROM embeddings
+), means AS (
+  SELECT label, dim, avg(v) AS m, count(*) AS n
+  FROM dims GROUP BY label, dim
+)
+SELECT label,
+       (max(n))::BIGINT AS n_vecs,
+       round(list_reduce(list(m * m ORDER BY dim), (a, b) -> a + b), 3)
+         AS centroid_norm_sq,
+       round(min(CASE WHEN dim = 1 THEN m END), 4) AS dim1_mean
+FROM means GROUP BY label
+""")
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding centroids — the building block for IVF
+    codebooks, class prototypes, and drift monitoring. Element-wise mean
+    via posexplode -> (label, dim) hash aggregate: fully JVM-side, scales
+    as rows x dims with map-side partial aggregation; NO Python UDF and
+    no per-label collect. Centroid re-packed with an ordered fold."""
+    e = _t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode(F.transform("embedding",
+                                          lambda x: x.cast("double"))
+                              ).alias("dim0", "v"))
+    means = (dims.groupBy("label", (F.col("dim0") + 1).alias("dim"))
+             .agg(F.avg("v").alias("m"), F.count(F.lit(1)).alias("n")))
+    packed = F.transform(
+        F.array_sort(F.collect_list(F.struct("dim", "m"))), lambda s: s.m)
+    norm_sq = F.aggregate(packed, F.lit(0.0), lambda a, x: a + x * x)
+    return (means.groupBy("label")
+            .agg(F.max("n").alias("n_vecs"),
+                 F.round(norm_sq, 3).alias("centroid_norm_sq"),
+                 F.round(F.min(F.when(F.col("dim") == 1, F.col("m"))), 4)
+                  .alias("dim1_mean")))
