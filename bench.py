@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "ann_sign_lsh",
     "ann_ivf_knn",
     "ann_query_vector_topk",
+    "gopher_repetition_stats",
+    "chunk_dedup_reassembly",
+    "label_centroids",
 ]
 
 
