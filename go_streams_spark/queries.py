@@ -2556,3 +2556,61 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(norm_sq, 3).alias("centroid_norm_sq"),
                  F.round(F.min(F.when(F.col("dim") == 1, F.col("m"))), 4)
                   .alias("dim1_mean")))
+
+
+@query("resample_fill_forward", """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         sum(value) AS s, count(*) AS n
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+  FROM bounds
+)
+SELECT g.event_type, g.hour,
+       round(last_value(hy.s IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hour), 2) AS s_fill,
+       (last_value(hy.n IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.hour))::BIGINT AS n_fill,
+       (hy.s IS NULL) AS is_gap
+FROM grid g
+LEFT JOIN hourly hy ON hy.event_type = g.event_type AND hy.h = g.hour
+""")
+def resample_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with gap fill: snap events to an hourly
+    grid per series, materialize MISSING hours via sequence()+explode
+    (no driver loop, no UDF), and forward-fill each gap with the last
+    observed value (last_value IGNORE NULLS window). The grid is built
+    from per-series bounds so its size is hours x series — independent
+    of event volume; at 100 TB the expensive side is one keyed hash
+    aggregate over the raw events, everything after is tiny."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("h"))
+              .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n")))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"))
+    # grid derives from hourly (self-join lineage) — re-key the right
+    # side so the analyzer sees distinct attributes
+    samples = hourly.select(F.col("event_type").alias("et2"),
+                            F.col("h").alias("h2"), "s", "n")
+    joined = grid.join(
+        samples,
+        (grid.event_type == samples.et2) & (grid.hour == samples.h2),
+        "left").select("event_type", "hour", "s", "n")
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    # fill sum+count, not avg: sums stay on the input's 2-decimal grid,
+    # so rounding is boundary-safe across engines (an avg like x.xx75
+    # rounds differently under 1e-13 of cross-engine float noise)
+    return joined.select(
+        "event_type", "hour",
+        F.round(F.last("s", ignorenulls=True).over(w), 2).alias("s_fill"),
+        F.last("n", ignorenulls=True).over(w).alias("n_fill"),
+        F.col("s").isNull().alias("is_gap"))
