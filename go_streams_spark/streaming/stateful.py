@@ -113,3 +113,49 @@ def count_or_time_batch_stream(df: DataFrame, *, key_cols: list[str],
             .applyInPandasWithState(batcher, output_schema,
                                     "buf array<double>", output_mode,
                                     GroupStateTimeout.ProcessingTimeTimeout))
+
+
+def running_sum_stream_tws(df: DataFrame, *, key_col: str,
+                           value_col: str) -> DataFrame:
+    """Per-key running sum on the ``transformWithStateInPandas`` API —
+    Spark 4's arbitrary-state processor (successor to
+    ``applyInPandasWithState``): explicit named state variables, state
+    TTL, timers, and multiple state types per processor. Requires the
+    RocksDB state store provider (the engine enforces this), which is
+    also the right store at scale — keyed state lives on executor local
+    disk, bounded by storage not heap.
+
+    Semantics match the reference's cross-batch Reduce
+    (flow/reduce.go:80-91) aggregated per key: each micro-batch emits
+    the key's updated running total (Update mode).
+
+    Dependency note: the transformWithState state-server protocol
+    imports ``google.protobuf`` in the Python driver worker — present on
+    standard cluster images, absent from this test container (the parity
+    test import-skips there).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class RunningSum(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._acc = handle.getValueState("acc", "total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = self._acc.get()[0] if self._acc.exists() else 0.0
+            n = 0.0
+            for pdf in rows:
+                n += float(pdf[value_col].sum())
+            total += n
+            self._acc.update((total,))
+            yield pd.DataFrame({key_col: [key[0]], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return (df.groupBy(key_col)
+            .transformWithStateInPandas(
+                statefulProcessor=RunningSum(),
+                outputStructType=f"{key_col} string, total double",
+                outputMode="Update",
+                timeMode="None"))

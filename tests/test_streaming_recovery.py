@@ -98,3 +98,51 @@ def test_rocksdb_state_store_provider(spark, tmp_path):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, old)
+
+
+def test_transform_with_state_running_sum(spark, tmp_path):
+    """The transformWithStateInPandas path (Spark 4 arbitrary-state API)
+    carries a named ValueState across micro-batches: with
+    maxFilesPerTrigger=1 each input file is its own batch, so the final
+    Update-mode emission per key must equal the sum over ALL batches.
+
+    The state-server protocol needs google.protobuf, which is not baked
+    into this container — skipped here, runs on any real cluster image.
+    """
+    pytest.importorskip("google.protobuf.descriptor")
+    from go_streams_spark.streaming import running_sum_stream_tws
+
+    provider = ("org.apache.spark.sql.execution.streaming."
+                "state.RocksDBStateStoreProvider")
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, provider)
+    try:
+        src = str(tmp_path / "src")
+        _write_json(spark, src, [("a", 1), ("b", 10)])
+        _write_json(spark, src, [("a", 2), ("b", 20), ("c", 5)])
+        stream = (spark.readStream.schema("k string, v int")
+                  .option("maxFilesPerTrigger", 1).json(src))
+        out = running_sum_stream_tws(
+            stream.select("k", F.col("v").cast("double").alias("v")),
+            key_col="k", value_col="v")
+        name = _mem()
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / "cp"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.table(name).collect()
+        # last emission per key is the cross-batch running total
+        final = {}
+        for r in rows:
+            final[r["k"]] = r["total"]
+        assert final == {"a": 3.0, "b": 30.0, "c": 5.0}
+        # and at least one key was emitted more than once (state carried
+        # across >1 micro-batch, not a single-batch degenerate run)
+        assert len(rows) > len(final)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
