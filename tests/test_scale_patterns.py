@@ -140,3 +140,41 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmpdir):
         F.input_file_name().alias("f")).distinct().collect()
     dirs_read = {r["f"].split("event_date=")[1].split("/")[0] for r in files_read}
     assert dirs_read == {"2024-01-05"}
+
+
+def test_foreach_batch_idempotent_partition_overwrite(spark, tmpdir):
+    """Exactly-once-ish file sink without a table format: foreachBatch +
+    dynamic partition overwrite. A replayed micro-batch rewrites the SAME
+    partitions rather than appending duplicates — the idempotent-sink
+    pattern for plain parquet lakes (Delta/Iceberg MERGE is the richer
+    cluster option). Only partitions present in the batch are touched."""
+    out = os.path.join(tmpdir, "lake")
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(mode_key, None)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        def write_batch(df):
+            (df.write.partitionBy("day").mode("overwrite").parquet(out))
+
+        b1 = spark.createDataFrame(
+            [("2024-01-01", 1, 10.0), ("2024-01-02", 2, 20.0)],
+            "day string, id int, v double")
+        write_batch(b1)
+        # replay the same batch (simulates redelivery after a sink
+        # failure before the checkpoint committed)
+        write_batch(b1)
+        assert spark.read.parquet(out).count() == 2  # no duplicates
+
+        # a later batch touches day 2 only; day 1 files stay untouched
+        b2 = spark.createDataFrame(
+            [("2024-01-02", 3, 30.0)], "day string, id int, v double")
+        write_batch(b2)
+        # partition values come back type-inferred (DATE here)
+        got = {(str(r["day"]), r["id"])
+               for r in spark.read.parquet(out).collect()}
+        assert got == {("2024-01-01", 1), ("2024-01-02", 3)}
+    finally:
+        if old is None:
+            spark.conf.unset(mode_key)
+        else:
+            spark.conf.set(mode_key, old)
