@@ -2614,3 +2614,36 @@ def resample_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.last("s", ignorenulls=True).over(w), 2).alias("s_fill"),
         F.last("n", ignorenulls=True).over(w).alias("n_fill"),
         F.col("s").isNull().alias("is_gap"))
+
+
+@query("feature_moments", """
+WITH dims AS (
+  SELECT label,
+         embedding[1]::DOUBLE AS d1,
+         embedding[2]::DOUBLE AS d2
+  FROM embeddings
+)
+SELECT label,
+       count(*) AS n,
+       round(stddev_samp(d1), 4) AS sd_d1,
+       round(var_samp(d2), 4) AS var_d2,
+       round(corr(d1, d2), 4) AS corr_d12,
+       round(covar_samp(d1, d2), 4) AS cov_d12
+FROM dims GROUP BY label
+""")
+def feature_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class feature statistics (stddev / variance / correlation /
+    covariance) — the dataset-QA pass before training. All second-moment
+    aggregates are algebraic: they decompose into sum/sum²/sum-of-
+    products partials, so Spark computes them with map-side partial
+    aggregation and ONE shuffle of constant-size state per label."""
+    e = _t(spark, sf_dir, "embeddings")
+    d1 = F.element_at("embedding", 1).cast("double")
+    d2 = F.element_at("embedding", 2).cast("double")
+    dims = e.select("label", d1.alias("d1"), d2.alias("d2"))
+    return (dims.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.stddev_samp("d1"), 4).alias("sd_d1"),
+                 F.round(F.var_samp("d2"), 4).alias("var_d2"),
+                 F.round(F.corr("d1", "d2"), 4).alias("corr_d12"),
+                 F.round(F.covar_samp("d1", "d2"), 4).alias("cov_d12")))

@@ -178,3 +178,36 @@ def test_foreach_batch_idempotent_partition_overwrite(spark, tmpdir):
             spark.conf.unset(mode_key)
         else:
             spark.conf.set(mode_key, old)
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Runtime bloom-filter pruning: a selective dimension filter is
+    turned into a bloom filter evaluated on the fact side BEFORE the
+    join shuffle, so non-matching fact rows never cross the wire. At
+    100 TB this cuts the dominant shuffle by the dim selectivity.
+    Thresholds are lowered because local test data is far below the
+    production defaults (10 MB creation / 10 GB application sides)."""
+    from go_streams_spark.queries import _t
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = _t(spark, sf_dir, "lineitem")
+        part = _t(spark, sf_dir, "part").where(F.col("p_size") == 1)
+        joined = li.join(part, li.l_partkey == part.p_partkey) \
+                   .groupBy("p_brand").agg(F.sum("l_quantity").alias("q"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan, plan[:2000]
+        assert "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
