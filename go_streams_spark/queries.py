@@ -2647,3 +2647,161 @@ def feature_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.var_samp("d2"), 4).alias("var_d2"),
                  F.round(F.corr("d1", "d2"), 4).alias("corr_d12"),
                  F.round(F.covar_samp("d1", "d2"), 4).alias("cov_d12")))
+
+
+@query("q16_supplier_part_counts", """
+SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part
+JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'ECONOMY%'
+  AND p_size IN (1, 4, 7)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+""")
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 adapted (no partsupp in the synthetic schema: supplier-
+    part relationships come from lineitem; the 'complaint supplier'
+    exclusion becomes a negative-balance exclusion). NOT IN -> anti join
+    on a tiny broadcast side; distinct-count shuffles once on the
+    grouping key after the part filter prunes the probe."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").startswith("ECONOMY")
+        & F.col("p_size").isin(1, 4, 7))
+    bad = _t(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0).select("s_suppkey")
+    return (li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+            .groupBy("p_brand", "p_type")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@query("q11_important_parts", """
+WITH val AS (
+  SELECT l_partkey,
+         sum(l_extendedprice::DECIMAL(18,2)
+             * (1 - l_discount)::DECIMAL(18,2)) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_9'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey, round(v, 2)::DOUBLE AS value
+FROM val
+WHERE v > (SELECT 2.0 * avg(v) FROM val)
+""")
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 adapted (partsupp value -> discounted revenue through
+    one nation's suppliers). The global-total scalar subquery is a
+    single-row broadcast cross join against the reused per-part
+    aggregate; Catalyst's ReuseExchange computes the keyed agg once."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_9")
+    val = (li.join(F.broadcast(
+                sup.join(F.broadcast(nat),
+                         sup.s_nationkey == nat.n_nationkey)
+                .select("s_suppkey")),
+                li.l_suppkey == F.col("s_suppkey"))
+           .groupBy("l_partkey")
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")
+                      * (F.lit(1) - F.col("l_discount"))
+                      .cast("decimal(18,2)")).alias("v")))
+    total = val.agg((F.avg("v") * 2.0).alias("cut"))
+    return (val.crossJoin(F.broadcast(total))
+            .where(F.col("v") > F.col("cut"))
+            .select(F.col("l_partkey").alias("partkey"),
+                    F.round("v", 2).cast("double").alias("value")))
+
+
+@query("q20_excess_shippers", """
+WITH shipped AS (
+  SELECT l_suppkey, l_partkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+), part_total AS (
+  SELECT l_partkey, sum(qty) AS total,
+         count(*) AS n_shippers FROM shipped GROUP BY 1
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM shipped
+JOIN part_total USING (l_partkey)
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE qty > 1.5 * total / n_shippers AND n_name = 'NATION_9'
+""")
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 adapted (availqty -> share of a part's 1994 shipments):
+    suppliers in one nation who shipped >1.5x the average per-supplier
+    share of any part's 1996 volume (scale-free cutoff). Two aggregations over ONE shuffled dataset (part_total
+    derives from shipped, same key prefix), then broadcast dims; the
+    date filter pushes to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01"))
+    shipped = (li.groupBy("l_suppkey", "l_partkey")
+               .agg(F.sum("l_quantity").alias("qty")))
+    part_total = (shipped.groupBy("l_partkey")
+                  .agg(F.sum("qty").alias("total"),
+                       F.count(F.lit(1)).alias("n_shippers")))
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_9")
+    return (shipped.join(part_total, "l_partkey")
+            .where(F.col("qty")
+                   > 1.5 * F.col("total") / F.col("n_shippers"))
+            .join(F.broadcast(sup.join(
+                F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+                .select("s_suppkey", "s_name")),
+                F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name").distinct())
+
+
+@query("q21_waiting_suppliers", """
+WITH lines AS (
+  SELECT l_orderkey, l_suppkey, s_name,
+         (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+  JOIN supplier ON s_suppkey = l_suppkey
+), stats AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+  FROM lines GROUP BY l_orderkey
+)
+SELECT s_name, count(*) AS numwait
+FROM lines JOIN stats USING (l_orderkey)
+WHERE late AND n_supp > 1 AND n_late = 1
+GROUP BY s_name
+""")
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 adapted (no commit/receipt dates: 'late' = shipped >90
+    days after order date). The classic EXISTS / NOT-EXISTS pair is
+    DECORRELATED into one per-order aggregate (distinct suppliers,
+    distinct late suppliers) — a single extra shuffle on l_orderkey
+    replaces two correlated re-scans of lineitem; the supplier who is
+    late while every other supplier on a multi-supplier 'F' order is on
+    time takes the blame."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lines = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+             .select("l_orderkey", "l_suppkey", "s_name",
+                     (F.col("l_shipdate")
+                      > F.col("o_orderdate") + F.expr("interval 90 days")
+                      ).alias("late")))
+    stats = (lines.groupBy("l_orderkey")
+             .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                  F.countDistinct(
+                      F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late")))
+    return (lines.join(stats, "l_orderkey")
+            .where(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
