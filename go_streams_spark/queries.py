@@ -2805,3 +2805,53 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
             .groupBy("s_name")
             .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+@query("q2_min_cost_supplier", """
+WITH costs AS (
+  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size <= 5)
+  GROUP BY 1, 2
+)
+SELECT c.l_partkey AS partkey, s.s_name, c.unit_cost
+FROM costs c
+JOIN supplier s ON s.s_suppkey = c.l_suppkey
+WHERE c.unit_cost = (SELECT min(c2.unit_cost) FROM costs c2
+                     WHERE c2.l_partkey = c.l_partkey)
+""")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 adapted (no partsupp: supply cost = cheapest observed
+    unit price per (part, supplier) in one region). The correlated
+    min-subquery is decorrelated into a per-part window min — ONE extra
+    pass over the already-shuffled aggregate instead of a re-scan join;
+    cost values are selections (min), not sums, so they are bit-exact
+    across engines and emitted UNROUNDED — round() on a boundary-adjacent
+    division differs between engines (BigDecimal half-up vs scaled
+    nearbyint), while the raw double cannot. Dims broadcast; part filter semi-joins
+    before the aggregate to shrink the shuffle."""
+    from pyspark.sql import Window
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    parts = _t(spark, sf_dir, "part").where(
+        F.col("p_size") <= 5).select("p_partkey")
+    eu_sup = (sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+              .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+              .select("s_suppkey", "s_name"))
+    costs = (li.join(F.broadcast(parts),
+                     li.l_partkey == parts.p_partkey, "left_semi")
+             .join(F.broadcast(eu_sup), li.l_suppkey == eu_sup.s_suppkey)
+             .groupBy("l_partkey", "l_suppkey", "s_name")
+             .agg(F.min(F.col("l_extendedprice")
+                        / F.col("l_quantity")).alias("unit_cost")))
+    w = Window.partitionBy("l_partkey")
+    return (costs.withColumn("min_cost", F.min("unit_cost").over(w))
+            .where(F.col("unit_cost") == F.col("min_cost"))
+            .select(F.col("l_partkey").alias("partkey"), "s_name",
+                    "unit_cost"))
