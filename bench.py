@@ -58,6 +58,11 @@ BENCH_QUERIES = [
     "rollup_status_priority",
     "salted_agg_user_totals",
     "percentiles_by_flag",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q16_supplier_part_counts",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
     # training-data pipeline ops
     "text_stats",
     "tfidf_top_terms",
