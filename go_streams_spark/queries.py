@@ -2782,26 +2782,34 @@ GROUP BY s_name
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 adapted (no commit/receipt dates: 'late' = shipped >90
     days after order date). The classic EXISTS / NOT-EXISTS pair is
-    DECORRELATED into one per-order aggregate (distinct suppliers,
-    distinct late suppliers) — a single extra shuffle on l_orderkey
-    replaces two correlated re-scans of lineitem; the supplier who is
-    late while every other supplier on a multi-supplier 'F' order is on
-    time takes the blame."""
+    DECORRELATED into per-order WINDOW aggregates (distinct suppliers,
+    distinct late suppliers over partition l_orderkey) — one fact scan
+    and one shuffle replace the reference shape's two correlated
+    re-scans; the supplier who is late while every other supplier on a
+    multi-supplier 'F' order is on time takes the blame."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate")
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    from pyspark.sql import Window
     lines = (li.join(orders, li.l_orderkey == orders.o_orderkey)
              .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
              .select("l_orderkey", "l_suppkey", "s_name",
                      (F.col("l_shipdate")
                       > F.col("o_orderdate") + F.expr("interval 90 days")
                       ).alias("late")))
-    stats = (lines.groupBy("l_orderkey")
-             .agg(F.countDistinct("l_suppkey").alias("n_supp"),
-                  F.countDistinct(
-                      F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late")))
-    return (lines.join(stats, "l_orderkey")
+    # per-order stats as WINDOW aggregates, not groupBy + self-join: one
+    # lineitem scan and one shuffle on l_orderkey (the join form scanned
+    # the fact twice — column pruning diverges, so ReuseExchange can't
+    # deduplicate the subtrees). Per-order supplier sets are tiny, so
+    # collect_set state is bounded.
+    w = Window.partitionBy("l_orderkey")
+    stats = lines.select(
+        "s_name", "late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(F.collect_set(
+            F.when(F.col("late"), F.col("l_suppkey"))).over(w)).alias("n_late"))
+    return (stats
             .where(F.col("late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
             .groupBy("s_name")
             .agg(F.count(F.lit(1)).alias("numwait")))

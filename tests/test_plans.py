@@ -63,3 +63,33 @@ def test_simhash_no_broadcast_stages(spark, sf_dir):
     plan = explain_str(QUERIES["simhash_docs"](spark, sf_dir), "simple")
     assert "BroadcastExchange" not in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_q21_single_lineitem_scan_reused(spark, sf_dir):
+    """The decorrelated Q21 must NOT rescan lineitem for the per-order
+    stats: 'lines' feeds both the aggregate and the final join, so the
+    physical plan reuses one subtree (ReusedExchange / reused scan)
+    instead of the reference EXISTS/NOT-EXISTS triple-scan shape."""
+    from go_streams_spark.plans import explain_str
+    from go_streams_spark.queries import QUERIES
+    df = QUERIES["q21_waiting_suppliers"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    # window form: the fact feeds ONE scan into window aggregates — no
+    # groupBy+self-join (which forced a second scan), no sort-merge join
+    assert plan.count("lineitem") <= 1
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q2_window_decorrelation_no_extra_join(spark, sf_dir):
+    """Adapted Q2's correlated min-subquery must compile to a window
+    over the aggregated costs — not a join of costs against a second
+    aggregation of costs."""
+    from go_streams_spark.plans import explain_str
+    from go_streams_spark.queries import QUERIES
+    df = QUERIES["q2_min_cost_supplier"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "Window" in plan
+    # the only joins are the dim joins (broadcast) and the semi filter —
+    # no SortMergeJoin of the agg against itself
+    assert "SortMergeJoin" not in plan
