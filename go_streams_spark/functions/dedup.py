@@ -343,3 +343,40 @@ def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_
         if changed == 0:
             break
     return labels
+
+
+def chunk_dedup(df: DataFrame, *, text_col: str = "text",
+                id_col: str = "doc_id", chunk_size: int = 8) -> DataFrame:
+    """C4-style corpus-level chunk dedup with document reassembly: split
+    every doc into ``chunk_size``-word chunks, keep only the globally
+    first occurrence of each distinct chunk text (ordered by
+    ``(id_col, chunk index)``), and rebuild each document from its
+    surviving chunks in order.
+
+    Returns one row per input doc: ``(id_col, n_chunks, n_kept,
+    clean_text)`` where ``clean_text`` is NULL when every chunk was a
+    duplicate. Three keyed hash shuffles — (doc, chunk-id) chunk build,
+    chunk-text first-occurrence window, doc regroup — no global sort, no
+    driver collect (reference inventory gap: SURVEY §2.5 dedup class).
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+    pos = df.select(id_col, F.posexplode(toks).alias("p", "tok"))
+    chunks = (pos.groupBy(id_col, (F.col("p") / chunk_size)
+                          .cast("long").alias("cid"))
+              .agg(F.concat_ws(
+                  " ", F.transform(
+                      F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                      lambda s: s.tok)).alias("chunk")))
+    w = Window.partitionBy("chunk").orderBy(id_col, "cid")
+    keep = chunks.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(F.col("rn") == 1, F.struct("cid", "chunk"))
+    n_kept = F.count(F.when(F.col("rn") == 1, F.lit(1)))
+    clean = F.concat_ws(" ", F.transform(
+        F.array_sort(F.collect_list(kept_struct)), lambda s: s.chunk))
+    return (keep.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_chunks"),
+                 n_kept.alias("n_kept"),
+                 F.when(n_kept == 0, F.lit(None).cast("string"))
+                  .otherwise(clean).alias("clean_text")))

@@ -2445,26 +2445,11 @@ def chunk_dedup_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id,cid) chunk build, chunk-text dedup window, doc_id regroup —
     each keyed, no global sort, no driver collect; at 100 TB every stage
     is a plain hash exchange. Output pins the cleaned text via digest."""
-    from pyspark.sql import Window
+    from .functions.dedup import chunk_dedup
     d = _t(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
-    pos = d.select("doc_id", F.posexplode(toks).alias("p", "tok"))
-    chunks = (pos.groupBy("doc_id", (F.col("p") / 8).cast("long").alias("cid"))
-              .agg(F.concat_ws(
-                  " ", F.transform(
-                      F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                      lambda s: s.tok)).alias("chunk")))
-    w = Window.partitionBy("chunk").orderBy("doc_id", "cid")
-    keep = chunks.withColumn("rn", F.row_number().over(w))
-    kept_struct = F.when(F.col("rn") == 1, F.struct("cid", "chunk"))
-    n_kept = F.count(F.when(F.col("rn") == 1, F.lit(1)))
-    clean = F.concat_ws(" ", F.transform(
-        F.array_sort(F.collect_list(kept_struct)), lambda s: s.chunk))
-    return (keep.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_chunks"),
-                 n_kept.alias("n_kept"),
-                 F.when(n_kept == 0, F.lit(None).cast("string"))
-                  .otherwise(F.md5(clean)).alias("clean_digest")))
+    out = chunk_dedup(d, text_col="text", id_col="doc_id", chunk_size=8)
+    return out.select("doc_id", "n_chunks", "n_kept",
+                      F.md5("clean_text").alias("clean_digest"))
 
 
 @query("decontaminate_ngram_overlap", """

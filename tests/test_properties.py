@@ -88,3 +88,43 @@ def test_asof_join_matches_python_model(spark, lefts, rights):
         cands = [(rts, v) for rk, rts, v in rights if rk == k and rts <= ts]
         expect = max(cands)[1] if cands else None
         assert got[i] == expect, (i, k, ts, cands)
+
+
+words = st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"])
+docs_strategy = st.lists(
+    st.lists(words, min_size=1, max_size=12).map(" ".join),
+    min_size=1, max_size=6)
+
+
+def _chunk_dedup_model(texts, chunk_size):
+    """Plain-Python reference model of functions.dedup.chunk_dedup."""
+    chunks = []  # (doc_id, cid, chunk_text) in global keep-order
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in text.lower().split(" ") if t]
+        for cid in range(0, (len(toks) + chunk_size - 1) // chunk_size):
+            chunks.append(
+                (doc_id, cid,
+                 " ".join(toks[cid * chunk_size:(cid + 1) * chunk_size])))
+    seen, kept = set(), set()
+    for doc_id, cid, chunk in sorted(chunks):  # (doc_id, cid) order
+        if chunk not in seen:
+            seen.add(chunk)
+            kept.add((doc_id, cid))
+    out = {}
+    for doc_id, text in enumerate(texts):
+        mine = sorted((cid, c) for d, cid, c in chunks if d == doc_id)
+        kept_chunks = [c for cid, c in mine if (doc_id, cid) in kept]
+        out[doc_id] = (len(mine), len(kept_chunks),
+                       " ".join(kept_chunks) if kept_chunks else None)
+    return out
+
+
+@given(texts=docs_strategy, chunk_size=st.sampled_from([2, 3, 8]))
+@settings(**SETTINGS)
+def test_chunk_dedup_matches_python_model(spark, texts, chunk_size):
+    from go_streams_spark.functions.dedup import chunk_dedup
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_chunks"], r["n_kept"], r["clean_text"])
+           for r in chunk_dedup(df, chunk_size=chunk_size).collect()}
+    assert got == _chunk_dedup_model(texts, chunk_size)
