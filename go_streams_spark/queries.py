@@ -2848,3 +2848,38 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("unit_cost") == F.col("min_cost"))
             .select(F.col("l_partkey").alias("partkey"), "s_name",
                     "unit_cost"))
+
+
+@query("vocab_top_tokens", """
+SELECT tok, cnt, rank FROM (
+  SELECT tok, cnt,
+         row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+  FROM (
+    SELECT tok, count(*) AS cnt
+    FROM (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+  )
+)
+WHERE rank <= 50
+""")
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: corpus-wide token frequencies, top 50 by
+    count (deterministic tie-break on the token). The heavy stage is a
+    map-side-combined hash aggregate over exploded tokens (distinct
+    token count is vocabulary-sized, far below row count); the global
+    top-k is TakeOrderedAndProject over the tiny aggregate — no full
+    sort of the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    freq = (d.select(F.explode(toks).alias("tok"))
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+    top = (freq.orderBy(F.col("cnt").desc(), "tok").limit(50)
+           .select("tok", "cnt"))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("cnt").desc(), "tok")
+    return top.select("tok", "cnt",
+                      F.row_number().over(w).cast("int").alias("rank"))
