@@ -2883,3 +2883,42 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.col("cnt").desc(), "tok")
     return top.select("tok", "cnt",
                       F.row_number().over(w).cast("int").alias("rank"))
+
+
+@query("data_quality_report", """
+WITH agg AS (
+  SELECT count(*) AS n_rows,
+         count(CASE WHEN l_quantity IS NULL THEN 1 END) AS q_null,
+         count(CASE WHEN l_quantity NOT BETWEEN 1 AND 50 THEN 1 END) AS q_range,
+         count(CASE WHEN l_discount NOT BETWEEN 0 AND 0.1 THEN 1 END) AS d_range,
+         count(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R') THEN 1 END) AS rf_set,
+         count(CASE WHEN NOT regexp_matches(l_linestatus, '^[OF]$') THEN 1 END) AS ls_re
+  FROM lineitem
+)
+SELECT 'l_quantity_not_null' AS check, n_rows, q_null AS n_violations,
+       round(q_null / n_rows, 6) AS violation_frac FROM agg
+UNION ALL
+SELECT 'l_quantity_in_range', n_rows, q_range, round(q_range / n_rows, 6) FROM agg
+UNION ALL
+SELECT 'l_discount_in_range', n_rows, d_range, round(d_range / n_rows, 6) FROM agg
+UNION ALL
+SELECT 'l_returnflag_is_in', n_rows, rf_set, round(rf_set / n_rows, 6) FROM agg
+UNION ALL
+SELECT 'l_linestatus_matches', n_rows, ls_re, round(ls_re / n_rows, 6) FROM agg
+""")
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style batch validation (functions/checks.py): five
+    constraints over lineitem — completeness, two ranges, set
+    membership, regex — evaluated in ONE aggregation pass (conditional
+    counters, map-side partials), then widened to long format by a
+    constant-size Expand. The naive per-check filter/count loop would
+    scan the fact table five times."""
+    from .functions import checks as C
+    li = _t(spark, sf_dir, "lineitem")
+    return C.check_report(li, [
+        C.not_null("l_quantity"),
+        C.in_range("l_quantity", 1, 50),
+        C.in_range("l_discount", 0, 0.1),
+        C.is_in("l_returnflag", ["A", "N", "R"]),
+        C.matches("l_linestatus", "^[OF]$"),
+    ])

@@ -169,3 +169,38 @@ def test_train_codebook_deterministic_and_improves_recall(spark):
     # trained lists are at least as good as arbitrary-subset lists
     # (allow small slack: recall is bucketing-dependent)
     assert r_trained >= r_init - 0.05, (r_trained, r_init)
+
+
+def test_check_report_single_pass_and_counts(spark):
+    """Five constraints = ONE aggregate job; violation counts match a
+    hand-computed model on literal data."""
+    from go_streams_spark.functions import checks as C
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, None, "B"), (3, 99.0, "A"), (4, 20.0, "C")],
+        "id int, v double, tag string")
+    report = C.check_report(df, [
+        C.not_null("v"),
+        C.in_range("v", 0, 50),
+        C.is_in("tag", ["A", "B"]),
+    ])
+    got = {r["check"]: (r["n_violations"], r["violation_frac"])
+           for r in report.collect()}
+    # NOT BETWEEN on NULL is unknown -> not counted as a range violation
+    assert got == {"v_not_null": (1, 0.25),
+                   "v_in_range": (1, 0.25),
+                   "tag_is_in": (1, 0.25)}
+    # single shared scan: exactly one aggregate over one source (AQE
+    # plan text repeats the tree under "== Initial Plan ==" — only the
+    # final section counts)
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan ExistingRDD") <= 1
+
+
+def test_uniqueness_report(spark):
+    from go_streams_spark.functions import checks as C
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (3, "w"), (3, "v"), (3, "u")],
+        "k int, s string")
+    row = C.uniqueness_report(df, ["k"]).collect()[0]
+    assert (row["n_keys"], row["n_dup_keys"], row["n_dup_rows"]) == (3, 2, 5)

@@ -182,3 +182,19 @@ def test_cdc_polling_source(spark, tmpdir):
         time.sleep(0.5)
     q.stop()
     assert sorted(r["id"] for r in spark.table(name).collect()) == [1, 2, 3]
+
+
+def test_merge_schema_evolution_read(spark, tmp_path):
+    """Schema evolution across parquet writes: a later file adds a
+    column; mergeSchema unions the schemas and back-fills NULL for old
+    files — the append-only lake pattern where producers upgrade
+    independently of readers."""
+    out = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id int, v string") \
+        .write.mode("append").parquet(out)
+    spark.createDataFrame([(2, "b", 9.5)], "id int, v string, score double") \
+        .write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "v", "score"}
+    got = {r["id"]: r["score"] for r in merged.collect()}
+    assert got == {1: None, 2: 9.5}

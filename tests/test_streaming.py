@@ -294,3 +294,41 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.stop()
     got = sorted(r["id"] for r in spark.table(name).collect())
     assert got == [1, 2]  # the duplicate id=1 within the watermark was dropped
+
+
+def test_streaming_curation_pipeline(spark, tmp_path):
+    """Continuous-ingestion curation: a documents stream flows through
+    quality gating (length + token heuristics), exact dedup on content
+    digest across micro-batches, and enrichment — the batch
+    curation_pipeline's filters running under Structured Streaming with
+    bounded dedup state. Two files -> two micro-batches; a cross-batch
+    duplicate must be dropped by the state store, not batch-local
+    logic."""
+    import os as _os
+    src = str(tmp_path / "docs")
+    b1 = [(1, "good document with enough words to pass the gate"),
+          (2, "xx")]                                  # too short: gated
+    b2 = [(3, "good document with enough words to pass the gate"),  # dup of 1
+          (4, "another acceptable document with plenty of words here")]
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(1) \
+        .write.mode("append").json(src)
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(1) \
+        .write.mode("append").json(src)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(src))
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    curated = (stream
+               .withColumn("n_tokens", F.size(toks))
+               .where((F.length("text") >= 20) & (F.col("n_tokens") >= 5))
+               .withColumn("digest", F.md5(F.lower(F.trim("text"))))
+               .dropDuplicates(["digest"]))
+    name = "cur_" + uuid.uuid4().hex[:8]
+    q = (curated.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in spark.table(name).collect())
+    # 2 gated by quality, 3 deduped against batch-1 state, 1 and 4 kept
+    assert kept == [1, 4]
