@@ -75,6 +75,11 @@ BENCH_QUERIES = [
     "ann_ivf_knn",
     "ann_query_vector_topk",
     "gopher_repetition_stats",
+    "data_quality_report",
+    "vocab_top_tokens",
+    "resample_fill_forward",
+    "feature_moments",
+    "decontaminate_ngram_overlap",
     "chunk_dedup_reassembly",
     "label_centroids",
 ]
