@@ -2922,3 +2922,88 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         C.is_in("l_returnflag", ["A", "N", "R"]),
         C.matches("l_linestatus", "^[OF]$"),
     ])
+
+
+@query("price_histogram", """
+SELECT CASE WHEN o_totalprice < 0 THEN 0
+            WHEN o_totalprice >= 60000 THEN 13
+            ELSE floor(o_totalprice / 5000)::BIGINT + 1 END AS bucket,
+       count(*) AS cnt,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY 1
+""")
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via width_bucket: a single hash aggregate
+    over bucket ids (bounded groups regardless of row count) — the
+    distribution-profiling pass that runs on every ingest batch. No
+    sort, no per-bucket scan."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy(F.width_bucket("o_totalprice", F.lit(0),
+                                     F.lit(60000), F.lit(12)).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.min("o_totalprice"), 2).alias("lo"),
+                 F.round(F.max("o_totalprice"), 2).alias("hi")))
+
+
+@query("weighted_sample_docs", """
+SELECT doc_id, lang, n_chars FROM (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (ORDER BY
+           -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 1)
+               / 4503599627370497.0) / n_chars) AS rk
+  FROM documents
+)
+WHERE rk <= 25
+""")
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirakis exponential
+    keys, u derived from a hash instead of rand()): each doc gets key
+    -ln(u)/weight and the k smallest keys win — reproducible across
+    runs, engines, and partitionings, P(select) proportional to
+    n_chars. The global top-k is TakeOrdered over per-partition
+    candidates, not a full sort. 13 hex digits -> u in (0,1] exactly
+    representable; the +1 avoids ln(0)."""
+    d = _t(spark, sf_dir, "documents")
+    u = ((F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13),
+                 16, 10).cast("double") + 1) / F.lit(4503599627370497.0))
+    key = -F.log(u) / F.col("n_chars")
+    from pyspark.sql import Window
+    w = Window.orderBy(key)
+    return (d.select("doc_id", "lang", "n_chars",
+                     F.row_number().over(w).alias("rk"))
+            .where(F.col("rk") <= 25)
+            .select("doc_id", "lang", "n_chars"))
+
+
+@query("outlier_filtered_stats", """
+WITH cuts AS (
+  SELECT round(quantile_cont(o_totalprice, 0.01), 4) AS p01,
+         round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+  FROM orders
+)
+SELECT o_orderstatus AS status,
+       count(*) AS cnt,
+       round(sum(o_totalprice), 2) AS total
+FROM orders, cuts
+WHERE o_totalprice > p01 AND o_totalprice < p99
+GROUP BY o_orderstatus
+""")
+def outlier_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based outlier trimming: compute p1/p99 cutoffs (exact
+    percentile — one pass), broadcast the single-row cutoffs to the
+    filter, aggregate the survivors. Cutoffs are rounded to 4 dp on both
+    engines so interpolated thresholds compare identically; at 100 TB
+    swap percentile for approx_percentile (same plan shape, sketch
+    merge instead of sort)."""
+    o = _t(spark, sf_dir, "orders")
+    cuts = o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.01)"), 4).alias("p01"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"))
+    return (o.crossJoin(F.broadcast(cuts))
+            .where((F.col("o_totalprice") > F.col("p01"))
+                   & (F.col("o_totalprice") < F.col("p99")))
+            .groupBy(F.col("o_orderstatus").alias("status"))
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
