@@ -3007,3 +3007,53 @@ def outlier_filtered_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("o_orderstatus").alias("status"))
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+@query("funnel_view_click_purchase", """
+WITH s1 AS (
+  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t1
+  FROM events GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND s1.t1 IS NOT NULL AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT 'view' AS step, count(*) AS users
+FROM s1 WHERE t1 IS NOT NULL
+UNION ALL SELECT 'view>click', count(*) FROM s2
+UNION ALL SELECT 'view>click>purchase', count(*) FROM s3
+""")
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analytics: users who viewed, then clicked AFTER
+    the first view, then purchased AFTER that click (first-touch
+    semantics at every step). Each stage is a keyed conditional-min
+    aggregate joined to the previous stage on user_id — every shuffle
+    shares the SAME key, so stages co-partition and the per-stage state
+    is one timestamp per user. No sessionization scan-per-step, no
+    window over the whole event log."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (ev.groupBy("user_id")
+          .agg(F.min(F.when(F.col("event_type") == "view",
+                            F.col("ts"))).alias("t1"))
+          .where(F.col("t1").isNotNull()))
+    s2 = (ev.where(F.col("event_type") == "click")
+          .join(s1, "user_id")
+          .where(F.col("ts") > F.col("t1"))
+          .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    s3 = (ev.where(F.col("event_type") == "purchase")
+          .join(s2, "user_id")
+          .where(F.col("ts") > F.col("t2"))
+          .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    count1 = s1.agg(F.count(F.lit(1)).alias("users")) \
+        .select(F.lit("view").alias("step"), "users")
+    count2 = s2.agg(F.count(F.lit(1)).alias("users")) \
+        .select(F.lit("view>click").alias("step"), "users")
+    count3 = s3.agg(F.count(F.lit(1)).alias("users")) \
+        .select(F.lit("view>click>purchase").alias("step"), "users")
+    return count1.unionAll(count2).unionAll(count3)
