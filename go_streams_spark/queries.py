@@ -3057,3 +3057,121 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     count3 = s3.agg(F.count(F.lit(1)).alias("users")) \
         .select(F.lit("view>click>purchase").alias("step"), "users")
     return count1.unionAll(count2).unionAll(count3)
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics: cohort retention, transition matrix, RFM segments
+# ---------------------------------------------------------------------------
+
+@query("retention_cohorts", """
+WITH e AS (SELECT user_id, ts::DATE AS d FROM events),
+     f AS (SELECT user_id, min(d) AS cohort_day FROM e GROUP BY user_id)
+SELECT f.cohort_day,
+       (e.d - f.cohort_day)::BIGINT AS day_offset,
+       count(DISTINCT e.user_id)    AS active_users
+FROM e JOIN f USING (user_id)
+GROUP BY f.cohort_day, day_offset
+""")
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-active day, activity
+    counted per day-offset. Two shuffles, both keyed on user_id — the
+    per-user min(d) aggregate and the fact->cohort join co-partition,
+    so Spark reuses the exchange; the final (cohort, offset) grid is
+    bounded by days^2 regardless of event volume."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"))
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        ev.join(first, "user_id")
+        .groupBy("cohort_day",
+                 F.datediff("d", "cohort_day").cast("long").alias("day_offset"))
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@query("markov_transitions", """
+WITH s AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events)
+SELECT event_type, next_type,
+       count(*) AS transitions,
+       sum(count(*)) OVER (PARTITION BY event_type) AS out_total
+FROM s
+WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""")
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence transition matrix (Markov chain edge
+    counts). One shuffle keyed on user_id for the lead() window (ties
+    broken by event_id so both engines see the same sequence), then a
+    tiny |event_type|^2 aggregate. Counts are exact integers —
+    transition probability = transitions/out_total is left to the
+    consumer so no float rounding can flip the hash."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts",
+                                            "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.withColumn("next_type", F.lead("event_type").over(w))
+               .where(F.col("next_type").isNotNull()))
+    counts = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("transitions"))
+    wt = Window.partitionBy("event_type")
+    return counts.withColumn(
+        "out_total", F.sum("transitions").over(wt))
+
+
+@query("rfm_segments", """
+WITH c AS (
+  SELECT o_custkey,
+         max(o_orderdate::DATE)             AS last_dt,
+         count(*)                           AS freq,
+         sum(o_totalprice::DECIMAL(18,2))   AS mon
+  FROM orders GROUP BY o_custkey),
+mx AS (SELECT max(o_orderdate::DATE) AS mxd FROM orders),
+s AS (
+  SELECT c.o_custkey,
+         (mx.mxd - c.last_dt)::BIGINT AS recency_days,
+         ntile(4) OVER (ORDER BY c.last_dt DESC, c.o_custkey) AS r,
+         ntile(4) OVER (ORDER BY c.freq DESC, c.o_custkey)    AS f,
+         ntile(4) OVER (ORDER BY c.mon DESC, c.o_custkey)     AS m
+  FROM c, mx)
+SELECT (r::VARCHAR || f::VARCHAR || m::VARCHAR) AS segment,
+       count(*)         AS n_customers,
+       sum(recency_days) AS sum_recency_days
+FROM s
+GROUP BY segment
+""")
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quartile-code customers on Recency /
+    Frequency / Monetary and count each segment. Monetary uses a
+    DECIMAL(18,2) sum (bit-exact, order-independent) so the ntile sort
+    key is identical across engines; all ntile orderings tie-break on
+    o_custkey. The three unpartitioned ntile windows sort only the
+    customer-grain aggregate (|customers| rows, not |orders|) — on a
+    cluster that's a range-partitioned sort of the dim-sized
+    intermediate, not the fact table."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(
+        F.max(F.to_date("o_orderdate")).alias("last_dt"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("mon"))
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("mxd"))
+    s = (c.crossJoin(F.broadcast(mx))
+         .select(
+             F.datediff("mxd", "last_dt").cast("long").alias("recency_days"),
+             F.ntile(4).over(Window.orderBy(F.col("last_dt").desc(),
+                                            "o_custkey")).alias("r"),
+             F.ntile(4).over(Window.orderBy(F.col("freq").desc(),
+                                            "o_custkey")).alias("f"),
+             F.ntile(4).over(Window.orderBy(F.col("mon").desc(),
+                                            "o_custkey")).alias("m")))
+    return (s.groupBy(F.concat(F.col("r").cast("string"),
+                               F.col("f").cast("string"),
+                               F.col("m").cast("string")).alias("segment"))
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum("recency_days").alias("sum_recency_days")))
