@@ -23,6 +23,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _epoch_seconds(c: Column) -> Column:
+    """Seconds-since-epoch for TIMESTAMP *or* TIMESTAMP_NTZ columns.
+
+    ``unix_micros`` rejects NTZ (what Spark 4 infers for parquet naive
+    timestamps); casting to TIMESTAMP first interprets NTZ in the session
+    zone — a constant shift that cancels in bucket/range comparisons as
+    long as both sides go through this helper.
+    """
+    return F.unix_micros(c.cast("timestamp")) / 1_000_000.0
+
+
 def asof_join(left: DataFrame, right: DataFrame, *, on: Sequence[str],
               left_ts: str, right_ts: str,
               right_values: Sequence[str],
@@ -78,8 +89,8 @@ def interval_join(left: DataFrame, right: DataFrame, *, on: Sequence[str],
     if upper_seconds <= lower_seconds:
         raise ValueError("upper must be greater than lower")
     width = max(upper_seconds - lower_seconds, 1e-9)
-    l_sec = F.unix_micros(F.col(left_ts)) / 1_000_000.0
-    r_sec = F.unix_micros(F.col(right_ts)) / 1_000_000.0
+    l_sec = _epoch_seconds(F.col(left_ts))
+    r_sec = _epoch_seconds(F.col(right_ts))
     lo_bucket = F.floor((l_sec + lower_seconds) / width)
     hi_bucket = F.floor((l_sec + upper_seconds) / width)
     lb = left.withColumn("__bucket",
@@ -89,8 +100,8 @@ def interval_join(left: DataFrame, right: DataFrame, *, on: Sequence[str],
     cond = [lb["__bucket"] == rb["__bucket"]] + \
         [lb[k] == rb[k] for k in on]
     joined = lb.join(rb, cond, how)
-    in_range = ((F.unix_micros(rb[right_ts]) / 1_000_000.0
-                 >= F.unix_micros(lb[left_ts]) / 1_000_000.0 + lower_seconds)
-                & (F.unix_micros(rb[right_ts]) / 1_000_000.0
-                   <= F.unix_micros(lb[left_ts]) / 1_000_000.0 + upper_seconds))
+    in_range = ((_epoch_seconds(rb[right_ts])
+                 >= _epoch_seconds(lb[left_ts]) + lower_seconds)
+                & (_epoch_seconds(rb[right_ts])
+                   <= _epoch_seconds(lb[left_ts]) + upper_seconds))
     return joined.where(in_range).drop("__bucket")

@@ -48,6 +48,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events table. Streaming file sources need an
+    explicit schema, so take it from the parquet footer (one cheap batch
+    read) instead of hard-coding — the synthetic data has shipped both
+    TIMESTAMP(NANOS) (readable only as long via nanosAsLong) and native
+    micros. Normalize ``ts`` to a timestamp column either way."""
+    from .streaming import file_stream_source
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src = file_stream_source(spark, sf_dir, fmt="parquet", schema=raw.schema,
+                             pathGlobFilter="events.parquet")
+    if dict(src.dtypes).get("ts") == "bigint":
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return src
+
+
 def query(name: str, sql: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -1106,14 +1122,8 @@ def stream_batch_parity_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink), returned as the materialized result. Proves the streaming
     path computes byte-identical answers to the SQL oracle."""
     import uuid as _uuid
-    from .streaming import file_stream_source, memory_sink
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = file_stream_source(
-        spark, sf_dir, fmt="parquet",
-        schema="event_id long, ts long, user_id long, event_type string, "
-               "value double, props string",
-        pathGlobFilter="events.parquet")
-    src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from .streaming import memory_sink
+    src = _events_stream(spark, sf_dir)
     windowed = Source(src).via(tumbling_window(
         "ts", "1 hour",
         F.count(F.lit(1)).alias("cnt"),
@@ -1516,14 +1526,8 @@ def stream_parity_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (availableNow -> complete-mode memory sink), hash-matched against
     the SQL oracle."""
     import uuid as _uuid
-    from .streaming import file_stream_source, memory_sink
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    src = file_stream_source(
-        spark, sf_dir, fmt="parquet",
-        schema="event_id long, ts long, user_id long, event_type string, "
-               "value double, props string",
-        pathGlobFilter="events.parquet")
-    src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from .streaming import memory_sink
+    src = _events_stream(spark, sf_dir)
     windowed = Source(src).via(sliding_window(
         "ts", "1 hour", "30 minutes",
         F.count(F.lit(1)).alias("cnt"),
