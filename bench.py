@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "decontaminate_ngram_overlap",
     "chunk_dedup_reassembly",
     "label_centroids",
+    "windowed_distinct_users",
+    "anomaly_zscore_events",
+    "stratified_split_docs",
 ]
 
 

@@ -3179,3 +3179,143 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                                F.col("m").cast("string")).alias("segment"))
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  F.sum("recency_days").alias("sum_recency_days")))
+
+
+@query("stream_parity_session", """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL '30 minutes' OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       min(ts)                         AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*)                        AS cnt,
+       round(sum(value), 2)            AS sum_value
+FROM sessions
+GROUP BY user_id, sid
+""")
+def stream_parity_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-window batch/streaming parity — completes the parity trio
+    (tumbling/sliding/session): the same keyed session_window flow run
+    as a Structured Streaming query (availableNow -> complete-mode
+    memory sink), hash-matched against the gaps-and-islands oracle.
+    Mirrors flow/session_window.go:102-140 flush-on-close."""
+    import uuid as _uuid
+    from .streaming import memory_sink
+    src = _events_stream(spark, sf_dir)
+    windowed = Source(src).via(session_window(
+        "ts", "30 minutes",
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        keys=["user_id"])).to_df()
+    name = "parity_sess_" + _uuid.uuid4().hex[:10]
+    Source(windowed).to(memory_sink(name, output_mode="complete"))
+    return spark.table(name).select(
+        "user_id",
+        F.col("window_start").alias("session_start"),
+        F.col("window_end").alias("session_end"),
+        "cnt", "sum_value")
+
+
+@query("windowed_distinct_users", """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       count(DISTINCT user_id) AS users,
+       count(*)                AS events,
+       round(sum(value), 2)    AS sum_value
+FROM events
+GROUP BY 1
+""")
+def windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed COUNT DISTINCT — per-hour unique actors, the canonical
+    stream-analytics cardinality query. Catalyst plans distinct via
+    Expand + two-level hash agg with map-side partials: the per-window
+    distinct never collects raw user lists, so the plan survives
+    arbitrary window fan-in at 100 TB (swap approx_count_distinct for
+    the sketch path when exactness isn't required)."""
+    ev = _t(spark, sf_dir, "events")
+    out = Source(ev).via(tumbling_window(
+        "ts", "1 hour",
+        F.countDistinct("user_id").alias("users"),
+        F.count(F.lit(1)).alias("events"),
+        F.round(F.sum("value"), 2).alias("sum_value"))).to_df()
+    return out.select("window_start", "users", "events", "sum_value")
+
+
+@query("anomaly_zscore_events", """
+WITH scored AS (
+  SELECT event_id, user_id, value,
+         avg(value)         OVER w AS mu,
+         stddev_samp(value) OVER w AS sigma,
+         count(value)       OVER w AS n_prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id,
+       round(value, 2)                AS value,
+       round((value - mu) / sigma, 2) AS z
+FROM scored
+WHERE n_prev >= 10 AND sigma > 1e-9
+  AND abs((value - mu) / sigma) > 2.5
+""")
+def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event scored against the
+    trailing 20 events of the SAME user (frame excludes the current
+    row — no self-masking). One hash shuffle on user_id; the per-key
+    sort is bounded by per-user history, never a global sort. The
+    |z| > 2.5 flag is computed pre-round so both engines cut on the
+    same float."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-20, -1))
+    scored = ev.select(
+        "event_id", "user_id", "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count("value").over(w).alias("n_prev"))
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (scored.where((F.col("n_prev") >= 10) & (F.col("sigma") > 1e-9)
+                         & (F.abs(z) > 2.5))
+            .select("event_id", "user_id",
+                    F.round("value", 2).alias("value"),
+                    F.round(z, 2).alias("z")))
+
+
+@query("stratified_split_docs", """
+SELECT split, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
+FROM (
+  SELECT CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'valid'
+              ELSE 'test' END AS split, lang, n_chars
+  FROM (
+    SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10 AS b,
+           lang, n_chars
+    FROM documents)
+)
+GROUP BY split, lang
+""")
+def stratified_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split — assignment is a
+    pure function of doc_id (md5 bucket), so the split is reproducible
+    across runs, engines, partitionings and incremental re-ingests (a
+    re-appearing doc always lands in the same split: no eval
+    contamination). A narrow projection + filter-free scan; the split
+    column costs one hash per row and no shuffle before the stats agg."""
+    d = _t(spark, sf_dir, "documents")
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long") % 10
+    split = (F.when(b < 8, "train").when(b == 8, "valid")
+             .otherwise("test").alias("split"))
+    return (d.select(split, "lang", "n_chars")
+            .groupBy("split", "lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("chars")))
