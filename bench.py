@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "windowed_distinct_users",
     "anomaly_zscore_events",
     "stratified_split_docs",
+    "trending_topk_users",
+    "part_pair_cooccurrence",
 ]
 
 

@@ -3319,3 +3319,61 @@ def stratified_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("split", "lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_chars").alias("chars")))
+
+
+@query("trending_topk_users", """
+SELECT window_start, user_id, sum_value, rk FROM (
+  SELECT time_bucket(INTERVAL '1 day', ts) AS window_start, user_id,
+         round(sum(value), 2) AS sum_value,
+         row_number() OVER (PARTITION BY time_bucket(INTERVAL '1 day', ts)
+                            ORDER BY round(sum(value), 2) DESC, user_id) AS rk
+  FROM events
+  GROUP BY 1, 2)
+WHERE rk <= 5
+""")
+def trending_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per window (trending leaderboard): aggregate first
+    ((window, user) grain — map-side partials), then rank only the
+    aggregate with a per-window row_number. The rank sort input is
+    |windows x active users|, never the raw event log, and ranking
+    partitions by window so no global sort exists. Rank key is the
+    ROUNDED sum so both engines order identical floats; user_id
+    tie-breaks."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("window_start")
+    agg = (ev.groupBy(day, "user_id")
+           .agg(F.round(F.sum("value"), 2).alias("sum_value")))
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("sum_value").desc(), "user_id")
+    return (agg.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 5))
+
+
+@query("part_pair_cooccurrence", """
+SELECT part_a, part_b, n_orders FROM (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_orders
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2)
+WHERE n_orders >= 2
+""")
+def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order. The self-join is an equi-join on l_orderkey, so pair
+    explosion is bounded by per-basket size squared (baskets are small
+    by construction), never by part cardinality; the `<` predicate
+    halves the pair space and the distinct pre-projection collapses
+    repeated lines before the join. Shuffles: one on l_orderkey (both
+    sides co-partitioned), one on the pair for the count."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+    return (pairs.groupBy(F.col("a.l_partkey").alias("part_a"),
+                          F.col("b.l_partkey").alias("part_b"))
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .where(F.col("n_orders") >= 2))
