@@ -211,3 +211,33 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_trending_topk_no_global_sort(spark):
+    """Rank partitions by window: hash exchanges only — a global
+    (range-partitioned) sort of the aggregate must never appear."""
+    from go_streams_spark.queries import QUERIES
+    df = QUERIES["trending_topk_users"](spark, "/root/testdata/sf0.001")
+    plan = explain_str(df, "simple")
+    assert "rangepartitioning" not in plan.lower()
+    assert df.count() > 0
+
+
+def test_part_pair_cooccurrence_equijoin_only(spark):
+    """Basket self-join must plan as an equi-join on the basket key —
+    a nested-loop/cartesian plan would explode at catalog scale."""
+    from go_streams_spark.queries import QUERIES
+    df = QUERIES["part_pair_cooccurrence"](spark, "/root/testdata/sf0.001")
+    plan = explain_str(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_events_stream_schema_adaptive(spark):
+    """_events_stream takes its schema from the parquet footer, so it
+    keeps working across testdata regenerations (nanos-as-long vs
+    native micros) — ts must come out time-typed either way."""
+    from go_streams_spark.queries import _events_stream
+    src = _events_stream(spark, "/root/testdata/sf0.001")
+    assert src.isStreaming
+    assert dict(src.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
