@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "stratified_split_docs",
     "trending_topk_users",
     "part_pair_cooccurrence",
+    "scd2_user_state_history",
+    "bigram_lm_counts",
 ]
 
 

@@ -3377,3 +3377,95 @@ def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("b.l_partkey").alias("part_b"))
             .agg(F.count(F.lit(1)).alias("n_orders"))
             .where(F.col("n_orders") >= 2))
+
+
+@query("scd2_user_state_history", """
+WITH runs AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+), grp AS (
+  SELECT user_id, event_type, ts,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+  FROM runs
+)
+SELECT user_id, event_type AS state,
+       min(ts)  AS valid_from,
+       max(ts)  AS last_seen,
+       count(*) AS n_events
+FROM grp
+GROUP BY user_id, event_type, rid
+""")
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 history build: collapse each user's consecutive runs
+    of the same state into versioned validity rows (the
+    change-flag + running-sum gaps-and-islands rewrite every warehouse
+    uses). All three passes share ONE hash shuffle on user_id — the
+    window partitioning is reused by the final group-by, and per-user
+    sort is bounded by user history, never global."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(wo).eqNullSafe(F.col("event_type")),
+        1).otherwise(0)
+    rid = F.sum(chg).over(
+        wo.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (ev.select("user_id", "event_type", "ts", rid.alias("rid"))
+            .groupBy("user_id", F.col("event_type").alias("state"), "rid")
+            .agg(F.min("ts").alias("valid_from"),
+                 F.max("ts").alias("last_seen"),
+                 F.count(F.lit(1)).alias("n_events"))
+            .drop("rid"))
+
+
+@query("bigram_lm_counts", """
+SELECT w1, w2, cnt, cond_p FROM (
+  SELECT w1, w2, cnt,
+         round(cnt * 1.0 / sum(cnt) OVER (PARTITION BY w1), 4) AS cond_p,
+         row_number() OVER (ORDER BY cnt DESC, w1, w2) AS rank
+  FROM (
+    SELECT w1, w2, count(*) AS cnt
+    FROM (
+      SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i]))     AS w1,
+             unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+      FROM (
+        SELECT list_filter(string_split(lower(text), ' '),
+                           x -> x <> '') AS toks
+        FROM documents
+      )
+    )
+    GROUP BY 1, 2
+  )
+)
+WHERE rank <= 40
+""")
+def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model counts with conditional probabilities
+    P(w2|w1) — the classic corpus-statistics pass (n-gram LM training,
+    collocation mining). Adjacent pairs come from posexplode + a
+    per-doc lead(), so pair construction shuffles on doc_id (bounded by
+    document length) and the count agg is map-side-partial hash agg;
+    the final top-40 rank sorts only the distinct-bigram aggregate.
+    cond_p is computed AFTER the count agg — the P(w2|w1) window runs
+    on bigram-grain rows, not tokens."""
+    from pyspark.sql import Window
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.filter(F.split(F.lower("text"), " "),
+                              lambda x: x != "")).alias("pos", "tok"))
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (toks.select("doc_id", F.col("tok").alias("w1"),
+                         F.lead("tok").over(wd).alias("w2"))
+             .where(F.col("w2").isNotNull()))
+    counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    cond_p = F.round(F.col("cnt") / F.sum("cnt").over(
+        Window.partitionBy("w1")), 4)
+    ranked = (counts.select("w1", "w2", "cnt", cond_p.alias("cond_p"))
+              .withColumn("rank", F.row_number().over(
+                  Window.orderBy(F.col("cnt").desc(), "w1", "w2"))))
+    return ranked.where(F.col("rank") <= 40).drop("rank")
