@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "part_pair_cooccurrence",
     "scd2_user_state_history",
     "bigram_lm_counts",
+    "cdc_latest_state_per_user",
+    "sequence_packing_batches",
 ]
 
 

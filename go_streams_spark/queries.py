@@ -3469,3 +3469,76 @@ def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("rank", F.row_number().over(
                   Window.orderBy(F.col("cnt").desc(), "w1", "w2"))))
     return ranked.where(F.col("rank") <= 40).drop("rank")
+
+
+@query("cdc_latest_state_per_user", """
+SELECT user_id, event_id, event_type AS state, ts,
+       round(value, 2) AS value
+FROM (
+  SELECT user_id, event_id, event_type, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+""")
+def cdc_latest_state_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: latest record per key — the snapshot pass
+    every changelog consumer runs (Kafka compacted-topic semantics, the
+    batch analogue of the reference's per-key state in Keyed,
+    flow/keyed.go:76-95). One hash shuffle on user_id; per-key sort is
+    bounded by key history. (ts, event_id) is a total order so the
+    winner is engine-independent."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_id",
+                    F.col("event_type").alias("state"), "ts",
+                    F.round("value", 2).alias("value")))
+
+
+@query("sequence_packing_batches", """
+WITH t AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(lower(text), ' '),
+                         x -> x <> '')) AS n_tok,
+         md5(doc_id::VARCHAR) AS ord
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tok,
+         coalesce(sum(n_tok) OVER (PARTITION BY lang ORDER BY ord, doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS prior
+  FROM t
+)
+SELECT lang, CAST(floor(prior / 2000) AS BIGINT) AS batch_id,
+       count(*) AS n_docs, sum(n_tok) AS sum_tokens
+FROM c
+GROUP BY 1, 2
+""")
+def sequence_packing_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: concatenate documents (in a
+    deterministic hash order, per language stratum) into ~2000-token
+    batches — batch_id is the running token count before the doc,
+    floor-divided by the budget. Pure function of the corpus: the same
+    doc always packs into the same batch across engines and re-runs.
+    One shuffle on lang; the per-stratum running sum is the only
+    ordered pass and its sort key is the md5 hash (uniform, skew-free
+    within stratum)."""
+    from pyspark.sql import Window
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.lower("text"), " "),
+                            lambda x: x != "")).alias("n_tok")
+    ordc = F.md5(F.col("doc_id").cast("string")).alias("ord")
+    t = d.select("doc_id", "lang", n_tok, ordc)
+    w = (Window.partitionBy("lang").orderBy("ord", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prior = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    c = t.withColumn("batch_id",
+                     F.floor(prior / 2000).cast("long"))
+    return (c.groupBy("lang", "batch_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tok").alias("sum_tokens")))
