@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "bigram_lm_counts",
     "cdc_latest_state_per_user",
     "sequence_packing_batches",
+    "embedding_quantize_int8",
+    "bpe_first_merges",
 ]
 
 

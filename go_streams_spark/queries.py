@@ -3542,3 +3542,94 @@ def sequence_packing_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.groupBy("lang", "batch_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tok").alias("sum_tokens")))
+
+
+@query("embedding_quantize_int8", """
+WITH flat AS (
+  SELECT vec_id,
+         unnest(range(1, len(embedding) + 1)) AS dim,
+         unnest(embedding) AS v
+  FROM embeddings
+), rng AS (
+  SELECT dim, min(v) AS lo, max(v) AS hi FROM flat GROUP BY dim
+), q AS (
+  SELECT f.dim, f.v, r.lo, r.hi,
+         CAST(floor((f.v - r.lo) / nullif(r.hi - r.lo, 0) * 254.0 + 0.5) - 127
+              AS INTEGER) AS code
+  FROM flat f JOIN rng r ON r.dim = f.dim
+)
+SELECT dim, round(lo, 4) AS lo, round(hi, 4) AS hi,
+       round(max(abs((code + 127) / 254.0 * (hi - lo) + lo - v)), 4)
+             AS max_abs_err
+FROM q
+GROUP BY dim, lo, hi
+""")
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column — the storage
+    pass ANN systems run before indexing (4x smaller vectors). Two
+    aggregate passes over (dim, value) rows: per-dim min/max, then
+    code + reconstruction error; both shuffle on `dim` (fixed fan-in =
+    vector width, independent of corpus size) and the per-dim range
+    joins back as a broadcast. Quantization uses floor(x + 0.5), which
+    rounds identically in every engine (no banker's-rounding drift)."""
+    e = _t(spark, sf_dir, "embeddings")
+    flat = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim0", "v")) \
+        .select("vec_id", (F.col("dim0") + 1).alias("dim"), "v")
+    rng = flat.groupBy("dim").agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    j = flat.join(F.broadcast(rng), "dim")
+    span = F.when(F.col("hi") != F.col("lo"), F.col("hi") - F.col("lo"))
+    code = (F.floor((F.col("v") - F.col("lo")) / span * 254.0 + 0.5) - 127) \
+        .cast("int")
+    q = j.select("dim", "v", "lo", "hi", code.alias("code"))
+    err = F.abs((F.col("code") + 127) / 254.0 * (F.col("hi") - F.col("lo"))
+                + F.col("lo") - F.col("v"))
+    return (q.groupBy("dim",
+                      F.round("lo", 4).alias("lo"),
+                      F.round("hi", 4).alias("hi"))
+            .agg(F.round(F.max(err), 4).alias("max_abs_err")))
+
+
+@query("bpe_first_merges", """
+SELECT pair, cnt, rank FROM (
+  SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rank
+  FROM (
+    SELECT chars[i] || chars[i + 1] AS pair, count(*) AS cnt
+    FROM (
+      SELECT string_split(tok, '') AS chars
+      FROM (
+        SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS tok
+        FROM documents
+      )
+    ), LATERAL (SELECT unnest(range(1, len(chars))) AS i) g
+    GROUP BY 1
+  )
+)
+WHERE rank <= 30
+""")
+def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge-table iteration: adjacent-character pair
+    frequencies across the corpus vocabulary — the inner loop of
+    tokenizer training. Tokens explode to character pairs via
+    slice-zip (all JVM-side array ops, no Python); the count agg is a
+    map-side-partial hash agg on the pair and the final top-30 ranks
+    the pair aggregate only. At 100 TB you'd pre-aggregate tokens to
+    (token, count) first — same plan with a weighted count."""
+    from pyspark.sql import Window
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.filter(F.split(F.lower("text"), " "),
+                           lambda x: x != "")).alias("tok"))
+    chars = toks.select(F.split("tok", "").alias("chars"))
+    pairs = chars.select(
+        F.explode(F.zip_with(
+            F.slice("chars", 1, F.greatest(F.size("chars") - 1, F.lit(0))),
+            F.slice("chars", 2, F.greatest(F.size("chars") - 1, F.lit(0))),
+            lambda a, b: F.concat(a, b))).alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = counts.withColumn(
+        "rank", F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), "pair")))
+    return ranked.where(F.col("rank") <= 30)
