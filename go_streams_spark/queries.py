@@ -3465,10 +3465,11 @@ def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     cond_p = F.round(F.col("cnt") / F.sum("cnt").over(
         Window.partitionBy("w1")), 4)
-    ranked = (counts.select("w1", "w2", "cnt", cond_p.alias("cond_p"))
-              .withColumn("rank", F.row_number().over(
-                  Window.orderBy(F.col("cnt").desc(), "w1", "w2"))))
-    return ranked.where(F.col("rank") <= 40).drop("rank")
+    # top-k via orderBy+limit => TakeOrderedAndProject (per-partition
+    # top-k + driver merge of k rows), never a SinglePartition sort of
+    # the full bigram vocabulary
+    return (counts.select("w1", "w2", "cnt", cond_p.alias("cond_p"))
+            .orderBy(F.col("cnt").desc(), "w1", "w2").limit(40))
 
 
 @query("cdc_latest_state_per_user", """
@@ -3629,7 +3630,7 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("chars", 2, F.greatest(F.size("chars") - 1, F.lit(0))),
             lambda a, b: F.concat(a, b))).alias("pair"))
     counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
-    ranked = counts.withColumn(
-        "rank", F.row_number().over(
-            Window.orderBy(F.col("cnt").desc(), "pair")))
-    return ranked.where(F.col("rank") <= 30)
+    # TakeOrderedAndProject top-k; rank stamped on the 30 survivors only
+    top = counts.orderBy(F.col("cnt").desc(), "pair").limit(30)
+    w = Window.orderBy(F.col("cnt").desc(), "pair")
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))
