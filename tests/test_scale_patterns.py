@@ -241,3 +241,26 @@ def test_events_stream_schema_adaptive(spark):
     src = _events_stream(spark, "/root/testdata/sf0.001")
     assert src.isStreaming
     assert dict(src.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
+
+
+def test_dynamic_partition_pruning_join(spark, sf_dir, tmpdir):
+    """Dynamic partition pruning: a fact partitioned by date joined to a
+    small filtered dim on the partition column must plan a
+    dynamicpruning expression in the fact scan — at 100 TB the join
+    touches only the dim's dates instead of the full history."""
+    from go_streams_spark.queries import _t
+    out = os.path.join(tmpdir, "ev_dpp")
+    ev = _t(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(out)
+
+    fact = spark.read.parquet(out)
+    dim = (spark.createDataFrame(
+        [("2024-01-05", "promo"), ("2024-01-06", "none")],
+        "d string, tag string")
+        .select(F.col("d").cast("date").alias("event_date"), "tag")
+        .where(F.col("tag") == "promo"))
+    joined = fact.join(dim, "event_date").groupBy("tag").agg(F.count(F.lit(1)).alias("cnt"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    rows = joined.collect()
+    assert len(rows) == 1 and rows[0]["cnt"] > 0
