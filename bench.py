@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "sequence_packing_batches",
     "embedding_quantize_int8",
     "bpe_first_merges",
+    "keyed_batch_stats",
 ]
 
 

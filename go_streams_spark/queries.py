@@ -3634,3 +3634,26 @@ def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("cnt").desc(), "pair").limit(30)
     w = Window.orderBy(F.col("cnt").desc(), "pair")
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+@query("keyed_batch_stats", """
+SELECT user_id,
+       CAST(ceil(count(*) / 4.0) AS BIGINT) AS n_batches,
+       round(sum(value), 2)                 AS sum_value
+FROM events
+GROUP BY user_id
+""")
+def keyed_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed ∘ Batch composition (flow/keyed_test.go:101-138: per-key
+    Batch(4) chains, then batch counts + sums): batch_by_count with
+    partition_by numbers rows per key — fully distributed, no global
+    order — and the batch count per key equals ceil(n/4), which the
+    oracle states in closed form. One hash shuffle on user_id shared
+    by the numbering window and the final aggregate."""
+    from .operators import batch_by_count
+    ev = _t(spark, sf_dir, "events")
+    batched = Source(ev).via(batch_by_count(
+        4, order_by=["ts", "event_id"], partition_by=["user_id"])).to_df()
+    return (batched.groupBy("user_id")
+            .agg(F.countDistinct("batch_id").alias("n_batches"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
