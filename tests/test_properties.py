@@ -128,3 +128,35 @@ def test_chunk_dedup_matches_python_model(spark, texts, chunk_size):
     got = {r["doc_id"]: (r["n_chunks"], r["n_kept"], r["clean_text"])
            for r in chunk_dedup(df, chunk_size=chunk_size).collect()}
     assert got == _chunk_dedup_model(texts, chunk_size)
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)),
+                   min_size=1, max_size=12),
+    rights=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 100)),
+                    min_size=0, max_size=12),
+    bounds=st.tuples(st.integers(-20, 10), st.integers(-10, 20)).filter(
+        lambda t: t[1] > t[0]),
+)
+@settings(**SETTINGS)
+def test_interval_join_matches_python_model(spark, lefts, rights, bounds):
+    """Bucketized interval join == the O(n^2) definitional model, for
+    arbitrary keys/times/bounds (incl. negative-only windows)."""
+    from go_streams_spark.operators import interval_join
+    lo, hi = bounds
+    left = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(lefts)],
+        "k int, lts int, lid int").withColumn("lts", F.col("lts").cast("timestamp"))
+    right = (spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(rights)],
+        "k int, rts int, rid int") if rights else
+        spark.createDataFrame([], "k int, rts int, rid int")) \
+        .withColumn("rts", F.col("rts").cast("timestamp"))
+    out = interval_join(left, right, on=["k"], left_ts="lts", right_ts="rts",
+                        lower_seconds=lo, upper_seconds=hi)
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    expect = sorted((i, j)
+                    for i, (lk, lts) in enumerate(lefts)
+                    for j, (rk, rts) in enumerate(rights)
+                    if lk == rk and lts + lo <= rts <= lts + hi)
+    assert got == expect
