@@ -39,6 +39,24 @@ def main():
           f"exact_survivors={survivors.count()} final={final.count()}")
     final.select(F.sum("n_tokens").alias("total_tokens")).show()
 
+    # train/valid/test assignment + sequence packing: both pure hash
+    # functions of the doc — reproducible at any scale, no coordination
+    from pyspark.sql import Window
+    b = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+               16, 10).cast("long") % 10
+    split_col = (F.when(b < 8, "train").when(b == 8, "valid")
+                 .otherwise("test").alias("split"))
+    w = (Window.partitionBy("split").orderBy(F.md5(F.col("doc_id").cast("string")))
+         .rowsBetween(Window.unboundedPreceding, -1))
+    packed = (final.select(split_col, "doc_id", "n_tokens")
+              .withColumn("batch_id", F.floor(
+                  F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 2000)))
+    (packed.groupBy("split")
+     .agg(F.count(F.lit(1)).alias("docs"),
+          F.countDistinct("batch_id").alias("batches"),
+          F.sum("n_tokens").alias("tokens"))
+     .orderBy("split").show())
+
 
 if __name__ == "__main__":
     main()
