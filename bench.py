@@ -94,6 +94,8 @@ BENCH_QUERIES = [
     "embedding_quantize_int8",
     "bpe_first_merges",
     "keyed_batch_stats",
+    "quality_rank_normalized",
+    "chi2_token_lang",
 ]
 
 

@@ -3657,3 +3657,78 @@ def keyed_batch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (batched.groupBy("user_id")
             .agg(F.countDistinct("batch_id").alias("n_batches"),
                  F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+@query("quality_rank_normalized", """
+SELECT lang, doc_id,
+       round(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id),
+             4) AS len_pct
+FROM documents
+""")
+def quality_rank_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based feature normalization: percent_rank of document
+    length within each language stratum — the distribution-free
+    normalization (quantile transform) feature pipelines apply before
+    mixing heterogeneous sources. One hash shuffle on lang; the sort is
+    per-stratum. (doc_id tie-break makes ranks engine-independent.)"""
+    from pyspark.sql import Window
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return d.select("lang", "doc_id",
+                    F.round(F.percent_rank().over(w), 4).alias("len_pct"))
+
+
+@query("chi2_token_lang", """
+WITH tl AS (
+  SELECT lang, unnest(list_distinct(
+           list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS tok
+  FROM documents
+), obs AS (
+  SELECT tok, lang, count(*) AS o FROM tl GROUP BY 1, 2
+), tot AS (
+  SELECT count(*) AS n FROM (SELECT DISTINCT doc_id FROM documents)
+), tok_m AS (
+  SELECT tok, sum(o) AS tok_docs FROM obs GROUP BY tok
+), lang_m AS (
+  SELECT lang, count(*) AS lang_docs FROM documents GROUP BY lang
+)
+SELECT tok, round(chi2, 4) AS chi2 FROM (
+  SELECT o.tok,
+         sum(power(o.o - (t.tok_docs * l.lang_docs * 1.0 / tot.n), 2)
+             / (t.tok_docs * l.lang_docs * 1.0 / tot.n)) AS chi2
+  FROM obs o
+  JOIN tok_m t USING (tok)
+  JOIN lang_m l USING (lang)
+  CROSS JOIN tot
+  WHERE t.tok_docs >= 20
+  GROUP BY o.tok
+)
+ORDER BY chi2 DESC, tok
+LIMIT 25
+""")
+def chi2_token_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square token/language association (feature selection): how
+    unevenly each token's document frequency distributes across
+    language strata vs the independence expectation. Document-distinct
+    tokens explode once; every join after the (tok, lang) agg runs at
+    vocabulary grain, the language margin broadcasts, and the top-25
+    is TakeOrderedAndProject. Tokens in < 20 docs are pruned before the
+    expensive arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    tl = d.select(
+        "lang",
+        F.explode(F.array_distinct(
+            F.filter(F.split(F.lower("text"), " "),
+                     lambda x: x != ""))).alias("tok"))
+    obs = tl.groupBy("tok", "lang").agg(F.count(F.lit(1)).alias("o"))
+    n = d.select("doc_id").distinct().count()
+    tok_m = (obs.groupBy("tok").agg(F.sum("o").alias("tok_docs"))
+             .where(F.col("tok_docs") >= 20))
+    lang_m = d.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_docs"))
+    e = F.col("tok_docs") * F.col("lang_docs") / F.lit(float(n))
+    joined = (obs.join(tok_m, "tok")
+              .join(F.broadcast(lang_m), "lang"))
+    chi2 = (joined.groupBy("tok")
+            .agg(F.sum(F.pow(F.col("o") - e, 2) / e).alias("chi2raw")))
+    return (chi2.select("tok", F.round("chi2raw", 4).alias("chi2"))
+            .orderBy(F.col("chi2").desc(), "tok").limit(25))
