@@ -3732,3 +3732,33 @@ def chi2_token_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.pow(F.col("o") - e, 2) / e).alias("chi2raw")))
     return (chi2.select("tok", F.round("chi2raw", 4).alias("chi2"))
             .orderBy(F.col("chi2").desc(), "tok").limit(25))
+
+
+@query("stream_fold_running_sum", """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS acc
+FROM events
+WHERE event_type = 'purchase'
+""")
+def stream_fold_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Fold (flow/fold.go:83-90 per-element emission) through
+    the REAL stateful machinery: applyInPandasWithState keyed on
+    user_id, accumulator in the state store, run as a Structured
+    Streaming query (availableNow -> append memory sink) and
+    hash-matched against the prefix-sum oracle. The streaming twin of
+    the batch `fold_running_sum` window query."""
+    import uuid as _uuid
+    from .streaming import memory_sink
+    from .streaming.stateful import running_fold_stream
+    src = (_events_stream(spark, sf_dir)
+           .where("event_type = 'purchase'")
+           .select("user_id", "event_id", "value"))
+    folded = running_fold_stream(
+        src, key_cols=["user_id"], value_col="value", order_col="event_id",
+        fold_fn=lambda v, a: a + v, init=0.0,
+        output_schema="user_id long, event_id long, value double, acc double")
+    name = "fold_stream_" + _uuid.uuid4().hex[:10]
+    Source(folded).to(memory_sink(name, output_mode="append"))
+    return spark.table(name).select(
+        "user_id", "event_id", F.round("acc", 4).alias("acc"))
