@@ -3362,19 +3362,22 @@ WHERE n_orders >= 2
 """)
 def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing in the same
-    order. The self-join is an equi-join on l_orderkey, so pair
-    explosion is bounded by per-basket size squared (baskets are small
-    by construction), never by part cardinality; the `<` predicate
-    halves the pair space and the distinct pre-projection collapses
-    repeated lines before the join. Shuffles: one on l_orderkey (both
-    sides co-partitioned), one on the pair for the count."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-                   & (F.col("a.l_partkey") < F.col("b.l_partkey")))
-    return (pairs.groupBy(F.col("a.l_partkey").alias("part_a"),
-                          F.col("b.l_partkey").alias("part_b"))
+    order. Basket-array form beats the naive distinct self-join (which
+    scans and shuffles the fact TWICE — no ReuseExchange once AQE
+    broadcasts one side): ONE scan, one shuffle building per-order part
+    sets (collect_set dedupes lines), then ordered pairs explode from
+    the array (`x > part_a` halves the pair space) with work bounded by
+    basket size squared, and one pair-grain count shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = (li.groupBy("l_orderkey")
+               .agg(F.collect_set("l_partkey").alias("parts")))
+    pairs = (baskets
+             .select(F.explode("parts").alias("part_a"), "parts")
+             .select("part_a",
+                     F.explode(F.filter(
+                         "parts",
+                         lambda x: x > F.col("part_a"))).alias("part_b")))
+    return (pairs.groupBy("part_a", "part_b")
             .agg(F.count(F.lit(1)).alias("n_orders"))
             .where(F.col("n_orders") >= 2))
 
