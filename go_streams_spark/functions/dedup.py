@@ -322,11 +322,18 @@ def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_
     """
     edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
              .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-             .distinct())
+             .distinct().persist())
+    # Iterative lineage MUST be truncated every pass (localCheckpoint,
+    # eager): without it iteration k re-executes iterations 1..k-1 both
+    # in the convergence count and the next join — quadratic total work
+    # and an unboundedly deep plan. (At cluster scale swap periodic
+    # reliable checkpoints for localCheckpoint if executor loss matters;
+    # the algorithm is restartable from any labels snapshot.)
     labels = (edges.select(F.col("a").alias("id"))
               .union(edges.select(F.col("b").alias("id")))
               .distinct()
-              .withColumn("component", F.col("id")))
+              .withColumn("component", F.col("id"))
+              .localCheckpoint(eager=True))
     for _ in range(max_iterations):
         neighbor_min = (edges.join(labels, edges.b == labels.id)
                         .groupBy(edges.a.alias("id"))
@@ -334,7 +341,8 @@ def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_
         new_labels = (labels.join(neighbor_min, "id", "left")
                       .select("id", F.least(
                           F.col("component"),
-                          F.coalesce("n_comp", F.col("component"))).alias("component")))
+                          F.coalesce("n_comp", F.col("component"))).alias("component"))
+                      .localCheckpoint(eager=True))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .where(F.col("n.component") != F.col("o.component"))
@@ -342,6 +350,7 @@ def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels
 
 
