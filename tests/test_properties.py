@@ -160,3 +160,28 @@ def test_interval_join_matches_python_model(spark, lefts, rights, bounds):
                     for j, (rk, rts) in enumerate(rights)
                     if lk == rk and lts + lo <= rts <= lts + hi)
     assert got == expect
+
+
+@given(ts=st.integers(0, 10_000),
+       size=st.integers(2, 120),
+       slide=st.integers(1, 60))
+@settings(**SETTINGS)
+def test_sliding_window_assignment_matches_reference_model(spark, ts, size, slide):
+    """Spark window(ts, size, slide) assigns an event to exactly the
+    windows whose slide-aligned start covers it — the same
+    floor-to-slide alignment as the reference
+    (flow/sliding_window.go:309-326)."""
+    if slide > size:
+        slide = size  # overlapping or tumbling only, like the reference
+    df = spark.createDataFrame([(ts,)], "t long") \
+        .select(F.col("t").cast("timestamp").alias("t"))
+    got = sorted(
+        int(r["w"]["start"].timestamp())
+        for r in df.groupBy(F.window("t", f"{size} seconds",
+                                     f"{slide} seconds").alias("w"))
+        .count().select("w").collect())
+    import math
+    k_min = math.floor((ts - size) / slide) + 1
+    k_max = math.floor(ts / slide)
+    expect = [k * slide for k in range(k_min, k_max + 1)]
+    assert got == expect
