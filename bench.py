@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "keyed_batch_stats",
     "quality_rank_normalized",
     "chi2_token_lang",
+    "time_rollup_revenue",
 ]
 
 

@@ -3765,3 +3765,44 @@ def stream_fold_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Source(folded).to(memory_sink(name, output_mode="append"))
     return spark.table(name).select(
         "user_id", "event_id", F.round("acc", 4).alias("acc"))
+
+
+@query("time_rollup_revenue", """
+SELECT CASE WHEN GROUPING(day) = 0 THEN 'day'
+            WHEN GROUPING(week) = 0 THEN 'week'
+            ELSE 'month' END                   AS level,
+       coalesce(day, week, month)              AS period_start,
+       round(sum(o_totalprice), 2)             AS revenue,
+       count(*)                                AS n_orders
+FROM (
+  SELECT date_trunc('day', o_orderdate)   AS day,
+         date_trunc('week', o_orderdate)  AS week,
+         date_trunc('month', o_orderdate) AS month,
+         o_totalprice
+  FROM orders
+)
+GROUP BY GROUPING SETS ((day), (week), (month))
+""")
+def time_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup: revenue at day/week/month grain in ONE
+    Expand pass (GROUPING SETS) — one scan and one shuffle for all
+    three granularities instead of three scans. The level label comes
+    from GROUPING() so each output row names its grain; at 100 TB this
+    is the materialized-hierarchy pattern OLAP serving layers
+    pre-compute."""
+    import uuid as _uuid
+    o = _t(spark, sf_dir, "orders")
+    v = "t_ro_" + _uuid.uuid4().hex[:10]
+    o.select(F.date_trunc("day", "o_orderdate").alias("day"),
+             F.date_trunc("week", "o_orderdate").alias("week"),
+             F.date_trunc("month", "o_orderdate").alias("month"),
+             "o_totalprice").createOrReplaceTempView(v)
+    return spark.sql(f"""
+        SELECT CASE WHEN GROUPING(day) = 0 THEN 'day'
+                    WHEN GROUPING(week) = 0 THEN 'week'
+                    ELSE 'month' END       AS level,
+               coalesce(day, week, month)  AS period_start,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*)                    AS n_orders
+        FROM {v}
+        GROUP BY GROUPING SETS ((day), (week), (month))""")
