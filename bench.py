@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "quality_rank_normalized",
     "chi2_token_lang",
     "time_rollup_revenue",
+    "mad_outlier_stats",
 ]
 
 

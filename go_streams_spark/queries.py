@@ -3806,3 +3806,48 @@ def time_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*)                    AS n_orders
         FROM {v}
         GROUP BY GROUPING SETS ((day), (week), (month))""")
+
+
+@query("mad_outlier_stats", """
+WITH med AS (
+  SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+  FROM lineitem GROUP BY l_returnflag
+), dev AS (
+  SELECT l.l_returnflag, l.l_extendedprice, m.med,
+         abs(l.l_extendedprice - m.med) AS ad
+  FROM lineitem l JOIN med m USING (l_returnflag)
+), mad AS (
+  SELECT l_returnflag, quantile_cont(ad, 0.5) AS mad
+  FROM dev GROUP BY l_returnflag
+)
+SELECT d.l_returnflag,
+       round(max(d.med), 4)  AS median_price,
+       round(max(m2.mad), 4) AS mad,
+       count(*) FILTER (WHERE d.ad > 3 * 1.4826 * m2.mad) AS n_outliers,
+       count(*)              AS n
+FROM dev d JOIN mad m2 USING (l_returnflag)
+GROUP BY d.l_returnflag
+""")
+def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier statistics via Median Absolute Deviation — the
+    heavy-tail-safe alternative to z-scores (3 * 1.4826 * MAD ~ 3
+    sigma under normality). Exact medians force two passes over the
+    fact; both group to returnflag grain (tiny), so the per-group
+    medians broadcast back and the only fact-sized work is two scans +
+    one final hash agg. Swap percentile -> approx_percentile for the
+    one-pass sketch at 100 TB (documented tolerance trade)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    med = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med"))
+    dev = (li.join(F.broadcast(med), "l_returnflag")
+           .withColumn("ad", F.abs(F.col("l_extendedprice") - F.col("med"))))
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad"))
+    return (dev.join(F.broadcast(mad), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(F.round(F.max("med"), 4).alias("median_price"),
+                 F.round(F.max("mad"), 4).alias("mad"),
+                 F.count(F.when(
+                     F.col("ad") > 3 * 1.4826 * F.col("mad"), 1))
+                 .alias("n_outliers"),
+                 F.count(F.lit(1)).alias("n")))
