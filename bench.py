@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "chi2_token_lang",
     "time_rollup_revenue",
     "mad_outlier_stats",
+    "incremental_agg_merge",
+    "equidepth_price_histogram",
 ]
 
 

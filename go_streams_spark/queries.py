@@ -3851,3 +3851,66 @@ def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("ad") > 3 * 1.4826 * F.col("mad"), 1))
                  .alias("n_outliers"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@query("incremental_agg_merge", """
+SELECT o_orderpriority,
+       count(*)                    AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       round(sum(o_totalprice) / count(*), 4) AS avg_price
+FROM orders
+GROUP BY o_orderpriority
+""")
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the engine aggregates an 'existing'
+    partition range and a 'newly arrived' range SEPARATELY, then merges
+    the algebraic partials (counts and sums add; avg re-derives as
+    sum/count) — provably equal to the full recompute, which is what
+    the oracle states. At 100 TB this is the nightly-ETL pattern: touch
+    only the new partition, fold its partial into the serving
+    aggregate; map-side partials make each side one shuffle of
+    group-grain rows."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = "1995-06-01"
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("pc"),
+            F.sum("o_totalprice").alias("ps"))
+    old = partial(o.where(F.col("o_orderdate") < cutoff))
+    new = partial(o.where(F.col("o_orderdate") >= cutoff))
+    return (old.unionByName(new)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("pc").alias("n_orders"),
+                 F.round(F.sum("ps"), 2).alias("revenue"),
+                 F.round(F.sum("ps") / F.sum("pc"), 4).alias("avg_price")))
+
+
+@query("equidepth_price_histogram", """
+SELECT bucket,
+       count(*)                         AS n,
+       round(min(l_extendedprice), 2)   AS lo,
+       round(max(l_extendedprice), 2)   AS hi
+FROM (
+  SELECT l_extendedprice,
+         ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+             AS bucket
+  FROM lineitem
+)
+GROUP BY bucket
+""")
+def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram — the quantile-bucket
+    profile query optimizers and drift monitors build. ntile needs a
+    total order: locally that's one range-partitioned sort; at 100 TB
+    swap in approx_percentile cutpoints + a width_bucket-style filter
+    (the fixed-width variant `price_histogram` shows that shape).
+    (l_orderkey, l_linenumber) tie-break pins bucket boundaries across
+    engines."""
+    from pyspark.sql import Window
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    return (li.select("l_extendedprice", F.ntile(10).over(w).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("l_extendedprice"), 2).alias("lo"),
+                 F.round(F.max("l_extendedprice"), 2).alias("hi")))
