@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "mad_outlier_stats",
     "incremental_agg_merge",
     "equidepth_price_histogram",
+    "fuzzy_name_match_pairs",
 ]
 
 

@@ -3914,3 +3914,36 @@ def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.min("l_extendedprice"), 2).alias("lo"),
                  F.round(F.max("l_extendedprice"), 2).alias("hi")))
+
+
+@query("fuzzy_name_match_pairs", """
+WITH names AS (SELECT DISTINCT p_name FROM part),
+blocked AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b,
+         levenshtein(a.p_name, b.p_name) AS dist
+  FROM names a JOIN names b
+    ON string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2]
+   AND a.p_name < b.p_name
+)
+SELECT name_a, name_b, dist
+FROM blocked
+WHERE dist <= 4
+""")
+def fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate string-matching join (entity resolution): candidate
+    name pairs within an edit distance of 4. Blocking on the head noun
+    turns the quadratic all-pairs comparison into a per-block
+    equi-join — the standard ER architecture (block -> compare ->
+    score); distinct-name pre-projection means pair work scales with
+    vocabulary, not row count, and levenshtein runs only inside
+    blocks."""
+    p = _t(spark, sf_dir, "part")
+    names = p.select("p_name").distinct() \
+        .withColumn("block", F.split("p_name", " ").getItem(1))
+    a = names.select(F.col("p_name").alias("name_a"), "block")
+    b = names.select(F.col("p_name").alias("name_b"), "block")
+    pairs = a.join(b, "block").where(F.col("name_a") < F.col("name_b"))
+    return (pairs
+            .select("name_a", "name_b",
+                    F.levenshtein("name_a", "name_b").alias("dist"))
+            .where(F.col("dist") <= 4))
