@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "incremental_agg_merge",
     "equidepth_price_histogram",
     "fuzzy_name_match_pairs",
+    "ab_test_welch",
+    "embedding_norm_stats",
 ]
 
 

@@ -3947,3 +3947,73 @@ def fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("name_a", "name_b",
                     F.levenshtein("name_a", "name_b").alias("dist"))
             .where(F.col("dist") <= 4))
+
+
+@query("ab_test_welch", """
+WITH s AS (
+  SELECT event_type, count(*) AS n, avg(value) AS m, var_samp(value) AS v
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY event_type
+)
+SELECT a.n AS n_purchase, b.n AS n_click,
+       round(a.m - b.m, 4) AS mean_diff,
+       round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat
+FROM s a CROSS JOIN s b
+WHERE a.event_type = 'purchase' AND b.event_type = 'click'
+""")
+def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t-test between two event cohorts — the A/B-experiment
+    readout. Entirely algebraic (count/mean/variance have map-side
+    partials), so the WHOLE test is one shuffle of 2 group rows no
+    matter how many billions of events; the final statistic is a
+    2-row cross join on the driver-sized aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    s = (ev.where(F.col("event_type").isin("click", "purchase"))
+         .groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.avg("value").alias("m"),
+              F.var_samp("value").alias("v")))
+    a = s.where("event_type = 'purchase'").select(
+        F.col("n").alias("n_purchase"), F.col("m").alias("ma"),
+        F.col("v").alias("va"))
+    b = s.where("event_type = 'click'").select(
+        F.col("n").alias("n_click"), F.col("m").alias("mb"),
+        F.col("v").alias("vb"))
+    return (a.crossJoin(b)
+            .select("n_purchase", "n_click",
+                    F.round(F.col("ma") - F.col("mb"), 4).alias("mean_diff"),
+                    F.round((F.col("ma") - F.col("mb")) /
+                            F.sqrt(F.col("va") / F.col("n_purchase")
+                                   + F.col("vb") / F.col("n_click")), 4)
+                    .alias("t_stat")))
+
+
+@query("embedding_norm_stats", """
+SELECT label,
+       count(*)                                    AS n,
+       round(avg(norm), 3)                         AS avg_norm,
+       round(quantile_cont(norm, 0.5), 3)          AS p50_norm,
+       round(max(norm), 3)                         AS max_norm
+FROM (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE) ** 2))) AS norm
+  FROM embeddings
+)
+GROUP BY label
+""")
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm hygiene profile per label — the vector sanity
+    pass before ANN indexing (zero/exploding norms break cosine).
+    The norm is a JVM-side higher-order F.aggregate (no Python, no
+    explode — one row stays one row); stats group to label grain."""
+    e = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return (e.select("label", norm.alias("norm"))
+            .groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("norm"), 3).alias("avg_norm"),
+                 F.round(F.expr("percentile(norm, 0.5)"), 3).alias("p50_norm"),
+                 F.round(F.max("norm"), 3).alias("max_norm")))
