@@ -28,6 +28,7 @@ from pyspark.sql import SparkSession
 try:  # Python Data Source API requires pyspark >= 4.0
     from pyspark.sql.datasource import (
         DataSource, DataSourceReader, DataSourceStreamReader, InputPartition,
+        DataSourceWriter, DataSourceStreamWriter, WriterCommitMessage,
     )
     _HAS_DS_API = True
 except ImportError:  # pragma: no cover
@@ -128,6 +129,95 @@ if _HAS_DS_API:
             # advance in latestOffset.
             self._committed = end["offset"]
 
+    class _TaskCommit(WriterCommitMessage):
+        """Per-task commit message: the staged file + row count (the
+        shape a network sink's message-id/sequence ack list takes)."""
+
+        def __init__(self, tmp_path: str, rows: int):
+            self.tmp_path = tmp_path
+            self.rows = rows
+
+    class ReplayBatchWriter(DataSourceWriter):
+        """Two-phase-commit JSONL sink — the Data Source API writer
+        analogue of the reference's connector sinks (Redis XADD
+        redis/redis_stream.go:176-210, NATS publish
+        nats/nats_jetstream.go:239-275, Aerospike batched Put
+        aerospike/aerospike.go:255-332). Executors stage per-task
+        output in write(); the driver's commit() publishes every staged
+        file atomically-enough (rename), abort() discards — a network
+        connector keeps exactly the same skeleton with publish-in-write
+        + ack/cleanup-in-commit, and exactly-once falls out of
+        (batchId, task) idempotence."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("gss_replay writer requires option 'path'")
+
+        def write(self, iterator):
+            import uuid as _uuid
+            tmp = f"{self.path}.task-{_uuid.uuid4().hex}"
+            n = 0
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _TaskCommit(tmp, n)
+
+        def commit(self, messages):
+            with open(self.path, "a") as out:
+                for m in messages:
+                    if m is None:
+                        continue
+                    with open(m.tmp_path) as f:
+                        out.write(f.read())
+                    os.remove(m.tmp_path)
+
+        def abort(self, messages):
+            for m in messages:
+                if m is not None and os.path.exists(m.tmp_path):
+                    os.remove(m.tmp_path)
+
+    class ReplayStreamWriter(DataSourceStreamWriter):
+        """Streaming flavor: commit(batchId) makes replays idempotent —
+        a batch marker file skips re-publication when a micro-batch is
+        replayed after failure (the checkpoint/ack interplay every
+        reference sink approximates with client-side acks)."""
+
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("gss_replay writer requires option 'path'")
+
+        def write(self, iterator):
+            import uuid as _uuid
+            tmp = f"{self.path}.task-{_uuid.uuid4().hex}"
+            n = 0
+            with open(tmp, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict()) + "\n")
+                    n += 1
+            return _TaskCommit(tmp, n)
+
+        def commit(self, messages, batchId):
+            marker = f"{self.path}.batch-{batchId}"
+            already = os.path.exists(marker)
+            with open(self.path, "a") as out:
+                for m in messages:
+                    if m is None:
+                        continue
+                    if not already:
+                        with open(m.tmp_path) as f:
+                            out.write(f.read())
+                    os.remove(m.tmp_path)
+            if not already:
+                open(marker, "w").close()
+
+        def abort(self, messages, batchId):
+            for m in messages:
+                if m is not None and os.path.exists(m.tmp_path):
+                    os.remove(m.tmp_path)
+
     class ReplayDataSource(DataSource):
         """format("gss_replay"): options path, ddl, numPartitions,
         rowsPerBatch (streaming)."""
@@ -144,6 +234,12 @@ if _HAS_DS_API:
 
         def streamReader(self, schema):
             return ReplayStreamReader(self.options, self.options.get("ddl", DEFAULT_DDL))
+
+        def writer(self, schema, overwrite):
+            return ReplayBatchWriter(self.options)
+
+        def streamWriter(self, schema, overwrite):
+            return ReplayStreamWriter(self.options)
 
 
 def register_replay_source(spark: SparkSession) -> str:
