@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "fuzzy_name_match_pairs",
     "ab_test_welch",
     "embedding_norm_stats",
+    "referential_integrity_audit",
+    "snapshot_diff_users",
 ]
 
 

@@ -4017,3 +4017,77 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("norm"), 3).alias("avg_norm"),
                  F.round(F.expr("percentile(norm, 0.5)"), 3).alias("p50_norm"),
                  F.round(F.max("norm"), 3).alias("max_norm")))
+
+
+@query("referential_integrity_audit", """
+SELECT
+  (SELECT count(*) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems,
+  (SELECT count(*) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey)) AS childless_orders,
+  (SELECT count(*) FROM lineitem)                        AS n_lineitems,
+  (SELECT count(*) FROM orders)                          AS n_orders
+""")
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across a fact/parent pair — the
+    foreign-key check a warehouse runs after every load (Deequ
+    hasReferentialIntegrity analogue). Both directions are anti-joins
+    shipping ONLY the key column, so the shuffle is key-width
+    regardless of table width; counts are map-side-partial."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    orphans = (li.select("l_orderkey")
+               .join(o.select("o_orderkey"),
+                     F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+               .count())
+    childless = (o.select("o_orderkey")
+                 .join(li.select("l_orderkey").distinct(),
+                       F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
+                 .count())
+    return spark.createDataFrame(
+        [(orphans, childless, li.count(), o.count())],
+        "orphan_lineitems long, childless_orders long, "
+        "n_lineitems long, n_orders long")
+
+
+@query("snapshot_diff_users", """
+WITH s1 AS (
+  SELECT user_id, round(sum(value), 2) AS total
+  FROM events WHERE ts < TIMESTAMP '2024-01-15' GROUP BY user_id
+), s2 AS (
+  SELECT user_id, round(sum(value), 2) AS total
+  FROM events WHERE ts >= TIMESTAMP '2024-01-15' GROUP BY user_id
+)
+SELECT CASE WHEN s1.user_id IS NULL THEN 'added'
+            WHEN s2.user_id IS NULL THEN 'removed'
+            WHEN s1.total <> s2.total THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       count(*) AS n_users
+FROM s1 FULL OUTER JOIN s2 ON s1.user_id = s2.user_id
+GROUP BY 1
+""")
+def snapshot_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (CDC table compare): classify every key as
+    added/removed/changed/unchanged between two aggregate snapshots via
+    one full-outer join on the key — the reconciliation pass data
+    platforms run between warehouse generations. Snapshot grain is
+    user-sized, so the join input is already reduced; at 100 TB you'd
+    compare row-hashes instead of values, same plan."""
+    ev = _t(spark, sf_dir, "events")
+    cutoff = "2024-01-15"
+    s1 = (ev.where(F.col("ts") < cutoff).groupBy("user_id")
+          .agg(F.round(F.sum("value"), 2).alias("t1")))
+    s2 = (ev.where(F.col("ts") >= cutoff).groupBy("user_id")
+          .agg(F.round(F.sum("value"), 2).alias("t2")))
+    j = s1.withColumnRenamed("user_id", "u1").join(
+        s2.withColumnRenamed("user_id", "u2"),
+        F.col("u1") == F.col("u2"), "full_outer")
+    change = (F.when(F.col("u1").isNull(), "added")
+              .when(F.col("u2").isNull(), "removed")
+              .when(F.col("t1") != F.col("t2"), "changed")
+              .otherwise("unchanged"))
+    return (j.select(change.alias("change_type"))
+            .groupBy("change_type")
+            .agg(F.count(F.lit(1)).alias("n_users")))
