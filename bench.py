@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "embedding_norm_stats",
     "referential_integrity_audit",
     "snapshot_diff_users",
+    "time_decay_engagement",
 ]
 
 

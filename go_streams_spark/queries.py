@@ -4091,3 +4091,27 @@ def snapshot_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.select(change.alias("change_type"))
             .groupBy("change_type")
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+@query("time_decay_engagement", """
+SELECT user_id,
+       round(sum(value * exp(-0.1 * date_diff('day', ts::DATE,
+                                              DATE '2024-02-01'))), 2)
+           AS decayed_score,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+""")
+def time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement score (recsys/ranking feature):
+    recent events weigh more, half-life ~= 7 days at lambda=0.1. The
+    decay factor is a per-row projection (integer day age keeps the
+    exp() argument engine-exact), the score a map-side-partial sum —
+    one shuffle at user grain for any event volume."""
+    ev = _t(spark, sf_dir, "events")
+    age_days = F.datediff(F.lit("2024-02-01").cast("date"),
+                          F.col("ts").cast("date"))
+    return (ev.groupBy("user_id")
+            .agg(F.round(F.sum(F.col("value") * F.exp(-0.1 * age_days)), 2)
+                 .alias("decayed_score"),
+                 F.count(F.lit(1)).alias("n_events")))
