@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "referential_integrity_audit",
     "snapshot_diff_users",
     "time_decay_engagement",
+    "rolling_correlation_series",
 ]
 
 

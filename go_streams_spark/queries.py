@@ -4115,3 +4115,40 @@ def time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum(F.col("value") * F.exp(-0.1 * age_days)), 2)
                  .alias("decayed_score"),
                  F.count(F.lit(1)).alias("n_events")))
+
+
+@query("rolling_correlation_series", """
+WITH grid AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS hour,
+         sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END)    AS clicks,
+         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS purchases
+  FROM events
+  GROUP BY 1
+)
+SELECT hour,
+       round(corr(clicks, purchases) OVER (ORDER BY hour
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 3) AS corr_24h,
+       count(*) OVER (ORDER BY hour
+             ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)     AS n_hours
+FROM grid
+""")
+def rolling_correlation_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling cross-series correlation: click-value vs purchase-value
+    per hour, correlated over a trailing 24-hour frame — the co-move
+    diagnostic time-series monitoring runs. The event-volume work is
+    ONE conditional-sum aggregation to the hourly grid; the window
+    correlation then runs on grid-sized data (hours, volume-
+    independent), so the global order costs a sort of ~10^4 rows even
+    at 100 TB of events."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    grid = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+            .agg(F.sum(F.when(F.col("event_type") == "click",
+                              F.col("value")).otherwise(0.0)).alias("clicks"),
+                 F.sum(F.when(F.col("event_type") == "purchase",
+                              F.col("value")).otherwise(0.0)).alias("purchases")))
+    w = Window.orderBy("hour").rowsBetween(-23, 0)
+    return grid.select(
+        "hour",
+        F.round(F.corr("clicks", "purchases").over(w), 3).alias("corr_24h"),
+        F.count(F.lit(1)).over(w).alias("n_hours"))
