@@ -4152,3 +4152,32 @@ def rolling_correlation_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         F.round(F.corr("clicks", "purchases").over(w), 3).alias("corr_24h"),
         F.count(F.lit(1)).over(w).alias("n_hours"))
+
+
+@query("stream_parity_keyed_tumbling", """
+SELECT user_id,
+       time_bucket(INTERVAL '6 hours', ts) AS window_start,
+       count(*)             AS cnt,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
+def stream_parity_keyed_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed ∘ TumblingWindow under Structured Streaming (the
+    reference's Keyed-wrapping-window composition, flow/keyed.go:53 +
+    flow/tumbling_window.go:30, executed as a stream): groupBy(key,
+    window) is ONE shuffle keyed by (user, window) with map-side
+    partials; complete-mode memory sink + availableNow gives the
+    flush-on-close batch answer, hash-matched against SQL."""
+    import uuid as _uuid
+    from .streaming import memory_sink
+    src = _events_stream(spark, sf_dir)
+    windowed = Source(src).via(tumbling_window(
+        "ts", "6 hours",
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        keys=["user_id"])).to_df()
+    name = "parity_kt_" + _uuid.uuid4().hex[:10]
+    Source(windowed).to(memory_sink(name, output_mode="complete"))
+    return spark.table(name).select("user_id", "window_start",
+                                    "cnt", "sum_value")

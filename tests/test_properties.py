@@ -185,3 +185,30 @@ def test_sliding_window_assignment_matches_reference_model(spark, ts, size, slid
     k_max = math.floor(ts / slide)
     expect = [k * slide for k in range(k_min, k_max + 1)]
     assert got == expect
+
+
+@given(
+    ts_list=st.lists(st.integers(0, 500), min_size=1, max_size=25),
+    gap=st.integers(min_value=5, max_value=60),
+)
+@settings(**SETTINGS)
+def test_session_window_matches_islands_model(spark, ts_list, gap):
+    """Built-in session_window == the gaps-and-islands model: sort the
+    timestamps, cut where the gap to the predecessor >= `gap` seconds
+    (window end is exclusive), count the islands and their sizes."""
+    from go_streams_spark.operators import session_window
+    df = spark.createDataFrame([(t,) for t in ts_list], "t long") \
+        .select(F.col("t").cast("timestamp").alias("t"))
+    out = Source(df).via(session_window(
+        "t", f"{gap} seconds", F.count(F.lit(1)).alias("cnt"))).to_df()
+    got = sorted(r["cnt"] for r in out.collect())
+    xs = sorted(ts_list)
+    sizes, cur = [], 1
+    for prev, nxt in zip(xs, xs[1:]):
+        if nxt - prev >= gap:
+            sizes.append(cur)
+            cur = 1
+        else:
+            cur += 1
+    sizes.append(cur)
+    assert got == sorted(sizes)
