@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "snapshot_diff_users",
     "time_decay_engagement",
     "rolling_correlation_series",
+    "hourly_peak_detection",
+    "topn_sum_via_arrayagg",
 ]
 
 

@@ -4181,3 +4181,65 @@ def stream_parity_keyed_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Source(windowed).to(memory_sink(name, output_mode="complete"))
     return spark.table(name).select("user_id", "window_start",
                                     "cnt", "sum_value")
+
+
+@query("hourly_peak_detection", """
+WITH grid AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS hour,
+         round(sum(value), 2) AS v
+  FROM events GROUP BY 1
+), flagged AS (
+  SELECT hour, v,
+         lag(v)  OVER (ORDER BY hour) AS pv,
+         lead(v) OVER (ORDER BY hour) AS nv
+  FROM grid
+)
+SELECT hour, v
+FROM flagged
+WHERE pv IS NOT NULL AND nv IS NOT NULL AND v > pv AND v > nv
+""")
+def hourly_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maxima peak detection on the hourly value series (alert/
+    seasonality diagnostics): a point is a peak when it beats both
+    neighbors. Event volume reduces to the grid first; lag/lead then
+    run on grid-sized data, so the total order costs a sort of
+    hours-count rows regardless of input scale."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    grid = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+            .agg(F.round(F.sum("value"), 2).alias("v")))
+    w = Window.orderBy("hour")
+    flagged = grid.select(
+        "hour", "v",
+        F.lag("v").over(w).alias("pv"),
+        F.lead("v").over(w).alias("nv"))
+    return (flagged.where(F.col("pv").isNotNull() & F.col("nv").isNotNull()
+                          & (F.col("v") > F.col("pv"))
+                          & (F.col("v") > F.col("nv")))
+            .select("hour", "v"))
+
+
+@query("topn_sum_via_arrayagg", """
+SELECT user_id,
+       round(coalesce(list_sum(list_sort(list(value))[-3:]), 0), 2)
+           AS top3_sum,
+       count(*) AS n
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY user_id
+""")
+def topn_sum_via_arrayagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key top-N WITHOUT a rank window: collect + sort + slice
+    inside ONE hash aggregation. Versus the row_number() plan this
+    removes the per-key sort pass entirely — the array never exceeds
+    the per-key event count, partials combine map-side, and for
+    bounded N a 100 TB variant caps the array at N during aggregation
+    (slice in the merge). The classic agg-vs-window trade, stated as a
+    query so the oracle pins both plans to identical answers."""
+    ev = _t(spark, sf_dir, "events").where("event_type = 'purchase'")
+    top3 = F.slice(F.sort_array(F.collect_list("value"), asc=False), 1, 3)
+    return (ev.groupBy("user_id")
+            .agg(F.round(F.coalesce(
+                    F.aggregate(top3, F.lit(0.0), lambda a, x: a + x),
+                    F.lit(0.0)), 2).alias("top3_sum"),
+                 F.count(F.lit(1)).alias("n")))
