@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "rolling_correlation_series",
     "hourly_peak_detection",
     "topn_sum_via_arrayagg",
+    "out_of_order_audit",
+    "readability_flesch",
 ]
 
 

@@ -4243,3 +4243,78 @@ def topn_sum_via_arrayagg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.aggregate(top3, F.lit(0.0), lambda a, x: a + x),
                     F.lit(0.0)), 2).alias("top3_sum"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@query("out_of_order_audit", """
+SELECT count(*) FILTER (WHERE mx IS NOT NULL AND ts < mx) AS out_of_order,
+       count(*)                                           AS n_events,
+       round(count(*) FILTER (WHERE mx IS NOT NULL AND ts < mx)
+             * 1.0 / count(*), 4)                         AS ooo_rate
+FROM (
+  SELECT ts,
+         max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+  FROM events
+)
+""")
+def out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival audit: fraction of events whose event time
+    regresses below the per-user running high-water mark in arrival
+    (event_id) order — the diagnostic that sizes streaming watermarks
+    (`withWatermark` delay should cover the observed disorder). One
+    hash shuffle on user_id; the running max is a frame walk."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    flagged = ev.select("ts", F.max("ts").over(w).alias("mx"))
+    ooo = F.count(F.when(F.col("mx").isNotNull()
+                         & (F.col("ts") < F.col("mx")), 1))
+    return flagged.agg(
+        ooo.alias("out_of_order"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(ooo / F.count(F.lit(1)), 4).alias("ooo_rate"))
+
+
+@query("readability_flesch", """
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(206.835 - 1.015 * words - 84.6 * (syll * 1.0 / words)), 2)
+           AS avg_flesch
+FROM (
+  SELECT lang,
+         len(toks) AS words,
+         list_sum(list_transform(toks,
+             t -> greatest(len(regexp_extract_all(t, '[aeiouy]+')), 1)))
+             AS syll
+  FROM (
+    SELECT lang, list_filter(string_split(lower(text), ' '),
+                             x -> x <> '') AS toks
+    FROM documents
+  )
+  WHERE len(toks) > 0
+)
+GROUP BY lang
+""")
+def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability per language (single-'sentence'
+    variant: words-per-doc + vowel-group syllable estimate) — the
+    fluency gate complementing quality_score. All array/regex work is
+    JVM-side higher-order functions on the token array (no explode:
+    one row stays one row), then a language-grain aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    base = d.select("lang", toks.alias("toks")).where(F.size("toks") > 0)
+    # regexp_extract_all over the lambda variable needs the SQL expr
+    # form (the Python Column lambda can't reference it)
+    per_doc = base.select(
+        "lang",
+        F.size("toks").alias("words"),
+        F.expr("aggregate(transform(toks, t -> "
+               "greatest(size(regexp_extract_all(t, '[aeiouy]+', 0)), 1)), "
+               "0, (a, x) -> a + x)").alias("syll"))
+    flesch = (F.lit(206.835) - 1.015 * F.col("words")
+              - 84.6 * (F.col("syll") / F.col("words")))
+    return (per_doc.groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.avg(flesch), 2).alias("avg_flesch")))
