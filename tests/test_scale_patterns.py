@@ -264,3 +264,13 @@ def test_dynamic_partition_pruning_join(spark, sf_dir, tmpdir):
     assert "dynamicpruning" in plan.lower()
     rows = joined.collect()
     assert len(rows) == 1 and rows[0]["cnt"] > 0
+
+
+def test_groupby_plans_mapside_partial_aggregation(spark):
+    """Every groupBy must plan two-level aggregation: partial_* before
+    the exchange (map-side combine) and final after — what keeps
+    shuffled bytes at group grain instead of row grain at 100 TB."""
+    from go_streams_spark.queries import QUERIES
+    df = QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan or "partial_count" in plan
