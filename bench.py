@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "topn_sum_via_arrayagg",
     "out_of_order_audit",
     "readability_flesch",
+    "trend_slope_by_type",
 ]
 
 

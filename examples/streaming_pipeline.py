@@ -35,6 +35,21 @@ def main():
      .to(memory_sink("windows", output_mode="complete")))
     spark.table("windows").orderBy("window_start").show(truncate=False)
 
+    # custom connector sink (Python Data Source API writer): the
+    # XADD/publish skeleton — per-task staging, idempotent per-batch
+    # commit (sources/custom.py::ReplayStreamWriter)
+    from go_streams_spark.sources.custom import register_replay_source
+    fmt = register_replay_source(spark)
+    out = os.path.join(d, "published.jsonl")
+    q = (spark.readStream.format("parquet")
+         .schema("ts timestamp, value double").load(d)
+         .selectExpr("CAST(ts AS STRING) AS ts", "CAST(value AS STRING) AS value")
+         .writeStream.format(fmt).option("path", out)
+         .option("checkpointLocation", os.path.join(d, "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    print("published lines:", sum(1 for _ in open(out)))
+
 
 if __name__ == "__main__":
     main()

@@ -4318,3 +4318,36 @@ def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (per_doc.groupBy("lang")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.round(F.avg(flesch), 2).alias("avg_flesch")))
+
+
+@query("trend_slope_by_type", """
+SELECT event_type,
+       round(regr_slope(daily, d), 4)     AS slope,
+       round(regr_intercept(daily, d), 2) AS intercept,
+       count(*)                           AS n_days
+FROM (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', ts::DATE) AS d,
+         round(sum(value), 2) AS daily
+  FROM events
+  GROUP BY 1, 2
+)
+GROUP BY event_type
+""")
+def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-SQL trend estimation: least-squares slope/intercept of daily
+    volume per event type (regr_slope/regr_intercept — algebraic
+    moments, map-side partials). Two grain reductions: events -> days
+    (volume work) -> types; nothing beyond group-grain rows ever
+    shuffles. The SQL-native alternative to exporting to a stats
+    library for monitoring-style regressions."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"),
+                   F.lit("2024-01-01").cast("date")).alias("d"))
+        .agg(F.round(F.sum("value"), 2).alias("daily")))
+    return (daily.groupBy("event_type")
+            .agg(F.round(F.regr_slope("daily", "d"), 4).alias("slope"),
+                 F.round(F.regr_intercept("daily", "d"), 2).alias("intercept"),
+                 F.count(F.lit(1)).alias("n_days")))

@@ -274,3 +274,17 @@ def test_groupby_plans_mapside_partial_aggregation(spark):
     df = QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark):
+    """AQE must collapse the static 32-partition shuffle of a tiny
+    aggregate into few post-shuffle partitions (AQEShuffleRead
+    coalesced) — the runtime right-sizing every stage relies on when
+    static shuffle.partitions is wrong for a 100 TB stage."""
+    df = (spark.range(10_000)
+          .groupBy((F.col("id") % 5).alias("k"))
+          .agg(F.count(F.lit(1)).alias("c")))
+    df.collect()  # finalize THIS plan instance (AQE re-plans at runtime)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    assert "AQEShuffleRead coalesced" in plan
