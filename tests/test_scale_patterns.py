@@ -288,3 +288,44 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "AQEShuffleRead coalesced" in plan
+
+
+def test_approx_percentile_within_bound(spark, sf_dir):
+    """Evidence for every 'swap percentile -> approx_percentile at
+    100 TB' note: the sketch at accuracy 1000 lands within 1% relative
+    error of the exact quantile on real data."""
+    from go_streams_spark.queries import _t
+    li = _t(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.01
+
+
+def test_range_sorted_write_partitions_keyspace(spark, sf_dir, tmpdir):
+    """Storage layout for data skipping: repartitionByRange +
+    sortWithinPartitions yields files whose min/max key ranges do NOT
+    overlap — the property that lets a filtered scan skip whole files/
+    row-groups via parquet statistics at 100 TB."""
+    import pyarrow.parquet as pq
+    from go_streams_spark.queries import _t
+    out = os.path.join(tmpdir, "li_sorted")
+    li = _t(spark, sf_dir, "lineitem").select("l_shipdate", "l_extendedprice")
+    (li.repartitionByRange(4, "l_shipdate")
+     .sortWithinPartitions("l_shipdate")
+     .write.mode("overwrite").parquet(out))
+    ranges = []
+    for fn in os.listdir(out):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(out, fn)).metadata
+        stats = md.row_group(0).column(0).statistics
+        lo = stats.min
+        hi = pq.ParquetFile(os.path.join(out, fn)).metadata.row_group(
+            md.num_row_groups - 1).column(0).statistics.max
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint key ranges across files
