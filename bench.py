@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "out_of_order_audit",
     "readability_flesch",
     "trend_slope_by_type",
+    "revenue_gini_concentration",
 ]
 
 

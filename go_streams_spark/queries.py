@@ -4351,3 +4351,43 @@ def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.regr_slope("daily", "d"), 4).alias("slope"),
                  F.round(F.regr_intercept("daily", "d"), 2).alias("intercept"),
                  F.count(F.lit(1)).alias("n_days")))
+
+
+@query("revenue_gini_concentration", """
+WITH per_cust AS (
+  SELECT o_custkey, sum(o_totalprice) AS rev
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT rev, row_number() OVER (ORDER BY rev, o_custkey) AS i,
+         count(*) OVER () AS n, sum(rev) OVER () AS total
+  FROM per_cust
+)
+SELECT round(2.0 * sum(i * rev) / (max(n) * max(total))
+             - (max(n) + 1.0) / max(n), 4) AS gini,
+       max(n)                              AS n_customers,
+       round(max(total), 2)                AS total_revenue
+FROM ranked
+""")
+def revenue_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration — the
+    inequality metric cohort/market analyses report. The fact table
+    reduces to customer grain first; the rank-weighted formula then
+    sorts only |customers| rows (range-partitioned at scale), and the
+    closed form needs no pairwise differences. (o_custkey breaks rev
+    ties so ranks are engine-identical.)"""
+    from pyspark.sql import Window
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    wi = Window.orderBy("rev", "o_custkey")
+    wall = Window.partitionBy()
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(wi).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("rev").over(wall).alias("total"))
+    return ranked.agg(
+        F.round(2.0 * F.sum(F.col("i") * F.col("rev"))
+                / (F.max("n") * F.max("total"))
+                - (F.max("n") + 1.0) / F.max("n"), 4).alias("gini"),
+        F.max("n").alias("n_customers"),
+        F.round(F.max("total"), 2).alias("total_revenue"))
