@@ -4391,3 +4391,26 @@ def revenue_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - (F.max("n") + 1.0) / F.max("n"), 4).alias("gini"),
         F.max("n").alias("n_customers"),
         F.round(F.max("total"), 2).alias("total_revenue"))
+
+
+@query("stream_dedup_event_pairs", """
+SELECT event_type, count(*) AS n_distinct_users
+FROM (SELECT DISTINCT user_id, event_type FROM events)
+GROUP BY event_type
+""")
+def stream_dedup_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication (the cross-batch digest-dedup stage of
+    an ingest pipeline): dropDuplicates on (user_id, event_type) runs
+    under Structured Streaming with keyed state, lands in a memory
+    sink, and the distinct-pair counts hash-match the batch DISTINCT
+    oracle. (The bounded-state variant is
+    dropDuplicatesWithinWatermark — pinned in
+    test_streaming.py::test_streaming_dedup_within_watermark.)"""
+    import uuid as _uuid
+    from .streaming import memory_sink
+    src = _events_stream(spark, sf_dir).select("user_id", "event_type")
+    deduped = src.dropDuplicates(["user_id", "event_type"])
+    name = "dedup_st_" + _uuid.uuid4().hex[:10]
+    Source(deduped).to(memory_sink(name, output_mode="append"))
+    return (spark.table(name).groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_distinct_users")))
