@@ -194,8 +194,9 @@ def test_sliding_window_assignment_matches_reference_model(spark, ts, size, slid
 @settings(**SETTINGS)
 def test_session_window_matches_islands_model(spark, ts_list, gap):
     """Built-in session_window == the gaps-and-islands model: sort the
-    timestamps, cut where the gap to the predecessor >= `gap` seconds
-    (window end is exclusive), count the islands and their sizes."""
+    timestamps, cut where the gap to the predecessor EXCEEDS `gap`
+    seconds (a successor at exactly prev + gap still merges — same
+    boundary the `>` in the session_window_events oracle encodes)."""
     from go_streams_spark.operators import session_window
     df = spark.createDataFrame([(t,) for t in ts_list], "t long") \
         .select(F.col("t").cast("timestamp").alias("t"))
@@ -205,7 +206,7 @@ def test_session_window_matches_islands_model(spark, ts_list, gap):
     xs = sorted(ts_list)
     sizes, cur = [], 1
     for prev, nxt in zip(xs, xs[1:]):
-        if nxt - prev >= gap:
+        if nxt - prev > gap:
             sizes.append(cur)
             cur = 1
         else:
