@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "readability_flesch",
     "trend_slope_by_type",
     "revenue_gini_concentration",
+    "cross_source_vocab_overlap",
+    "interarrival_latency_profile",
 ]
 
 

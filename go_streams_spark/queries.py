@@ -4414,3 +4414,91 @@ def stream_dedup_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Source(deduped).to(memory_sink(name, output_mode="append"))
     return (spark.table(name).groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_distinct_users")))
+
+
+@query("cross_source_vocab_overlap", """
+WITH st AS (
+  SELECT DISTINCT source, unnest(list_filter(string_split(lower(text), ' '),
+                                 x -> x <> '')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT source, count(*) AS c FROM st GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS i
+  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b,
+       round(i.i * 1.0 / (ca.c + cb.c - i.i), 4) AS vocab_jaccard
+FROM inter i
+JOIN cnt ca ON ca.source = i.source_a
+JOIN cnt cb ON cb.source = i.source_b
+""")
+def cross_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus-similarity matrix: Jaccard overlap of the
+    distinct token vocabularies of every source pair — the
+    provenance/mixture diagnostic run before weighting sources in a
+    training mix (high overlap => redundant sources). All joins run at
+    vocabulary grain (distinct (source, token)), never document grain;
+    the per-source vocab sizes broadcast back onto the tiny pair
+    matrix."""
+    d = _t(spark, sf_dir, "documents")
+    st = d.select(
+        "source",
+        F.explode(F.array_distinct(
+            F.filter(F.split(F.lower("text"), " "),
+                     lambda x: x != ""))).alias("tok")).distinct()
+    cnt = st.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    a = st.select("tok", F.col("source").alias("source_a"))
+    b = st.select(F.col("tok").alias("tb"), F.col("source").alias("source_b"))
+    inter = (a.join(b, (F.col("tok") == F.col("tb"))
+                    & (F.col("source_a") < F.col("source_b")))
+             .groupBy("source_a", "source_b")
+             .agg(F.count(F.lit(1)).alias("i")))
+    ca = cnt.select(F.col("source").alias("source_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("source").alias("source_b"), F.col("c").alias("cb"))
+    return (inter.join(F.broadcast(ca), "source_a")
+            .join(F.broadcast(cb), "source_b")
+            .select("source_a", "source_b",
+                    F.round(F.col("i") / (F.col("ca") + F.col("cb")
+                                          - F.col("i")), 4)
+                    .alias("vocab_jaccard")))
+
+
+@query("interarrival_latency_profile", """
+WITH g AS (
+  SELECT event_type,
+         epoch(ts) - epoch(lag(ts) OVER (PARTITION BY event_type
+                                         ORDER BY ts, event_id)) AS gap_s
+  FROM events
+)
+SELECT event_type,
+       count(*)                            AS n_gaps,
+       round(avg(gap_s), 2)                AS mean_gap_s,
+       round(quantile_cont(gap_s, 0.5), 2) AS p50_gap_s,
+       round(quantile_cont(gap_s, 0.95), 2) AS p95_gap_s
+FROM g
+WHERE gap_s IS NOT NULL
+GROUP BY event_type
+""")
+def interarrival_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival latency profile per event type (p50/p95 gap
+    seconds) — the ingestion-health metric that sizes micro-batch
+    triggers and detects upstream stalls. One shuffle on event_type
+    for the lag pass; exact percentiles run per-type on gap scalars
+    ((ts, event_id) ordering keeps gaps engine-identical)."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    # microsecond-exact epoch (cast-to-long would truncate sub-second
+    # precision and drift from DuckDB's epoch())
+    epoch = F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000.0
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (epoch - F.lag(epoch).over(w)).alias("gap_s")).where(
+        F.col("gap_s").isNotNull())
+    return (g.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_gaps"),
+                 F.round(F.avg("gap_s"), 2).alias("mean_gap_s"),
+                 F.round(F.expr("percentile(gap_s, 0.5)"), 2).alias("p50_gap_s"),
+                 F.round(F.expr("percentile(gap_s, 0.95)"), 2).alias("p95_gap_s")))
