@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "revenue_gini_concentration",
     "cross_source_vocab_overlap",
     "interarrival_latency_profile",
+    "char_entropy_by_source",
 ]
 
 

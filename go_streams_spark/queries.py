@@ -4502,3 +4502,32 @@ def interarrival_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("gap_s"), 2).alias("mean_gap_s"),
                  F.round(F.expr("percentile(gap_s, 0.5)"), 2).alias("p50_gap_s"),
                  F.round(F.expr("percentile(gap_s, 0.95)"), 2).alias("p95_gap_s")))
+
+
+@query("char_entropy_by_source", """
+SELECT source,
+       round(entropy(ch), 4) AS char_entropy,
+       count(*)              AS n_chars
+FROM (
+  SELECT source, unnest(string_split(text, '')) AS ch
+  FROM documents
+)
+GROUP BY source
+""")
+def char_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per source — the information-
+    theoretic quality proxy (gibberish and boilerplate both shift
+    entropy away from natural-language range; compression-ratio
+    filters approximate the same signal). Spark computes it from the
+    (source, char) count table: two hash aggs whose output is bounded
+    by alphabet x sources, never text volume; the -sum(p log2 p) fold
+    runs on that tiny table."""
+    d = _t(spark, sf_dir, "documents")
+    chars = d.select("source", F.explode(F.split("text", "")).alias("ch"))
+    cnt = chars.groupBy("source", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("source").agg(F.sum("c").alias("t"))
+    p = F.col("c") / F.col("t")
+    return (cnt.join(F.broadcast(tot), "source")
+            .groupBy("source")
+            .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("char_entropy"),
+                 F.sum("c").alias("n_chars")))
