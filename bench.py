@@ -116,6 +116,8 @@ BENCH_QUERIES = [
     "cross_source_vocab_overlap",
     "interarrival_latency_profile",
     "char_entropy_by_source",
+    "weighted_median_price",
+    "longest_activity_streak",
 ]
 
 

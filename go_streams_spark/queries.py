@@ -4531,3 +4531,74 @@ def char_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("source")
             .agg(F.round(-F.sum(p * F.log2(p)), 4).alias("char_entropy"),
                  F.sum("c").alias("n_chars")))
+
+
+@query("weighted_median_price", """
+WITH o AS (
+  SELECT l_returnflag, l_extendedprice AS v, l_quantity AS w,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(min(v), 2)  AS weighted_median,
+       round(max(tw), 1) AS total_weight
+FROM o
+WHERE cw >= 0.5 * tw
+GROUP BY l_returnflag
+""")
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per flag — the weighted order
+    statistic plain quantile_cont can't express (each row counts with
+    its weight). One hash shuffle on the flag; the cumulative-weight
+    walk is a per-group frame, and the first row crossing half the
+    total weight is the answer ((orderkey, linenumber) pins ties)."""
+    from pyspark.sql import Window
+    li = _t(spark, sf_dir, "lineitem")
+    wo = (Window.partitionBy("l_returnflag")
+          .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wt = Window.partitionBy("l_returnflag")
+    o = li.select(
+        "l_returnflag", F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(wo).alias("cw"),
+        F.sum("l_quantity").over(wt).alias("tw"))
+    return (o.where(F.col("cw") >= 0.5 * F.col("tw"))
+            .groupBy("l_returnflag")
+            .agg(F.round(F.min("v"), 2).alias("weighted_median"),
+                 F.round(F.max("tw"), 1).alias("total_weight")))
+
+
+@query("longest_activity_streak", """
+WITH days AS (
+  SELECT DISTINCT user_id, ts::DATE AS d FROM events
+), grp AS (
+  SELECT user_id, d,
+         d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                  AS INTEGER) AS anchor
+  FROM days
+), streaks AS (
+  SELECT user_id, count(*) AS len FROM grp GROUP BY user_id, anchor
+)
+SELECT user_id, max(len) AS longest_streak_days
+FROM streaks
+GROUP BY user_id
+""")
+def longest_activity_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (retention/
+    habit analytics): the date-minus-row_number trick — consecutive
+    days share an anchor, so streaks become plain groups. Everything
+    after the DISTINCT day reduction runs at (user, day) grain; one
+    hash shuffle on user_id serves the numbering and both aggregates."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn(
+        "anchor", F.date_sub("d", F.row_number().over(w)))
+    streaks = (grp.groupBy("user_id", "anchor")
+               .agg(F.count(F.lit(1)).alias("len")))
+    return (streaks.groupBy("user_id")
+            .agg(F.max("len").alias("longest_streak_days")))
