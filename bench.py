@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "char_entropy_by_source",
     "weighted_median_price",
     "longest_activity_streak",
+    "pagination_orders_page3",
+    "log_domain_means_by_lang",
 ]
 
 

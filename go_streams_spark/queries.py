@@ -4602,3 +4602,49 @@ def longest_activity_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.count(F.lit(1)).alias("len")))
     return (streaks.groupBy("user_id")
             .agg(F.max("len").alias("longest_streak_days")))
+
+
+@query("pagination_orders_page3", """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 40
+""")
+def pagination_orders_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset-stable pagination (page 3 of a price-ranked listing):
+    ORDER BY + LIMIT/OFFSET. Catalyst still plans a top-(offset+limit)
+    per partition + driver merge of 60 rows — no full sort
+    materializes; at deep offsets you'd switch to keyset pagination
+    (WHERE (price, key) < last-seen), same ordering contract. The
+    o_orderkey tie-break makes pages engine-deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.select("o_orderkey", "o_custkey",
+                     F.round("o_totalprice", 2).alias("o_totalprice"))
+            .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+            .offset(40).limit(20))
+
+
+@query("log_domain_means_by_lang", """
+SELECT lang,
+       round(exp(avg(ln(n_chars))), 2)        AS geomean_chars,
+       round(count(*) / sum(1.0 / n_chars), 2) AS harmonic_chars,
+       round(avg(n_chars), 2)                  AS arith_chars
+FROM documents
+WHERE n_chars > 0
+GROUP BY lang
+""")
+def log_domain_means_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-domain aggregates: geometric mean (exp∘avg∘ln — the
+    perplexity aggregation pattern: averaging log-losses then
+    exponentiating IS a geometric mean) and harmonic mean alongside
+    the arithmetic one. All algebraic with map-side partials; the
+    log/reciprocal transforms are row projections, so the shuffle
+    carries only per-group moments."""
+    d = _t(spark, sf_dir, "documents").where("n_chars > 0")
+    return (d.groupBy("lang")
+            .agg(F.round(F.exp(F.avg(F.log("n_chars"))), 2)
+                 .alias("geomean_chars"),
+                 F.round(F.count(F.lit(1))
+                         / F.sum(1.0 / F.col("n_chars")), 2)
+                 .alias("harmonic_chars"),
+                 F.round(F.avg("n_chars"), 2).alias("arith_chars")))
