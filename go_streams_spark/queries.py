@@ -4648,3 +4648,33 @@ def log_domain_means_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.sum(1.0 / F.col("n_chars")), 2)
                  .alias("harmonic_chars"),
                  F.round(F.avg("n_chars"), 2).alias("arith_chars")))
+
+
+@query("null_semantics_groupby", """
+WITH t AS (
+  SELECT CASE WHEN value < 5 THEN NULL ELSE event_type END AS k, value
+  FROM events
+)
+SELECT coalesce(k, '<null>') AS k,
+       count(*)              AS n_rows,
+       count(k)              AS n_nonnull_keys,
+       round(sum(value), 2)  AS sum_value
+FROM t
+GROUP BY k
+""")
+def null_semantics_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics parity pin: NULL keys form ONE group under
+    GROUP BY (SQL three-valued logic would never equate them in a
+    join), count(*) counts rows while count(col) skips NULLs, and the
+    coalesce label makes the group printable. Engines disagree on
+    null sorting/equality more than anything else — this pins the
+    grouping contract against the oracle."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.when(F.col("value") < 5, None).otherwise(F.col("event_type"))
+    t = ev.select(k.alias("k"), "value")
+    return (t.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.count("k").alias("n_nonnull_keys"),
+                 F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(F.coalesce("k", F.lit("<null>")).alias("k"),
+                    "n_rows", "n_nonnull_keys", "sum_value"))
