@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "longest_activity_streak",
     "pagination_orders_page3",
     "log_domain_means_by_lang",
+    "multi_distinct_aggregates",
+    "ordered_string_agg_users",
 ]
 
 

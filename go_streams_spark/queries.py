@@ -4678,3 +4678,46 @@ def null_semantics_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 2).alias("sum_value"))
             .select(F.coalesce("k", F.lit("<null>")).alias("k"),
                     "n_rows", "n_nonnull_keys", "sum_value"))
+
+
+@query("multi_distinct_aggregates", """
+SELECT event_type,
+       count(DISTINCT user_id)  AS users,
+       count(DISTINCT ts::DATE) AS active_days,
+       count(*)                 AS n_events,
+       round(sum(value), 2)     AS sum_value
+FROM events
+GROUP BY event_type
+""")
+def multi_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several COUNT(DISTINCT ...) over different columns in ONE
+    aggregation — the planner stressor Catalyst handles with a single
+    Expand (one row per distinct-column group) + two-level agg, not one
+    scan per distinct. The non-distinct sums ride the same pass."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("users"),
+                 F.countDistinct(F.col("ts").cast("date")).alias("active_days"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+@query("ordered_string_agg_users", """
+SELECT user_id,
+       string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS event_types,
+       count(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY user_id
+""")
+def ordered_string_agg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): the denormalized label
+    list feature stores export. Spark's idiom is collect_set ->
+    sort_array -> concat_ws — explicit sort makes the concatenation
+    deterministic across partitionings (bare collect order is not),
+    which is exactly what the ORDER BY in the oracle's string_agg
+    pins."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id")
+            .agg(F.concat_ws(",", F.sort_array(F.collect_set("event_type")))
+                 .alias("event_types"),
+                 F.countDistinct("event_type").alias("n_types")))
