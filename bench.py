@@ -122,6 +122,8 @@ BENCH_QUERIES = [
     "log_domain_means_by_lang",
     "multi_distinct_aggregates",
     "ordered_string_agg_users",
+    "event_pair_lift",
+    "mom_revenue_growth",
 ]
 
 

@@ -4721,3 +4721,76 @@ def ordered_string_agg_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.concat_ws(",", F.sort_array(F.collect_set("event_type")))
                  .alias("event_types"),
                  F.countDistinct("event_type").alias("n_types")))
+
+
+@query("event_pair_lift", """
+WITH ue AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), tot AS (
+  SELECT count(DISTINCT user_id) AS n FROM events
+), s AS (
+  SELECT event_type, count(*) AS c FROM ue GROUP BY event_type
+), pair AS (
+  SELECT a.event_type AS ea, b.event_type AS eb, count(*) AS cab
+  FROM ue a JOIN ue b ON a.user_id = b.user_id
+                     AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ea, p.eb, p.cab AS co_users,
+       round(p.cab * 1.0 * t.n / (sa.c * sb.c), 4) AS lift
+FROM pair p
+JOIN s sa ON sa.event_type = p.ea
+JOIN s sb ON sb.event_type = p.eb
+CROSS JOIN tot t
+""")
+def event_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule lift between event-type pairs (P(A∩B) /
+    P(A)P(B) over users) — the co-engagement metric recommender
+    pipelines mine. The user×type distinct reduction happens once;
+    the pair join is keyed on user_id (fan-out bounded by types per
+    user), and the tiny per-type supports broadcast onto the pair
+    matrix."""
+    ev = _t(spark, sf_dir, "events")
+    ue = ev.select("user_id", "event_type").distinct()
+    n = ue.select("user_id").distinct().count()
+    s = ue.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    a = ue.select("user_id", F.col("event_type").alias("ea"))
+    b = ue.select(F.col("user_id").alias("ub"),
+                  F.col("event_type").alias("eb"))
+    pair = (a.join(b, (F.col("user_id") == F.col("ub"))
+                   & (F.col("ea") < F.col("eb")))
+            .groupBy("ea", "eb").agg(F.count(F.lit(1)).alias("cab")))
+    sa = s.select(F.col("event_type").alias("ea"), F.col("c").alias("ca"))
+    sb = s.select(F.col("event_type").alias("eb"), F.col("c").alias("cb"))
+    return (pair.join(F.broadcast(sa), "ea").join(F.broadcast(sb), "eb")
+            .select("ea", "eb", F.col("cab").alias("co_users"),
+                    F.round(F.col("cab") * float(n)
+                            / (F.col("ca") * F.col("cb")), 4).alias("lift")))
+
+
+@query("mom_revenue_growth", """
+WITH m AS (
+  SELECT date_trunc('month', o_orderdate) AS mo,
+         round(sum(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1
+)
+SELECT mo, rev,
+       round((rev - lag(rev) OVER (ORDER BY mo))
+             / lag(rev) OVER (ORDER BY mo) * 100, 2) AS pct_change
+FROM m
+""")
+def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month growth rate — the BI staple. Fact volume
+    collapses to month grain first; the lag comparison then runs on a
+    months-count series, so the ordered window is volume-independent
+    (the same reduce-then-window shape as the rolling-correlation
+    query)."""
+    from pyspark.sql import Window
+    o = _t(spark, sf_dir, "orders")
+    m = (o.groupBy(F.date_trunc("month", "o_orderdate").alias("mo"))
+         .agg(F.round(F.sum("o_totalprice"), 2).alias("rev")))
+    w = Window.orderBy("mo")
+    prev = F.lag("rev").over(w)
+    return m.select("mo", "rev",
+                    F.round((F.col("rev") - prev) / prev * 100, 2)
+                    .alias("pct_change"))
