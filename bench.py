@@ -124,6 +124,8 @@ BENCH_QUERIES = [
     "ordered_string_agg_users",
     "event_pair_lift",
     "mom_revenue_growth",
+    "weekly_churn_rate",
+    "new_vs_returning_orders",
 ]
 
 

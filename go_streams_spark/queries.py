@@ -4794,3 +4794,68 @@ def mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("mo", "rev",
                     F.round((F.col("rev") - prev) / prev * 100, 2)
                     .alias("pct_change"))
+
+
+@query("weekly_churn_rate", """
+WITH wu AS (
+  SELECT DISTINCT date_trunc('week', ts) AS wk, user_id FROM events
+)
+SELECT a.wk,
+       count(*)                                        AS active_users,
+       count(*) FILTER (WHERE b.user_id IS NULL)       AS churned_next_week,
+       round(count(*) FILTER (WHERE b.user_id IS NULL)
+             * 1.0 / count(*), 4)                      AS churn_rate
+FROM wu a
+LEFT JOIN wu b ON b.user_id = a.user_id
+              AND b.wk = a.wk + INTERVAL '7 days'
+GROUP BY a.wk
+""")
+def weekly_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week churn: active users this week with NO activity
+    next week. The (week, user) DISTINCT reduction happens once and
+    self-joins on (user, next-week) — both sides share the user_id
+    shuffle; everything downstream is week-grain. The left-anti
+    pattern is expressed as LEFT JOIN + NULL test so the churned and
+    active counts ride one aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    wu = ev.select(F.date_trunc("week", "ts").alias("wk"),
+                   "user_id").distinct()
+    b = wu.select(F.col("user_id").alias("ub"),
+                  F.col("wk").alias("wkb"))
+    j = wu.join(b, (F.col("user_id") == F.col("ub"))
+                & (F.col("wkb") == F.col("wk") + F.expr("INTERVAL 7 DAYS")),
+                "left")
+    churned = F.count(F.when(F.col("ub").isNull(), 1))
+    return (j.groupBy("wk")
+            .agg(F.count(F.lit(1)).alias("active_users"),
+                 churned.alias("churned_next_week"),
+                 F.round(churned / F.count(F.lit(1)), 4).alias("churn_rate")))
+
+
+@query("new_vs_returning_orders", """
+WITH firsts AS (
+  SELECT o_custkey, min(o_orderdate) AS first_dt FROM orders GROUP BY o_custkey
+)
+SELECT date_trunc('month', o.o_orderdate) AS mo,
+       count(*) FILTER (WHERE o.o_orderdate = f.first_dt)  AS first_orders,
+       count(*) FILTER (WHERE o.o_orderdate <> f.first_dt) AS repeat_orders,
+       round(sum(o.o_totalprice) FILTER (WHERE o.o_orderdate <> f.first_dt),
+             2) AS repeat_revenue
+FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+GROUP BY 1
+""")
+def new_vs_returning_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning decomposition per month — the acquisition/
+    retention revenue split. The customer first-order date is a
+    customer-grain aggregate broadcast back onto the fact; the
+    classification is a row predicate, so the monthly rollup stays one
+    fact-sized pass + one shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    j = o.join(F.broadcast(firsts), "o_custkey")
+    is_first = F.col("o_orderdate") == F.col("first_dt")
+    return (j.groupBy(F.date_trunc("month", "o_orderdate").alias("mo"))
+            .agg(F.count(F.when(is_first, 1)).alias("first_orders"),
+                 F.count(F.when(~is_first, 1)).alias("repeat_orders"),
+                 F.round(F.sum(F.when(~is_first, F.col("o_totalprice"))), 2)
+                 .alias("repeat_revenue")))
