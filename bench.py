@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "mom_revenue_growth",
     "weekly_churn_rate",
     "new_vs_returning_orders",
+    "pivot_multi_agg_metrics",
+    "conversion_latency_stats",
 ]
 
 

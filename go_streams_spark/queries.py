@@ -4859,3 +4859,71 @@ def new_vs_returning_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.when(~is_first, 1)).alias("repeat_orders"),
                  F.round(F.sum(F.when(~is_first, F.col("o_totalprice"))), 2)
                  .alias("repeat_revenue")))
+
+
+@query("pivot_multi_agg_metrics", """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')                 AS click_cnt,
+       round(sum(value) FILTER (WHERE event_type = 'click'), 2)     AS click_sum,
+       count(*) FILTER (WHERE event_type = 'purchase')              AS purchase_cnt,
+       round(sum(value) FILTER (WHERE event_type = 'purchase'), 2)  AS purchase_sum
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY user_id
+""")
+def pivot_multi_agg_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate pivot: one pivot pass producing BOTH a count and
+    a sum column per pivoted value (Spark names them <value>_<alias>,
+    which the oracle's FILTER columns mirror). Explicit pivot values
+    skip the distinct pre-scan, and the whole reshape is one hash agg
+    — no per-metric rescans."""
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase"))
+    out = (ev.groupBy("user_id")
+           .pivot("event_type", ["click", "purchase"])
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.round(F.sum("value"), 2).alias("sum")))
+    return out.select(
+        "user_id",
+        F.col("click_cnt"), F.col("click_sum"),
+        F.col("purchase_cnt"), F.col("purchase_sum"))
+
+
+@query("conversion_latency_stats", """
+WITH v AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), p AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT count(*) AS converted_users,
+       round(avg(epoch(p.t) - epoch(v.t)) / 3600, 2)  AS mean_hours,
+       round(quantile_cont(epoch(p.t) - epoch(v.t), 0.5) / 3600, 2)
+           AS p50_hours
+FROM v JOIN p ON p.user_id = v.user_id
+WHERE p.t >= v.t
+""")
+def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion latency: time from a user's first view to first
+    purchase (mean + exact median hours) — the funnel-TIMING readout
+    complementing the step-count funnel. Two first-touch aggregates
+    co-partitioned on user_id join without rescanning the log; the
+    latency math is µs-exact epochs."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.unix_micros(F.col("t").cast("timestamp")) / 1_000_000.0
+    v = (ev.where("event_type = 'view'").groupBy("user_id")
+         .agg(F.min("ts").alias("t")))
+    p = (ev.where("event_type = 'purchase'").groupBy("user_id")
+         .agg(F.min("ts").alias("t")))
+    j = (v.select("user_id", F.col("t").alias("vt"))
+         .join(p.select(F.col("user_id").alias("up"), F.col("t").alias("pt")),
+               F.col("user_id") == F.col("up"))
+         .where(F.col("pt") >= F.col("vt")))
+    lat = (F.unix_micros(F.col("pt").cast("timestamp"))
+           - F.unix_micros(F.col("vt").cast("timestamp"))) / 1_000_000.0
+    g = j.select(lat.alias("lat_s"))
+    return g.agg(
+        F.count(F.lit(1)).alias("converted_users"),
+        F.round(F.avg("lat_s") / 3600, 2).alias("mean_hours"),
+        F.round(F.expr("percentile(lat_s, 0.5)") / 3600, 2).alias("p50_hours"))
