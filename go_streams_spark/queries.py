@@ -4927,3 +4927,60 @@ def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("converted_users"),
         F.round(F.avg("lat_s") / 3600, 2).alias("mean_hours"),
         F.round(F.expr("percentile(lat_s, 0.5)") / 3600, 2).alias("p50_hours"))
+
+
+@query("ltv_decile_profile", """
+WITH u AS (
+  SELECT user_id, round(sum(value), 2) AS ltv FROM events GROUP BY user_id
+)
+SELECT decile, count(*) AS users,
+       round(sum(ltv), 2) AS total_ltv,
+       round(min(ltv), 2) AS lo, round(max(ltv), 2) AS hi
+FROM (
+  SELECT ntile(10) OVER (ORDER BY ltv, user_id) AS decile, ltv FROM u
+)
+GROUP BY decile
+""")
+def ltv_decile_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifetime-value decile profile: users ntiled into 10 equal-count
+    LTV bands with per-band revenue share — the concentration readout
+    marketing ops use (whale analysis). The ntile sorts only the
+    user-grain aggregate (rounded so the sort key is engine-identical;
+    user_id tie-break), never the event log."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.round(F.sum("value"), 2).alias("ltv"))
+    w = Window.orderBy("ltv", "user_id")
+    d = u.select(F.ntile(10).over(w).alias("decile"), "ltv")
+    return (d.groupBy("decile")
+            .agg(F.count(F.lit(1)).alias("users"),
+                 F.round(F.sum("ltv"), 2).alias("total_ltv"),
+                 F.round(F.min("ltv"), 2).alias("lo"),
+                 F.round(F.max("ltv"), 2).alias("hi")))
+
+
+@query("modal_event_type_per_user", """
+SELECT user_id, event_type AS modal_type, cnt FROM (
+  SELECT user_id, event_type, count(*) AS cnt,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rk
+  FROM events
+  GROUP BY user_id, event_type
+)
+WHERE rk = 1
+""")
+def modal_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group, deterministically: most frequent
+    event type per user with an explicit (count desc, type asc)
+    tie-break — built-in mode() functions break ties arbitrarily and
+    can't hash-match across engines. Rank runs on the (user, type)
+    aggregate, sharing the user_id shuffle."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    cnt = (ev.groupBy("user_id", "event_type")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("cnt").desc(), "event_type")
+    return (cnt.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("user_id", F.col("event_type").alias("modal_type"), "cnt"))
