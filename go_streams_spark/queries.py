@@ -4984,3 +4984,24 @@ def modal_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cnt.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") == 1)
             .select("user_id", F.col("event_type").alias("modal_type"), "cnt"))
+
+
+@query("seasonality_dow_hour", """
+SELECT isodow(ts)          AS dow,
+       extract(hour FROM ts) AS hod,
+       count(*)            AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+""")
+def seasonality_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day seasonality matrix (the traffic
+    heatmap behind anomaly baselines and capacity planning): one
+    map-side-partial hash agg into a fixed 7x24 output regardless of
+    event volume. ISO day numbering (Mon=1) is computed as
+    weekday()+1 so both engines agree on the row labels."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy((F.weekday("ts") + 1).alias("dow"),
+                       F.hour("ts").alias("hod"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("sum_value")))
