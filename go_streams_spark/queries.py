@@ -5005,3 +5005,25 @@ def seasonality_dow_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.hour("ts").alias("hod"))
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum("value"), 2).alias("sum_value")))
+
+
+@query("boolean_aggregates_sampler", """
+SELECT event_type,
+       bool_and(value >= 0)                   AS all_nonneg,
+       bool_or(value > 99)                    AS any_over_99,
+       count(*) FILTER (WHERE value > 50)     AS n_over_50,
+       count(*)                               AS n
+FROM events
+GROUP BY event_type
+""")
+def boolean_aggregates_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface (bool_and/bool_or + conditional
+    counts): invariant checks expressed as aggregates — 'every value
+    nonnegative', 'any outlier present' — one hash agg with partials,
+    the assertion form data-quality monitors compile to."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+            .agg(F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+                 F.bool_or(F.col("value") > 99).alias("any_over_99"),
+                 F.count(F.when(F.col("value") > 50, 1)).alias("n_over_50"),
+                 F.count(F.lit(1)).alias("n")))

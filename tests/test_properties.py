@@ -213,3 +213,21 @@ def test_session_window_matches_islands_model(spark, ts_list, gap):
             cur += 1
     sizes.append(cur)
     assert got == sorted(sizes)
+
+
+@given(a=ints, b=ints, c=ints)
+@settings(**SETTINGS)
+def test_zip_with_three_inputs_padding(spark, a, b, c):
+    """3-way positional zip with zero-padding — the N>2 case of the
+    reference's ZipWith padding matrix (flow/flow_test.go:296-345,
+    e.g. `[0 5 0]`)."""
+    da = spark.createDataFrame([(i, v) for i, v in enumerate(a)], "ord int, x long")
+    db = spark.createDataFrame([(i, v) for i, v in enumerate(b)], "ord int, y long")
+    dc = spark.createDataFrame([(i, v) for i, v in enumerate(c)], "ord int, z long")
+    out = zip_with(lambda x, y, z: x + y + z, [da, db, dc],
+                   [["ord"], ["ord"], ["ord"]], ["x", "y", "z"], [0, 0, 0])
+    got = sorted(r["value"] for r in out.collect())
+    n = max(len(a), len(b), len(c))
+    pad = lambda xs: xs + [0] * (n - len(xs))
+    expect = sorted(x + y + z for x, y, z in zip(pad(a), pad(b), pad(c)))
+    assert got == expect
