@@ -5027,3 +5027,33 @@ def boolean_aggregates_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.bool_or(F.col("value") > 99).alias("any_over_99"),
                  F.count(F.when(F.col("value") > 50, 1)).alias("n_over_50"),
                  F.count(F.lit(1)).alias("n")))
+
+
+@query("union_by_name_evolution", """
+SELECT event_type,
+       count(*)             AS n,
+       count(extra)         AS n_with_extra,
+       round(sum(coalesce(extra, 0)), 2) AS extra_sum
+FROM (
+  SELECT event_type, value AS extra FROM events WHERE value > 50
+  UNION ALL BY NAME
+  SELECT event_type FROM events WHERE value <= 50
+)
+GROUP BY event_type
+""")
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two generations of a feed with
+    different columns combine by NAME with NULL backfill for the
+    missing one (unionByName allowMissingColumns — the batch analogue
+    of mergeSchema reads). Count/count(col) over the union pins the
+    backfill contract; both branches stay filters over one scan."""
+    ev = _t(spark, sf_dir, "events")
+    new_gen = ev.where("value > 50").select(
+        "event_type", F.col("value").alias("extra"))
+    old_gen = ev.where("value <= 50").select("event_type")
+    u = new_gen.unionByName(old_gen, allowMissingColumns=True)
+    return (u.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count("extra").alias("n_with_extra"),
+                 F.round(F.sum(F.coalesce("extra", F.lit(0.0))), 2)
+                 .alias("extra_sum")))
