@@ -5057,3 +5057,58 @@ def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("extra").alias("n_with_extra"),
                  F.round(F.sum(F.coalesce("extra", F.lit(0.0))), 2)
                  .alias("extra_sum")))
+
+
+@query("mean_ci_by_type", """
+SELECT event_type,
+       count(*)             AS n,
+       round(avg(value), 4) AS mean_value,
+       round(avg(value) - 1.96 * stddev_samp(value) / sqrt(count(*)), 4)
+           AS ci_lo,
+       round(avg(value) + 1.96 * stddev_samp(value) / sqrt(count(*)), 4)
+           AS ci_hi
+FROM events
+GROUP BY event_type
+""")
+def mean_ci_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% confidence interval of the mean per cohort (normal
+    approximation) — the error-bar readout dashboards attach to every
+    mean. Pure algebraic moments: one hash agg with map-side partials,
+    the CI arithmetic runs on group-grain rows."""
+    ev = _t(spark, sf_dir, "events")
+    se = F.stddev_samp("value") / F.sqrt(F.count(F.lit(1)))
+    m = F.avg("value")
+    return (ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(m, 4).alias("mean_value"),
+                 F.round(m - 1.96 * se, 4).alias("ci_lo"),
+                 F.round(m + 1.96 * se, 4).alias("ci_hi")))
+
+
+@query("cumulative_user_growth", """
+WITH firsts AS (
+  SELECT user_id, min(ts::DATE) AS d FROM events GROUP BY user_id
+), daily AS (
+  SELECT d, count(*) AS new_users FROM firsts GROUP BY d
+)
+SELECT d, new_users,
+       sum(new_users) OVER (ORDER BY d
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+FROM daily
+""")
+def cumulative_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users over time WITHOUT a windowed
+    DISTINCT: each user reduces to a first-seen date, daily new-user
+    counts aggregate, and a running sum over the day series gives the
+    growth curve — running work is day-grain, never user x day. The
+    standard rewrite that makes 'cumulative uniques' tractable at any
+    scale."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id")
+              .agg(F.min(F.col("ts").cast("date")).alias("d")))
+    daily = firsts.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = (Window.orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return daily.select("d", "new_users",
+                        F.sum("new_users").over(w).alias("cum_users"))
