@@ -5112,3 +5112,51 @@ def cumulative_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return daily.select("d", "new_users",
                         F.sum("new_users").over(w).alias("cum_users"))
+
+
+@query("join_fanout_profile", """
+SELECT o.o_orderpriority,
+       count(*)                AS n_orders,
+       round(avg(lc.lines), 2) AS avg_lines,
+       max(lc.lines)           AS max_lines
+FROM orders o
+JOIN (SELECT l_orderkey, count(*) AS lines FROM lineitem GROUP BY l_orderkey) lc
+  ON lc.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""")
+def join_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-fanout profile: lines-per-order distribution by priority —
+    the cardinality statistic that predicts fact-fact join blowup
+    (planners estimate it; this measures it). The fact pre-aggregates
+    to order grain BEFORE joining, so the join moves one row per
+    order, not per line."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lc = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("lines"))
+    return (o.join(lc, o.o_orderkey == lc.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.avg("lines"), 2).alias("avg_lines"),
+                 F.max("lines").alias("max_lines")))
+
+
+@query("key_uniqueness_profile", """
+SELECT count(*)                                     AS n_rows,
+       count(DISTINCT (l_orderkey, l_linenumber))   AS n_distinct_keys,
+       count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS n_dup_rows,
+       count(DISTINCT l_orderkey)                   AS n_orders
+FROM lineitem
+""")
+def key_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness profile: is (orderkey, linenumber) a
+    primary key? Composite-distinct counts vs row count in ONE
+    aggregation pass — the key-discovery/constraint-validation check
+    a warehouse runs before declaring uniqueness (Deequ isUnique on a
+    composite)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey", "l_linenumber").alias("n_distinct_keys"),
+        (F.count(F.lit(1))
+         - F.countDistinct("l_orderkey", "l_linenumber")).alias("n_dup_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"))
