@@ -1,7 +1,12 @@
 """Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {...}, "sf": ..., "n_queries": N}.
+
+The driver captures only a bounded tail of stdout (BENCH_r01.json was
+truncated at ~2 KB and failed to parse), so the printed line carries just
+the 10 slowest per-query timings; the FULL per-query breakdown is written
+to BENCH_DETAIL.json next to this script.
 
 Each query is forced with a noop write (full pipeline execution, no
 driver collect) — the same way you'd measure on a cluster.
@@ -161,12 +166,37 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "queries": timings,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    # Keep the printed line small (driver tail-truncates ~2 KB): summary
+    # fields + only the 10 slowest queries inline; full detail on disk.
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "queries": slowest,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "detail_file": "BENCH_DETAIL.json",
     }))
 
 

@@ -290,20 +290,57 @@ def simhash32(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") 
     return sums.select(id_col, simhash.alias("simhash"))
 
 
+def simhash_band_rows(sim: DataFrame, *, id_col: str = "doc_id",
+                      bits: int = 32, max_hamming: int = 3) -> DataFrame:
+    """(id, simhash, band, band_key) rows: pigeonhole bit-bands.
+
+    The ``bits`` hash bits are split into ``max_hamming + 1`` contiguous
+    bands; any pair within hamming distance ``max_hamming`` differs in at
+    most ``max_hamming`` bands and therefore matches EXACTLY on at least
+    one band (pigeonhole — guaranteed recall, unlike probabilistic LSH).
+    Band extraction is a shift+mask on the packed hash — pure codegen,
+    no arrays beyond the small posexplode.
+    """
+    nbands = max_hamming + 1
+    sizes = [bits // nbands + (1 if i < bits % nbands else 0)
+             for i in range(nbands)]
+    keys, start = [], 0
+    for size in sizes:
+        keys.append(F.shiftright(F.col("simhash"), start)
+                    .bitwiseAND(F.lit((1 << size) - 1)))
+        start += size
+    return sim.select(F.col(id_col), F.col("simhash"),
+                      F.posexplode(F.array(*keys)).alias("band", "band_key"))
+
+
 def simhash_pairs(sim: DataFrame, *, id_col: str = "doc_id",
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3, bits: int = 32) -> DataFrame:
     """Near-dup pairs by simhash hamming distance <= max_hamming.
 
-    Small-N: direct self-join. Scale path: LSH on simhash bit-bands
-    (split the 32 bits into max_hamming+1 bands; by pigeonhole, any pair
-    within distance k shares one exact band -> equi-join per band).
+    Banded pigeonhole LSH — the 100 TB shape: explode each doc into
+    ``max_hamming + 1`` (band, band_key) rows, self EQUI-join per band
+    (never all-pairs), verify exact hamming on the candidates, distinct
+    the pairs. Recall is exactly 1.0 by pigeonhole, so the output is
+    bit-identical to the O(N^2) formulation the oracle runs.
+
+    Candidate volume scales with sum of per-bucket squares, not N^2:
+    with 32-bit hashes and k=6 the 4-5-bit bands are coarse (2^4..2^5
+    buckets); at real corpus scale use a 64-bit simhash with k<=3 so
+    bands carry 16 bits each — same plan, finer buckets.
     """
-    a = sim.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("h_a"))
-    b = sim.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("h_b"))
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", ham.alias("hamming"))
-            .where(F.col("hamming") <= max_hamming))
+    bands = simhash_band_rows(sim, id_col=id_col, bits=bits,
+                              max_hamming=max_hamming)
+    # shuffle-hash, not broadcast: bands is a corpus-scale intermediate
+    # (same rationale as minhash_lsh_candidates above).
+    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, ["band", "band_key"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    ham.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())
 
 
 def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_b",

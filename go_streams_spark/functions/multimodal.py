@@ -60,9 +60,13 @@ def _decode_stub(blob: bytes, media_type: str, dim: int) -> np.ndarray:
     if media_type == "unsupported/raise":
         raise NotImplementedError("real media decoding requires codec libs not in this container")
     seed = np.frombuffer(blob[: dim * 4].ljust(dim * 4, b"\0"), dtype=np.uint8)
-    arr = seed[: dim].astype(np.float32)
+    # compute in float64, store as float32: byte values and their
+    # squared sums are integers < 2^53, so the norm and the division are
+    # bit-deterministic — an oracle can reproduce each float32 feature
+    # exactly as (byte_i / norm)::DOUBLE -> ::REAL
+    arr = seed[: dim].astype(np.float64)
     denom = float(np.linalg.norm(arr)) or 1.0
-    return arr / denom
+    return (arr / denom).astype(np.float32)
 
 
 def extract_features(df: DataFrame, *, blob_col: str = "media", id_col: str = "doc_id",

@@ -97,15 +97,215 @@ def sign_lsh_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embed
 
 
 def cosine_near_dup(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
-                    threshold: float = 0.9, round_dp: int = 6) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t)."""
-    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
-    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
-    return (a.join(b, F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b",
-                    F.round(cosine(F.col("va"), F.col("vb")), round_dp).alias("sim"))
+                    threshold: float = 0.9, round_dp: int = 6,
+                    num_blocks: int = 8) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
+
+    Blocked distributed pair scan — no BroadcastNestedLoopJoin, no
+    driver collect, no single giant task:
+
+      * every vector belongs to block ``b = pmod(id, B)``;
+      * "left" role: replicate to cogroup keys (b, j) for j >= b;
+        "right" role: keys (i, b) for i <= b — so the unordered block
+        pair (i, j), i <= j, meets exactly once, and each vector is
+        shipped B+1 times total (vs N times in a naive cross join);
+      * each cogroup runs ONE numpy/BLAS matmul over its two blocks and
+        emits only the pairs above threshold.
+
+    Work is inherently O(N^2) FLOPs — exact near-dup at a weak
+    threshold admits nothing less (sign-LSH at cos 0.5 = 60 deg has
+    per-bit disagreement 1/3, so no banding gives recall 1; measured on
+    the testdata: true pairs differ in up to 9 of 16 sign bits). The
+    blocking makes the FLOPs embarrassingly parallel BLAS with bounded
+    per-task memory (B sized so 2 blocks fit an executor). For the
+    recall<1 bucketed path that avoids the quadratic work entirely, see
+    ``cosine_near_dup_lsh``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = num_blocks
+    # NB: cogroup matches groups by key VALUE AND TYPE — pmod(long col)
+    # yields long while explode(sequence(int)) yields int, and mixed
+    # types silently split each (bi, bj) into two disjoint groups. Cast
+    # every grouping key to int on both sides.
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"),
+                     F.pmod(F.col(id_col), F.lit(B)).cast("int").alias("blk"))
+    ge = F.filter(F.sequence(F.lit(0), F.lit(B - 1)),
+                  lambda j: j >= F.col("blk"))
+    le = F.filter(F.sequence(F.lit(0), F.lit(B - 1)),
+                  lambda i: i <= F.col("blk"))
+    left = base.select(F.col("blk").alias("bi"),
+                       F.explode(ge).alias("bj"),
+                       F.col(id_col).alias("id_l"), F.col("v").alias("vl"))
+    right = base.select(F.explode(le).alias("bi"),
+                        F.col("blk").alias("bj"),
+                        F.col(id_col).alias("id_r"), F.col("v").alias("vr"))
+
+    def _scan(key, lpdf, rpdf):
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        la = np.array(list(lpdf["vl"]), dtype=np.float64)
+        ra = np.array(list(rpdf["vr"]), dtype=np.float64)
+        il = lpdf["id_l"].to_numpy(dtype=np.int64)
+        ir = rpdf["id_r"].to_numpy(dtype=np.int64)
+        # exact oracle formula: raw dot / (norm * norm), rounded
+        sims = np.round(
+            (la @ ra.T)
+            / (np.linalg.norm(la, axis=1)[:, None]
+               * np.linalg.norm(ra, axis=1)[None, :]),
+            round_dp)
+        # diagonal groups (i == j) see the same block on both sides:
+        # keep il < ir to emit each pair once. Off-diagonal blocks are
+        # disjoint id sets (ids interleave mod B), so every cross pair
+        # is unique — emit as (min, max) to honor the id_a < id_b
+        # output contract.
+        if key[0] == key[1]:
+            mask = il[:, None] < ir[None, :]
+        else:
+            mask = il[:, None] != ir[None, :]
+        ai, bi = np.nonzero((sims >= threshold) & mask)
+        ida, idb = il[ai], ir[bi]
+        return pd.DataFrame({"id_a": np.minimum(ida, idb),
+                             "id_b": np.maximum(ida, idb),
+                             "sim": sims[ai, bi]})
+
+    return (left.groupBy("bi", "bj").cogroup(right.groupBy("bi", "bj"))
+            .applyInPandas(_scan, schema="id_a long, id_b long, sim double"))
+
+
+def sign_band_rows(df: DataFrame, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", nbits: int = 16,
+                   max_band_hamming: int = 4) -> DataFrame:
+    """(id, v, band, band_key) rows: pigeonhole bands over sign bits.
+
+    The ``nbits`` sign bits (sign of the first nbits dims) split into
+    ``max_band_hamming + 1`` contiguous bands: two vectors whose sign
+    patterns differ in <= max_band_hamming bits share at least one exact
+    band. Candidate generation for ``cosine_near_dup_lsh``.
+    """
+    nbands = max_band_hamming + 1
+    sizes = [nbits // nbands + (1 if i < nbits % nbands else 0)
+             for i in range(nbands)]
+    bucket = sign_bucket(vec_col, nbits)
+    keys, start = [], 0
+    for size in sizes:
+        keys.append(F.shiftright(bucket, start)
+                    .bitwiseAND(F.lit((1 << size) - 1)))
+        start += size
+    return df.select(F.col(id_col), as_double(vec_col).alias("v"),
+                     F.posexplode(F.array(*keys)).alias("band", "band_key"))
+
+
+def cosine_near_dup_lsh(df: DataFrame, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding", threshold: float = 0.5,
+                        round_dp: int = 6, nbits: int = 16,
+                        max_band_hamming: int = 4) -> DataFrame:
+    """APPROXIMATE near-dup pairs: banded sign-LSH candidates + exact
+    cosine verify — the bucketed plan that avoids the O(N^2) pair space.
+
+    Candidates = pairs sharing >= 1 exact sign-bit band (equi-join on
+    (band, band_key), shuffle-partitioned); the exact rounded cosine and
+    the ``sim >= threshold`` filter run on candidates only. Recall < 1
+    by design: a pair at cos ~0.5 (60 deg) disagrees on each sign bit
+    w.p. ~1/3, so only pairs whose sign patterns differ in <=
+    ``max_band_hamming`` of ``nbits`` bits are found. Raise
+    max_band_hamming (more, shorter bands) for recall; raise nbits for
+    precision. This is the 100 TB path; ``cosine_near_dup`` is the exact
+    quadratic one.
+    """
+    bands = sign_band_rows(df, id_col=id_col, vec_col=vec_col,
+                           nbits=nbits, max_band_hamming=max_band_hamming)
+    # shuffle-hash: corpus-scale self-join side, never broadcast
+    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
+    cand = (a.join(b, ["band", "band_key"])
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+            .groupBy("id_a", "id_b")
+            .agg(F.first("va").alias("va"), F.first("vb").alias("vb")))
+    return (cand.select(
+                "id_a", "id_b",
+                F.round(cosine(F.col("va"), F.col("vb")), round_dp).alias("sim"))
             .where(F.col("sim") >= threshold))
+
+
+def block_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
+              k: int = 5, query_blocks: int = 8, index_shards: int = 4,
+              round_dp: int = 6) -> DataFrame:
+    """EXACT cosine top-k for every vector, fully distributed — the
+    scale-safe replacement for driver-collect brute force.
+
+    2-D blocked matrix product:
+      * queries hash into ``query_blocks`` blocks and are replicated to
+        every index shard; index vectors hash into ``index_shards``
+        shards and are replicated to every query block — each vector
+        moves (query_blocks + index_shards) times, never N times, and no
+        full copy ever sits on the driver or a single task;
+      * each (block, shard) cogroup runs one numpy/BLAS matmul and emits
+        its LOCAL top-k per query (k rows per query per shard — the
+        only data that leaves the stage);
+      * global top-k per query over the shard winners (window over
+        <= k * index_shards rows per query).
+
+    Exact because every query meets every index vector in exactly one
+    cogroup, and the global top-k of a union of per-shard top-k's equals
+    the true top-k under the same (sim desc, id asc) total order.
+    Size blocks/shards so two sub-matrices fit an executor's memory at
+    the target scale.
+    """
+    import numpy as np
+    import pandas as pd
+
+    Q, S = query_blocks, index_shards
+    # grouping keys cast to int on BOTH sides: cogroup silently splits
+    # groups whose key types differ (pmod -> long vs explode -> int)
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    q = base.select(F.pmod(F.col(id_col), F.lit(Q)).cast("int").alias("qb"),
+                    F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("sb"),
+                    F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    ix = base.select(F.explode(F.sequence(F.lit(0), F.lit(Q - 1))).alias("qb"),
+                     F.pmod(F.col(id_col), F.lit(S)).cast("int").alias("sb"),
+                     F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+
+    def _local_topk(key, qpdf, ipdf):
+        if qpdf.empty or ipdf.empty:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        qa = np.array(list(qpdf["va"]), dtype=np.float64)
+        ib = np.array(list(ipdf["vb"]), dtype=np.float64)
+        qids = qpdf["id_a"].to_numpy(dtype=np.int64)
+        iids = ipdf["id_b"].to_numpy(dtype=np.int64)
+        # exact oracle formula: raw dot / (norm * norm), rounded
+        sims = np.round(
+            (qa @ ib.T)
+            / (np.linalg.norm(qa, axis=1)[:, None]
+               * np.linalg.norm(ib, axis=1)[None, :]),
+            round_dp)
+        out_a, out_b, out_s = [], [], []
+        for qi, row in zip(qids, sims):
+            mask = iids != qi
+            cids, csims = iids[mask], row[mask]
+            order = np.lexsort((cids, -csims))[:k]
+            out_a.extend([qi] * len(order))
+            out_b.extend(cids[order])
+            out_s.extend(csims[order])
+        return pd.DataFrame({"id_a": np.array(out_a, dtype="int64"),
+                             "id_b": np.array(out_b, dtype="int64"),
+                             "sim": np.array(out_s, dtype="float64")})
+
+    cand = (q.groupBy("qb", "sb").cogroup(ix.groupBy("qb", "sb"))
+            .applyInPandas(_local_topk, schema="id_a long, id_b long, sim double"))
+    w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("id_a").alias(id_col),
+                    F.col("id_b").alias("neighbor_id"),
+                    "sim", F.col("rank").cast("int").alias("rank")))
 
 
 def brute_force_knn_matmul(df: DataFrame, *, id_col: str = "vec_id",
@@ -113,14 +313,17 @@ def brute_force_knn_matmul(df: DataFrame, *, id_col: str = "vec_id",
                            round_dp: int = 6) -> DataFrame:
     """Exact cosine top-k via broadcast + blocked matrix multiply.
 
-    Produces the same result contract as ``brute_force_knn`` (rounded
-    sim, id tie-break) but ~50x faster: the full (N x d) float matrix is
-    broadcast to executors (an embedding "index" of 1M x 256 floats is
-    ~1 GB — broadcastable; beyond that, shard the index and union the
-    per-shard top-k, or switch to ``sign_lsh_knn``/IVF), and each
-    partition multiplies its query block against it with numpy — one
-    BLAS call per Arrow batch instead of an interpreted expression per
-    pair. No shuffle at all: the cross product never materializes.
+    BOUNDED-INDEX helper: ``df`` here is the index side and is collected
+    to the driver, so callers MUST guarantee it is bounded metadata-sized
+    (an embedding index of 1M x 256 floats is ~1 GB — the broadcast-join
+    regime). For corpus-as-index exact kNN use ``block_knn`` (fully
+    distributed, nothing ever collected); for approximate use
+    ``sign_lsh_knn``/``ivf_knn``.
+
+    Same result contract as ``brute_force_knn`` (rounded sim, id
+    tie-break) but one BLAS call per Arrow batch instead of an
+    interpreted expression per pair — no shuffle; the cross product
+    never materializes.
     """
     import numpy as np
     import pandas as pd

@@ -27,9 +27,15 @@ def _epoch_seconds(c: Column) -> Column:
     """Seconds-since-epoch for TIMESTAMP *or* TIMESTAMP_NTZ columns.
 
     ``unix_micros`` rejects NTZ (what Spark 4 infers for parquet naive
-    timestamps); casting to TIMESTAMP first interprets NTZ in the session
-    zone — a constant shift that cancels in bucket/range comparisons as
-    long as both sides go through this helper.
+    timestamps); casting to TIMESTAMP first interprets NTZ in the
+    SESSION time zone. REQUIREMENT: the session zone must be a
+    fixed-offset zone (UTC) — under a DST zone the NTZ->TIMESTAMP offset
+    differs across transitions, so rows straddling a transition would
+    shift range/bucket comparisons by up to an hour. Not merely "a
+    constant shift that cancels". Every caller in this repo goes through
+    ``queries._t``/``session.get_spark``, which pin
+    ``spark.sql.session.timeZone=UTC``; keep that invariant when
+    embedding this helper elsewhere.
     """
     return F.unix_micros(c.cast("timestamp")) / 1_000_000.0
 

@@ -425,9 +425,12 @@ GROUP BY batch_id
 """)
 def batch_by_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch max-size path (flow/batch.go:86-96): groups of 100 in
-    event_id order; final partial batch kept (flow/batch.go:98-104)."""
+    event_id order; final partial batch kept (flow/batch.go:98-104).
+    Numbering via ``distributed_ordinal`` — identical global batch ids
+    with no single-partition WindowExec in the plan."""
     ev = _t(spark, sf_dir, "events")
-    out = Source(ev).via(batch_by_count(100, order_by=["event_id"])).to_df()
+    out = Source(ev).via(batch_by_count(
+        100, order_by=["event_id"], distributed=True)).to_df()
     return (out.groupBy("batch_id")
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.min("event_id").alias("min_id"),
@@ -739,10 +742,14 @@ FROM (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS
 WHERE rank <= 5
 """)
 def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force exact cosine top-5 per vector — the ANN correctness
-    baseline (cross join; only for small N / per-bucket use)."""
+    """Exact cosine top-5 per vector via the 2-D blocked distributed
+    matrix product (``block_knn``): every vector moves (blocks+shards)
+    times, per-cogroup BLAS matmuls emit local top-k, one window pass
+    takes the global top-k. Nothing is ever collected to the driver —
+    the corpus-as-index shape that survives 100 TB (the driver-collect
+    ``brute_force_knn_matmul`` remains as the bounded-index helper)."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = S.brute_force_knn_matmul(emb, k=5)
+    out = S.block_knn(emb, k=5, query_blocks=8, index_shards=4)
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -794,9 +801,77 @@ WHERE round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
                * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) >= 0.5
 """)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (sim >= 0.5)."""
+    """EXACT embedding-cosine near-duplicate pairs (sim >= 0.5) via the
+    blocked distributed pair scan: cogroup per block pair, one BLAS
+    matmul each, pairs above threshold only — no BroadcastNestedLoopJoin
+    and no driver collect (the O(N^2) FLOPs are inherent to the exact
+    contract at a weak threshold; ``embedding_near_dup_lsh`` is the
+    sub-quadratic bucketed path)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.cosine_near_dup(emb, threshold=0.5)
+    return S.cosine_near_dup(emb, threshold=0.5, num_blocks=8)
+
+
+@query("embedding_near_dup_lsh", """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), bv AS (
+  SELECT vec_id, v,
+         (CASE WHEN v[1]  >= 0 THEN 1     ELSE 0 END
+        + CASE WHEN v[2]  >= 0 THEN 2     ELSE 0 END
+        + CASE WHEN v[3]  >= 0 THEN 4     ELSE 0 END
+        + CASE WHEN v[4]  >= 0 THEN 8     ELSE 0 END
+        + CASE WHEN v[5]  >= 0 THEN 16    ELSE 0 END
+        + CASE WHEN v[6]  >= 0 THEN 32    ELSE 0 END
+        + CASE WHEN v[7]  >= 0 THEN 64    ELSE 0 END
+        + CASE WHEN v[8]  >= 0 THEN 128   ELSE 0 END
+        + CASE WHEN v[9]  >= 0 THEN 256   ELSE 0 END
+        + CASE WHEN v[10] >= 0 THEN 512   ELSE 0 END
+        + CASE WHEN v[11] >= 0 THEN 1024  ELSE 0 END
+        + CASE WHEN v[12] >= 0 THEN 2048  ELSE 0 END
+        + CASE WHEN v[13] >= 0 THEN 4096  ELSE 0 END
+        + CASE WHEN v[14] >= 0 THEN 8192  ELSE 0 END
+        + CASE WHEN v[15] >= 0 THEN 16384 ELSE 0 END
+        + CASE WHEN v[16] >= 0 THEN 32768 ELSE 0 END)::BIGINT AS bucket
+  FROM v
+), bands AS (
+  SELECT vec_id, v,
+         b.band,
+         CASE b.band
+           WHEN 0 THEN (bucket >> 0)  & 7
+           WHEN 1 THEN (bucket >> 3)  & 7
+           WHEN 2 THEN (bucket >> 6)  & 7
+           WHEN 3 THEN (bucket >> 9)  & 7
+           WHEN 4 THEN (bucket >> 12) & 3
+           ELSE        (bucket >> 14) & 3
+         END AS band_key
+  FROM bv CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS band) b
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+)
+SELECT c.id_a, c.id_b,
+       round(list_sum(list_transform(list_zip(va.v, vb.v), p -> p[1] * p[2]))
+             / (sqrt(list_sum(list_transform(va.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(vb.v, x -> x * x)))), 6) AS sim
+FROM cand c
+JOIN v va ON va.vec_id = c.id_a
+JOIN v vb ON vb.vec_id = c.id_b
+WHERE round(list_sum(list_transform(list_zip(va.v, vb.v), p -> p[1] * p[2]))
+            / (sqrt(list_sum(list_transform(va.v, x -> x * x)))
+               * sqrt(list_sum(list_transform(vb.v, x -> x * x)))), 6) >= 0.5
+""")
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE near-dup via banded sign-LSH (16 sign bits, 6
+    pigeonhole bands) + exact cosine verify on candidates only — the
+    bucketed equi-join plan that avoids the quadratic pair space. The
+    oracle expresses the SAME candidate restriction, so the hash-match
+    is exact at any SF; recall vs the exact query is pinned separately
+    in tests (a cos-0.5 pair disagrees per sign bit w.p. ~1/3 — weak
+    thresholds are inherently recall-lossy under LSH)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_lsh(emb, threshold=0.5, nbits=16,
+                                 max_band_hamming=5)
 
 
 @query("multimodal_meta", """
@@ -819,17 +894,46 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_features")  # no SQL oracle: mapInPandas stub decode (rows-only check)
+@query("multimodal_features", """
+WITH b AS (
+  SELECT doc_id, text, substr(hex(text::BLOB), 1, 8) AS head,
+         list_transform(range(1, 17),
+           i -> CASE WHEN i <= octet_length(text::BLOB)
+                     THEN ascii(substr(text, i::INT, 1)) ELSE 0 END) AS bytes
+  FROM documents
+), n AS (
+  SELECT doc_id, head, bytes,
+         sqrt(list_sum(list_transform(bytes, x -> (x * x)::DOUBLE))) AS nrm
+  FROM b
+)
+SELECT doc_id,
+       CASE WHEN starts_with(head, 'FFD8')     THEN 'image/jpeg'
+            WHEN starts_with(head, '89504E47') THEN 'image/png'
+            WHEN starts_with(head, '52494646') THEN 'audio/wav'
+            WHEN starts_with(head, '1A45DFA3') THEN 'video/webm'
+            ELSE 'application/octet-stream' END AS media_type,
+       1 AS n_frames,
+       round((bytes[1] / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)::REAL::DOUBLE, 4) AS f0
+FROM n
+""")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stubbed decode/feature-extract over binary media via mapInPandas —
     real Arrow plumbing (schema, batch shape, partition parallelism),
-    fake deterministic features (no codec libs in this container)."""
+    deterministic fake features (no codec libs in this container). The
+    stub feature is a pure function of the leading bytes (float64 math,
+    float32 storage), so the oracle reproduces it exactly in SQL —
+    byte extraction, L2 norm, ::REAL cast (documents are ASCII, so
+    ascii(substr) == byte; non-ASCII corpora would need a blob
+    get-byte)."""
     docs = _t(spark, sf_dir, "documents")
     media = docs.select("doc_id", F.col("text").cast("binary").alias("media"))
     tagged = M.attach_media_metadata(media)
     feats = M.extract_features(tagged)
-    return feats.select("doc_id", "media_type", "n_frames",
-                        F.round(F.element_at("feature", 1), 4).alias("f0"))
+    # cast BEFORE round: round(float32) stays float32 and its widened
+    # double differs from the oracle's double round in the low bits
+    return feats.select(
+        "doc_id", "media_type", "n_frames",
+        F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"))
 
 
 # ===========================================================================
@@ -4148,9 +4252,18 @@ def rolling_correlation_series(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.when(F.col("event_type") == "purchase",
                               F.col("value")).otherwise(0.0)).alias("purchases")))
     w = Window.orderBy("hour").rowsBetween(-23, 0)
+    # null-safe correlation: F.corr throws DIVIDE_BY_ZERO under ANSI
+    # mode when a frame holds a constant series (e.g. 24 hours of zero
+    # clicks); the oracle's corr() yields NULL there. Computing
+    # covar/(sx*sy) behind a both-stddevs-positive guard reproduces the
+    # NULL (n=1 frames: stddev_samp is NULL -> guard is NULL -> NULL).
+    sx = F.stddev_samp("clicks").over(w)
+    sy = F.stddev_samp("purchases").over(w)
+    cv = F.covar_samp("clicks", "purchases").over(w)
+    corr = F.when((sx > 0) & (sy > 0), cv / (sx * sy))
     return grid.select(
         "hour",
-        F.round(F.corr("clicks", "purchases").over(w), 3).alias("corr_24h"),
+        F.round(corr, 3).alias("corr_24h"),
         F.count(F.lit(1)).over(w).alias("n_hours"))
 
 

@@ -149,8 +149,9 @@ if _HAS_DS_API:
         + ack/cleanup-in-commit, and exactly-once falls out of
         (batchId, task) idempotence."""
 
-        def __init__(self, options):
+        def __init__(self, options, overwrite: bool = False):
             self.path = options.get("path")
+            self.overwrite = overwrite
             if not self.path:
                 raise ValueError("gss_replay writer requires option 'path'")
 
@@ -165,7 +166,10 @@ if _HAS_DS_API:
             return _TaskCommit(tmp, n)
 
         def commit(self, messages):
-            with open(self.path, "a") as out:
+            # honor save-mode: mode("overwrite") truncates the target,
+            # mode("append") appends (previously overwrite was silently
+            # treated as append)
+            with open(self.path, "w" if self.overwrite else "a") as out:
                 for m in messages:
                     if m is None:
                         continue
@@ -182,10 +186,23 @@ if _HAS_DS_API:
         """Streaming flavor: commit(batchId) makes replays idempotent —
         a batch marker file skips re-publication when a micro-batch is
         replayed after failure (the checkpoint/ack interplay every
-        reference sink approximates with client-side acks)."""
+        reference sink approximates with client-side acks).
+
+        Markers are namespaced by the ``runId`` option (pass a distinct
+        value per query writing to a shared path — otherwise a prior
+        query's marker would silently suppress another query's batch 0),
+        and published via temp-file + atomic rename. KNOWN LIMIT: the
+        data append and the marker rename are two filesystem operations;
+        a crash between them duplicates that batch on replay. Appending
+        to a single shared file admits no true atomicity — a
+        production sink writes one file per (runId, batchId) staged via
+        rename, or keys an idempotent upsert by (runId, batchId, task).
+        Acceptable for this demo/bridge sink; the two-phase skeleton is
+        the part network connectors inherit."""
 
         def __init__(self, options):
             self.path = options.get("path")
+            self.run_id = options.get("runid", "")
             if not self.path:
                 raise ValueError("gss_replay writer requires option 'path'")
 
@@ -200,7 +217,8 @@ if _HAS_DS_API:
             return _TaskCommit(tmp, n)
 
         def commit(self, messages, batchId):
-            marker = f"{self.path}.batch-{batchId}"
+            suffix = f"{self.run_id}-{batchId}" if self.run_id else str(batchId)
+            marker = f"{self.path}.batch-{suffix}"
             already = os.path.exists(marker)
             with open(self.path, "a") as out:
                 for m in messages:
@@ -211,7 +229,9 @@ if _HAS_DS_API:
                             out.write(f.read())
                     os.remove(m.tmp_path)
             if not already:
-                open(marker, "w").close()
+                tmp_marker = f"{marker}.tmp"
+                open(tmp_marker, "w").close()
+                os.replace(tmp_marker, marker)  # atomic publish of the marker
 
         def abort(self, messages, batchId):
             for m in messages:
@@ -236,7 +256,7 @@ if _HAS_DS_API:
             return ReplayStreamReader(self.options, self.options.get("ddl", DEFAULT_DDL))
 
         def writer(self, schema, overwrite):
-            return ReplayBatchWriter(self.options)
+            return ReplayBatchWriter(self.options, overwrite=overwrite)
 
         def streamWriter(self, schema, overwrite):
             return ReplayStreamWriter(self.options)

@@ -62,6 +62,83 @@ def test_sign_lsh_buckets_split_join(spark):
     assert got == {(0, 1), (1, 0), (2, 3), (3, 2)}
 
 
+def test_simhash_banded_pairs_match_all_pairs(spark, sf_dir):
+    """Pigeonhole banding must be lossless: the banded equi-join finds
+    exactly the pairs the O(N^2) formulation finds, for several k."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    sim = D.simhash32(docs).cache()
+    a = sim.selectExpr("doc_id id_a", "simhash h_a")
+    b = sim.selectExpr("doc_id id_b", "simhash h_b")
+    for k in (1, 3, 6):
+        naive = (a.join(b, F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b",
+                         F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+                         .alias("hamming"))
+                 .where(F.col("hamming") <= k))
+        banded = D.simhash_pairs(sim, max_hamming=k)
+        expected = {(r["id_a"], r["id_b"], r["hamming"]) for r in naive.collect()}
+        got = {(r["id_a"], r["id_b"], r["hamming"]) for r in banded.collect()}
+        assert got == expected, f"k={k}: banded != all-pairs"
+    sim.unpersist()
+
+
+def test_block_knn_matches_brute_force(spark, sf_dir):
+    """The 2-D blocked distributed kNN is EXACT: identical to the
+    cross-join brute force (same rounded sims, same tie-breaks) —
+    including block counts that do not divide N."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(90)
+    want = {(r["vec_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+            for r in S.brute_force_knn(emb, k=4).collect()}
+    got = {(r["vec_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+           for r in S.block_knn(emb, k=4, query_blocks=7, index_shards=3).collect()}
+    assert got == want
+
+
+def test_cosine_near_dup_blocked_exact(spark):
+    """Blocked pair scan emits every qualifying pair exactly once —
+    diagonal and off-diagonal blocks, interleaved ids (pmod blocks)."""
+    import itertools, math
+    vecs = [(i, [math.cos(i * 0.19), math.sin(i * 0.19), 0.5]) for i in range(37)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    want = set()
+    for (i, va), (j, vb) in itertools.combinations(vecs, 2):
+        dot = sum(x * y for x, y in zip(va, vb))
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(x * x for x in vb))
+        if round(dot / (na * nb), 6) >= 0.9:
+            want.add((i, j))
+    got = [(r["id_a"], r["id_b"])
+           for r in S.cosine_near_dup(emb, threshold=0.9, num_blocks=4).collect()]
+    assert sorted(got) == sorted(want)       # no pair missed
+    assert len(got) == len(set(got))         # no pair duplicated
+    assert len(want) > 10                    # the fixture actually exercises it
+
+
+def test_cosine_near_dup_lsh_recall_documented(spark, sf_dir):
+    """The bucketed near-dup is recall-lossy by design; pin that it (a)
+    returns a subset of the exact pairs with exact sims, (b) achieves
+    full recall for strongly-similar pairs (the realistic near-dup
+    regime, where sign bits rarely disagree)."""
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding").limit(150))
+    # plant two strong near-dup pairs (id >= 10000 to avoid collisions)
+    from pyspark.sql import Row
+    extra = spark.createDataFrame([
+        Row(vec_id=10000, embedding=[1.0] * 32 + [0.5] * 32),
+        Row(vec_id=10001, embedding=[1.0] * 32 + [0.51] * 32),
+    ], "vec_id long, embedding array<float>")
+    emb = emb.unionByName(extra)
+    exact = {(r["id_a"], r["id_b"]): r["sim"]
+             for r in S.cosine_near_dup(emb, threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["sim"]
+           for r in S.cosine_near_dup_lsh(
+               emb, threshold=0.5, nbits=16, max_band_hamming=5).collect()}
+    assert set(lsh) <= set(exact)            # no false positives
+    for p, s in lsh.items():
+        assert s == exact[p]                 # exact verify on candidates
+    assert (10000, 10001) in lsh             # strong pair always found
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame([(1, "the cat!! sat on a mat")], "doc_id long, text string")
     row = df.select(
