@@ -5,10 +5,14 @@ from .files import (text_source, json_source, csv_source, parquet_source,
                     binary_source, framed_binary_source)
 from .custom import (register_replay_source, REPLAY_SOURCE_NAME,
                      register_cdc_polling_source)
+from .redis_stream import (register_redis_sources, REDIS_STREAM_SOURCE_NAME,
+                           REDIS_PUBSUB_SOURCE_NAME)
 
 __all__ = [
     "text_source", "json_source", "csv_source", "parquet_source", "binary_source",
     "framed_binary_source",
     "register_replay_source", "REPLAY_SOURCE_NAME",
     "register_cdc_polling_source",
+    "register_redis_sources", "REDIS_STREAM_SOURCE_NAME",
+    "REDIS_PUBSUB_SOURCE_NAME",
 ]

@@ -278,10 +278,16 @@ def _require(pkg: str, connector: str):
         f"read() against it.")
 
 
-def redis_stream_source(*_a, **_k):
-    """Redis XREADGROUP source (redis/redis_stream.go:45,94-124): stream
-    IDs are the offsets; XACK on commit. Requires 'redis'."""
-    _require("redis", "Redis stream")
+def redis_stream_source(spark, **options):
+    """Redis stream source (redis/redis_stream.go:45,94-124) — REAL
+    implementation in redis_stream.py: entry IDs as offsets, XRANGE
+    replay, XGROUP SETID on commit. Requires 'redis' at runtime (or a
+    ``clientFactory`` option); the connector logic itself is tested
+    broker-free with the file-backed FakeRedis."""
+    from .redis_stream import register_redis_sources
+    fmt, _ = register_redis_sources(spark)
+    reader = spark.readStream if options.pop("streaming", True) else spark.read
+    return reader.format(fmt).options(**options).load()
 
 
 def nats_jetstream_source(*_a, **_k):

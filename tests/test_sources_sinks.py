@@ -14,7 +14,7 @@ from go_streams_spark.sinks import text_sink, parquet_sink, collect_sink
 from go_streams_spark.sources import (
     text_source, parquet_source, binary_source, register_replay_source,
 )
-from go_streams_spark.sources.custom import redis_stream_source
+from go_streams_spark.sources.custom import aerospike_polling_source
 
 
 @pytest.fixture()
@@ -102,8 +102,9 @@ def test_replay_datasource_streaming_offsets(spark, tmpdir):
 
 
 def test_network_connector_stubs_raise():
-    with pytest.raises(ImportError, match="redis"):
-        redis_stream_source()
+    from go_streams_spark.sources.custom import aerospike_polling_source
+    with pytest.raises(ImportError, match="aerospike"):
+        aerospike_polling_source()
 
 
 def test_csv_json_roundtrip(spark, tmpdir):
