@@ -12,10 +12,11 @@ and exactly-once falls out of offset-range replay + checkpointing.
 ``ReplayDataSource`` is the fully-working, dependency-free instance of
 that pattern (batch + micro-batch streaming over a JSONL file with
 line-number offsets — the shape a Redis XREADGROUP source takes with
-stream IDs as offsets). The network connectors below are thin
-subclasses that keep the same offset/partition plumbing and raise a
-clear error until their client library is present (none are baked into
-this container).
+stream IDs as offsets). The real network connectors live in sibling
+modules (redis_stream.py, nats_jetstream.py, pulsar.py, websocket.py,
+aerospike.py), each coding against an injectable client adapter so the
+connector logic is tested broker-free; the convenience functions below
+register them and return a loaded DataFrame.
 """
 
 from __future__ import annotations
@@ -270,14 +271,6 @@ def register_replay_source(spark: SparkSession) -> str:
     return REPLAY_SOURCE_NAME
 
 
-def _require(pkg: str, connector: str):
-    raise ImportError(
-        f"{connector} connector requires the '{pkg}' client library, which is "
-        f"not installed in this environment. The offset/partition plumbing is "
-        f"inherited from ReplayDataSource — install the client and implement "
-        f"read() against it.")
-
-
 def redis_stream_source(spark, **options):
     """Redis stream source (redis/redis_stream.go:45,94-124) — REAL
     implementation in redis_stream.py: entry IDs as offsets, XRANGE
@@ -290,31 +283,52 @@ def redis_stream_source(spark, **options):
     return reader.format(fmt).options(**options).load()
 
 
-def nats_jetstream_source(*_a, **_k):
-    """NATS JetStream pull source (nats/nats_jetstream.go:82,114-158):
-    sequence numbers as offsets, ack-per-batch. Requires 'nats-py'."""
-    _require("nats-py", "NATS JetStream")
+def nats_jetstream_source(spark, **options):
+    """NATS JetStream source (nats/nats_jetstream.go:82,114-158) — REAL
+    implementation in nats_jetstream.py: stream sequence numbers as
+    offsets, per-trigger FetchBatchSize cap, range replay via
+    get-by-sequence. Requires 'nats-py' at runtime (or a clientFactory
+    option); tested broker-free with FakeJetStream."""
+    from .nats_jetstream import register_nats_source
+    fmt = register_nats_source(spark)
+    reader = spark.readStream if options.pop("streaming", True) else spark.read
+    return reader.format(fmt).options(**options).load()
 
 
-def pulsar_source(*_a, **_k):
-    """Pulsar subscribe source (pulsar/pulsar.go:25,57-79): message IDs
-    as offsets. Requires 'pulsar-client'."""
-    _require("pulsar-client", "Pulsar")
+def pulsar_source(spark, **options):
+    """Pulsar source (pulsar/pulsar.go:25,57-79) — REAL implementation
+    in pulsar.py: serialized MessageIds as offsets, Reader-API range
+    replay. Requires 'pulsar-client' at runtime (or a clientFactory
+    option); tested broker-free with FakePulsarClient."""
+    from .pulsar import register_pulsar_source
+    fmt = register_pulsar_source(spark)
+    reader = spark.readStream if options.pop("streaming", True) else spark.read
+    return reader.format(fmt).options(**options).load()
 
 
-def websocket_source(*_a, **_k):
-    """WebSocket frame source (websocket/web_socket.go:33,65-95):
-    at-most-once (no replay) — buffer frames driver-side per micro-batch.
-    Requires 'websockets'."""
-    _require("websockets", "WebSocket")
+def websocket_source(spark, **options):
+    """WebSocket source (websocket/web_socket.go:33,65-95) — REAL
+    implementation in websocket.py: driver-side frame reader,
+    at-most-once like the reference (no server-side replay exists).
+    Requires 'websockets' at runtime (or a clientFactory option);
+    tested broker-free with FakeWebSocketServer."""
+    from .websocket import register_websocket_source
+    fmt = register_websocket_source(spark)
+    return spark.readStream.format(fmt).options(**options).load()
 
 
-def aerospike_polling_source(*_a, **_k):
-    """Aerospike CDC-style polling source (aerospike/aerospike.go:52,
-    91-127): last-update timestamp as the offset, one scan per
-    micro-batch filtered by ExpLastUpdate > offset. Requires
-    'aerospike'."""
-    _require("aerospike", "Aerospike")
+def aerospike_polling_source(spark, **options):
+    """Aerospike CDC polling source (aerospike/aerospike.go:52,91-127)
+    — REAL implementation in aerospike.py: high-water last-update clock
+    as the offset, one filtered scan per micro-batch (ExpLastUpdate >
+    cursor). Requires 'aerospike' at runtime (or a clientFactory
+    option); tested broker-free with FakeAerospike. The file-backed
+    gss_cdc_poll source in this module is the same pattern over a JSONL
+    changelog."""
+    from .aerospike import register_aerospike_source
+    fmt = register_aerospike_source(spark)
+    reader = spark.readStream if options.pop("streaming", True) else spark.read
+    return reader.format(fmt).options(**options).load()
 
 
 if _HAS_DS_API:

@@ -13,3 +13,7 @@ the real one; only the network client underneath is swapped via the
 """
 
 from .fake_redis import FakeRedis, fake_redis_factory  # noqa: F401
+from .fake_nats import FakeJetStream, fake_nats_factory  # noqa: F401
+from .fake_pulsar import FakePulsarClient, fake_pulsar_factory  # noqa: F401
+from .fake_websocket import FakeWebSocketServer, fake_websocket_factory  # noqa: F401
+from .fake_aerospike import FakeAerospike, fake_aerospike_factory  # noqa: F401

@@ -1,0 +1,320 @@
+"""NATS JetStream / Pulsar / WebSocket / Aerospike connector tests.
+
+Same approach as test_redis_connector.py: the Data Source code under
+test is the real connector; only the network client is swapped for a
+file-backed fake via the clientFactory option, so offset planning,
+executor-side range reads, and the sink write paths execute for real.
+"""
+
+import time
+import uuid
+
+import pytest
+
+from go_streams_spark.sources.aerospike import (
+    AerospikeCDCStreamReader,
+    register_aerospike_source,
+)
+from go_streams_spark.sources.nats_jetstream import (
+    NatsStreamReader,
+    register_nats_source,
+)
+from go_streams_spark.sources.pulsar import (
+    PulsarStreamReader,
+    register_pulsar_source,
+)
+from go_streams_spark.sources.websocket import (
+    WebSocketStreamReader,
+    register_websocket_source,
+)
+from go_streams_spark.testing.fake_aerospike import FakeAerospike
+from go_streams_spark.testing.fake_nats import FakeJetStream
+from go_streams_spark.testing.fake_pulsar import FakePulsarClient
+from go_streams_spark.testing.fake_websocket import FakeWebSocketServer
+
+NATS_FACTORY = "go_streams_spark.testing.fake_nats:fake_nats_factory"
+PULSAR_FACTORY = "go_streams_spark.testing.fake_pulsar:fake_pulsar_factory"
+WS_FACTORY = "go_streams_spark.testing.fake_websocket:fake_websocket_factory"
+AERO_FACTORY = "go_streams_spark.testing.fake_aerospike:fake_aerospike_factory"
+
+
+@pytest.fixture
+def fake_path(tmp_path):
+    return str(tmp_path / "broker.json")
+
+
+# ---------------------------------------------------------------- NATS
+
+
+def test_nats_offsets_fetch_cap_and_replay(fake_path):
+    js = FakeJetStream(fake_path)
+    js.add_stream("ORDERS", ["orders.>"])
+    for i in range(10):
+        js.publish(f"orders.new.{i % 2}", f"o{i}".encode())
+    reader = NatsStreamReader({"clientfactory": NATS_FACTORY,
+                               "fakepath": fake_path, "stream": "ORDERS",
+                               "fetchbatchsize": "4"})
+    start = reader.initialOffset()
+    assert start == {"seq": 0}
+    end1 = reader.latestOffset()
+    assert end1 == {"seq": 4}  # FetchBatchSize cap per trigger
+    [p] = reader.partitions(start, end1)
+    rows = list(reader.read(p))
+    assert [r[0] for r in rows] == [1, 2, 3, 4]
+    assert rows[0][1] == "orders.new.0" and rows[0][2] == b"o0"
+    # deterministic replay of the same range
+    assert list(reader.read(p)) == rows
+    assert reader.latestOffset() == {"seq": 8}
+    assert reader.latestOffset() == {"seq": 10}  # drains to the tail
+
+
+def test_nats_deliver_new_policy(fake_path):
+    js = FakeJetStream(fake_path)
+    js.add_stream("S", ["s.>"])
+    js.publish("s.a", b"old")
+    reader = NatsStreamReader({"clientfactory": NATS_FACTORY,
+                               "fakepath": fake_path, "stream": "S",
+                               "deliverpolicy": "new"})
+    start = reader.initialOffset()
+    assert start == {"seq": 1}  # starts at the current tail
+    js.publish("s.a", b"new")
+    end = reader.latestOffset()
+    [p] = reader.partitions(start, end)
+    assert [(r[0], r[2]) for r in reader.read(p)] == [(2, b"new")]
+
+
+def test_nats_spark_end_to_end(spark, fake_path):
+    js = FakeJetStream(fake_path)
+    js.add_stream("EVENTS", ["ev.>"])
+    for i in range(6):
+        js.publish("ev.x", f"m{i}".encode())
+    fmt = register_nats_source(spark)
+    name = "nats_" + uuid.uuid4().hex[:8]
+    q = (spark.readStream.format(fmt)
+         .option("clientFactory", NATS_FACTORY).option("fakePath", fake_path)
+         .option("stream", "EVENTS").option("fetchBatchSize", "4")
+         .load()
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table(name).count() < 6:
+        time.sleep(0.5)
+    q.stop()
+    got = sorted(bytes(r["data"]).decode() for r in spark.table(name).collect())
+    assert got == [f"m{i}" for i in range(6)]
+
+    # sink: publish back through the JetStream writer (batch mode)
+    df = spark.createDataFrame([("ev.y", b"out1"), ("ev.y", b"out2")],
+                               "subject string, data binary")
+    (df.write.format(fmt)
+       .option("clientFactory", NATS_FACTORY).option("fakePath", fake_path)
+       .option("stream", "EVENTS").mode("append").save())
+    assert js.last_sequence("EVENTS") == 8
+    tail = list(js.fetch_range("EVENTS", 6, 8))
+    # rows publish from parallel tasks: arrival order is nondeterministic
+    assert sorted(t[2] for t in tail) == [b"out1", b"out2"]
+
+    # batch read splits the stream into sequence-range partitions
+    df2 = (spark.read.format(fmt)
+           .option("clientFactory", NATS_FACTORY).option("fakePath", fake_path)
+           .option("stream", "EVENTS").option("numPartitions", "3").load())
+    assert df2.rdd.getNumPartitions() == 3
+    assert df2.count() == 8
+
+
+# -------------------------------------------------------------- Pulsar
+
+
+def test_pulsar_offsets_and_replay(fake_path):
+    pc = FakePulsarClient(fake_path)
+    ids = [pc.publish("t", f"p{i}".encode(), key=str(i % 2)) for i in range(5)]
+    reader = PulsarStreamReader({"clientfactory": PULSAR_FACTORY,
+                                 "fakepath": fake_path, "topic": "t"})
+    start = reader.initialOffset()
+    assert start == {"mid": "0:-1"}
+    end = reader.latestOffset()
+    assert end == {"mid": ids[-1]}
+    [p] = reader.partitions(start, end)
+    rows = list(reader.read(p))
+    assert [r[0] for r in rows] == ids
+    assert rows[0][1] == "0" and rows[0][2] == b"p0"
+    assert list(reader.read(p)) == rows  # deterministic replay
+    # startingOffsets=latest skips history
+    tail_reader = PulsarStreamReader({"clientfactory": PULSAR_FACTORY,
+                                      "fakepath": fake_path, "topic": "t",
+                                      "startingoffsets": "latest"})
+    assert tail_reader.initialOffset() == {"mid": ids[-1]}
+
+
+def test_pulsar_spark_end_to_end(spark, fake_path):
+    pc = FakePulsarClient(fake_path)
+    for i in range(4):
+        pc.publish("topic1", f"msg{i}".encode())
+    fmt = register_pulsar_source(spark)
+    name = "pulsar_" + uuid.uuid4().hex[:8]
+    q = (spark.readStream.format(fmt)
+         .option("clientFactory", PULSAR_FACTORY).option("fakePath", fake_path)
+         .option("topic", "topic1")
+         .load()
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table(name).count() < 4:
+        time.sleep(0.5)
+    # live publish lands in a later micro-batch
+    pc.publish("topic1", b"msg4")
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table(name).count() < 5:
+        time.sleep(0.5)
+    q.stop()
+    got = sorted(bytes(r["data"]).decode() for r in spark.table(name).collect())
+    assert got == [f"msg{i}" for i in range(5)]
+
+    # sink: produce rows to another topic, batch-read them back
+    df = spark.createDataFrame([("k1", b"v1"), ("k2", b"v2")],
+                               "key string, data binary")
+    (df.write.format(fmt)
+       .option("clientFactory", PULSAR_FACTORY).option("fakePath", fake_path)
+       .option("topic", "out").mode("append").save())
+    back = (spark.read.format(fmt)
+            .option("clientFactory", PULSAR_FACTORY).option("fakePath", fake_path)
+            .option("topic", "out").load())
+    rows = sorted((r["key"], bytes(r["data"])) for r in back.collect())
+    assert rows == [("k1", b"v1"), ("k2", b"v2")]
+
+
+# ----------------------------------------------------------- WebSocket
+
+
+def test_websocket_at_most_once_semantics(fake_path):
+    ws = FakeWebSocketServer(fake_path)
+    ws.push("ws://feed", b"before-connect")  # lost: no replay in websockets
+    reader = WebSocketStreamReader({"clientfactory": WS_FACTORY,
+                                    "fakepath": fake_path, "url": "ws://feed"})
+    start = reader.initialOffset()
+    reader._c()  # connect now
+    ws.push("ws://feed", b"f1")
+    ws.push("ws://feed", b"f2", msg_type=2)
+    rows, end = reader.read(start)
+    rows = list(rows)
+    assert [(t, bytes(p)) for t, p in rows] == [(1, b"f1"), (2, b"f2")]
+    assert end == {"n": 2}
+    # uncommitted range replays from the in-memory tail
+    assert list(reader.readBetweenOffsets(start, end)) == rows
+    reader.commit(end)
+    ws.push("ws://feed", b"f3")
+    rows2, end2 = reader.read(end)
+    assert [bytes(p) for _, p in list(rows2)] == [b"f3"] and end2 == {"n": 3}
+
+
+def test_websocket_spark_end_to_end(spark, fake_path, tmp_path):
+    import json as _json
+
+    from go_streams_spark.sources.custom import register_replay_source
+    ws = FakeWebSocketServer(fake_path)
+    fmt = register_websocket_source(spark)
+    name = "ws_" + uuid.uuid4().hex[:8]
+    q = (spark.readStream.format(fmt)
+         .option("clientFactory", WS_FACTORY).option("fakePath", fake_path)
+         .option("url", "ws://feed")
+         .load()
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    deadline = time.time() + 30
+    while time.time() < deadline and not q.lastProgress:
+        time.sleep(0.2)
+    ws.push("ws://feed", b"hello")
+    ws.push("ws://feed", b"world")
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table(name).count() < 2:
+        time.sleep(0.5)
+    q.stop()
+    got = sorted(bytes(r["payload"]).decode() for r in spark.table(name).collect())
+    assert got == ["hello", "world"]
+
+    # sink: stream rows out as frames through the frame writer
+    src_path = str(tmp_path / "rows.jsonl")
+    with open(src_path, "w") as f:
+        f.write(_json.dumps({"payload": "outbound"}) + "\n")
+    replay_fmt = register_replay_source(spark)
+    wq = (spark.readStream.format(replay_fmt)
+          .option("path", src_path).option("ddl", "payload string")
+          .option("rowsPerBatch", "10").load()
+          .writeStream.format(fmt)
+          .option("clientFactory", WS_FACTORY).option("fakePath", fake_path)
+          .option("url", "ws://out")
+          .option("checkpointLocation", str(tmp_path / "ckpt"))
+          .trigger(availableNow=True).start())
+    wq.awaitTermination(60)
+    assert ws._frames("ws://out") == [[1, "outbound"]]
+
+
+# ----------------------------------------------------------- Aerospike
+
+
+def test_aerospike_cdc_reader_window(fake_path):
+    aero = FakeAerospike(fake_path)
+    aero.put_batch("ns", "users", [("u1", {"v": "1"})])
+    aero.put_batch("ns", "users", [("u2", {"v": "2"})])
+    reader = AerospikeCDCStreamReader({"clientfactory": AERO_FACTORY,
+                                       "fakepath": fake_path,
+                                       "namespace": "ns", "set": "users"})
+    start = reader.initialOffset()
+    end = reader.latestOffset()
+    assert end == {"lut": 2}
+    [p] = reader.partitions(start, end)
+    rows = sorted(reader.read(p))
+    assert [(r[0], r[1]["v"]) for r in rows] == [("u1", "1"), ("u2", "2")]
+    # an update re-enters the change stream with a newer cursor
+    aero.put_batch("ns", "users", [("u1", {"v": "9"})])
+    end2 = reader.latestOffset()
+    [p2] = reader.partitions(end, end2)
+    assert [(r[0], r[1]["v"]) for r in reader.read(p2)] == [("u1", "9")]
+
+
+def test_aerospike_spark_sink_batched_puts(spark, fake_path):
+    """Batched put path (BatchSize, aerospike.go:255-332): rows flush in
+    batchSize groups; keyed upserts make replays idempotent."""
+    fmt = register_aerospike_source(spark)
+    df = spark.createDataFrame(
+        [(f"k{i}", str(i)) for i in range(7)], "key string, v string")
+    (df.repartition(1).write.format(fmt)
+       .option("clientFactory", AERO_FACTORY).option("fakePath", fake_path)
+       .option("namespace", "ns").option("set", "s")
+       .option("batchSize", "3").mode("append").save())
+    aero = FakeAerospike(fake_path)
+    rows = sorted(aero.scan("ns", "s"))
+    assert [(k, b["v"]) for k, b, _ in rows] == [
+        (f"k{i}", str(i)) for i in range(7)]
+    # 7 rows at batchSize=3 -> 3 batched put calls -> 3 clock ticks
+    assert aero.max_last_update("ns", "s") == 3
+
+    # batch read back through the scan reader
+    back = (spark.read.format(fmt)
+            .option("clientFactory", AERO_FACTORY).option("fakePath", fake_path)
+            .option("namespace", "ns").option("set", "s").load())
+    assert back.count() == 7
+    assert sorted(r["bins"]["v"] for r in back.collect()) == sorted(
+        str(i) for i in range(7))
+
+
+def test_aerospike_spark_cdc_stream(spark, fake_path):
+    fmt = register_aerospike_source(spark)
+    aero = FakeAerospike(fake_path)
+    aero.put_batch("ns", "s", [("a", {"v": "1"}), ("b", {"v": "2"})])
+    name = "aero_" + uuid.uuid4().hex[:8]
+    q = (spark.readStream.format(fmt)
+         .option("clientFactory", AERO_FACTORY).option("fakePath", fake_path)
+         .option("namespace", "ns").option("set", "s")
+         .load()
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table(name).count() < 2:
+        time.sleep(0.5)
+    aero.put_batch("ns", "s", [("c", {"v": "3"})])
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table(name).count() < 3:
+        time.sleep(0.5)
+    q.stop()
+    assert sorted(r["key"] for r in spark.table(name).collect()) == ["a", "b", "c"]

@@ -14,7 +14,7 @@ from go_streams_spark.sinks import text_sink, parquet_sink, collect_sink
 from go_streams_spark.sources import (
     text_source, parquet_source, binary_source, register_replay_source,
 )
-from go_streams_spark.sources.custom import aerospike_polling_source
+
 
 
 @pytest.fixture()
@@ -101,10 +101,20 @@ def test_replay_datasource_streaming_offsets(spark, tmpdir):
     assert got == list(range(15))  # all micro-batches (6+6+3) delivered
 
 
-def test_network_connector_stubs_raise():
-    from go_streams_spark.sources.custom import aerospike_polling_source
-    with pytest.raises(ImportError, match="aerospike"):
-        aerospike_polling_source()
+def test_default_adapters_explain_missing_clients():
+    """Without the client library installed, the default adapters raise
+    an actionable ImportError naming the pip package (the connector
+    logic itself is covered broker-free in test_*_connector.py)."""
+    from go_streams_spark.sources.aerospike import AerospikeClientAdapter
+    from go_streams_spark.sources.nats_jetstream import NatsPyAdapter
+    from go_streams_spark.sources.pulsar import PulsarClientAdapter
+    from go_streams_spark.sources.websocket import WebsocketsAdapter
+    for adapter, pkg in [(NatsPyAdapter, "nats-py"),
+                         (PulsarClientAdapter, "pulsar-client"),
+                         (WebsocketsAdapter, "websockets"),
+                         (AerospikeClientAdapter, "aerospike")]:
+        with pytest.raises(ImportError, match=pkg):
+            adapter({})
 
 
 def test_csv_json_roundtrip(spark, tmpdir):
