@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "chi2_token_lang",
     "time_rollup_revenue",
     "mad_outlier_stats",
+    "mad_outlier_stats_hist",
     "incremental_agg_merge",
     "equidepth_price_histogram",
     "fuzzy_name_match_pairs",

@@ -27,16 +27,33 @@ from pyspark.sql import functions as F
 from ..api import Flow
 
 
-def throttle_options(elements: int, period_seconds: float) -> dict[str, str]:
-    """Source/trigger options implementing Backpressure-mode throttling.
+#: per-source spelling of "at most N elements per trigger"
+_QUOTA_OPTION = {
+    "kafka": "maxOffsetsPerTrigger",
+    "rate-micro-batch": "rowsPerBatch",
+    "gss_replay": "rowsPerBatch",
+    "file": "maxFilesPerTrigger",
+}
 
-    Use with: ``readStream.options(**throttle_options(...))`` for Kafka
-    (maxOffsetsPerTrigger) plus ``trigger(processingTime=...)``.
+
+def throttle_options(elements: int, period_seconds: float,
+                     source: str = "kafka") -> dict[str, str]:
+    """Source/trigger options implementing Backpressure-mode throttling
+    (``flow/throttler.go:160-170``: quota per period, upstream blocked —
+    in a micro-batch engine the source simply doesn't advance its offset
+    past the quota, which IS blocking the upstream).
+
+    Use with: ``readStream.format(source).options(**opts)`` plus
+    ``trigger(processingTime=opts.pop("__trigger_processing_time"))``.
+    ``source`` picks the right option spelling (Kafka
+    ``maxOffsetsPerTrigger``, rate-micro-batch/gss_replay
+    ``rowsPerBatch``, file ``maxFilesPerTrigger``).
     """
     if elements <= 0 or period_seconds <= 0:
         raise ValueError("elements and period must be positive")  # flow/throttler_test.go:74-96
+    quota_key = _QUOTA_OPTION.get(source, "maxOffsetsPerTrigger")
     return {
-        "maxOffsetsPerTrigger": str(elements),
+        quota_key: str(elements),
         "__trigger_processing_time": f"{period_seconds} seconds",
     }
 

@@ -65,6 +65,12 @@ def sliding_window(ts: str | Column, size: str, slide: str, *aggs: Column,
     alignment). ``watermark`` maps AllowedLateness
     (``flow/sliding_window.go:25-31``) onto Spark's watermark — semantics
     delta (reference bounds lateness by slide) documented in SURVEY §7.
+
+    ``EmitPartialWindow`` (``flow/sliding_window.go:25-32,213-246``):
+    run the query with ``outputMode("update")`` — each trigger emits the
+    current (partial) aggregate of every window that changed, exactly
+    the early-emission behavior (demonstrated in
+    test_streaming.py::test_sliding_window_emit_partial_update_mode).
     """
     tcol = F.col(ts) if isinstance(ts, str) else ts
 

@@ -3957,6 +3957,89 @@ def mad_outlier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n")))
 
 
+@query("mad_outlier_stats_hist", """
+WITH hist AS (
+  SELECT l_returnflag, CAST(floor(l_extendedprice / 64.0) AS BIGINT) AS b,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), med AS (
+  SELECT l_returnflag, (min(b) + 0.5) * 64.0 AS med, max(n) AS n
+  FROM (
+    SELECT l_returnflag, b, n,
+           sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS cum
+    FROM (SELECT *, sum(c) OVER (PARTITION BY l_returnflag) AS n FROM hist)
+  ) WHERE cum >= ceil(n * 0.5)
+  GROUP BY l_returnflag
+), hist2 AS (
+  SELECT l.l_returnflag,
+         CAST(floor(abs(l.l_extendedprice - m.med) / 64.0) AS BIGINT) AS ab,
+         count(*) AS c
+  FROM lineitem l JOIN med m USING (l_returnflag)
+  GROUP BY 1, 2
+), mad AS (
+  SELECT l_returnflag, (min(ab) + 0.5) * 64.0 AS mad
+  FROM (
+    SELECT l_returnflag, ab, n,
+           sum(c) OVER (PARTITION BY l_returnflag ORDER BY ab) AS cum
+    FROM (SELECT *, sum(c) OVER (PARTITION BY l_returnflag) AS n FROM hist2)
+  ) WHERE cum >= ceil(n * 0.5)
+  GROUP BY l_returnflag
+)
+SELECT h.l_returnflag,
+       round(max(m.med), 4) AS median_price,
+       round(max(d.mad), 4) AS mad,
+       CAST(coalesce(sum(CASE WHEN (h.ab + 0.5) * 64.0 > 4.4478 * d.mad
+                              THEN h.c END), 0) AS BIGINT) AS n_outliers,
+       CAST(sum(h.c) AS BIGINT) AS n
+FROM hist2 h JOIN med m USING (l_returnflag) JOIN mad d USING (l_returnflag)
+GROUP BY h.l_returnflag
+""")
+def mad_outlier_stats_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAD outliers via fixed-width histogram sketches — the 100 TB
+    form of ``mad_outlier_stats``. Exact per-group percentile forces
+    every value of a group through one reducer (3 groups -> 3 straggler
+    tasks buffering the whole column). Here each scan aggregates to
+    (group, price-bucket) grain with map-side partials — full
+    parallelism, tiny shuffles — and the median/MAD/outlier-count are
+    all read off the histograms (error bounded by the 64-unit bucket
+    width; bucket mid * width is integral so both engines agree
+    bit-for-bit, making the sketch deterministic and oracle-checkable,
+    unlike approx_percentile whose sketch differs per engine)."""
+    from pyspark.sql import Window as W
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    w = 64.0
+    per_flag = W.partitionBy("l_returnflag")
+
+    h1 = (li.groupBy("l_returnflag",
+                     F.floor(F.col("l_extendedprice") / w).alias("b"))
+          .agg(F.count(F.lit(1)).alias("c")))
+    med = (h1.withColumn("n", F.sum("c").over(per_flag))
+           .withColumn("cum", F.sum("c").over(per_flag.orderBy("b")))
+           .where(F.col("cum") >= F.ceil(F.col("n") * 0.5))
+           .groupBy("l_returnflag")
+           .agg(((F.min("b") + 0.5) * w).alias("med")))
+    h2 = (li.join(F.broadcast(med), "l_returnflag")
+          .groupBy("l_returnflag",
+                   F.floor(F.abs(F.col("l_extendedprice") - F.col("med"))
+                           / w).alias("ab"))
+          .agg(F.count(F.lit(1)).alias("c"), F.max("med").alias("med")))
+    # MAD read off the same histogram inline (windows over the tiny
+    # (group, bucket) frame) — no self-join, so lineitem scans exactly
+    # twice
+    h2m = (h2.withColumn("n", F.sum("c").over(per_flag))
+           .withColumn("cum", F.sum("c").over(per_flag.orderBy("ab")))
+           .withColumn("cand", F.when(
+               F.col("cum") >= F.ceil(F.col("n") * 0.5), F.col("ab")))
+           .withColumn("mad", (F.min("cand").over(per_flag) + 0.5) * w))
+    return (h2m.groupBy("l_returnflag")
+            .agg(F.round(F.max("med"), 4).alias("median_price"),
+                 F.round(F.max("mad"), 4).alias("mad"),
+                 F.coalesce(F.sum(F.when(
+                     (F.col("ab") + 0.5) * w > 4.4478 * F.col("mad"),
+                     F.col("c"))), F.lit(0)).alias("n_outliers"),
+                 F.sum("c").alias("n")))
+
+
 @query("incremental_agg_merge", """
 SELECT o_orderpriority,
        count(*)                    AS n_orders,
@@ -4137,23 +4220,27 @@ SELECT
 def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across a fact/parent pair — the
     foreign-key check a warehouse runs after every load (Deequ
-    hasReferentialIntegrity analogue). Both directions are anti-joins
-    shipping ONLY the key column, so the shuffle is key-width
-    regardless of table width; counts are map-side-partial."""
+    hasReferentialIntegrity analogue). ONE job: union the two key
+    columns tagged by side, aggregate to key grain (the only fact-sized
+    shuffle, key-width rows with map-side partials), then fold the
+    per-key (child_count, parent_count) pairs into all four audit
+    numbers in a final tiny agg. No joins, no driver-side round-trips
+    per metric — the previous 4-action form scanned the fact six times;
+    this scans each table once."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    orphans = (li.select("l_orderkey")
-               .join(o.select("o_orderkey"),
-                     F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
-               .count())
-    childless = (o.select("o_orderkey")
-                 .join(li.select("l_orderkey").distinct(),
-                       F.col("o_orderkey") == F.col("l_orderkey"), "left_anti")
-                 .count())
-    return spark.createDataFrame(
-        [(orphans, childless, li.count(), o.count())],
-        "orphan_lineitems long, childless_orders long, "
-        "n_lineitems long, n_orders long")
+    keys = (li.select(F.col("l_orderkey").alias("k"),
+                      F.lit(1).alias("lc"), F.lit(0).alias("oc"))
+            .unionAll(o.select(F.col("o_orderkey").alias("k"),
+                               F.lit(0), F.lit(1))))
+    per_key = keys.groupBy("k").agg(F.sum("lc").alias("lc"),
+                                    F.sum("oc").alias("oc"))
+    return per_key.agg(
+        F.sum(F.when(F.col("oc") == 0, F.col("lc")).otherwise(0))
+         .alias("orphan_lineitems"),
+        F.count(F.when(F.col("lc") == 0, 1)).alias("childless_orders"),
+        F.sum("lc").alias("n_lineitems"),
+        F.sum("oc").alias("n_orders"))
 
 
 @query("snapshot_diff_users", """

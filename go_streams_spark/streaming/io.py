@@ -106,6 +106,41 @@ def foreach_batch_sink(fn: Callable[[DataFrame, int], None], *,
     return Sink(run, name="foreach_batch")
 
 
+def with_bounded_retry(fn: Callable[[DataFrame, int], None], *,
+                       max_retries: int = 3, backoff_seconds: float = 0.1,
+                       on_give_up: Callable[[Exception], None] | None = None,
+                       ) -> Callable[[DataFrame, int], None]:
+    """FileSink error policy (extension/file.go:126-186): the reference
+    wraps every write in a configurable retry function and, when it
+    still fails, cancels the SOURCE context and drains the stream.
+
+    This wraps a foreachBatch body the same way: each micro-batch write
+    is retried up to ``max_retries`` times with linear backoff; on
+    exhaustion the exception propagates, which FAILS the streaming query
+    — Spark's equivalent of cancel-upstream (the source stops being
+    polled and the checkpoint still marks the batch uncommitted, so a
+    restart replays it). ``on_give_up`` is the fatal-error hook (alert,
+    dead-letter, ...) invoked before propagation.
+    """
+    if max_retries < 1:
+        raise ValueError("max_retries must be >= 1")
+
+    def wrapped(df: DataFrame, batch_id: int):
+        import time as _time
+        for attempt in range(1, max_retries + 1):
+            try:
+                fn(df, batch_id)
+                return
+            except Exception as e:  # noqa: BLE001 - policy wrapper
+                if attempt == max_retries:
+                    if on_give_up is not None:
+                        on_give_up(e)
+                    raise
+                _time.sleep(backoff_seconds * attempt)
+
+    return wrapped
+
+
 def kafka_source(spark: SparkSession, bootstrap_servers: str, subscribe: str,
                  starting_offsets: str = "earliest", **options) -> DataFrame:
     """Kafka consumer source (kafka/kafka_sarama.go:26,57-136): offsets

@@ -332,3 +332,179 @@ def test_streaming_curation_pipeline(spark, tmp_path):
     kept = sorted(r["doc_id"] for r in spark.table(name).collect())
     # 2 gated by quality, 3 deduped against batch-1 state, 1 and 4 kept
     assert kept == [1, 4]
+
+
+def test_throttler_backpressure_per_trigger_quota(spark):
+    """Executable Backpressure demonstration (flow/throttler_test.go:
+    12-45: with quota 2/interval, a 4-element backlog drains as 2 then 2,
+    never more per interval). Here: rate-micro-batch emits EXACTLY the
+    throttle_options quota per processing-time trigger — the source does
+    not advance past the quota, which is how a micro-batch engine blocks
+    the upstream."""
+    import time as _time
+    from go_streams_spark.operators import throttle_options
+
+    opts = throttle_options(5, 0.5, source="rate-micro-batch")
+    trigger = opts.pop("__trigger_processing_time")
+    assert opts == {"rowsPerBatch": "5"} and trigger == "0.5 seconds"
+
+    counts: dict[int, int] = {}
+    stream = (spark.readStream.format("rate-micro-batch")
+              .options(**opts).option("numPartitions", "2").load())
+    q = (stream.writeStream
+         .foreachBatch(lambda df, bid: counts.__setitem__(bid, df.count()))
+         .trigger(processingTime=trigger).start())
+    deadline = _time.time() + 60
+    while _time.time() < deadline and len(counts) < 3:
+        _time.sleep(0.25)
+    q.stop()
+    assert len(counts) >= 3
+    # every trigger delivered exactly the quota — per-interval reads
+    # match the reference's [2,2]-style drain pattern at quota 5
+    assert all(c == 5 for c in counts.values()), counts
+
+
+def test_throttler_backpressure_bounded_backlog_drain(spark, tmp_path):
+    """Backpressure over a BOUNDED backlog (the reference test's exact
+    shape): 15 queued elements at quota 6/trigger drain as 6, 6, 3 —
+    the last partial batch flushes, and no trigger ever exceeds the
+    quota."""
+    import json as _json
+    import time as _time
+    from go_streams_spark.operators import throttle_options
+    from go_streams_spark.sources import register_replay_source
+
+    path = str(tmp_path / "backlog.jsonl")
+    with open(path, "w") as f:
+        for i in range(15):
+            f.write(_json.dumps({"id": i}) + "\n")
+    fmt = register_replay_source(spark)
+    opts = throttle_options(6, 0.25, source="gss_replay")
+    trigger = opts.pop("__trigger_processing_time")
+    counts: dict[int, int] = {}
+    q = (spark.readStream.format(fmt)
+         .option("path", path).option("ddl", "id int")
+         .options(**opts).load()
+         .writeStream
+         .foreachBatch(lambda df, bid: counts.__setitem__(bid, df.count()))
+         .trigger(processingTime=trigger).start())
+    deadline = _time.time() + 60
+    while _time.time() < deadline and sum(counts.values()) < 15:
+        _time.sleep(0.25)
+    q.stop()
+    nonempty = [c for _, c in sorted(counts.items()) if c > 0]
+    assert nonempty == [6, 6, 3]  # flow/throttler_test.go:12-45 pattern
+
+
+def test_foreach_batch_bounded_retry_recovers(spark, tmp_path):
+    """FileSink retry policy (extension/file.go:126-186): transient
+    write failures are retried per micro-batch; the batch lands exactly
+    once after the retries succeed."""
+    import json as _json
+    from go_streams_spark.sources import register_replay_source
+    from go_streams_spark.streaming import with_bounded_retry
+
+    src = str(tmp_path / "rows.jsonl")
+    with open(src, "w") as f:
+        for i in range(4):
+            f.write(_json.dumps({"id": i}) + "\n")
+    attempts = {"n": 0}
+    landed = []
+
+    def flaky_write(df, batch_id):
+        attempts["n"] += 1
+        if attempts["n"] <= 2:
+            raise IOError("transient sink outage")
+        landed.extend(sorted(r["id"] for r in df.collect()))
+
+    fmt = register_replay_source(spark)
+    q = (spark.readStream.format(fmt)
+         .option("path", src).option("ddl", "id int")
+         .option("rowsPerBatch", "10").load()
+         .writeStream
+         .foreachBatch(with_bounded_retry(flaky_write, max_retries=3,
+                                          backoff_seconds=0.01))
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    assert attempts["n"] == 3 and landed == [0, 1, 2, 3]
+
+
+def test_foreach_batch_retry_exhaustion_cancels_upstream(spark, tmp_path):
+    """Fatal-path (extension/file.go:135-140,173-180): when retries are
+    exhausted the query FAILS — the upstream stops being polled (the
+    ctxCancel analogue) — and the on_give_up fatal hook fires first."""
+    import json as _json
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from go_streams_spark.sources import register_replay_source
+    from go_streams_spark.streaming import with_bounded_retry
+
+    src = str(tmp_path / "rows.jsonl")
+    with open(src, "w") as f:
+        f.write(_json.dumps({"id": 1}) + "\n")
+    calls = {"n": 0}
+    fatal = []
+
+    def always_fails(df, batch_id):
+        calls["n"] += 1
+        raise IOError("permanent sink outage")
+
+    fmt = register_replay_source(spark)
+    q = (spark.readStream.format(fmt)
+         .option("path", src).option("ddl", "id int")
+         .option("rowsPerBatch", "10").load()
+         .writeStream
+         .foreachBatch(with_bounded_retry(always_fails, max_retries=2,
+                                          backoff_seconds=0.01,
+                                          on_give_up=fatal.append))
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    with _pytest.raises(StreamingQueryException, match="permanent sink outage"):
+        q.awaitTermination(60)
+    assert calls["n"] == 2          # bounded: exactly max_retries attempts
+    assert len(fatal) == 1          # fatal hook saw the terminal error
+
+
+def test_sliding_window_emit_partial_update_mode(spark, tmp_path):
+    """EmitPartialWindow (flow/sliding_window.go:25-32,213-246): the
+    reference can emit a window's partial contents before the window
+    closes. Spark's analogue is update output mode: each trigger emits
+    the CURRENT aggregate of every window that changed, so a window
+    spanning two micro-batches appears first with its partial value and
+    again with its final value."""
+    import os as _os
+    src = str(tmp_path / "ev")
+    # two files -> two micro-batches; both land in the 10:00-10:10 window
+    spark.createDataFrame([("2024-01-01 10:01:00", 1.0),
+                           ("2024-01-01 10:03:00", 2.0)],
+                          "ts string, v double").coalesce(1) \
+        .write.mode("append").json(src)
+    spark.createDataFrame([("2024-01-01 10:07:00", 4.0)],
+                          "ts string, v double").coalesce(1) \
+        .write.mode("append").json(src)
+
+    stream = (spark.readStream.schema("ts string, v double")
+              .option("maxFilesPerTrigger", 1).json(src)
+              .withColumn("ts", F.to_timestamp("ts")))
+    agg = (stream.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+           .agg(F.sum("v").alias("total"))
+           .select(F.col("w.start").alias("ws"), "total"))
+    name = "part_" + uuid.uuid4().hex[:8]
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = [(str(r["ws"]), r["total"])
+            for r in spark.table(name).orderBy("ws", "total").collect()]
+    # the 10:00 window emits TWICE: partial (3.0 after batch 1) then
+    # updated final (7.0 after batch 2) — EmitPartialWindow semantics
+    win_10 = [t for ws, t in rows if ws.endswith("10:00:00")]
+    assert win_10 == [3.0, 7.0]
+    # overlapping slide windows also present (10:05 window sees only v=4
+    # after batch 2, plus its batch-1 partial if any: 9:55 covers 1,2)
+    win_0955 = [t for ws, t in rows if ws.endswith("09:55:00")]
+    assert win_0955 == [3.0]
+    win_1005 = [t for ws, t in rows if ws.endswith("10:05:00")]
+    assert win_1005 == [4.0]
