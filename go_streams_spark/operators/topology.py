@@ -119,21 +119,31 @@ def distributed_ordinal(df: DataFrame, *, order_by: Sequence[Column | str],
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if strict:
         df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
-    part = df.withColumn("__pid", F.spark_partition_id())
-    w = Window.partitionBy("__pid").orderBy(*cols)
-    local = part.withColumn("__rn", F.row_number().over(w))
-    counts = {r["__pid"]: r["c"] for r in
-              part.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()}
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    spark = df.sparkSession
-    off_df = spark.createDataFrame(
-        [(pid, off) for pid, off in offsets.items()], "__pid int, __off long")
-    return (local.join(F.broadcast(off_df), "__pid")
+    # monotonically_increasing_id after the in-partition sort encodes
+    # (partition_id << 33) + local_row_index in iteration order, i.e.
+    # exactly the (pid, local ordinal) pair — decoding it replaces the
+    # row_number window, whose hashpartitioning(__pid) requirement
+    # otherwise inserts a second full-width exchange after the range
+    # shuffle. Data-sized work is now ONE range shuffle (+ a key-only
+    # pruned branch for the counts).
+    part = (df.withColumn("__mid", F.monotonically_increasing_id())
+            .withColumn("__pid", F.shiftright("__mid", 33).cast("int"))
+            .withColumn("__rn",
+                        (F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
+                         + F.lit(1)).cast("long")))
+    # offsets = exclusive prefix-sum of per-partition counts, computed
+    # IN-PLAN (no driver collect / no second job). The prefix-sum window
+    # is single-partition but over one row PER PARTITION (thousands at
+    # most), not per data row.
+    off_w = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1)
+    off_df = (part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+              .withColumn("__off", F.coalesce(F.sum("__c").over(off_w),
+                                              F.lit(0)))
+              .select("__pid", "__off"))
+    return (part.join(F.broadcast(off_df), "__pid")
             .withColumn(idx, (F.col("__off") + F.col("__rn")).cast("long"))
-            .drop("__pid", "__rn", "__off"))
+            .drop("__pid", "__rn", "__off", "__mid"))
 
 
 def zip_with_distributed(combine: Callable[..., Column], dfs: Sequence[DataFrame],

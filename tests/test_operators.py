@@ -108,11 +108,22 @@ def test_distributed_ordinal_matches_global_row_number(spark):
 
 
 def test_distributed_ordinal_no_single_partition_exchange(spark):
+    """The data path must never funnel through one partition: the only
+    SinglePartition exchange allowed is the offsets prefix-sum over the
+    per-partition COUNTS (one row per partition — bounded metadata at
+    any scale), which sits directly above the counts HashAggregate."""
     from go_streams_spark.operators import distributed_ordinal
     from go_streams_spark.plans import explain_str
     df = spark.range(1000).select(F.col("id").alias("v"))
     out = distributed_ordinal(df, order_by=["v"], idx="ord")
-    assert "Exchange SinglePartition" not in explain_str(out, "simple")
+    lines = explain_str(out, "simple").splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            below = "\n".join(lines[i + 1:i + 4])
+            assert "HashAggregate" in below and "__pid" in below, (
+                "SinglePartition exchange over data, not counts:\n" + below)
+    got = [r["ord"] for r in out.orderBy("v").collect()]
+    assert got == list(range(1, 1001))
 
 
 def test_zip_with_distributed_matches_zip_with(spark):
