@@ -3719,24 +3719,28 @@ WHERE rank <= 30
 """)
 def bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First BPE merge-table iteration: adjacent-character pair
-    frequencies across the corpus vocabulary — the inner loop of
-    tokenizer training. Tokens explode to character pairs via
-    slice-zip (all JVM-side array ops, no Python); the count agg is a
-    map-side-partial hash agg on the pair and the final top-30 ranks
-    the pair aggregate only. At 100 TB you'd pre-aggregate tokens to
-    (token, count) first — same plan with a weighted count."""
+    frequencies across the corpus — the inner loop of tokenizer
+    training. Exactly how real BPE trainers scale: first collapse the
+    corpus to its VOCABULARY (token -> occurrence count; a map-side
+    -partial hash agg that shrinks the data by the token repetition
+    factor), then explode each DISTINCT token to character pairs via
+    slice-zip (all JVM-side array ops, no Python) and take a weighted
+    sum. The expensive explode runs once per vocabulary entry instead
+    of once per token instance; the final top-30 ranks the tiny pair
+    aggregate only."""
     from pyspark.sql import Window
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
+    vocab = (d.select(
         F.explode(F.filter(F.split(F.lower("text"), " "),
                            lambda x: x != "")).alias("tok"))
-    chars = toks.select(F.split("tok", "").alias("chars"))
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("tok_cnt")))
+    chars = vocab.select(F.split("tok", "").alias("chars"), "tok_cnt")
     pairs = chars.select(
         F.explode(F.zip_with(
             F.slice("chars", 1, F.greatest(F.size("chars") - 1, F.lit(0))),
             F.slice("chars", 2, F.greatest(F.size("chars") - 1, F.lit(0))),
-            lambda a, b: F.concat(a, b))).alias("pair"))
-    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+            lambda a, b: F.concat(a, b))).alias("pair"), "tok_cnt")
+    counts = pairs.groupBy("pair").agg(F.sum("tok_cnt").alias("cnt"))
     # TakeOrderedAndProject top-k; rank stamped on the 30 survivors only
     top = counts.orderBy(F.col("cnt").desc(), "pair").limit(30)
     w = Window.orderBy(F.col("cnt").desc(), "pair")

@@ -113,6 +113,11 @@ if _HAS_DS_API:
 
         def partitions(self, start, end):
             self._planned = max(getattr(self, "_planned", 0), end["offset"])
+            # restart repair: partitions() sees the true logged offsets;
+            # advance the rate-cap cursor so a recovered reader doesn't
+            # re-plan delivered ranges (the DS protocol restores nothing)
+            self._last = max(getattr(self, "_last", 0),
+                             start["offset"], end["offset"])
             return [_RangePartition(self.path, start["offset"], end["offset"])]
 
         def read(self, partition: "_RangePartition"):

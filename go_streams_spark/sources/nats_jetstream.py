@@ -191,6 +191,16 @@ class NatsStreamReader(DataSourceStreamReader):
         return nxt
 
     def partitions(self, start: dict, end: dict):
+        # RESTART REPAIR: the Python DS protocol restores no offsets, so
+        # after recovery a fresh reader's rate-cap cursor would re-plan
+        # delivered ranges. partitions() always sees the true logged
+        # offsets — advance the cursor to their high-water mark. (With
+        # no durable server-side cursor, a clean-stop restart is
+        # at-least-once; pair with idempotent/batchId-keyed sinks.)
+        cur = getattr(self, "_last", None)
+        hi = max(start["seq"], end["seq"])
+        if cur is None or hi > cur["seq"]:
+            self._last = {"seq": hi}
         return [_SeqRange(self.stream, start["seq"], end["seq"])]
 
     def read(self, partition: _SeqRange):

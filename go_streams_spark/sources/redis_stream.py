@@ -194,8 +194,32 @@ class RedisStreamStreamReader(DataSourceStreamReader):
                 off[s] = "0-0"
         return off
 
+    def _recovered_floor(self) -> dict:
+        """Seed the rate-cap cursor on a fresh instance. The Python data
+        source protocol gives a restarted reader no committed offset, so
+        a rate-capped reader would re-plan delivered ranges after a
+        restart. The durable position lives in the BROKER: the consumer
+        group's last-delivered-id, which commit() advances — exactly the
+        recovery semantics the reference gets from XREADGROUP groups
+        (redis_stream.go:30-41). Without a group, restart delivery is
+        at-least-once (idempotent sinks recommended)."""
+        cur = dict(self.initialOffset())
+        group = self.options.get("group")
+        if group:
+            cli = self._cli()
+            for s in self.streams:
+                try:
+                    for g in cli.xinfo_groups(s):
+                        if g.get("name") == group:
+                            last = g.get("last-delivered-id", "0-0")
+                            if _parse_id(last) > _parse_id(cur[s]):
+                                cur[s] = last
+                except Exception:
+                    pass  # stream/group may not exist yet
+        return cur
+
     def latestOffset(self) -> dict:
-        cur = dict(getattr(self, "_last", None) or self.initialOffset())
+        cur = dict(getattr(self, "_last", None) or self._recovered_floor())
         cli = self._cli()
         for s in self.streams:
             # cap the per-trigger advance (the Throttler-Backpressure /
@@ -209,6 +233,17 @@ class RedisStreamStreamReader(DataSourceStreamReader):
         return cur
 
     def partitions(self, start: dict, end: dict):
+        # RESTART REPAIR: after recovery Spark replays the logged batch
+        # through partitions() without telling latestOffset where the
+        # offset log stands — a fresh reader instance would otherwise
+        # re-plan already-delivered ranges (duplicates under new batch
+        # ids). Advance the rate-cap cursor to the logged high-water
+        # mark before the next latestOffset call.
+        cur = dict(getattr(self, "_last", None) or {})
+        for s, eid in end.items():
+            if s not in cur or _parse_id(eid) > _parse_id(cur[s]):
+                cur[s] = eid
+        self._last = cur
         parts = [
             _StreamSlice(s, start.get(s, "0-0"), end[s])
             for s in end

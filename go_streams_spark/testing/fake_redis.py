@@ -173,6 +173,14 @@ class FakeRedis:
             self._write(state)
             return True
 
+    def xinfo_groups(self, name: str) -> list:
+        s = self._read()["streams"].get(name)
+        if s is None:
+            raise ValueError("ERR no such key")
+        return [{"name": g, "last-delivered-id": info["last_delivered"],
+                 "pending": len(info["pending"])}
+                for g, info in s["groups"].items()]
+
     def xgroup_setid(self, name: str, groupname: str, id: str):
         with self._locked():
             state = self._read()
