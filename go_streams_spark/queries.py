@@ -1587,12 +1587,65 @@ def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_sentence_len"))
 
 
-@query("dedup_components")  # iterative algorithm: rows-only check (no single SQL oracle)
+@query("dedup_components", """
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     for i in generate_series(1, len(toks) - 2)])
+    ELSE [] END) AS s
+  FROM t
+), mh AS (
+  SELECT sh.doc_id, seeds.seed,
+         min(('0x' || substr(md5(sh.s), 1, 15))::BIGINT
+             + seeds.seed * (('0x' || substr(md5(sh.s), 16, 15))::BIGINT % 1000000007)) AS m
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+  GROUP BY sh.doc_id, seeds.seed
+), bands AS (
+  SELECT doc_id, seed // 3 AS band, md5(string_agg(m::VARCHAR, '|' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, seed // 3
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), cnts AS (
+  SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+  GROUP BY c.id_a, c.id_b
+), pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN cnts ca ON ca.doc_id = i.id_a
+  JOIN cnts cb ON cb.doc_id = i.id_b
+  WHERE round(i.i / greatest(ca.c + cb.c - i.i, 1), 4) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(n, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+)
+SELECT n AS id, min(m) AS component
+FROM reach GROUP BY n ORDER BY id
+""")
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: connected components over the MinHash-LSH
-    pair graph (iterative min-label propagation — the genuinely
-    non-SQL-expressible op in the dedup pipeline). Output: one row per
-    clustered doc with its component id (= canonical keeper)."""
+    pair graph (iterative min-label propagation). Output: one row per
+    clustered doc with its component id (= canonical keeper). The
+    oracle states the same fixpoint as a recursive transitive closure
+    (component = min reachable id), so the iterative Spark algorithm is
+    hash-checked against a declarative spec — feasible because the
+    oracle graph is sf0.01-sized; the Spark side never materializes the
+    closure, only per-node labels."""
     docs = _t(spark, sf_dir, "documents")
     pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
     comps = D.connected_components(pairs)
