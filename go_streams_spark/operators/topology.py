@@ -101,7 +101,8 @@ def zip_with(combine: Callable[..., Column], dfs: Sequence[DataFrame],
 
 
 def distributed_ordinal(df: DataFrame, *, order_by: Sequence[Column | str],
-                        idx: str = "__ord", strict: bool = True) -> DataFrame:
+                        idx: str = "__ord", strict: bool = True,
+                        total_col: str | None = None) -> DataFrame:
     """Contiguous 1-based ordinal without a single-partition sort.
 
     Two-pass scheme: (1) range-repartition on the order key (strict mode)
@@ -139,8 +140,16 @@ def distributed_ordinal(df: DataFrame, *, order_by: Sequence[Column | str],
         Window.unboundedPreceding, -1)
     off_df = (part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
               .withColumn("__off", F.coalesce(F.sum("__c").over(off_w),
-                                              F.lit(0)))
-              .select("__pid", "__off"))
+                                              F.lit(0))))
+    if total_col:
+        # total row count from the same counts window stage — callers
+        # that need (ordinal, total) pairs (ntile arithmetic, equi-depth
+        # bucketing) get both from the one counts branch instead of a
+        # third scan
+        tot_w = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+        off_df = off_df.withColumn(total_col, F.sum("__c").over(tot_w))
+    off_df = off_df.drop("__c")
     return (part.join(F.broadcast(off_df), "__pid")
             .withColumn(idx, (F.col("__off") + F.col("__rn")).cast("long"))
             .drop("__pid", "__rn", "__off", "__mid"))

@@ -4145,15 +4145,29 @@ GROUP BY bucket
 def equidepth_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth (equal-frequency) histogram — the quantile-bucket
     profile query optimizers and drift monitors build. ntile needs a
-    total order: locally that's one range-partitioned sort; at 100 TB
-    swap in approx_percentile cutpoints + a width_bucket-style filter
-    (the fixed-width variant `price_histogram` shows that shape).
-    (l_orderkey, l_linenumber) tie-break pins bucket boundaries across
-    engines."""
-    from pyspark.sql import Window
-    li = _t(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    return (li.select("l_extendedprice", F.ntile(10).over(w).alias("bucket"))
+    global position, but NOT a single-partition sort: rows are numbered
+    with the distributed ordinal (one range shuffle, offsets decoded
+    from monotonic ids) and ntile's bucket formula — first n%k buckets
+    get ceil(n/k) rows — is applied arithmetically against the 1-row
+    total broadcast back. Bit-identical to ntile() (the oracle), scales
+    to any row count. (l_orderkey, l_linenumber) tie-break pins bucket
+    boundaries across engines."""
+    from .operators import distributed_ordinal
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber")
+    ordn = distributed_ordinal(
+        li, order_by=["l_extendedprice", "l_orderkey", "l_linenumber"],
+        idx="rn", total_col="__n")
+    k = 10
+    q, r = F.floor(F.col("__n") / k), F.col("__n") % k
+    big = r * (q + 1)  # rows covered by the ceil-sized leading buckets
+    bucket = F.when(
+        F.col("rn") <= big,
+        F.floor((F.col("rn") - 1) / (q + 1)) + 1
+    ).otherwise(
+        r + F.floor((F.col("rn") - big - 1) / F.greatest(q, F.lit(1))) + 1)
+    return (ordn
+            .select("l_extendedprice", bucket.cast("int").alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.min("l_extendedprice"), 2).alias("lo"),
