@@ -508,3 +508,50 @@ def test_sliding_window_emit_partial_update_mode(spark, tmp_path):
     assert win_0955 == [3.0]
     win_1005 = [t for ws, t in rows if ws.endswith("10:05:00")]
     assert win_1005 == [4.0]
+
+
+def test_incremental_near_dup_across_batches(spark, tmp_path):
+    """Continuous corpus near-dedup: within-batch near-dups drop by
+    exact verify (keep min id), cross-batch near-dups drop against the
+    band-key state of previously KEPT docs, and unique docs flow
+    through. Driven through a real two-micro-batch streaming query."""
+    import os as _os
+    from go_streams_spark.streaming.incremental_dedup import (
+        incremental_near_dup_sink)
+
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "watches from a warm windowsill in the morning sun today")
+    near = base + " indeed"  # near-dup of base (jaccard 0.95, collides)
+    other = ("completely different content about distributed query "
+             "engines shuffling partitions across a thousand executors "
+             "with adaptive execution and broadcast join planning")
+    b1 = [(1, base), (2, near), (3, other)]          # 2 is in-batch dup of 1
+    b2 = [(4, base.replace("sun", "rain")),          # cross-batch dup of 1
+          (5, "short unrelated note on parquet footer statistics and "
+              "column chunk dictionary encodings for fast pruning scans")]
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(b1, "doc_id long, text string").coalesce(1) \
+        .write.mode("append").json(src)
+    spark.createDataFrame(b2, "doc_id long, text string").coalesce(1) \
+        .write.mode("append").json(src)
+
+    out_dir = str(tmp_path / "kept")
+    state_dir = str(tmp_path / "state")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = (stream.writeStream
+         .foreachBatch(incremental_near_dup_sink(
+             spark, state_dir=state_dir, out_dir=out_dir))
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    kept = sorted(r["doc_id"] for r in spark.read.option(
+        "basePath", out_dir).parquet(out_dir).collect())
+    # 1 kept, 2 dropped (in-batch near-dup of 1), 3 kept,
+    # 4 dropped (cross-batch near-dup of kept 1), 5 kept
+    assert kept == [1, 3, 5]
+    # state holds band keys only for KEPT docs (3 docs x 4 bands)
+    state = spark.read.parquet(state_dir)
+    assert state.count() == 12 and set(state.columns) == {"band", "band_key"}
