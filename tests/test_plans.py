@@ -157,3 +157,34 @@ def test_q2_window_decorrelation_no_extra_join(spark, sf_dir):
     # the only joins are the dim joins (broadcast) and the semi filter —
     # no SortMergeJoin of the agg against itself
     assert "SortMergeJoin" not in plan
+
+
+def test_mad_hist_no_exact_percentile_buffers(spark, sf_dir):
+    """mad_outlier_stats_hist must aggregate to (group, bucket) grain
+    with partial hash aggregation — never an exact percentile, whose
+    buffer funnels a whole column through one reducer per group."""
+    from go_streams_spark.plans import explain_str
+    df = QUERIES["mad_outlier_stats_hist"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "percentile" not in plan.lower()
+    assert "HashAggregate" in plan
+    # two scans of the fact (median pass + deviation pass), no more
+    assert plan.count("FileScan parquet") == 2
+
+
+def test_equidepth_no_fact_wide_single_partition(spark, sf_dir):
+    """equidepth_price_histogram must number rows via the distributed
+    ordinal (range shuffle), not a fact-wide single-partition ntile
+    window; the only SinglePartition exchanges allowed sit above
+    partition-count aggregates (bounded metadata)."""
+    from go_streams_spark.plans import explain_str
+    df = QUERIES["equidepth_price_histogram"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "rangepartitioning" in plan.lower()
+    assert "ntile" not in plan.lower()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            below = "\n".join(lines[i + 1:i + 4])
+            assert "HashAggregate" in below, (
+                "fact-wide SinglePartition exchange:\n" + below)
