@@ -290,6 +290,49 @@ def simhash32(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") 
     return sums.select(id_col, simhash.alias("simhash"))
 
 
+def simhash64(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document — the corpus-scale variant.
+
+    Same packed-lane vote aggregation as ``simhash32`` (which documents
+    the design), doubled: 64 bit-votes ride in 16 longs with 16-bit
+    lanes. Why 64 bits matters at scale: with pigeonhole banding at
+    ``max_hamming=3`` the four bands carry 16 bits each (65536 buckets
+    per band instead of 256), so candidate volume — which scales with
+    the sum of per-bucket squares — drops by orders of magnitude while
+    recall stays exactly 1.0. Bits come from the first 16 md5 hex chars
+    decoded as two 32-bit halves (a single 16-char conv would overflow
+    signed long); bit j of the hash is bit (j%4) of hex nibble (j//4),
+    identical to the SQL oracle's strpos formulation.
+    """
+    toks = df.select(F.col(id_col),
+                     F.explode(F.array_distinct(F.transform(tokens(text_col), F.lower)))
+                     .alias("tok"))
+    hA = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    hB = F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
+
+    def bit(j):
+        h, jj = (hA, j) if j < 32 else (hB, j - 32)
+        return F.shiftright(h, 4 * (7 - jj // 4) + (jj % 4)).bitwiseAND(F.lit(1))
+
+    def packed(g):  # lanes j = 4g..4g+3, 16 bits apart
+        lanes = [F.shiftleft(bit(4 * g + k), 16 * k) for k in range(4)]
+        return sum(lanes[1:], lanes[0]).alias(f"p{g}")
+
+    voted = toks.select(F.col(id_col), *[packed(g) for g in range(16)])
+    sums = voted.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.col(f"p{g}")).alias(f"S{g}") for g in range(16)])
+    simhash = None
+    for j in range(64):
+        s_j = F.shiftright(F.col(f"S{j//4}"), 16 * (j % 4)).bitwiseAND(F.lit(0xFFFF))
+        # bit 63 of a signed long is the sign bit: its "1 << 63" is the
+        # most negative long, not a positive power of two
+        weight = F.lit(-(1 << 63)) if j == 63 else F.lit(1 << j).cast("long")
+        term = F.when(2 * s_j > F.col("n"), weight).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    return sums.select(id_col, simhash.alias("simhash"))
+
+
 def simhash_band_rows(sim: DataFrame, *, id_col: str = "doc_id",
                       bits: int = 32, max_hamming: int = 3) -> DataFrame:
     """(id, simhash, band, band_key) rows: pigeonhole bit-bands.

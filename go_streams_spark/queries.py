@@ -726,6 +726,73 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
+@query("simhash64_docs", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, md5(tok) AS h FROM toks
+), bits AS (
+  SELECT doc_id, j.j,
+         ((strpos('0123456789abcdef', substr(th.h, (j.j // 4) + 1, 1)) - 1) >> (j.j % 4)) & 1 AS bit
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+), sums AS (
+  SELECT doc_id, j, sum(2 * bit - 1) AS s FROM bits GROUP BY doc_id, j
+)
+SELECT doc_id,
+       sum(CASE WHEN s > 0 THEN
+             CASE WHEN j = 63 THEN (-9223372036854775807 - 1)
+                  ELSE (1::BIGINT << (j % 63)) END
+           ELSE 0 END)::BIGINT AS simhash
+FROM sums GROUP BY doc_id
+""")
+def simhash64_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document — the corpus-scale hash width (16-bit
+    pigeonhole bands at max_hamming=3)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.simhash64(docs)
+
+
+@query("simhash64_near_pairs", """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, md5(tok) AS h FROM toks
+), bits AS (
+  SELECT doc_id, j.j,
+         ((strpos('0123456789abcdef', substr(th.h, (j.j // 4) + 1, 1)) - 1) >> (j.j % 4)) & 1 AS bit
+  FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+), sums AS (
+  SELECT doc_id, j, sum(2 * bit - 1) AS s FROM bits GROUP BY doc_id, j
+), simh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN
+               CASE WHEN j = 63 THEN (-9223372036854775807 - 1)
+                    ELSE (1::BIGINT << (j % 63)) END
+             ELSE 0 END)::BIGINT AS simhash
+  FROM sums GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""")
+def simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at hamming <= 3 on 64-bit simhashes: four
+    pigeonhole bands of 16 bits (65536 buckets each) — the band
+    granularity that keeps candidate volume sub-quadratic at corpus
+    scale. Oracle states the O(N^2) definition; the engine never runs
+    it (per-band equi-join + exact hamming verify, recall 1.0 by
+    pigeonhole)."""
+    docs = _t(spark, sf_dir, "documents")
+    sim = D.simhash64(docs)
+    out = D.simhash_pairs(sim, max_hamming=3, bits=64)
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
 @query("embedding_knn", """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings

@@ -281,3 +281,21 @@ def test_uniqueness_report(spark):
         "k int, s string")
     row = C.uniqueness_report(df, ["k"]).collect()[0]
     assert (row["n_keys"], row["n_dup_keys"], row["n_dup_rows"]) == (3, 2, 5)
+
+
+def test_simhash64_band_equijoin_matches_brute_force(spark):
+    """64-bit simhash pairs via pigeonhole banding == brute-force
+    all-pairs at the same threshold (recall 1.0 by construction), and
+    the 16-bit bands decode correctly across the sign bit."""
+    from go_streams_spark.functions import dedup as D
+    rows = [(i, f"tok{i} alpha beta gamma delta epsilon zeta common words "
+                f"shared across documents {i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sim = D.simhash64(df)
+    sims = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    brute = sorted(
+        (a, b) for a in sims for b in sims
+        if a < b and bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1") <= 3)
+    banded = sorted((r["id_a"], r["id_b"]) for r in
+                    D.simhash_pairs(sim, max_hamming=3, bits=64).collect())
+    assert banded == brute

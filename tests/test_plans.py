@@ -188,3 +188,13 @@ def test_equidepth_no_fact_wide_single_partition(spark, sf_dir):
             below = "\n".join(lines[i + 1:i + 4])
             assert "HashAggregate" in below, (
                 "fact-wide SinglePartition exchange:\n" + below)
+
+
+def test_simhash64_pairs_no_nonequi_join(spark, sf_dir):
+    """simhash64_near_pairs must run as per-band equi-joins (pigeonhole
+    LSH), never an all-pairs non-equi self-join."""
+    from go_streams_spark.plans import explain_str
+    df = QUERIES["simhash64_near_pairs"](spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
