@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "simhash_docs",
+    "simhash64_near_pairs",
     "embedding_knn",
     "ann_sign_lsh",
     "ann_ivf_knn",

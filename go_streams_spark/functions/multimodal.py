@@ -91,3 +91,37 @@ def extract_features(df: DataFrame, *, blob_col: str = "media", id_col: str = "d
             })
 
     return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def sample_frames(df: DataFrame, *, blob_col: str = "media",
+                  id_col: str = "doc_id", frame_size: int = 32,
+                  every_k: int = 2, max_frames: int = 4) -> DataFrame:
+    """Frame sampling over binary media via mapInPandas: treat the blob
+    as concatenated fixed-size frames (the stub "container format" —
+    swap the slicing for an ffmpeg/pyav keyframe reader and the row
+    shape, Arrow batching, and partition parallelism stay identical).
+    Emits every ``every_k``-th complete frame, at most ``max_frames``
+    per document, one ROW per frame — the explode shape downstream
+    feature extraction and dedup expect. No shuffle: rows fan out
+    within their partition.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_idx, out_frame = [], [], []
+            for i, b in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(b)
+                n_full = len(b) // frame_size
+                for j, fidx in enumerate(range(0, n_full, every_k)):
+                    if j >= max_frames:
+                        break
+                    out_id.append(i)
+                    out_idx.append(fidx)
+                    out_frame.append(b[fidx * frame_size:(fidx + 1) * frame_size])
+            yield pd.DataFrame(
+                {"doc_id": out_id, "frame_idx": out_idx, "frame": out_frame})
+
+    return df.mapInPandas(_sample, schema=FRAME_SCHEMA)

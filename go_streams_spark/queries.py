@@ -1003,6 +1003,32 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"))
 
 
+@query("multimodal_frame_sample", """
+WITH f AS (
+  SELECT doc_id, text, octet_length(text::BLOB) // 32 AS n FROM documents
+), idx AS (
+  SELECT doc_id, text, g.f AS frame_idx,
+         row_number() OVER (PARTITION BY doc_id ORDER BY g.f) - 1 AS j
+  FROM f, LATERAL (SELECT unnest(range(0, n, 2)) AS f) g
+)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+       md5(substr(text, (frame_idx * 32 + 1)::INT, 32)) AS frame_hash
+FROM idx WHERE j < 4
+""")
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary media (every 2nd 32-byte frame, max 4
+    per doc) via mapInPandas — one row per sampled frame, the shape
+    downstream feature extraction consumes. The stub container format
+    (fixed-size frames) is deterministic, so the oracle reproduces each
+    frame by byte arithmetic and hashes it (ASCII corpus: text substr ==
+    byte substr)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.col("text").cast("binary").alias("media"))
+    frames = M.sample_frames(media, frame_size=32, every_k=2, max_frames=4)
+    return frames.select("doc_id", "frame_idx",
+                         F.md5("frame").alias("frame_hash"))
+
+
 # ===========================================================================
 # Relational capabilities beyond the reference surface (ship free with
 # Spark — SURVEY §2.5: joins, analytic windows, set ops, sorts/limits,
