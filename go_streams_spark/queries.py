@@ -3541,6 +3541,54 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(z, 2).alias("z")))
 
 
+@query("mixture_sample_docs", """
+WITH u AS (
+  SELECT doc_id, lang, source, n_chars,
+         (('0x' || substr(md5(doc_id::VARCHAR || ':mix'), 1, 13))::BIGINT + 1)
+           / 4503599627370497.0 AS u,
+         CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 0.30
+              WHEN source IN ('src5','src6','src7','src8','src9') THEN 0.90
+              WHEN source IN ('src10','src11','src12','src13','src14') THEN 0.75
+              ELSE 0.50 END AS rate
+  FROM documents
+)
+SELECT source,
+       count(*) FILTER (WHERE u <= rate)            AS n_kept,
+       count(*)                                     AS n_total,
+       round(count(*) FILTER (WHERE u <= rate) * 1.0 / count(*), 3) AS realized,
+       sum(n_chars) FILTER (WHERE u <= rate)::BIGINT AS kept_chars
+FROM u GROUP BY source
+""")
+def mixture_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling — the data-mixing stage of a training
+    pipeline: each source is down/up-weighted to a target rate (30%/90%/75%/50%
+    across source groups) by a DETERMINISTIC per-doc coin:
+    u = md5(doc_id || salt) mapped to (0,1]. Pure projection + filter,
+    no shuffle before the stats agg; reproducible across runs, engines,
+    partitionings, and re-ingests (a doc's keep/drop never flips, so
+    downstream dedup and eval splits stay consistent). The salt
+    decorrelates this coin from the train/valid/test split hash."""
+    d = _t(spark, sf_dir, "documents")
+    u = ((F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                            F.lit(":mix"))), 1, 13),
+                 16, 10).cast("double") + 1) / F.lit(4503599627370497.0))
+    rate = (F.when(F.col("source").isin("src0", "src1", "src2", "src3",
+                                        "src4"), 0.30)
+            .when(F.col("source").isin("src5", "src6", "src7", "src8",
+                                       "src9"), 0.90)
+            .when(F.col("source").isin("src10", "src11", "src12", "src13",
+                                       "src14"), 0.75)
+            .otherwise(0.50))
+    kept = u <= rate
+    return (d.select("source", "n_chars", kept.alias("k"))
+            .groupBy("source")
+            .agg(F.count(F.when(F.col("k"), 1)).alias("n_kept"),
+                 F.count(F.lit(1)).alias("n_total"),
+                 F.round(F.count(F.when(F.col("k"), 1))
+                         / F.count(F.lit(1)), 3).alias("realized"),
+                 F.sum(F.when(F.col("k"), F.col("n_chars"))).alias("kept_chars")))
+
+
 @query("stratified_split_docs", """
 SELECT split, lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
 FROM (

@@ -318,3 +318,49 @@ def test_aerospike_spark_cdc_stream(spark, fake_path):
         time.sleep(0.5)
     q.stop()
     assert sorted(r["key"] for r in spark.table(name).collect()) == ["a", "b", "c"]
+
+
+def test_nats_checkpoint_recovery_idempotent_sink(spark, fake_path, tmp_path):
+    """Restart contract for the rate-capped NATS reader: the partitions()
+    repair stops a recovered reader from re-planning delivered ranges;
+    the tail batch may replay (at-least-once without a durable
+    server-side cursor), so the standard batchId-idempotent sink yields
+    exactly-once end to end — no gaps, no dups."""
+    js = FakeJetStream(fake_path)
+    js.add_stream("S", ["s.>"])
+    for i in range(6):
+        js.publish("s.x", f"m{i}".encode())
+    fmt = register_nats_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    by_batch: dict[int, list] = {}
+
+    def start():
+        return (spark.readStream.format(fmt)
+                .option("clientFactory", NATS_FACTORY)
+                .option("fakePath", fake_path)
+                .option("stream", "S").option("fetchBatchSize", "4")
+                .load()
+                .writeStream
+                .foreachBatch(lambda df, bid: by_batch.__setitem__(
+                    bid, [bytes(x["data"]).decode() for x in df.collect()]))
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").start())
+
+    def landed():
+        return sorted(m for rows in by_batch.values() for m in rows)
+
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline and len(landed()) < 6:
+        time.sleep(0.5)
+    q.stop()
+    assert landed() == [f"m{i}" for i in range(6)]
+
+    js.publish("s.x", b"m6")
+    js.publish("s.x", b"m7")
+    q2 = start()
+    deadline = time.time() + 60
+    while time.time() < deadline and len(landed()) < 8:
+        time.sleep(0.5)
+    q2.stop()
+    assert landed() == sorted(f"m{i}" for i in range(8))
