@@ -1745,6 +1745,58 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.orderBy("id").select("id", "component")
 
 
+@query("kmv_distinct_users", """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT + 1)
+           / 4503599627370497.0 AS u
+  FROM events
+), ranked AS (
+  SELECT event_type, u,
+         row_number() OVER (PARTITION BY event_type ORDER BY u) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS n_exact
+  FROM h
+)
+SELECT event_type,
+       CAST(round(CASE WHEN n_exact <= 64 THEN n_exact
+                       ELSE (64 - 1) / max(CASE WHEN rk = 64 THEN u END)
+                  END) AS BIGINT) AS kmv_estimate,
+       CAST(max(n_exact) AS BIGINT) AS exact_distinct
+FROM ranked
+GROUP BY event_type, n_exact
+""")
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct estimator (k=64) per event type — the
+    deterministic, engine-portable cousin of HyperLogLog: hash each key
+    to uniform (0,1], keep the k smallest per group, estimate
+    (k-1)/u_(k). Like HLL the sketch is MERGEABLE (union of k-min sets
+    re-truncated to k), which is why sketch cardinality — not exact
+    distinct — is the 100 TB path; unlike HLL the estimate is a pure
+    function of md5, so DuckDB reproduces it bit-for-bit and the
+    accuracy claim (vs the exact count, also returned) is hash-checked
+    rather than taken on faith. Spark side keeps only k rows per group
+    past the shuffle (rank <= k pushes down as a window group limit)."""
+    ev = _t(spark, sf_dir, "events")
+    k = 64
+    u = ((F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13),
+                 16, 10).cast("double") + 1) / F.lit(4503599627370497.0))
+    from pyspark.sql import Window
+    hashed = ev.select("event_type", u.alias("u")).distinct()
+    w = Window.partitionBy("event_type").orderBy("u")
+    ranked = (hashed
+              .withColumn("rk", F.row_number().over(w))
+              .withColumn("n_exact", F.count(F.lit(1)).over(
+                  Window.partitionBy("event_type")))
+              .where(F.col("rk") <= k))
+    return (ranked.groupBy("event_type", "n_exact")
+            .agg(F.max(F.when(F.col("rk") == k, F.col("u"))).alias("uk"))
+            .select("event_type",
+                    F.round(F.when(F.col("n_exact") <= k, F.col("n_exact"))
+                            .otherwise((k - 1) / F.col("uk")))
+                    .cast("long").alias("kmv_estimate"),
+                    F.col("n_exact").cast("long").alias("exact_distinct")))
+
+
 @query("approx_distinct_users")  # HLL implementations differ across engines: rows-only
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type via HyperLogLog++
