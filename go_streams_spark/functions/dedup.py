@@ -371,8 +371,13 @@ def simhash_pairs(sim: DataFrame, *, id_col: str = "doc_id",
     buckets); at real corpus scale use a 64-bit simhash with k<=3 so
     bands carry 16 bits each — same plan, finer buckets.
     """
+    # persist the shared band subtree: the self-join's two branches do
+    # not canonicalize to one exchange (the hint breaks reuse), so
+    # without it the whole signature aggregation runs twice — same
+    # decision as ngram_jaccard_pairs; at 100 TB materialize the
+    # signatures to parquet once instead (the standard first stage).
     bands = simhash_band_rows(sim, id_col=id_col, bits=bits,
-                              max_hamming=max_hamming)
+                              max_hamming=max_hamming).persist()
     # shuffle-hash, not broadcast: bands is a corpus-scale intermediate
     # (same rationale as minhash_lsh_candidates above).
     a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
