@@ -231,3 +231,43 @@ def test_zip_with_three_inputs_padding(spark, a, b, c):
     pad = lambda xs: xs + [0] * (n - len(xs))
     expect = sorted(x + y + z for x, y, z in zip(pad(a), pad(b), pad(c)))
     assert got == expect
+
+
+@given(xs=st.lists(st.integers(min_value=-10**9, max_value=10**9),
+                   min_size=1, max_size=60, unique=True),
+       nparts=st.integers(min_value=1, max_value=6))
+@settings(**SETTINGS)
+def test_distributed_ordinal_is_contiguous_rank(spark, xs, nparts):
+    """Property: for ANY unique key set and ANY input partitioning, the
+    distributed ordinal equals the 1-based rank in sorted order —
+    contiguous, no gaps, no dups (the monotonic-id decode + prefix-sum
+    offsets must agree with a plain sort)."""
+    from go_streams_spark.operators import distributed_ordinal
+    df = spark.createDataFrame([(v,) for v in xs], "v long").repartition(nparts)
+    out = distributed_ordinal(df, order_by=["v"], idx="ord")
+    got = {r["v"]: r["ord"] for r in out.collect()}
+    expect = {v: i + 1 for i, v in enumerate(sorted(xs))}
+    assert got == expect
+
+
+@given(docs=st.lists(st.lists(st.sampled_from(
+    ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]),
+    min_size=3, max_size=10), min_size=2, max_size=12),
+    k=st.integers(min_value=1, max_value=4))
+@settings(**SETTINGS)
+def test_simhash64_banding_recall_property(spark, docs, k):
+    """Property: pigeonhole banding at max_hamming=k returns EXACTLY the
+    pairs within hamming distance k (recall 1.0, no false negatives, and
+    the verify step kills every false positive) for arbitrary token
+    multisets."""
+    from go_streams_spark.functions import dedup as D
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sim = D.simhash64(df)
+    sims = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+    brute = sorted(
+        (a, b) for a in sims for b in sims
+        if a < b and bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1") <= k)
+    banded = sorted((r["id_a"], r["id_b"]) for r in
+                    D.simhash_pairs(sim, max_hamming=k, bits=64).collect())
+    assert banded == brute
