@@ -3338,31 +3338,29 @@ UNION ALL SELECT 'view>click>purchase', count(*) FROM s3
 def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel analytics: users who viewed, then clicked AFTER
     the first view, then purchased AFTER that click (first-touch
-    semantics at every step). Each stage is a keyed conditional-min
-    aggregate joined to the previous stage on user_id — every shuffle
-    shares the SAME key, so stages co-partition and the per-stage state
-    is one timestamp per user. No sessionization scan-per-step, no
-    window over the whole event log."""
+    semantics at every step). ONE scan and ONE shuffle: each user's
+    step timestamps reduce in a single keyed aggregate (first view +
+    per-type sorted timestamp lists), then the ordered constraints are
+    array filters over that per-user state — no per-stage rescan of the
+    event log, no join chain. Per-user state is bounded by that user's
+    click/purchase count (the usual funnel assumption; a pathological
+    hot user would call for pre-capping the lists — top-N per type is
+    enough since only the minimum survivor matters)."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    s1 = (ev.groupBy("user_id")
-          .agg(F.min(F.when(F.col("event_type") == "view",
-                            F.col("ts"))).alias("t1"))
-          .where(F.col("t1").isNotNull()))
-    s2 = (ev.where(F.col("event_type") == "click")
-          .join(s1, "user_id")
-          .where(F.col("ts") > F.col("t1"))
-          .groupBy("user_id").agg(F.min("ts").alias("t2")))
-    s3 = (ev.where(F.col("event_type") == "purchase")
-          .join(s2, "user_id")
-          .where(F.col("ts") > F.col("t2"))
-          .groupBy("user_id").agg(F.min("ts").alias("t3")))
-    count1 = s1.agg(F.count(F.lit(1)).alias("users")) \
-        .select(F.lit("view").alias("step"), "users")
-    count2 = s2.agg(F.count(F.lit(1)).alias("users")) \
-        .select(F.lit("view>click").alias("step"), "users")
-    count3 = s3.agg(F.count(F.lit(1)).alias("users")) \
-        .select(F.lit("view>click>purchase").alias("step"), "users")
-    return count1.unionAll(count2).unionAll(count3)
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t1"),
+        F.sort_array(F.collect_list(
+            F.when(F.col("event_type") == "click", F.col("ts")))).alias("cl"),
+        F.sort_array(F.collect_list(
+            F.when(F.col("event_type") == "purchase", F.col("ts")))).alias("pu"))
+    t2 = F.array_min(F.filter("cl", lambda c: c > F.col("t1")))
+    funnel = per_user.withColumn("t2", t2).withColumn(
+        "t3", F.array_min(F.filter("pu", lambda p: p > F.col("t2"))))
+    counts = funnel.agg(F.count("t1").alias("c1"), F.count("t2").alias("c2"),
+                        F.count("t3").alias("c3"))
+    return counts.selectExpr(
+        "stack(3, 'view', c1, 'view>click', c2, "
+        "'view>click>purchase', c3) as (step, users)")
 
 
 # ---------------------------------------------------------------------------
