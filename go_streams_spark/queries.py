@@ -1229,7 +1229,7 @@ def batch_collect_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import collect_batches, Flatten
     ev = _t(spark, sf_dir, "events")
     batched = Source(ev.select("event_id")) \
-        .via(batch_by_count(50, order_by=["event_id"])) \
+        .via(batch_by_count(50, order_by=["event_id"], distributed=True)) \
         .via(collect_batches("event_id", group_cols=["batch_id"], output="value")) \
         .to_df()
     # flatten back and recompute stats per batch (round-trip proof)
