@@ -125,3 +125,26 @@ def sample_frames(df: DataFrame, *, blob_col: str = "media",
                 {"doc_id": out_id, "frame_idx": out_idx, "frame": out_frame})
 
     return df.mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+def resize_features(df: DataFrame, *, feature_col: str = "feature",
+                    out_dim: int = 8) -> DataFrame:
+    """Resize/downsample plumbing: map a feature vector (or decoded
+    image raster, flattened) to a fixed output dimension by uniform
+    striding — the stub for an interpolating image resize (swap the
+    stride slice for PIL/antialias and the Arrow batch shape stays
+    identical). Vectorized pandas UDF (Arrow in/out), no Python loop
+    per element beyond the row list; no shuffle."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def _resize(col: pd.Series) -> pd.Series:
+        def one(v):
+            arr = np.asarray(v, dtype=np.float32)
+            if arr.size == 0:
+                return np.zeros(out_dim, dtype=np.float32).tolist()
+            idx = (np.arange(out_dim) * arr.size) // out_dim
+            return arr[idx].tolist()
+        return col.map(one)
+
+    return df.withColumn(feature_col, _resize(F.col(feature_col)))

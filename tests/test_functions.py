@@ -299,3 +299,18 @@ def test_simhash64_band_equijoin_matches_brute_force(spark):
     banded = sorted((r["id_a"], r["id_b"]) for r in
                     D.simhash_pairs(sim, max_hamming=3, bits=64).collect())
     assert banded == brute
+
+
+def test_multimodal_resize_features_stride(spark):
+    """Resize plumbing: uniform-stride downsample to a fixed dim via a
+    vectorized pandas UDF — deterministic index selection (i*n//k), and
+    empty inputs land as zero vectors."""
+    from go_streams_spark.functions.multimodal import resize_features
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(16)]), (2, [5.0, 6.0]), (3, [])],
+        "doc_id long, feature array<float>")
+    out = {r["doc_id"]: r["feature"] for r in
+           resize_features(df, out_dim=4).collect()}
+    assert out[1] == [0.0, 4.0, 8.0, 12.0]   # idx = i*16//4
+    assert out[2] == [5.0, 5.0, 6.0, 6.0]    # idx = i*2//4 = 0,0,1,1
+    assert out[3] == [0.0, 0.0, 0.0, 0.0]
