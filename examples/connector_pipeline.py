@@ -68,7 +68,8 @@ def main():
     print(f"published {js.last_sequence('OUT')} messages to JetStream:")
     for seq, subject, data in js.fetch_range("OUT", 0, 5):
         print(f"  seq={seq} subject={subject} data={data.decode()}")
-    spark.stop()
+    # (no explicit spark.stop(): process exit cleans up, and a shared
+    # getOrCreate session must survive when examples run inside a harness)
 
 
 if __name__ == "__main__":
