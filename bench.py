@@ -169,6 +169,26 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Single-node pipeline THROUGHPUT (events/sec): the reference's own
+    # claim surface is element throughput through an operator chain, so
+    # time the canonical Map -> Filter -> keyed tumbling-window pipeline
+    # over the events table and report rows/sec (best of 2, like above).
+    from pyspark.sql import functions as F
+    from go_streams_spark.queries import _t
+    ev = _t(spark, sf_dir, "events")
+    n_events = ev.count()
+    best_pipe = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        force(ev
+              .withColumn("v2", F.col("value") * 2)            # Map
+              .where(F.col("v2") > 0)                          # Filter
+              .groupBy("user_id", F.window("ts", "1 hour"))    # Keyed window
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("v2").alias("s")))
+        best_pipe = min(best_pipe, time.perf_counter() - t0)
+    events_per_sec = int(n_events / best_pipe) if best_pipe > 0 else 0
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -180,6 +200,8 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "pipeline_events_per_sec": events_per_sec,
+                "n_events": n_events,
                 "queries": timings,
             },
             f,
@@ -198,6 +220,7 @@ def main() -> None:
         "queries": slowest,
         "sf": sf_val,
         "n_queries": len(timings),
+        "pipeline_events_per_sec": events_per_sec,
         "detail_file": "BENCH_DETAIL.json",
     }))
 
