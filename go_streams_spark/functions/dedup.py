@@ -372,15 +372,19 @@ def simhash_pairs(sim: DataFrame, *, id_col: str = "doc_id",
     bands carry 16 bits each — same plan, finer buckets.
     """
     # persist the shared band subtree: the self-join's two branches do
-    # not canonicalize to one exchange (the hint breaks reuse), so
-    # without it the whole signature aggregation runs twice — same
-    # decision as ngram_jaccard_pairs; at 100 TB materialize the
-    # signatures to parquet once instead (the standard first stage).
-    bands = simhash_band_rows(sim, id_col=id_col, bits=bits,
-                              max_hamming=max_hamming).persist()
-    # shuffle-hash, not broadcast: bands is a corpus-scale intermediate
-    # (same rationale as minhash_lsh_candidates above).
-    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
+    # not canonicalize to one exchange, so without it the whole
+    # signature aggregation runs twice — same decision as
+    # ngram_jaccard_pairs; at 100 TB materialize the signatures to
+    # parquet once instead (the standard first stage). The shuffle_hash
+    # hint (never broadcast: bands is a corpus-scale intermediate, same
+    # rationale as minhash_lsh_candidates) is applied BEFORE persist so
+    # both join branches canonicalize to the cached plan — hinting one
+    # side afterwards made that side miss the cache and recompute the
+    # signatures.
+    bands = (simhash_band_rows(sim, id_col=id_col, bits=bits,
+                               max_hamming=max_hamming)
+             .hint("shuffle_hash").persist())
+    a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (a.join(b, ["band", "band_key"])
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
