@@ -283,3 +283,36 @@ def test_redis_stream_checkpoint_recovery_no_dup_no_loss(spark, fake_path, tmp_p
     # exactly once end-to-end: 0..7, no duplicates, no gaps — even if
     # the tail batch of phase 1 was replayed on restart
     assert landed() == sorted(str(i) for i in range(8))
+
+
+def test_fluent_pipeline_over_redis_connector(spark, fake_path):
+    """The reference's canonical wiring (examples in the reference:
+    connector Source -> Via(flow...) -> To(sink)) over the REAL Redis
+    stream connector through the fluent API: Source.via(Map).via(Filter)
+    .to(memory sink), streaming end-to-end."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from go_streams_spark.api import Source
+    from go_streams_spark.operators import Filter, Map
+    from go_streams_spark.sources.custom import redis_stream_source
+    from go_streams_spark.streaming import memory_sink
+
+    r = FakeRedis(fake_path)
+    for i in range(6):
+        r.xadd("in", {"n": str(i)})
+
+    stream = redis_stream_source(
+        spark, clientFactory=FACTORY, fakePath=fake_path, stream="in")
+    name = "fluent_" + _uuid.uuid4().hex[:8]
+    q = (Source(stream)
+         .via(Map({"n": F.col("values")["n"].cast("int")}))
+         .via(Filter(F.col("n") % 2 == 0))
+         .to(memory_sink(name, available_now=False,
+                         await_termination=False)))
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table(name).count() < 3:
+        time.sleep(0.5)
+    q.stop()
+    assert sorted(x["n"] for x in spark.table(name).collect()) == [0, 2, 4]
