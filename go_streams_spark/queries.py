@@ -1003,6 +1003,46 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1).cast("double"), 4).alias("f0"))
 
 
+@query("multimodal_resize", """
+WITH b AS (
+  SELECT doc_id,
+         list_transform(range(1, 17),
+           i -> CASE WHEN i <= octet_length(text::BLOB)
+                     THEN ascii(substr(text, i::INT, 1)) ELSE 0 END) AS bytes
+  FROM documents
+), n AS (
+  SELECT doc_id, bytes,
+         sqrt(list_sum(list_transform(bytes, x -> (x * x)::DOUBLE))) AS nrm
+  FROM b
+), feat AS (
+  SELECT doc_id,
+         list_transform(bytes,
+           x -> (x / CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END)::REAL) AS f
+  FROM n
+)
+SELECT doc_id,
+       round(f[1]::DOUBLE, 4)  AS r0,
+       round(f[5]::DOUBLE, 4)  AS r1,
+       round(f[9]::DOUBLE, 4)  AS r2,
+       round(f[13]::DOUBLE, 4) AS r3
+FROM feat
+""")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample over extracted media features: stub 16-dim
+    feature -> uniform-stride resize to 4 dims (indices i*16//4 =
+    0,4,8,12) via the vectorized pandas UDF. The oracle reproduces the
+    full chain — byte extraction, L2 normalize, float32 store, stride
+    pick — in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.col("text").cast("binary").alias("media"))
+    feats = M.extract_features(M.attach_media_metadata(media))
+    small = M.resize_features(feats, out_dim=4)
+    return small.select(
+        "doc_id",
+        *[F.round(F.element_at("feature", i + 1).cast("double"), 4)
+          .alias(f"r{i}") for i in range(4)])
+
+
 @query("multimodal_frame_sample", """
 WITH f AS (
   SELECT doc_id, text, octet_length(text::BLOB) // 32 AS n FROM documents
