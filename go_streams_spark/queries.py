@@ -1837,6 +1837,88 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_exact").cast("long").alias("exact_distinct")))
 
 
+@query("kmv_audience_overlap", """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         (('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT + 1)
+           / 4503599627370497.0 AS u
+  FROM events WHERE event_type IN ('view', 'purchase')
+), unioned AS (
+  SELECT DISTINCT u FROM h
+), ranked AS (
+  SELECT u, row_number() OVER (ORDER BY u) AS rk,
+         count(*) OVER () AS n_union
+  FROM unioned
+), sketch AS (
+  SELECT max(CASE WHEN rk = 64 THEN u END) AS uk, max(n_union) AS n_union
+  FROM ranked WHERE rk <= 64
+), est AS (
+  SELECT CASE WHEN n_union <= 64 THEN n_union::DOUBLE
+              ELSE (64 - 1) / uk END AS union_est,
+         CASE WHEN n_union <= 64 THEN 1.0
+              ELSE NULL END AS exact_flag
+  FROM sketch
+), inter AS (
+  -- intersection fraction measured on the union sketch's k-min sample:
+  -- of the 64 smallest union hashes, the share present in BOTH sets
+  SELECT count(*) FILTER (WHERE in_a AND in_b) * 1.0
+           / greatest(count(*), 1) AS frac
+  FROM (
+    SELECT r.u,
+           bool_or(h.event_type = 'view')     AS in_a,
+           bool_or(h.event_type = 'purchase') AS in_b
+    FROM ranked r JOIN h ON h.u = r.u
+    WHERE r.rk <= 64
+    GROUP BY r.u
+  )
+)
+SELECT CAST(round(e.union_est) AS BIGINT) AS union_users_est,
+       CAST(round(e.union_est * i.frac) AS BIGINT) AS overlap_users_est
+FROM est e CROSS JOIN inter i
+""")
+def kmv_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra (theta-sketch style) on the KMV sample:
+    audience union and overlap between viewers and purchasers WITHOUT
+    touching exact distinct machinery. The union sketch is the k
+    smallest hashes of the union; the intersection estimate is the
+    union estimate times the fraction of those k sample hashes present
+    in both sets — the standard KMV/theta combination rule, mergeable
+    across partitions and deterministic (pure md5), so the estimates
+    hash-match the DuckDB oracle."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase"))
+    k = 64
+    u = ((F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13),
+                 16, 10).cast("double") + 1) / F.lit(4503599627370497.0))
+    h = ev.select("event_type", u.alias("u")).distinct()
+    flags = h.groupBy("u").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("in_b"))
+    # total union cardinality as a 1-row scalar agg, NOT a window: an
+    # unbounded count-over-() beside row_number forces every row
+    # through the final single partition; with the rank filter alone,
+    # Catalyst rewrites it to TakeOrderedAndProject(limit=k) — per-
+    # partition top-k then a k-row merge, the distributed k-min-sketch
+    # build (plan verified)
+    n_union_df = flags.agg(F.count(F.lit(1)).alias("n_union"))
+    w = Window.orderBy("u")
+    ranked = (flags.withColumn("rk", F.row_number().over(w))
+              .where(F.col("rk") <= k))
+    agg = ranked.agg(
+        F.max(F.when(F.col("rk") == k, F.col("u"))).alias("uk"),
+        (F.sum(F.col("in_a") * F.col("in_b"))
+         / F.greatest(F.count(F.lit(1)), F.lit(1))).alias("frac")) \
+        .crossJoin(F.broadcast(n_union_df))
+    union_est = F.when(F.col("n_union") <= k,
+                       F.col("n_union").cast("double")) \
+        .otherwise((k - 1) / F.col("uk"))
+    return agg.select(
+        F.round(union_est).cast("long").alias("union_users_est"),
+        F.round(union_est * F.col("frac")).cast("long")
+         .alias("overlap_users_est"))
+
+
 @query("approx_distinct_users")  # HLL implementations differ across engines: rows-only
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate distinct users per event type via HyperLogLog++
