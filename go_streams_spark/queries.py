@@ -1814,22 +1814,27 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct — is the 100 TB path; unlike HLL the estimate is a pure
     function of md5, so DuckDB reproduces it bit-for-bit and the
     accuracy claim (vs the exact count, also returned) is hash-checked
-    rather than taken on faith. Spark side keeps only k rows per group
-    past the shuffle (rank <= k pushes down as a window group limit)."""
+    rather than taken on faith. The exact count lives in a separate
+    group-grain aggregate (tiny, broadcast back) instead of a window
+    beside row_number — an unbounded count-over window would block the
+    rank-filter pushdown (WindowGroupLimit) and funnel every group's
+    rows through one reducer; with rank alone only k rows per partition
+    reach the per-group window."""
     ev = _t(spark, sf_dir, "events")
     k = 64
     u = ((F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13),
                  16, 10).cast("double") + 1) / F.lit(4503599627370497.0))
     from pyspark.sql import Window
     hashed = ev.select("event_type", u.alias("u")).distinct()
+    n_exact = hashed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_exact"))
     w = Window.partitionBy("event_type").orderBy("u")
     ranked = (hashed
               .withColumn("rk", F.row_number().over(w))
-              .withColumn("n_exact", F.count(F.lit(1)).over(
-                  Window.partitionBy("event_type")))
               .where(F.col("rk") <= k))
-    return (ranked.groupBy("event_type", "n_exact")
+    return (ranked.groupBy("event_type")
             .agg(F.max(F.when(F.col("rk") == k, F.col("u"))).alias("uk"))
+            .join(F.broadcast(n_exact), "event_type")
             .select("event_type",
                     F.round(F.when(F.col("n_exact") <= k, F.col("n_exact"))
                             .otherwise((k - 1) / F.col("uk")))
