@@ -329,3 +329,46 @@ def test_range_sorted_write_partitions_keyspace(spark, sf_dir, tmpdir):
     assert len(ranges) == 4
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2  # disjoint key ranges across files
+
+
+def test_aqe_skew_join_split(spark):
+    """AQE splits a skewed join partition at runtime: one hot key holds
+    ~100x the rows of the rest, broadcast is disabled, and with the
+    skew thresholds lowered the final adaptive plan marks the sort-merge
+    join as skew-handled (skew=true) — the engine's answer to hot keys
+    at 100 TB without manual salting."""
+    from pyspark.sql import functions as F
+    conf = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        skewed = spark.range(100_000).select(
+            F.when(F.col("id") % 100 < 99, F.lit(7)).otherwise(F.col("id"))
+            .alias("k"),
+            F.rand(42).alias("payload"))
+        dim = spark.range(1000).select(F.col("id").alias("k"),
+                                       F.lit("d").alias("tag"))
+        # the BARE join: AQE only splits a skewed partition when no
+        # downstream operator relies on the join's output partitioning
+        # (an agg on the join key would legitimately suppress the split)
+        joined = skewed.join(dim, "k")
+        # execute THIS DataFrame's query (count() would plan a separate
+        # execution and the adaptive final plan would never materialize
+        # on `joined`)
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
