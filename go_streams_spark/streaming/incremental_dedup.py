@@ -107,3 +107,80 @@ def incremental_near_dup_sink(spark, *, state_dir: str, out_dir: str,
         new_bands.write.mode("append").parquet(state_dir)
 
     return process
+
+
+def embedding_band_keys(df: DataFrame, *, vec_col: str = "embedding",
+                        id_col: str = "vec_id", nbits: int = 16,
+                        max_band_hamming: int = 4) -> DataFrame:
+    """(id, band, band_key) sign-LSH band rows for a batch of vectors."""
+    from ..functions import similarity as S
+    return (S.sign_band_rows(df, id_col=id_col, vec_col=vec_col,
+                             nbits=nbits,
+                             max_band_hamming=max_band_hamming)
+            .select(id_col, "band", "band_key"))
+
+
+def embedding_near_dup_filter_batch(batch_df: DataFrame,
+                                    state: DataFrame | None, *,
+                                    vec_col: str = "embedding",
+                                    id_col: str = "vec_id",
+                                    threshold: float = 0.9,
+                                    nbits: int = 16,
+                                    max_band_hamming: int = 4,
+                                    ) -> tuple[DataFrame, DataFrame]:
+    """Incremental embedding near-dedup step: returns (kept_rows,
+    kept_band_keys) — the vector twin of ``near_dup_filter_batch``.
+
+    Within-batch: banded sign-LSH candidates + exact cosine verify
+    (``cosine_near_dup_lsh``) + connected components, keep the min id
+    per duplicate cluster. Cross-batch: drop rows whose sign-LSH band
+    keys collide with the state table of previously kept vectors
+    (candidate-level, same documented precision bound as the text
+    variant — history keeps band keys, not vectors).
+    """
+    from ..functions import dedup as D
+    from ..functions import similarity as S
+    pairs = S.cosine_near_dup_lsh(batch_df, id_col=id_col, vec_col=vec_col,
+                                  threshold=threshold, nbits=nbits,
+                                  max_band_hamming=max_band_hamming)
+    comps = D.connected_components(pairs)
+    losers = (comps.where(F.col("id") != F.col("component"))
+              .select(F.col("id").alias(id_col)))
+    kept = batch_df.join(losers, id_col, "left_anti")
+    bands = embedding_band_keys(kept, vec_col=vec_col, id_col=id_col,
+                                nbits=nbits,
+                                max_band_hamming=max_band_hamming)
+    if state is not None:
+        colliding = (bands.join(state.hint("shuffle_hash"),
+                                ["band", "band_key"], "left_semi")
+                     .select(id_col).distinct())
+        kept = kept.join(colliding, id_col, "left_anti")
+        bands = bands.join(colliding, id_col, "left_anti")
+    return kept, bands.select("band", "band_key")
+
+
+def incremental_embedding_dedup_sink(spark, *, state_dir: str, out_dir: str,
+                                     vec_col: str = "embedding",
+                                     id_col: str = "vec_id",
+                                     threshold: float = 0.9,
+                                     nbits: int = 16,
+                                     max_band_hamming: int = 4):
+    """foreachBatch body for continuous embedding near-dedup with
+    parquet band-key state — same replay-idempotence contract as
+    ``incremental_near_dup_sink``."""
+
+    def process(batch_df: DataFrame, batch_id: int):
+        state = None
+        if os.path.isdir(state_dir) and any(
+                f.endswith(".parquet") for _, _, fs in os.walk(state_dir)
+                for f in fs):
+            state = spark.read.parquet(state_dir)
+        kept, new_bands = embedding_near_dup_filter_batch(
+            batch_df, state, vec_col=vec_col, id_col=id_col,
+            threshold=threshold, nbits=nbits,
+            max_band_hamming=max_band_hamming)
+        (kept.write.mode("overwrite")
+             .parquet(os.path.join(out_dir, f"batch_id={batch_id}")))
+        new_bands.write.mode("append").parquet(state_dir)
+
+    return process

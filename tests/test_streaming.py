@@ -555,3 +555,42 @@ def test_incremental_near_dup_across_batches(spark, tmp_path):
     # state holds band keys only for KEPT docs (3 docs x 4 bands)
     state = spark.read.parquet(state_dir)
     assert state.count() == 12 and set(state.columns) == {"band", "band_key"}
+
+
+def test_incremental_embedding_dedup_across_batches(spark, tmp_path):
+    """Continuous embedding near-dedup: within-batch near-identical
+    vectors collapse by exact cosine verify (keep min id), cross-batch
+    near-dups drop against the sign-LSH band state of previously kept
+    vectors, and distinct vectors flow through."""
+    from go_streams_spark.streaming.incremental_dedup import (
+        incremental_embedding_dedup_sink)
+
+    base = [1.0] * 16
+    near = [1.0] * 15 + [0.9]          # cos ~ 0.999 vs base
+    opposite = [-1.0] * 16              # cos = -1: distinct
+    mixed = [1.0, -1.0] * 8             # orthogonal-ish: distinct
+    b1 = [(1, base), (2, near), (3, opposite)]     # 2 is in-batch dup of 1
+    b2 = [(4, [1.0] * 14 + [0.95, 1.0]),           # cross-batch dup of 1
+          (5, mixed)]
+
+    src = str(tmp_path / "vecs")
+    schema = "vec_id long, embedding array<double>"
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").json(src)
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").json(src)
+
+    out_dir = str(tmp_path / "kept")
+    state_dir = str(tmp_path / "state")
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = (stream.writeStream
+         .foreachBatch(incremental_embedding_dedup_sink(
+             spark, state_dir=state_dir, out_dir=out_dir, threshold=0.95))
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    kept = sorted(r["vec_id"] for r in spark.read.option(
+        "basePath", out_dir).parquet(out_dir).collect())
+    assert kept == [1, 3, 5]
