@@ -69,3 +69,27 @@ def stdout_sink(n: int = 20, truncate: bool = False) -> Sink:
 def collect_sink() -> Sink:
     """Driver-side collect — ChanSink analogue, tests only."""
     return Sink(lambda df: df.collect(), name="collect")
+
+
+def bucketed_table_sink(table: str, *, bucket_by: Sequence[str], n_buckets: int,
+                        sort_by: Sequence[str] | None = None,
+                        path: str | None = None, fmt: str = "parquet",
+                        mode: str = "overwrite") -> Sink:
+    """Bucketed managed-table writer: co-locates join/agg keys at WRITE
+    time so downstream equi-joins and aggregations on ``bucket_by`` run
+    with ZERO exchanges (pinned by test_bucketed_join_no_shuffle). The
+    bucketing metadata lives in the catalog, hence saveAsTable rather
+    than a path write. At 100 TB this is the standard layout for a fact
+    table that is repeatedly joined on the same key."""
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+
+    def run(df: DataFrame):
+        w = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_by)
+        if sort_by:
+            w = w.sortBy(*sort_by)
+        if path:
+            w = w.option("path", path)
+        w.saveAsTable(table)
+
+    return Sink(run, name=f"bucketed:{table}")

@@ -255,3 +255,27 @@ def test_replay_datasource_stream_writer_idempotent(spark, tmpdir):
     run(os.path.join(tmpdir, "ckpt2"))
     lines2 = [_json.loads(l) for l in open(out)]
     assert len(lines2) == 20
+
+
+def test_bucketed_table_sink_zero_shuffle_join(spark, tmpdir):
+    """bucketed_table_sink writes key-co-located tables: joining two of
+    them on the bucket key plans NO exchange on either side."""
+    import uuid as _uuid
+
+    from go_streams_spark.sinks import bucketed_table_sink
+    a_name = "bs_" + _uuid.uuid4().hex[:8]
+    b_name = "bt_" + _uuid.uuid4().hex[:8]
+    a = spark.range(300).selectExpr("id as k", "id * 2 as va")
+    b = spark.range(200).selectExpr("id as k", "id * 3 as vb")
+    Source(a).to(bucketed_table_sink(
+        a_name, bucket_by=["k"], n_buckets=4, sort_by=["k"],
+        path=os.path.join(tmpdir, a_name)))
+    Source(b).to(bucketed_table_sink(
+        b_name, bucket_by=["k"], n_buckets=4, sort_by=["k"],
+        path=os.path.join(tmpdir, b_name)))
+    joined = spark.table(a_name).join(spark.table(b_name), "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert joined.count() == 200
+    spark.sql(f"DROP TABLE IF EXISTS {a_name}")
+    spark.sql(f"DROP TABLE IF EXISTS {b_name}")
