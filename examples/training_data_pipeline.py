@@ -1,7 +1,9 @@
 """Training-data curation pipeline over the synthetic documents table:
 quality-filter -> language-gate -> exact dedup -> near-dup (MinHash LSH)
--> token accounting. The 100 TB shape: every stage is a narrow projection
-or a keyed equi-join.
+-> domain-mixture sampling -> token accounting. The 100 TB shape: every
+stage is a narrow projection or a keyed equi-join; sampling and split
+assignment are pure hash functions (reproducible under any
+partitioning, engine, or re-ingest).
 
 Run: python examples/training_data_pipeline.py [sf_dir]
 """
@@ -33,10 +35,21 @@ def main():
 
     near = D.ngram_jaccard_pairs(survivors, threshold=0.5)
     drop = near.select(F.col("id_b").alias("doc_id")).distinct()
-    final = survivors.join(drop, "doc_id", "left_anti")
+    deduped = survivors.join(drop, "doc_id", "left_anti")
+
+    # domain-mixture sampling: a deterministic salted-hash coin applies
+    # per-source target rates (down-weight over-represented sources)
+    u = ((F.conv(F.substring(F.md5(F.concat(
+        F.col("doc_id").cast("string"), F.lit(":mix"))), 1, 13),
+        16, 10).cast("double") + 1) / F.lit(4503599627370497.0))
+    final = deduped.join(
+        docs.select("doc_id", "source"), "doc_id").where(
+        u <= F.when(F.col("source").isin("src0", "src1", "src2"), 0.5)
+             .otherwise(0.9))
 
     print(f"input={docs.count()} kept={kept.count()} "
-          f"exact_survivors={survivors.count()} final={final.count()}")
+          f"exact_survivors={survivors.count()} deduped={deduped.count()} "
+          f"final={final.count()}")
     final.select(F.sum("n_tokens").alias("total_tokens")).show()
 
     # train/valid/test assignment + sequence packing: both pure hash
