@@ -1664,7 +1664,48 @@ def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("q")[2], 4).alias("p99")))
 
 
-@query("text_redact_pii", """
+@query("percentiles_by_flag_hist", """
+WITH hist AS (
+  SELECT l_returnflag, CAST(floor(l_extendedprice / 64.0) AS BIGINT) AS b,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, b, c,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY b) AS cumc,
+         sum(c) OVER (PARTITION BY l_returnflag) AS n
+  FROM hist
+)
+SELECT l_returnflag,
+       (min(CASE WHEN cumc >= ceil(n * 0.5)  THEN b END) + 0.5) * 64.0 AS p50,
+       (min(CASE WHEN cumc >= ceil(n * 0.9)  THEN b END) + 0.5) * 64.0 AS p90,
+       (min(CASE WHEN cumc >= ceil(n * 0.99) THEN b END) + 0.5) * 64.0 AS p99
+FROM cum GROUP BY l_returnflag
+""")
+def percentiles_by_flag_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch percentiles — the scale sibling of the exact
+    ``percentiles_by_flag`` (same trade as ``mad_outlier_stats_hist``):
+    exact per-group percentile buffers whole columns through one
+    reducer per group, while the histogram aggregates to (group,
+    64-unit bucket) grain with map-side partials and reads every
+    quantile off one cumulative pass over the tiny histogram. Bucket
+    mids are integral, so the sketch is bit-deterministic and
+    oracle-checkable, unlike engine-specific approx_percentile."""
+    from pyspark.sql import Window as W
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    w64 = 64.0
+    per_flag = W.partitionBy("l_returnflag")
+    hist = (li.groupBy("l_returnflag",
+                       F.floor(F.col("l_extendedprice") / w64).alias("b"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    cum = (hist.withColumn("n", F.sum("c").over(per_flag))
+           .withColumn("cumc", F.sum("c").over(per_flag.orderBy("b"))))
+
+    def q(p, name):
+        return ((F.min(F.when(F.col("cumc") >= F.ceil(F.col("n") * p),
+                              F.col("b"))) + 0.5) * w64).alias(name)
+
+    return (cum.groupBy("l_returnflag")
+            .agg(q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99")))
 SELECT doc_id,
        length(text) - length(
          regexp_replace(
