@@ -1706,6 +1706,9 @@ def percentiles_by_flag_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (cum.groupBy("l_returnflag")
             .agg(q(0.5, "p50"), q(0.9, "p90"), q(0.99, "p99")))
+
+
+@query("text_redact_pii", """
 SELECT doc_id,
        length(text) - length(
          regexp_replace(
