@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "rollup_status_priority",
     "salted_agg_user_totals",
     "percentiles_by_flag",
+    "percentiles_by_flag_hist",
     "q2_min_cost_supplier",
     "q11_important_parts",
     "q16_supplier_part_counts",
