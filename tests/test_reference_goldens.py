@@ -93,3 +93,51 @@ def test_throttler_discard_reference_golden(spark):
            .to_df())
     got = sorted(r["v"] for r in out.collect())
     assert got == ["e1", "e2", "e6"]
+
+
+def test_complex_flow_reference_golden_streaming(spark, tmp_path):
+    """TestComplexFlow (flow/flow_test.go:92-124) run under Structured
+    Streaming through the fluent API: [a,b,c] -> Map(upper) ->
+    PassThrough -> FlatMap(x -> [x*, x**]) -> TumblingWindow -> Flatten
+    -> Throttler(Backpressure) -> Filter(no 'a'/'A') == [B*, B**, C*,
+    C**]. Window+Flatten round-trips the elements (the reference's
+    []T-then-flatten shape); Backpressure is the source-side per-trigger
+    cap; the golden output matches the reference exactly."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from go_streams_spark.api import Source
+    from go_streams_spark.operators import Filter, tumbling_window
+    from go_streams_spark.streaming import memory_sink
+
+    src_dir = str(tmp_path / "in")
+    rows = [("2024-01-01 00:00:00.050", "a"),
+            ("2024-01-01 00:00:00.100", "b"),
+            ("2024-01-01 00:00:00.300", "c")]
+    spark.createDataFrame(rows, "ts string, value string") \
+        .select(F.col("ts").cast("timestamp").alias("ts"), "value") \
+        .coalesce(1).write.parquet(src_dir)
+    stream = (spark.readStream.schema("ts timestamp, value string")
+              .option("maxFilesPerTrigger", 1)  # Throttler Backpressure
+              .parquet(src_dir))
+
+    # Map -> PassThrough -> FlatMap in the relational (row-preserving)
+    # form so the event-time column rides along for the window stage
+    flat = (stream
+            .withColumn("value", F.upper("value"))
+            .select("ts", F.explode(F.array(
+                F.concat("value", F.lit("*")),
+                F.concat("value", F.lit("**")))).alias("value")))
+    win = (Source(flat)
+           .via(tumbling_window("ts", "200 milliseconds",
+                                F.sort_array(F.collect_list("value"))
+                                .alias("batch")))
+           .to_df())
+    flattened = win.select(F.explode("batch").alias("value"))
+    name = "golden_" + _uuid.uuid4().hex[:8]
+    (Source(flattened)
+     .via(Filter(~F.col("value").rlike("[aA]")))
+     .to(memory_sink(name, output_mode="complete")))
+    got = sorted(r["value"] for r in spark.table(name).collect())
+    assert got == ["B*", "B**", "C*", "C**"]
