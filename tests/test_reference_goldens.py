@@ -141,3 +141,26 @@ def test_complex_flow_reference_golden_streaming(spark, tmp_path):
      .to(memory_sink(name, output_mode="complete")))
     got = sorted(r["value"] for r in spark.table(name).collect())
     assert got == ["B*", "B**", "C*", "C**"]
+
+
+def test_keyed_batch_reference_golden(spark):
+    """TestKeyed (flow/keyed_test.go:30-61): 30 elements keyed by the
+    first divisor rule (3|7|10, else the index), per-key Batch(4)
+    chains — exactly 20 batches emitted and the key-sum over all batch
+    elements is 292. Keyed == one logical chain instance per key ==
+    groupBy-partitioned numbering here."""
+    from go_streams_spark.operators import batch_by_count
+    rows = []
+    for i in range(30):
+        for d in (3, 7, 10):
+            if i % d == 0:
+                rows.append((i, d))
+                break
+        else:
+            rows.append((i, i))
+    df = spark.createDataFrame(rows, "idx int, k int")
+    batched = (Source(df)
+               .via(batch_by_count(4, order_by=["idx"], partition_by=["k"]))
+               .to_df())
+    assert batched.select("k", "batch_id").distinct().count() == 20
+    assert batched.agg(F.sum("k")).collect()[0][0] == 292
