@@ -364,3 +364,33 @@ def test_nats_checkpoint_recovery_idempotent_sink(spark, fake_path, tmp_path):
         time.sleep(0.5)
     q2.stop()
     assert landed() == sorted(f"m{i}" for i in range(8))
+
+
+def test_aerospike_streaming_sink(spark, fake_path, tmp_path):
+    """Streaming batched-put path: rows flow from a replay stream into
+    Aerospike via the stream writer; keyed upserts land once per key."""
+    import json as _json
+
+    from go_streams_spark.sources.custom import register_replay_source
+    src = str(tmp_path / "rows.jsonl")
+    with open(src, "w") as f:
+        for i in range(5):
+            f.write(_json.dumps({"key": f"k{i}", "v": str(i)}) + "\n")
+    replay_fmt = register_replay_source(spark)
+    fmt = register_aerospike_source(spark)
+    q = (spark.readStream.format(replay_fmt)
+         .option("path", src).option("ddl", "key string, v string")
+         .option("rowsPerBatch", "2").load()
+         .writeStream.format(fmt)
+         .option("clientFactory", AERO_FACTORY).option("fakePath", fake_path)
+         .option("namespace", "ns").option("set", "st")
+         .option("batchSize", "2")
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .start())
+    deadline = time.time() + 60
+    aero = FakeAerospike(fake_path)
+    while time.time() < deadline and len(list(aero.scan("ns", "st"))) < 5:
+        time.sleep(0.5)
+    q.stop()
+    rows = sorted((k, b["v"]) for k, b, _ in aero.scan("ns", "st"))
+    assert rows == [(f"k{i}", str(i)) for i in range(5)]
