@@ -394,3 +394,47 @@ def test_aerospike_streaming_sink(spark, fake_path, tmp_path):
     q.stop()
     rows = sorted((k, b["v"]) for k, b, _ in aero.scan("ns", "st"))
     assert rows == [(f"k{i}", str(i)) for i in range(5)]
+
+
+def test_nats_and_pulsar_streaming_sinks(spark, tmp_path):
+    """Streaming publish paths for the remaining connectors: rows from a
+    replay stream land in JetStream and a Pulsar topic via the stream
+    writers."""
+    import json as _json
+
+    from go_streams_spark.sources.custom import register_replay_source
+    src = str(tmp_path / "rows.jsonl")
+    with open(src, "w") as f:
+        for i in range(3):
+            f.write(_json.dumps({"data": f"m{i}"}) + "\n")
+    replay_fmt = register_replay_source(spark)
+
+    nats_path = str(tmp_path / "nats.json")
+    js = FakeJetStream(nats_path)
+    js.add_stream("OUT", ["out.>"])
+    q1 = (spark.readStream.format(replay_fmt)
+          .option("path", src).option("ddl", "data string")
+          .option("rowsPerBatch", "10").load()
+          .writeStream.format(register_nats_source(spark))
+          .option("clientFactory", NATS_FACTORY).option("fakePath", nats_path)
+          .option("stream", "OUT").option("subject", "out.s")
+          .option("checkpointLocation", str(tmp_path / "cp1"))
+          .trigger(availableNow=True).start())
+    q1.awaitTermination(60)
+    assert sorted(d for _, _, d in js.fetch_range("OUT", 0, 3)) == [
+        b"m0", b"m1", b"m2"]
+
+    pulsar_path = str(tmp_path / "pulsar.json")
+    q2 = (spark.readStream.format(replay_fmt)
+          .option("path", src).option("ddl", "data string")
+          .option("rowsPerBatch", "10").load()
+          .writeStream.format(register_pulsar_source(spark))
+          .option("clientFactory", PULSAR_FACTORY)
+          .option("fakePath", pulsar_path)
+          .option("topic", "t1")
+          .option("checkpointLocation", str(tmp_path / "cp2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(60)
+    pc = FakePulsarClient(pulsar_path)
+    assert sorted(d for _, _, d in pc.read_range("t1", "0:-1", "0:2")) == [
+        b"m0", b"m1", b"m2"]
