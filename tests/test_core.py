@@ -98,3 +98,16 @@ def test_invalid_parallelism_raises():
                  lambda: Filter("value > 0", parallelism=0)):
         with pytest.raises(ValueError):
             make()
+
+
+def test_registry_and_bench_integrity():
+    """Every oracle belongs to a registered query; every bench headline
+    name resolves (bench.py silently skips unknown names, so a typo
+    would silently shrink the benchmark)."""
+    import bench
+    from go_streams_spark.queries import ORACLE, QUERIES
+    assert set(ORACLE) <= set(QUERIES)
+    missing = [n for n in bench.BENCH_QUERIES if n not in QUERIES]
+    assert missing == []
+    # no duplicate bench entries
+    assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
