@@ -12,4 +12,4 @@ from .api import Flow, Source, Sink, pipeline
 from .session import get_spark, load_tables
 
 __all__ = ["Flow", "Source", "Sink", "pipeline", "get_spark", "load_tables"]
-__version__ = "0.1.0"
+__version__ = "0.2.0"

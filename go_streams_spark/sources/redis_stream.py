@@ -488,3 +488,14 @@ def register_redis_sources(spark) -> tuple[str, str]:
     spark.dataSource.register(RedisStreamDataSource)
     spark.dataSource.register(RedisPubSubDataSource)
     return REDIS_STREAM_SOURCE_NAME, REDIS_PUBSUB_SOURCE_NAME
+
+
+def entry_ts(id_col="id"):
+    """Event-time column from a stream entry ID: the ``<ms>-<seq>``
+    format's milliseconds part is the server assignment time, i.e. the
+    natural event-time column for windowed aggregation over a Redis
+    stream (no extra timestamp field needed). JVM-side only."""
+    from pyspark.sql import functions as F
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    ms = F.split(col, "-").getItem(0).cast("long")
+    return F.timestamp_millis(ms)

@@ -316,3 +316,39 @@ def test_fluent_pipeline_over_redis_connector(spark, fake_path):
         time.sleep(0.5)
     q.stop()
     assert sorted(x["n"] for x in spark.table(name).collect()) == [0, 2, 4]
+
+
+def test_windowed_aggregation_over_redis_stream(spark, fake_path):
+    """North-star wiring: a broker source + event-time windowing. The
+    stream entry ID's millisecond half IS the event time (entry_ts), so
+    a tumbling window aggregates the connector stream without any extra
+    timestamp field."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from go_streams_spark.sources.redis_stream import entry_ts
+
+    r = FakeRedis(fake_path)
+    # explicit IDs: two windows' worth of entries (minute granularity)
+    base = 1_700_000_000_000  # some wall-clock ms
+    for i, (off, v) in enumerate([(0, 1), (10_000, 2), (70_000, 3)]):
+        r.xadd("m", {"v": str(v)}, id=f"{base + off}-{i}")
+    fmt, _ = register_redis_sources(spark)
+    name = "win_" + _uuid.uuid4().hex[:8]
+    q = (spark.readStream.format(fmt)
+         .option("clientFactory", FACTORY).option("fakePath", fake_path)
+         .option("stream", "m").load()
+         .withColumn("ts", entry_ts("id"))
+         .withColumn("v", F.col("values")["v"].cast("int"))
+         .groupBy(F.window("ts", "1 minute").alias("w"))
+         .agg(F.sum("v").alias("total"))
+         .select(F.col("w.start").alias("ws"), "total")
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").start())
+    deadline = time.time() + 60
+    while time.time() < deadline and spark.table(name).count() < 2:
+        time.sleep(0.5)
+    q.stop()
+    got = sorted((str(x["ws"]), x["total"]) for x in spark.table(name).collect())
+    assert [t for _, t in got] == [3, 3]  # window1: 1+2, window2: 3
