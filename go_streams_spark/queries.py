@@ -2607,20 +2607,28 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF with smoothed IDF, top-3 terms per document — the keyword
     extraction stage of a curation pipeline.
 
-    Scale: term frequency and document frequency are two hash aggs over
-    the same token rows (one shuffle each, map-side partials); the
-    corpus size N is a 1-row broadcast; the ranking window shuffles on
-    doc_id — which the tf agg already partitioned by, so AQE can reuse
-    locality. No collect, no vocabulary driver-side.
+    Scale: the corpus is exploded ONCE into the (doc, term, tf)
+    aggregate; document frequency and the corpus size both derive from
+    that aggregate (tf rows are already distinct doc-term pairs, so
+    df = row-count per term and N = distinct docs) — the branches share
+    the tf subtree's exchange instead of re-exploding the corpus per
+    statistic. N is a 1-row broadcast; the ranking window shuffles on
+    doc_id. No collect, no vocabulary driver-side.
     """
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         F.explode(F.filter(F.split(F.lower("text"), " "), lambda x: x != ""))
         .alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n = toks.agg(F.countDistinct("doc_id").alias("n"))
+    # persist the doc-term aggregate: its three consumers prune
+    # different columns, so their subtrees don't canonicalize to one
+    # exchange and the corpus explode would run three times. At 100 TB
+    # this is "materialize the doc-term matrix to parquet once" — the
+    # standard intermediate of every TF-IDF/BM25 pipeline.
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")).persist()
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n"))
     scored = (tf.join(dfreq, "tok").join(F.broadcast(n))
               .select("doc_id", "tok",
                       F.round(F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)),
