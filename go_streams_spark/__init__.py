@@ -9,7 +9,8 @@ training-data-pipeline ops in ``functions``.
 """
 
 from .api import Flow, Source, Sink, pipeline
-from .session import get_spark, load_tables
+from .session import get_spark, load_tables, register_views
 
-__all__ = ["Flow", "Source", "Sink", "pipeline", "get_spark", "load_tables"]
+__all__ = ["Flow", "Source", "Sink", "pipeline", "get_spark", "load_tables",
+           "register_views"]
 __version__ = "0.2.0"

@@ -62,3 +62,15 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict:
         if os.path.exists(path):
             out[n] = spark.read.parquet(path)
     return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Register every synthetic table as a temp view so pipelines can be
+    declared in raw SQL (``spark.sql(...)``) as well as through the
+    DataFrame API — the full Spark SQL surface (joins, windows, CTEs,
+    set ops, lateral) over the same data, optimized by the same Catalyst
+    pipeline. Returns the view names registered."""
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return sorted(tables)

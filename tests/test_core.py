@@ -111,3 +111,24 @@ def test_registry_and_bench_integrity():
     assert missing == []
     # no duplicate bench entries
     assert len(bench.BENCH_QUERIES) == len(set(bench.BENCH_QUERIES))
+
+
+def test_sql_surface_over_registered_views(spark, sf_dir):
+    """Raw SQL is a first-class pipeline surface: register the tables
+    as views and run a join+window query through spark.sql, matching
+    the DataFrame form exactly."""
+    from pyspark.sql import functions as F
+
+    from go_streams_spark import register_views
+    names = register_views(spark, sf_dir)
+    assert {"lineitem", "orders", "documents"} <= set(names)
+    got = spark.sql("""
+        SELECT o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY o_orderpriority
+    """)
+    expect = (spark.table("orders").groupBy("o_orderpriority")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expect.collect()))
