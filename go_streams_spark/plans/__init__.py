@@ -5,9 +5,11 @@ broadcast, shuffle counts) so perf regressions fail CI, not prod."""
 from .inspect import (
     explain_str, pushed_filters, read_schema_columns,
     count_exchanges, has_broadcast_join, wholestage_codegen_spans,
+    execution_metrics,
 )
 
 __all__ = [
     "explain_str", "pushed_filters", "read_schema_columns",
     "count_exchanges", "has_broadcast_join", "wholestage_codegen_spans",
+    "execution_metrics",
 ]

@@ -56,3 +56,56 @@ def wholestage_codegen_spans(df: DataFrame) -> int:
     plan = explain_str(df, "simple")
     ids = set(re.findall(r"\*\((\d+)\)", plan))
     return len(ids)
+
+
+def execution_metrics(df) -> dict:
+    """Aggregate runtime metrics from an EXECUTED DataFrame's physical
+    plan: rows output/scanned, shuffle bytes written/read, spill bytes,
+    files read. Run an action on ``df`` first (collect/count/noop write
+    on the same instance), then call this — the numbers are what the
+    perf docs cite (shuffle volume is THE scale currency).
+
+    Walks the adaptive plan (AdaptiveSparkPlan -> executedPlan,
+    QueryStage -> plan, ReusedExchange -> child) and sums named metric
+    counters by key."""
+    node = df._jdf.queryExecution().executedPlan()
+    totals: dict[str, int] = {}
+
+    def unwrap(n):
+        name = n.nodeName()
+        if name == "AdaptiveSparkPlan":
+            return n.executedPlan()
+        if "QueryStage" in name:
+            return n.plan()
+        return None
+
+    def walk(n):
+        u = unwrap(n)
+        if u is not None:
+            walk(u)
+            return
+        m = n.metrics()
+        it = m.keysIterator()
+        while it.hasNext():
+            k = it.next()
+            try:
+                v = m.apply(k).value()
+            except Exception:
+                continue
+            totals[k] = totals.get(k, 0) + int(v)
+        for i in range(n.children().size()):
+            walk(n.children().apply(i))
+
+    walk(node)
+    interesting = {
+        "numOutputRows": "rows_output",
+        "shuffleBytesWritten": "shuffle_bytes_written",
+        "localBytesRead": "shuffle_local_bytes_read",
+        "remoteBytesRead": "shuffle_remote_bytes_read",
+        "spillSize": "spill_bytes",
+        "numFiles": "files_read",
+        "filesSize": "file_bytes",
+    }
+    out = {alias: totals[k] for k, alias in interesting.items() if k in totals}
+    out["all_metrics"] = totals
+    return out

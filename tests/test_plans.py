@@ -198,3 +198,24 @@ def test_simhash64_pairs_no_nonequi_join(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_execution_metrics_shuffle_accounting(spark, sf_dir):
+    """execution_metrics reads runtime counters off the executed plan:
+    a keyed aggregate reports rows and a nonzero shuffle volume; a pure
+    projection reports zero shuffle bytes — the measure-don't-guess
+    loop as code."""
+    from pyspark.sql import functions as F
+
+    from go_streams_spark.plans import execution_metrics
+    from go_streams_spark.queries import _t
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    agg.collect()
+    m = execution_metrics(agg)
+    assert m.get("rows_output", 0) > 0
+    assert m.get("shuffle_bytes_written", 0) > 0
+    proj = li.select("l_orderkey")
+    proj.collect()
+    m2 = execution_metrics(proj)
+    assert m2.get("shuffle_bytes_written", 0) == 0
