@@ -3770,6 +3770,52 @@ def anomaly_zscore_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(z, 2).alias("z")))
 
 
+@query("sql_surface_market_share", """
+WITH sales AS (
+  SELECT n.n_name AS nation, o.o_orderdate,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM lineitem l
+  JOIN orders o   ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n   ON n.n_nationkey = c.c_nationkey
+  WHERE o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+)
+SELECT nation,
+       CAST(count(*) AS BIGINT)   AS n_lines,
+       round(sum(volume), 2)      AS volume,
+       round(sum(volume) * 100.0 / sum(sum(volume)) OVER (), 4) AS share_pct
+FROM sales
+GROUP BY nation
+""")
+def sql_surface_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw-SQL pipeline surface as a first-class path: register the
+    tables as views and hand Spark essentially the SAME ANSI SQL the
+    DuckDB oracle runs (multi-join + grouped agg + windowed share).
+    Catalyst applies the identical optimizations to SQL text as to the
+    DataFrame API — broadcast dims, partial aggs, pushdown — because
+    both compile to the same logical plan."""
+    from .session import register_views
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        WITH sales AS (
+          SELECT n.n_name AS nation, o.o_orderdate,
+                 l.l_extendedprice * (1 - l.l_discount) AS volume
+          FROM lineitem l
+          JOIN orders o   ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n   ON n.n_nationkey = c.c_nationkey
+          WHERE o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1996-12-31'
+        )
+        SELECT nation,
+               count(*)              AS n_lines,
+               round(sum(volume), 2) AS volume,
+               round(sum(volume) * 100.0 / sum(sum(volume)) OVER (), 4)
+                   AS share_pct
+        FROM sales
+        GROUP BY nation
+    """)
+
+
 @query("mixture_sample_docs", """
 WITH u AS (
   SELECT doc_id, lang, source, n_chars,
