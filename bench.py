@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "q16_supplier_part_counts",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
+    "sql_surface_market_share",
     # training-data pipeline ops
     "text_stats",
     "tfidf_top_terms",
