@@ -23,3 +23,5 @@ from .aggregate import salted_agg  # noqa: E402
 __all__ += ["salted_agg"]
 from .joins import interval_join  # noqa: E402
 __all__ += ["interval_join"]
+from .layout import zorder_sorted, zorder_key  # noqa: E402
+__all__ += ["zorder_sorted", "zorder_key"]

@@ -405,3 +405,35 @@ def test_sampling_queries_partition_invariant(spark, sf_dir):
     # and the registered queries are stable run-to-run in one session
     for name, expect in base.items():
         assert result_set(QUERIES[name](spark, sf_dir)) == expect
+
+
+def test_zorder_write_skips_files_on_both_dimensions(spark, sf_dir, tmpdir):
+    """Z-order clustering: after a Morton-keyed write over (user_id,
+    value), a two-dimensional filter touches a small fraction of the
+    files (row-group min/max pruning works on BOTH columns), and fewer
+    than a layout sorted on user_id alone would allow for the value
+    filter."""
+    from go_streams_spark.operators import zorder_sorted
+    from go_streams_spark.queries import _t
+    ev = _t(spark, sf_dir, "events").select("user_id", "value", "event_id")
+
+    zpath = os.path.join(tmpdir, "zordered")
+    (zorder_sorted(ev, ["user_id", "value"], bits=8, num_partitions=16)
+     .write.mode("overwrite").parquet(zpath))
+    n_files = len([f for f in os.listdir(zpath) if f.endswith(".parquet")])
+    assert n_files >= 8  # range shuffle spread the keyspace
+
+    back = spark.read.parquet(zpath)
+    lo_u, hi_u = 10, 20
+    narrow = back.where((F.col("user_id").between(lo_u, hi_u))
+                        & (F.col("value") < 5.0))
+    touched = {r["f"] for r in narrow.select(
+        F.input_file_name().alias("f")).distinct().collect()}
+    # a 2-D-narrow filter over a z-ordered layout touches a strict
+    # minority of files
+    assert 0 < len(touched) < n_files / 2, (len(touched), n_files)
+
+    # correctness unchanged by re-layout
+    expect = ev.where((F.col("user_id").between(lo_u, hi_u))
+                      & (F.col("value") < 5.0)).count()
+    assert narrow.count() == expect
