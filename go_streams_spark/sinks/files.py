@@ -93,3 +93,21 @@ def bucketed_table_sink(table: str, *, bucket_by: Sequence[str], n_buckets: int,
         w.saveAsTable(table)
 
     return Sink(run, name=f"bucketed:{table}")
+
+
+def orc_sink(path: str, *, mode: str = "overwrite",
+             partition_by: Sequence[str] | None = None, **options) -> Sink:
+    return Sink(lambda df: _write(df, path, "orc", mode, partition_by, **options),
+                name=f"orc:{path}")
+
+
+def xml_sink(path: str, *, row_tag: str = "row", root_tag: str = "rows",
+             mode: str = "overwrite", **options) -> Sink:
+    """XML writer (built-in format since Spark 4)."""
+
+    def run(df: DataFrame):
+        (df.write.format("xml").mode(mode)
+         .option("rowTag", row_tag).option("rootTag", root_tag)
+         .options(**options).save(path))
+
+    return Sink(run, name=f"xml:{path}")

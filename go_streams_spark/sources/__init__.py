@@ -2,7 +2,8 @@
 Data Source API connectors."""
 
 from .files import (text_source, json_source, csv_source, parquet_source,
-                    binary_source, framed_binary_source)
+                    binary_source, framed_binary_source, orc_source,
+                    xml_source)
 from .custom import (register_replay_source, REPLAY_SOURCE_NAME,
                      register_cdc_polling_source)
 from .redis_stream import (register_redis_sources, REDIS_STREAM_SOURCE_NAME,
@@ -14,7 +15,7 @@ from .aerospike import register_aerospike_source, AEROSPIKE_SOURCE_NAME
 
 __all__ = [
     "text_source", "json_source", "csv_source", "parquet_source", "binary_source",
-    "framed_binary_source",
+    "framed_binary_source", "orc_source", "xml_source",
     "register_replay_source", "REPLAY_SOURCE_NAME",
     "register_cdc_polling_source",
     "register_redis_sources", "REDIS_STREAM_SOURCE_NAME",

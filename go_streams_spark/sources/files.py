@@ -97,3 +97,19 @@ def framed_binary_source(spark: SparkSession, path: str, *, delimiter: bytes = b
 
     return raw.select("path", "content").mapInPandas(
         _split, schema=f"path string, {output} binary")
+
+
+def orc_source(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC columnar read — same pushdown/pruning story as parquet
+    (built-in format; the second columnar lake format in the wild)."""
+    return spark.read.options(**options).orc(path)
+
+
+def xml_source(spark: SparkSession, path: str, *, row_tag: str,
+               schema=None, **options) -> DataFrame:
+    """XML read (built-in format since Spark 4): one row per ``rowTag``
+    element — the document-feed ingestion shape."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).load(path)

@@ -279,3 +279,21 @@ def test_bucketed_table_sink_zero_shuffle_join(spark, tmpdir):
     assert joined.count() == 200
     spark.sql(f"DROP TABLE IF EXISTS {a_name}")
     spark.sql(f"DROP TABLE IF EXISTS {b_name}")
+
+
+def test_orc_and_xml_roundtrip(spark, tmpdir):
+    """ORC and XML (both built-in in Spark 4) round-trip through the
+    source/sink pairs — the columnar-lake and document-feed formats."""
+    from go_streams_spark.sinks import orc_sink, xml_sink
+    from go_streams_spark.sources import orc_source, xml_source
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    orc_path = os.path.join(tmpdir, "o")
+    xml_path = os.path.join(tmpdir, "x")
+    Source(df).to(orc_sink(orc_path))
+    Source(df).to(xml_sink(xml_path, row_tag="rec"))
+    back_orc = orc_source(spark, orc_path)
+    back_xml = xml_source(spark, xml_path, row_tag="rec",
+                          schema="id int, name string")
+    expect = [(1, "a"), (2, "b")]
+    assert sorted((r["id"], r["name"]) for r in back_orc.collect()) == expect
+    assert sorted((r["id"], r["name"]) for r in back_xml.collect()) == expect
