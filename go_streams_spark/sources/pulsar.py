@@ -175,11 +175,18 @@ class PulsarBatchReader(DataSourceReader):
 
 
 class PulsarStreamReader(DataSourceStreamReader):
-    """Micro-batch reader: offsets are ``{"mid": serialized MessageId}``."""
+    """Micro-batch reader: offsets are ``{topic: serialized MessageId}``.
+
+    ``topic`` may be comma-separated — each topic becomes its own input
+    partition per micro-batch (one Pulsar topic partition is a single
+    ordered ledger; horizontal scale comes from many topics /
+    ``topic-partition-N`` names, mirroring the Redis multi-stream
+    model)."""
 
     def __init__(self, options: dict):
         self.options = dict(options)
-        self.topic = _topic(self.options)
+        self.topics = [t.strip() for t in _topic(self.options).split(",")
+                       if t.strip()]
         self._adapter = None
 
     def __getstate__(self):
@@ -194,14 +201,17 @@ class PulsarStreamReader(DataSourceStreamReader):
 
     def initialOffset(self) -> dict:
         if self.options.get("startingoffsets", EARLIEST_OPTION) == "latest":
-            return {"mid": self._cli().last_message_id(self.topic)}
-        return {"mid": _earliest_id(self.options)}
+            cli = self._cli()
+            return {t: cli.last_message_id(t) for t in self.topics}
+        return {t: _earliest_id(self.options) for t in self.topics}
 
     def latestOffset(self) -> dict:
-        return {"mid": self._cli().last_message_id(self.topic)}
+        cli = self._cli()
+        return {t: cli.last_message_id(t) for t in self.topics}
 
     def partitions(self, start: dict, end: dict):
-        return [_IdRange(self.topic, start["mid"], end["mid"])]
+        earliest = _earliest_id(self.options)
+        return [_IdRange(t, start.get(t, earliest), end[t]) for t in end]
 
     def read(self, partition: _IdRange):
         yield from _read_range(self.options, partition)
