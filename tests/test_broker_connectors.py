@@ -131,9 +131,9 @@ def test_pulsar_offsets_and_replay(fake_path):
     reader = PulsarStreamReader({"clientfactory": PULSAR_FACTORY,
                                  "fakepath": fake_path, "topic": "t"})
     start = reader.initialOffset()
-    assert start == {"mid": "0:-1"}
+    assert start == {"t": "0:-1"}
     end = reader.latestOffset()
-    assert end == {"mid": ids[-1]}
+    assert end == {"t": ids[-1]}
     [p] = reader.partitions(start, end)
     rows = list(reader.read(p))
     assert [r[0] for r in rows] == ids
@@ -143,7 +143,23 @@ def test_pulsar_offsets_and_replay(fake_path):
     tail_reader = PulsarStreamReader({"clientfactory": PULSAR_FACTORY,
                                       "fakepath": fake_path, "topic": "t",
                                       "startingoffsets": "latest"})
-    assert tail_reader.initialOffset() == {"mid": ids[-1]}
+    assert tail_reader.initialOffset() == {"t": ids[-1]}
+
+    # multi-topic reader: one offset entry and one partition per topic
+    ids2 = [pc.publish("t2", f"q{i}".encode()) for i in range(3)]
+    multi = PulsarStreamReader({"clientfactory": PULSAR_FACTORY,
+                                "fakepath": fake_path, "topic": "t, t2"})
+    mstart = multi.initialOffset()
+    assert mstart == {"t": "0:-1", "t2": "0:-1"}
+    mend = multi.latestOffset()
+    assert mend == {"t": ids[-1], "t2": ids2[-1]}
+    parts = {p.topic: p for p in multi.partitions(mstart, mend)}
+    assert set(parts) == {"t", "t2"}
+    assert [r[0] for r in multi.read(parts["t2"])] == ids2
+    # a topic absent from `start` (appeared mid-run) reads from earliest
+    grown = {p.topic: p for p in multi.partitions({"t": ids[-1]}, mend)}
+    assert [r[0] for r in multi.read(grown["t2"])] == ids2
+    assert list(multi.read(grown["t"])) == []  # caught-up topic is empty
 
 
 def test_pulsar_spark_end_to_end(spark, fake_path):
