@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from go_streams_spark.session import get_spark
 from go_streams_spark.queries import QUERIES
+from go_streams_spark.plans import release_tracked
 
 BENCH_QUERIES = [
     # reference-operator surface
@@ -168,6 +169,7 @@ def main() -> None:
             force(QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        release_tracked()  # free operator-pinned caches between queries
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf

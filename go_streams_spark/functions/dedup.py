@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.caching import track_persist
 from .text import tokens, word_ngrams
 
 
@@ -225,7 +226,7 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = 
     explode+window shingling, whose re-codegen under AQE dominated the
     query in long-lived sessions.
     """
-    sh = shingle_rows(df, text_col=text_col, id_col=id_col, ngram=ngram).persist()
+    sh = track_persist(shingle_rows(df, text_col=text_col, id_col=id_col, ngram=ngram))
     cands = minhash_lsh_candidates(df, text_col=text_col, id_col=id_col, ngram=ngram,
                                    num_hashes=num_hashes, rows_per_band=rows_per_band,
                                    shingles=sh)
@@ -383,7 +384,8 @@ def simhash_pairs(sim: DataFrame, *, id_col: str = "doc_id",
     # signatures.
     bands = (simhash_band_rows(sim, id_col=id_col, bits=bits,
                                max_hamming=max_hamming)
-             .hint("shuffle_hash").persist())
+             .hint("shuffle_hash"))
+    bands = track_persist(bands)
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (a.join(b, ["band", "band_key"])
@@ -411,7 +413,8 @@ def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_
     """
     edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
              .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-             .distinct().persist())
+             .distinct())
+    edges = track_persist(edges)
     # Iterative lineage MUST be truncated every pass (localCheckpoint,
     # eager): without it iteration k re-executes iterations 1..k-1 both
     # in the convergence count and the next join — quadratic total work

@@ -35,8 +35,18 @@ def _quantize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
 
 def zorder_key(quantized: Sequence[Column], bits: int = 8) -> Column:
     """Morton interleave: bit j of column i lands at position
-    ``j * n_cols + i`` of the key. Pure shift/or expression tree."""
+    ``j * n_cols + i`` of the key. Pure shift/or expression tree.
+
+    The key must fit in the 63 value bits of a signed long — a bit in
+    the sign position would make those keys range-sort BEFORE all
+    others and silently mis-cluster the layout, so over-wide requests
+    (e.g. 8 columns at the default 8 bits) are rejected up front."""
     n = len(quantized)
+    if n * bits > 63:
+        raise ValueError(
+            f"zorder_key: {n} columns x {bits} bits = {n * bits} key bits "
+            f"exceeds the 63 value bits of a signed long; lower bits to "
+            f"<= {63 // n} or cluster fewer columns")
     key = F.lit(0).cast("long")
     for i, q in enumerate(quantized):
         for j in range(bits):

@@ -20,6 +20,8 @@ from typing import Callable, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans.caching import track_persist
+
 
 def split(df: DataFrame, predicate: Column) -> tuple[DataFrame, DataFrame]:
     """Disjoint 2-way partition by predicate (``flow/util.go:23-41``).
@@ -132,6 +134,15 @@ def distributed_ordinal(df: DataFrame, *, order_by: Sequence[Column | str],
             .withColumn("__rn",
                         (F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
                          + F.lit(1)).cast("long")))
+    # The counts branch below and the data branch both read `part`. The
+    # range exchange + __mid are NONDETERMINISTIC (sampled boundaries,
+    # AQE coalescing can differ per branch because the counts branch is
+    # column-pruned to the key — a separate exchange in the plan), so
+    # two independent evaluations could assign divergent __pid spaces
+    # and silently mis-number ordinals. Persisting pins exactly one
+    # materialization that both branches share; release via
+    # plans.release_tracked() between queries.
+    part = track_persist(part)
     # offsets = exclusive prefix-sum of per-partition counts, computed
     # IN-PLAN (no driver collect / no second job). The prefix-sum window
     # is single-partition but over one row PER PARTITION (thousands at

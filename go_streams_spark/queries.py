@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .api import Source
+from .plans.caching import track_persist
 from .operators import (
     Map, FlatMap, Filter, PassThrough,
     running_reduce, batch_by_count,
@@ -2625,8 +2626,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exchange and the corpus explode would run three times. At 100 TB
     # this is "materialize the doc-term matrix to parquet once" — the
     # standard intermediate of every TF-IDF/BM25 pipeline.
-    tf = toks.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).alias("tf")).persist()
+    tf = track_persist(toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     n = tf.agg(F.countDistinct("doc_id").alias("n"))
     scored = (tf.join(dfreq, "tok").join(F.broadcast(n))

@@ -74,32 +74,56 @@ class PulsarClientAdapter:
             producer.close()
 
     def last_message_id(self, topic: str) -> str:
+        # NOTE: untested against a live broker in this environment (no
+        # Pulsar available); exercised only through the file-backed fake.
+        # Reader.get_last_message_id is not stable across pulsar-client
+        # versions, so fall back to a throwaway consumer (stable since
+        # 2.8) when the reader lacks it.
         reader = self._client.create_reader(
             topic, self._pulsar.MessageId.latest)
         try:
-            # brokers >= 2.8: reader exposes the last id directly
-            return self._ser(reader.get_last_message_id())
+            if hasattr(reader, "get_last_message_id"):
+                return self._ser(reader.get_last_message_id())
         finally:
             reader.close()
+        consumer = self._client.subscribe(
+            topic, subscription_name="gss-last-id-probe",
+            initial_position=self._pulsar.InitialPosition.Latest)
+        try:
+            return self._ser(consumer.get_last_message_id())
+        finally:
+            consumer.close()
 
     def read_range(self, topic: str, start_exclusive: str, end_inclusive: str):
         reader = self._client.create_reader(
             topic, self._deser(start_exclusive),
             start_message_id_inclusive=False)
-        end = self._deser(end_inclusive)
         try:
             while reader.has_message_available():
                 msg = reader.read_next(timeout_millis=10_000)
-                yield (self._ser(msg.message_id()),
-                       msg.partition_key() or None, msg.data())
-                if msg.message_id() >= end:
+                mid = self._ser(msg.message_id())
+                yield (mid, msg.partition_key() or None, msg.data())
+                # compare via serialized ids, not MessageId operator
+                # overloads (rich comparison is not a stable part of the
+                # Python client API across versions)
+                if self.compare_ids(mid, end_inclusive) >= 0:
                     break
         finally:
             reader.close()
 
     def compare_ids(self, a: str, b: str) -> int:
         ma, mb = self._deser(a), self._deser(b)
-        return (ma > mb) - (ma < mb)
+
+        def key(m):
+            try:  # stable accessors present in every pulsar-client release
+                return (m.ledger_id(), m.entry_id(), m.batch_index())
+            except AttributeError:
+                return None
+
+        ka, kb = key(ma), key(mb)
+        if ka is not None and kb is not None:
+            return (ka > kb) - (ka < kb)
+        return (ma > mb) - (ma < mb)  # last resort: rich comparison
 
     def close(self):
         self._client.close()

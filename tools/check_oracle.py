@@ -30,6 +30,7 @@ def main():
     only = set(sys.argv[2:])
 
     from go_streams_spark.session import get_spark
+    from go_streams_spark.plans import release_tracked
     import __spark_entry__ as entry_mod
 
     spark = get_spark("oracle-check")
@@ -47,7 +48,9 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir).toPandas()
+            release_tracked()
         except Exception as e:
+            release_tracked()
             failures.append(name)
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             continue
