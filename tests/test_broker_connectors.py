@@ -454,3 +454,102 @@ def test_nats_and_pulsar_streaming_sinks(spark, tmp_path):
     pc = FakePulsarClient(pulsar_path)
     assert sorted(d for _, _, d in pc.read_range("t1", "0:-1", "0:2")) == [
         b"m0", b"m1", b"m2"]
+
+
+# ------------------------------------------- checkpoint recovery
+
+
+def test_nats_checkpoint_recovery_no_dup_no_loss(spark, fake_path, tmp_path):
+    """Kill-and-restart for the seq-range reader (reference ack
+    semantics: nats_jetstream.go:135-147 per-message Ack). Stop the
+    query mid-stream, publish while it is down, restart from the same
+    checkpoint: every message lands exactly once — the tail micro-batch
+    may replay (foreachBatch is at-least-once) but a batchId-keyed
+    idempotent sink overwrites it with identical rows (seq-range
+    determinism), so no committed entry duplicates and none is lost."""
+    js = FakeJetStream(fake_path)
+    js.add_stream("EV", ["ev.>"])
+    for i in range(6):
+        js.publish("ev.a", f"n{i}".encode())
+    fmt = register_nats_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    by_batch: dict[int, list] = {}
+
+    def start():
+        return (spark.readStream.format(fmt)
+                .option("clientFactory", NATS_FACTORY)
+                .option("fakePath", fake_path)
+                .option("stream", "EV").option("fetchBatchSize", "4")
+                .load()
+                .writeStream
+                .foreachBatch(lambda df, bid: by_batch.__setitem__(
+                    bid, [bytes(r["data"]).decode() for r in df.collect()]))
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").start())
+
+    def landed():
+        return sorted(n for rows in by_batch.values() for n in rows)
+
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline and len(landed()) < 6:
+        time.sleep(0.5)
+    q.stop()
+    assert landed() == [f"n{i}" for i in range(6)]
+
+    # messages arrive while the query is DOWN
+    js.publish("ev.a", b"n6")
+    js.publish("ev.a", b"n7")
+
+    q2 = start()
+    deadline = time.time() + 60
+    while time.time() < deadline and len(landed()) < 8:
+        time.sleep(0.5)
+    q2.stop()
+    assert landed() == sorted(f"n{i}" for i in range(8))
+
+
+def test_pulsar_checkpoint_recovery_no_dup_no_loss(spark, fake_path, tmp_path):
+    """Kill-and-restart for the MessageId-range reader (reference
+    cursor semantics: pulsar/pulsar.go:57-79 subscription cursor — here
+    the Spark checkpoint IS the cursor). Same recipe as the NATS/Redis
+    tests: idempotent batchId-keyed sink, stop mid-stream, publish while
+    down, restart; exactly-once end to end."""
+    pc = FakePulsarClient(fake_path)
+    for i in range(6):
+        pc.publish("rt", f"p{i}".encode())
+    fmt = register_pulsar_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    by_batch: dict[int, list] = {}
+
+    def start():
+        return (spark.readStream.format(fmt)
+                .option("clientFactory", PULSAR_FACTORY)
+                .option("fakePath", fake_path)
+                .option("topic", "rt")
+                .load()
+                .writeStream
+                .foreachBatch(lambda df, bid: by_batch.__setitem__(
+                    bid, [bytes(r["data"]).decode() for r in df.collect()]))
+                .option("checkpointLocation", ckpt)
+                .outputMode("append").start())
+
+    def landed():
+        return sorted(n for rows in by_batch.values() for n in rows)
+
+    q = start()
+    deadline = time.time() + 60
+    while time.time() < deadline and len(landed()) < 6:
+        time.sleep(0.5)
+    q.stop()
+    assert landed() == [f"p{i}" for i in range(6)]
+
+    pc.publish("rt", b"p6")
+    pc.publish("rt", b"p7")
+
+    q2 = start()
+    deadline = time.time() + 60
+    while time.time() < deadline and len(landed()) < 8:
+        time.sleep(0.5)
+    q2.stop()
+    assert landed() == sorted(f"p{i}" for i in range(8))
