@@ -109,3 +109,38 @@ def execution_metrics(df) -> dict:
     out = {alias: totals[k] for k, alias in interesting.items() if k in totals}
     out["all_metrics"] = totals
     return out
+
+
+def single_partition_exchange_rows(df) -> list[int]:
+    """Rows entering each SinglePartition shuffle Exchange of an
+    EXECUTED DataFrame (run an action on the same instance first).
+
+    This is the scale audit for "WindowExec: No Partition Defined"
+    warnings: a SinglePartition exchange is fine when its input is
+    k-bounded (top-k per partition via WindowGroupLimit/TakeOrdered) or
+    grid-sized (per-partition counts, hour grids) and fatal when it is
+    data-sized. The returned list lets tests assert the bound instead
+    of trusting a code comment. ReusedExchange nodes are skipped (their
+    rows are counted at the original exchange)."""
+    out: list[int] = []
+
+    def walk(n):
+        name = n.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(n.executedPlan())
+            return
+        if "QueryStage" in name:
+            walk(n.plan())
+            return
+        if name == "Exchange" and \
+                n.outputPartitioning().toString() == "SinglePartition":
+            m = n.metrics()
+            try:
+                out.append(int(m.apply("shuffleRecordsWritten").value()))
+            except Exception:
+                out.append(-1)  # metric missing: flag, don't hide
+        for i in range(n.children().size()):
+            walk(n.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

@@ -437,3 +437,68 @@ def test_zorder_write_skips_files_on_both_dimensions(spark, sf_dir, tmpdir):
     expect = ev.where((F.col("user_id").between(lo_u, hi_u))
                       & (F.col("value") < 5.0)).count()
     assert narrow.count() == expect
+
+
+def test_single_partition_exchange_inputs_bounded(spark, sf_dir):
+    """Whole-registry scale audit: every `Exchange SinglePartition` in
+    every query's executed plan must receive only BOUNDED input —
+    k-limited top-k rows (WindowGroupLimit emits <= k rows/partition),
+    per-partition count rows, or grid/grain-sized series (hours,
+    months, users, customers). This turns the bench-tail "WindowExec:
+    No Partition Defined" warnings into a machine-checked invariant: a
+    new query that funnels fact-sized data through one partition fails
+    here instead of melting a 1000-executor cluster. Bounds are derived
+    from the DATA (grid cardinalities), not hard-coded, so the sweep
+    holds at any SF. The exemption classes are documented in SCALE.md
+    ("SinglePartition inventory")."""
+    from go_streams_spark.plans import release_tracked
+    from go_streams_spark.plans.inspect import single_partition_exchange_rows
+    from go_streams_spark.queries import QUERIES, _t
+
+    shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ev = _t(spark, sf_dir, "events")
+    n_hours = (ev.select(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+               .distinct().count())
+    n_users = ev.select("user_id").distinct().count()
+    n_cust = _t(spark, sf_dir, "customer").count()
+    n_months = (_t(spark, sf_dir, "orders")
+                .select(F.date_trunc("month", "o_orderdate"))
+                .distinct().count())
+    # default: scalar aggregates (1 row) and per-partition bookkeeping
+    # (<= partitions rows); 2x headroom for AQE-split stages
+    default_bound = max(64, 2 * shuf)
+    grain_bounds = {
+        # hour-grid series analytics (volume-independent by reduce-first)
+        "rolling_correlation_series": n_hours,
+        "hourly_peak_detection": n_hours,
+        # month grid
+        "mom_revenue_growth": n_months,
+        # customer-grain concentration stats (global rank over customers;
+        # 100 TB mitigation = histogram-sketch variants, see SCALE.md)
+        "revenue_gini_concentration": n_cust,
+        "rfm_segments": n_cust,
+        # user-grain deciles / cumulative series
+        "ltv_decile_profile": n_users,
+        "cumulative_user_growth": n_users,
+    }
+
+    offenders = []
+    with_single = []
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        if "Exchange SinglePartition" in explain_str(df, "simple"):
+            with_single.append((name, df))
+        release_tracked()
+    assert with_single, "sweep found no SinglePartition queries — regex broke?"
+
+    for name, df in with_single:
+        df.collect()
+        rows = single_partition_exchange_rows(df)
+        bound = max(default_bound, grain_bounds.get(name, 0))
+        for r in rows:
+            if r < 0 or r > bound:
+                offenders.append((name, r, bound))
+        release_tracked()
+    assert not offenders, (
+        "fact-sized input reached a SinglePartition exchange "
+        "(query, rows_in, allowed): " + repr(offenders))
