@@ -297,3 +297,85 @@ def test_orc_and_xml_roundtrip(spark, tmpdir):
     expect = [(1, "a"), (2, "b")]
     assert sorted((r["id"], r["name"]) for r in back_orc.collect()) == expect
     assert sorted((r["id"], r["name"]) for r in back_xml.collect()) == expect
+
+
+# ------------------------------------------------------------- Kafka
+
+
+class _Recorder:
+    """Chainable stand-in for DataStreamReader/Writer: records the
+    format, options, and trigger that the Kafka wrappers construct.
+    No broker or spark-sql-kafka package exists in this environment, so
+    the contract test pins the option/schema plumbing — exactly the
+    surface that otherwise ships on faith (kafka_sarama.go:26,151)."""
+
+    def __init__(self):
+        self.fmt = None
+        self.options = {}
+        self.trigger_args = None
+        self.loaded = False
+        self.started = False
+
+    def format(self, f):
+        self.fmt = f
+        return self
+
+    def option(self, k, v):
+        self.options[k] = v
+        return self
+
+    def trigger(self, **kw):
+        self.trigger_args = kw
+        return self
+
+    def load(self):
+        self.loaded = True
+        return self
+
+    def start(self):
+        self.started = True
+        return self
+
+
+class _FakeSession:
+    def __init__(self, rec):
+        self.readStream = rec
+
+
+class _FakeDF:
+    def __init__(self, rec):
+        self.writeStream = rec
+
+
+def test_kafka_source_contract():
+    from go_streams_spark.streaming.io import kafka_source
+    rec = _Recorder()
+    out = kafka_source(_FakeSession(rec), "broker1:9092,broker2:9092",
+                       "topicA,topicB", starting_offsets="latest",
+                       maxOffsetsPerTrigger="5000")
+    assert out is rec and rec.loaded
+    assert rec.fmt == "kafka"
+    assert rec.options == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "topicA,topicB",
+        "startingOffsets": "latest",
+        "maxOffsetsPerTrigger": "5000",
+    }
+
+
+def test_kafka_sink_contract():
+    from go_streams_spark.streaming.io import kafka_sink
+    rec = _Recorder()
+    sink = kafka_sink("b:9092", "out-topic", checkpoint="/cp/x",
+                      available_now=True, **{"kafka.acks": "all"})
+    assert sink.name == "kafka:out-topic"
+    sink(_FakeDF(rec))
+    assert rec.started
+    assert rec.fmt == "kafka"
+    assert rec.trigger_args == {"availableNow": True}
+    assert rec.options == {
+        "checkpointLocation": "/cp/x",
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "out-topic",
+        "kafka.acks": "all",
+    }
