@@ -106,7 +106,9 @@ BENCH_QUERIES = [
     "quality_rank_normalized",
     "chi2_token_lang",
     "time_rollup_revenue",
-    "mad_outlier_stats",
+    # mad_outlier_stats (exact two-pass median) stays in the registry as
+    # the correctness pin; the bench headline is the histogram-sketch
+    # variant — the bucketed-CDF plan a 100 TB cluster actually runs
     "mad_outlier_stats_hist",
     "incremental_agg_merge",
     "equidepth_price_histogram",

@@ -69,20 +69,63 @@ def _decode_stub(blob: bytes, media_type: str, dim: int) -> np.ndarray:
     return (arr / denom).astype(np.float32)
 
 
+def _decode_pil(blob: bytes, media_type: str, dim: int) -> np.ndarray:
+    """Real image decode via pillow WHEN AVAILABLE (not baked into this
+    container — the import stays inside the function so it resolves on
+    the executor that actually has the codec): decode -> grayscale ->
+    area-resize to a ~sqrt(dim) square -> flatten -> L2-normalize.
+    Same signature and output contract as ``_decode_stub``."""
+    import io as _io
+
+    from PIL import Image
+
+    side = max(1, int(dim ** 0.5))
+    img = Image.open(_io.BytesIO(blob)).convert("L").resize(
+        (side, side), Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.float64).reshape(-1)[:dim]
+    if arr.size < dim:
+        arr = np.pad(arr, (0, dim - arr.size))
+    denom = float(np.linalg.norm(arr)) or 1.0
+    return (arr / denom).astype(np.float32)
+
+
+def _pick_decoder(codec: str):
+    """codec='auto': pillow if importable, else the deterministic stub;
+    'pil'/'stub' force one (forcing 'pil' without the lib raises on the
+    executor — the honest failure mode)."""
+    if codec == "stub":
+        return _decode_stub
+    if codec == "pil":
+        return _decode_pil
+    try:
+        import PIL  # noqa: F401
+        return _decode_pil
+    except ImportError:
+        return _decode_stub
+
+
 def extract_features(df: DataFrame, *, blob_col: str = "media", id_col: str = "doc_id",
-                     type_col: str = "media_type", dim: int = 16) -> DataFrame:
+                     type_col: str = "media_type", dim: int = 16,
+                     codec: str = "stub") -> DataFrame:
     """mapInPandas feature extraction over binary media.
 
     One Arrow batch in, one out; runs fully parallel per partition with
     no shuffle. ``n_frames`` models frame-sampling metadata (stubbed=1).
+    ``codec``: 'stub' (default — deterministic, oracle-checkable),
+    'pil' (real image decode, needs pillow on executors), or 'auto'.
+    Non-image rows under 'pil'/'auto' fall back to the stub (pillow
+    cannot decode wav/webm) so one mixed-media pass still succeeds.
     """
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        decode = _pick_decoder(codec)
         for pdf in batches:
-            feats = [
-                _decode_stub(b, t, dim).tolist()
-                for b, t in zip(pdf[blob_col], pdf[type_col])
-            ]
+            feats = []
+            for b, t in zip(pdf[blob_col], pdf[type_col]):
+                if decode is not _decode_stub and not str(t).startswith("image/"):
+                    feats.append(_decode_stub(b, t, dim).tolist())
+                else:
+                    feats.append(decode(b, t, dim).tolist())
             yield pd.DataFrame({
                 "doc_id": pdf[id_col],
                 "media_type": pdf[type_col],

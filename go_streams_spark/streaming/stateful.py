@@ -24,6 +24,7 @@ from typing import Any, Callable, Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
@@ -59,6 +60,31 @@ def running_fold_stream(df: DataFrame, *, key_cols: list[str], value_col: str,
     return (df.groupBy(*key_cols)
             .applyInPandasWithState(fold, output_schema, state_schema,
                                     output_mode, GroupStateTimeout.NoTimeout))
+
+
+def global_fold_stream(df: DataFrame, *, value_col: str, order_col: str,
+                       fold_fn: Callable[[Any, Any], Any], init: Any,
+                       output_schema: str, state_schema: str = "acc string",
+                       output_mode: str = "append") -> DataFrame:
+    """The reference's EXACT Fold contract — one globally-ordered
+    accumulator over the whole stream (flow/fold.go:83-90; its golden
+    fold_test.go:38-39 concatenates "1","12","123",... in arrival
+    order). A distributed engine can only provide this by folding ALL
+    rows under ONE key, so this wrapper is explicitly RATE-BOUNDED: one
+    state-store partition does every fold step (fine for the reference's
+    single-goroutine use cases — control channels, small totals; wrong
+    for fact-sized streams, where the per-key ``running_fold_stream``
+    is the scalable contract). The constant key is added and dropped
+    here so callers see the reference's shape: elements in, per-element
+    accumulator emissions out, ordered by ``order_col``.
+    """
+    keyed = df.withColumn("__gk", F.lit(1))
+    out = running_fold_stream(
+        keyed, key_cols=["__gk"], value_col=value_col, order_col=order_col,
+        fold_fn=fold_fn, init=init,
+        output_schema="__gk int, " + output_schema,
+        state_schema=state_schema, output_mode=output_mode)
+    return out.drop("__gk")
 
 
 def count_or_time_batch_stream(df: DataFrame, *, key_cols: list[str],

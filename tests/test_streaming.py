@@ -12,7 +12,8 @@ from pyspark.sql import functions as F
 from go_streams_spark.api import Source
 from go_streams_spark.operators import Map, Filter, tumbling_window
 from go_streams_spark.streaming import (
-    file_stream_source, memory_sink, running_fold_stream, count_or_time_batch_stream,
+    file_stream_source, memory_sink, running_fold_stream, global_fold_stream,
+    count_or_time_batch_stream,
 )
 
 
@@ -594,3 +595,33 @@ def test_incremental_embedding_dedup_across_batches(spark, tmp_path):
     kept = sorted(r["vec_id"] for r in spark.read.option(
         "basePath", out_dir).parquet(out_dir).collect())
     assert kept == [1, 3, 5]
+
+
+def test_global_fold_stream_reference_golden(spark, tmp_path):
+    """The reference's Fold golden, verbatim (flow/fold_test.go:38-39):
+    input 1..5, fold acc+str(x) from "" -> emissions "1","12","123",
+    "1234","12345" in GLOBAL arrival order. global_fold_stream provides
+    the reference's single-accumulator contract via the documented
+    rate-bounded constant key; maxFilesPerTrigger=1 forces each element
+    group through its own micro-batch, so the accumulator provably
+    carries across batches in the state store, not within one pandas
+    group."""
+    src_dir = str(tmp_path / "src")
+    for batch, vals in enumerate([[1, 2], [3, 4], [5]]):
+        spark.createDataFrame([(10 * batch + i, v) for i, v in enumerate(vals)],
+                              "seq int, value int") \
+            .coalesce(1).write.mode("append").parquet(src_dir)
+    src = (spark.readStream.schema("seq int, value int")
+           .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    out = global_fold_stream(
+        src, value_col="value", order_col="seq",
+        fold_fn=lambda v, acc: acc + str(v), init="",
+        output_schema="seq int, value int, acc string")
+    name = _mem_name()
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = sorted(spark.table(name).collect(), key=lambda r: r["seq"])
+    assert [r["acc"] for r in rows] == ["1", "12", "123", "1234", "12345"]
