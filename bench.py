@@ -98,6 +98,8 @@ BENCH_QUERIES = [
     "part_pair_cooccurrence",
     "scd2_user_state_history",
     "bigram_lm_counts",
+    "bigram_lm_doc_scores",
+    "token_window_chunks",
     "cdc_latest_state_per_user",
     "sequence_packing_batches",
     "embedding_quantize_int8",

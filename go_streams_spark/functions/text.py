@@ -110,3 +110,76 @@ def fingerprint(text: Column | str, n: int = 4) -> Column:
     shingles (winnowing-style 1-of-N selection; deterministic)."""
     grams = word_ngrams(text, n)
     return F.array_min(F.transform(grams, F.md5))
+
+
+def bigram_rows(df, *, text_col: str = "text", id_col: str = "doc_id"):
+    """(id, w1, w2) adjacent-token pairs via array lambdas — the bigram
+    extraction is pure per-row JVM work (slice + indexed transform +
+    explode), zero shuffle; corpus-level model counts happen in the
+    caller's aggregation. The training-data use is a CCNet/KenLM-style
+    LM quality filter without an external model artifact: the corpus is
+    its own language model."""
+    arr = tokens(F.col(text_col))
+    pairs = F.transform(
+        F.slice(arr, 1, F.size(arr) - 1),
+        lambda x, i: F.struct(x.alias("w1"),
+                              F.element_at(arr, i + F.lit(2)).alias("w2")))
+    return (df.where(F.size(tokens(F.col(text_col))) >= 2)
+            .select(F.col(id_col), F.explode(pairs).alias("bg"))
+            .select(id_col, F.col("bg.w1").alias("w1"),
+                    F.col("bg.w2").alias("w2")))
+
+
+def bigram_lm_doc_scores(df, *, text_col: str = "text",
+                         id_col: str = "doc_id"):
+    """Per-document bigram-LM negative log-likelihood and perplexity,
+    with the corpus itself as the model (add-1 smoothing):
+
+        P(w2|w1) = (C(w1,w2) + 1) / (C(w1->*) + V)
+
+    The standard perplexity-bucket stage of a web-corpus pipeline
+    (CCNet trains KenLM on a reference corpus; same plumbing, model
+    swap is a join target change). Plan shape at 100 TB: one bigram
+    aggregation (shuffle on (w1,w2)), a first-word rollup, a scalar
+    vocab count broadcast back, and one model join keyed on (w1,w2) —
+    model size is vocabulary-squared-bounded, data volume passes
+    through exactly one shuffle join. All arithmetic is
+    integer-derived, so the rounded outputs are engine-exact."""
+    bg = bigram_rows(df, text_col=text_col, id_col=id_col)
+    model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    first = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (bg.select(F.col("w1").alias("w")).union(
+        bg.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").alias("v")))
+    scored = (bg.join(model, ["w1", "w2"]).join(first, "w1")
+              .join(F.broadcast(vocab))
+              .withColumn("nll", -F.log((F.col("c12") + 1.0)
+                                        / (F.col("c1") + F.col("v")))))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.avg("nll"), 6).alias("avg_nll"),
+                 F.round(F.exp(F.avg("nll")), 4).alias("ppl")))
+
+
+def token_window_chunks(df, *, text_col: str = "text", id_col: str = "doc_id",
+                        size: int = 32, stride: int = 24):
+    """Fixed-token-window chunking with overlap — the sample-prep stage
+    that turns variable-length documents into training windows
+    (overlap = size - stride). One row per chunk: (id, chunk_idx,
+    chunk_text, n_tokens); the final chunk may be short. Pure per-row
+    array arithmetic (sequence of starts + posexplode + slice) inside
+    whole-stage codegen: rows fan out within their partition, no
+    shuffle, so it scales with input splits like any flatMap."""
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    arr = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.size(arr), F.lit(stride))
+    out = (df.where(F.size(arr) >= 1)
+           .select(F.col(id_col), arr.alias("__arr"),
+                   F.posexplode(starts).alias("__pos", "__start")))
+    chunk = F.slice(F.col("__arr"), F.col("__start"), size)
+    return out.select(
+        id_col,
+        F.col("__pos").cast("int").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).cast("long").alias("n_tokens"))

@@ -5848,3 +5848,59 @@ def key_uniqueness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1))
          - F.countDistinct("l_orderkey", "l_linenumber")).alias("n_dup_rows"),
         F.countDistinct("l_orderkey").alias("n_orders"))
+
+
+# ---------------------------------------------------------------------------
+# Round 3: corpus-as-its-own-LM quality filtering + training-window prep
+# ---------------------------------------------------------------------------
+
+@query("bigram_lm_doc_scores", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(arr)-1)) AS t(i)
+  WHERE len(arr) >= 2
+),
+model AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+first AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY w1),
+vocab AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)
+)
+SELECT bg.doc_id,
+       count(*)                                               AS n_bigrams,
+       round(avg(-ln((c12 + 1.0) / (c1 + v))), 6)             AS avg_nll,
+       round(exp(avg(-ln((c12 + 1.0) / (c1 + v)))), 4)        AS ppl
+FROM bg JOIN model USING (w1, w2) JOIN first USING (w1) CROSS JOIN vocab
+GROUP BY bg.doc_id
+""")
+def bigram_lm_doc_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality filter with the corpus as its own bigram
+    model (add-1 smoothing): per-document average negative
+    log-likelihood and perplexity. See
+    functions.text.bigram_lm_doc_scores for the 100 TB plan shape (one
+    data shuffle through the model join; model is vocab²-bounded)."""
+    return T.bigram_lm_doc_scores(_t(spark, sf_dir, "documents"))
+
+
+@query("token_window_chunks", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+)
+SELECT doc_id,
+       CAST((i - 1) / 24 AS INT)                  AS chunk_idx,
+       array_to_string(arr[i : i + 31], ' ')      AS chunk_text,
+       CAST(len(arr[i : i + 31]) AS BIGINT)       AS n_tokens
+FROM toks, UNNEST(generate_series(1, len(arr), 24)) AS t(i)
+WHERE len(arr) >= 1
+""")
+def token_window_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-window chunking: size-32 token windows at stride 24
+    (8-token overlap), one row per window, partial tail kept. Per-row
+    array fan-out inside codegen — no shuffle (the flatMap shape)."""
+    return T.token_window_chunks(_t(spark, sf_dir, "documents"),
+                                 size=32, stride=24)

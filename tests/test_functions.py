@@ -355,3 +355,51 @@ def test_multimodal_resize_features_stride(spark):
     assert out[1] == [0.0, 4.0, 8.0, 12.0]   # idx = i*16//4
     assert out[2] == [5.0, 5.0, 6.0, 6.0]    # idx = i*2//4 = 0,0,1,1
     assert out[3] == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_token_window_chunks_boundaries(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, ""), (4, "solo")],
+        "doc_id long, text string")
+    rows = T.token_window_chunks(df, size=3, stride=2).collect()
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+           for r in rows}
+    # doc 1: starts 1,3,5,7 -> abc cde efg g (partial tail kept)
+    assert got[(1, 0)] == ("a b c", 3)
+    assert got[(1, 1)] == ("c d e", 3)
+    assert got[(1, 2)] == ("e f g", 3)
+    assert got[(1, 3)] == ("g", 1)
+    assert got[(2, 0)] == ("x y", 2)
+    assert got[(4, 0)] == ("solo", 1)
+    # empty doc emits nothing
+    assert not any(k[0] == 3 for k in got)
+    with pytest.raises(ValueError):
+        T.token_window_chunks(df, size=0)
+
+
+def test_token_window_chunks_no_shuffle(spark):
+    """Chunking is a per-row fan-out — zero exchanges in the plan."""
+    from go_streams_spark.plans import count_exchanges
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert count_exchanges(T.token_window_chunks(df)) == 0
+
+
+def test_bigram_lm_scores_match_reference_formula(spark):
+    """Engine output equals an independent driver-side computation of
+    the same add-1 bigram model on a tiny corpus."""
+    import math
+    from collections import Counter
+    docs = [(1, "a b a b"), (2, "a b b"), (3, "b a")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.bigram_lm_doc_scores(df).collect()}
+
+    bigrams = {i: list(zip(t.split(), t.split()[1:])) for i, t in docs}
+    c12 = Counter(bg for v in bigrams.values() for bg in v)
+    c1 = Counter(w1 for v in bigrams.values() for w1, _ in v)
+    vocab = len({w for v in bigrams.values() for bg in v for w in bg})
+    for i, v in bigrams.items():
+        nll = [-math.log((c12[bg] + 1.0) / (c1[bg[0]] + vocab)) for bg in v]
+        avg = sum(nll) / len(nll)
+        assert out[i]["n_bigrams"] == len(nll)
+        assert abs(out[i]["avg_nll"] - round(avg, 6)) < 1e-9
+        assert abs(out[i]["ppl"] - round(math.exp(avg), 4)) < 1e-9
