@@ -164,3 +164,19 @@ def test_keyed_batch_reference_golden(spark):
                .to_df())
     assert batched.select("k", "batch_id").distinct().count() == 20
     assert batched.agg(F.sum("k")).collect()[0][0] == 292
+
+
+def test_tumbling_window_reference_golden(spark):
+    """TestTumblingWindow (flow/tumbling_window_test.go:13-44): a..g
+    arriving every 15 ms into 50 ms tumblers -> [[a b c] [d e f] [g]].
+    The reference's arrival clock becomes an explicit event-time column
+    (element i arrives at 15*(i+1) ms); window contents and count match
+    the golden exactly."""
+    from go_streams_spark.operators import tumbling_window
+    rows = [(v, _ts(15 * (i + 1))) for i, v in enumerate("abcdefg")]
+    df = spark.createDataFrame(rows, "v string, ts timestamp")
+    out = Source(df).via(tumbling_window(
+        "ts", "50 milliseconds", F.sort_array(F.collect_list("v")).alias("vals"))
+    ).to_df()
+    got = [r["vals"] for r in out.orderBy("window_start").collect()]
+    assert got == [["a", "b", "c"], ["d", "e", "f"], ["g"]]
