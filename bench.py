@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "simhash_docs",
     "simhash64_near_pairs",
     "embedding_knn",
+    "semdedup_prune",
     "ann_sign_lsh",
     "ann_ivf_knn",
     "ann_query_vector_topk",

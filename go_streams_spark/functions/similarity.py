@@ -495,3 +495,97 @@ def train_codebook(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "emb
             new[r["cid"], r["dim"]] = r["m"]
         codebook = new
     return codebook
+
+
+def assign_clusters(df: DataFrame, codebook, *, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid (cosine) cluster assignment in ONE vectorized
+    mapInPandas pass — the codebook rides in the closure (k x d floats,
+    driver-resident index metadata, same decision as a broadcast join).
+    Returns (id, cid, v) with v the double-cast vector."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebook, dtype=np.float64)
+    cb_n = cb / np.linalg.norm(cb, axis=1, keepdims=True)
+
+    def _assign(batches):
+        for pdf in batches:
+            q = np.array(list(pdf["v"]), dtype=np.float64)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            cid = np.argmax(qn @ cb_n.T, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "cid": cid.astype("int64"), "v": pdf["v"]})
+
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    return base.mapInPandas(_assign,
+                            schema=f"{id_col} long, cid long, v array<double>")
+
+
+def semdedup_pairs(df: DataFrame, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", threshold: float = 0.95,
+                   nlist: int = 16, iterations: int = 3,
+                   codebook=None, round_dp: int = 6) -> DataFrame:
+    """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
+    k-means the embedding space, then compare pairs ONLY within a
+    cluster — semantic duplicates land in the same centroid cell, so
+    the O(N²) pair scan shrinks to sum-of-cluster-sizes² without any
+    text overlap requirement (catches paraphrases MinHash misses).
+
+    Scale shape: codebook via ``train_codebook`` (distributed Lloyd's,
+    k x d driver metadata), one vectorized assignment pass, then a
+    per-cluster applyInPandas BLAS matmul — one shuffle keyed on cid.
+    Cluster population is the scale knob exactly as in IVF: grow
+    ``nlist`` with N to bound per-cell pair volume; skew in cell sizes
+    is data skew, the same mitigation (finer codebook) as hot keys.
+    Emits (id_a < id_b, cid, sim) with rounded sims.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if codebook is None:
+        codebook = train_codebook(df, id_col=id_col, vec_col=vec_col,
+                                  k=nlist, iterations=iterations)
+    assigned = assign_clusters(df, codebook, id_col=id_col, vec_col=vec_col)
+
+    def _scan(key, pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        v = np.array(list(pdf["v"]), dtype=np.float64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cid": [],
+                                 "sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64",
+                 "cid": "int64", "sim": "float64"})
+        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        s = np.round(vn @ vn.T, round_dp)
+        ia, ib = np.triu_indices(len(ids), 1)
+        keep = s[ia, ib] >= threshold
+        return pd.DataFrame({"id_a": ids[ia[keep]], "id_b": ids[ib[keep]],
+                             "cid": key[0], "sim": s[ia, ib][keep]})
+
+    return (assigned.groupBy("cid")
+            .applyInPandas(_scan,
+                           schema="id_a long, id_b long, cid long, sim double"))
+
+
+def semdedup_prune(df: DataFrame, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", threshold: float = 0.95,
+                   nlist: int = 16, iterations: int = 3,
+                   codebook=None) -> DataFrame:
+    """SemDeDup keep/drop verdict per vector: a vector is DROPPED when a
+    lower-id vector in its cluster is cosine-similar above ``threshold``
+    (the paper's keep-one-representative rule made deterministic by id
+    order). Returns (id, cid, kept boolean) — filter ``kept`` to get the
+    pruned corpus; one extra left-anti-shaped join over the pair set."""
+    if codebook is None:
+        codebook = train_codebook(df, id_col=id_col, vec_col=vec_col,
+                                  k=nlist, iterations=iterations)
+    assigned = assign_clusters(df, codebook, id_col=id_col, vec_col=vec_col)
+    pairs = semdedup_pairs(df, id_col=id_col, vec_col=vec_col,
+                           threshold=threshold, codebook=codebook)
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (assigned.select(id_col, "cid")
+            .join(dropped.withColumn("__d", F.lit(True)), id_col, "left")
+            .select(id_col, "cid",
+                    F.coalesce(~F.col("__d"), F.lit(True)).alias("kept")))

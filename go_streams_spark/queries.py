@@ -5904,3 +5904,17 @@ def token_window_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     array fan-out inside codegen — no shuffle (the flatMap shape)."""
     return T.token_window_chunks(_t(spark, sf_dir, "documents"),
                                  size=32, stride=24)
+
+
+@query("semdedup_prune")
+def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540) keep/drop verdicts over the
+    embeddings table: distributed k-means codebook -> one vectorized
+    cluster-assignment pass -> per-cluster BLAS pair scan -> drop any
+    vector cosine-similar (>= 0.4) to a lower-id cluster-mate. No SQL
+    oracle by design (iterative Lloyd's is not expressible in one
+    DuckDB query — the driver records the rows-only check); exactness
+    against an independent NumPy reimplementation is pinned by
+    tests/test_functions.py::test_semdedup_matches_numpy_reference."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.semdedup_prune(emb, threshold=0.4, nlist=8, iterations=2)

@@ -403,3 +403,58 @@ def test_bigram_lm_scores_match_reference_formula(spark):
         assert out[i]["n_bigrams"] == len(nll)
         assert abs(out[i]["avg_nll"] - round(avg, 6)) < 1e-9
         assert abs(out[i]["ppl"] - round(math.exp(avg), 4)) < 1e-9
+
+
+def test_semdedup_matches_numpy_reference(spark):
+    """semdedup_prune equals an independent driver-side NumPy
+    implementation of the same spec (given the same codebook): nearest
+    centroid by cosine, within-cluster upper-triangle pair scan at the
+    rounded threshold, drop-if-lower-id-neighbor. Planted geometry: 3
+    well-separated directions with jittered members + paraphrase dups."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    dirs = np.eye(3, 8)  # 3 orthogonal cluster axes in 8-d
+    rows, truth_vecs = [], []
+    vid = 0
+    for c in range(3):
+        for m in range(6):
+            v = dirs[c] + 0.05 * rng.standard_normal(8)
+            if m % 3 == 2:      # paraphrase: near-copy of previous member
+                v = truth_vecs[-1][1] + 0.01 * rng.standard_normal(8)
+            rows.append((vid, [float(x) for x in v]))
+            truth_vecs.append((vid, np.asarray(v)))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    codebook = dirs.astype(np.float64)
+
+    got = {r["vec_id"]: (r["cid"], r["kept"]) for r in S.semdedup_prune(
+        emb, threshold=0.95, codebook=codebook).collect()}
+
+    # independent reference
+    V = np.array([v for _, v in truth_vecs], dtype=np.float64)
+    # match the engine's float32 storage of array<float>
+    V = V.astype(np.float32).astype(np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cb = codebook / np.linalg.norm(codebook, axis=1, keepdims=True)
+    cid = np.argmax(Vn @ cb.T, axis=1)
+    kept = {}
+    for i in range(len(V)):
+        drop = any(cid[j] == cid[i]
+                   and round(float(Vn[j] @ Vn[i]), 6) >= 0.95
+                   for j in range(i))
+        kept[i] = not drop
+    assert got == {i: (int(cid[i]), kept[i]) for i in range(len(V))}
+    assert sum(1 for k in kept.values() if not k) >= 6  # dups were planted
+
+
+def test_semdedup_pairs_plan_no_cartesian(spark, sf_dir):
+    """The SemDeDup pair scan must stay a per-cluster cogroup — never an
+    all-pairs join."""
+    from go_streams_spark.plans import explain_str
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    import numpy as np
+    cb = np.eye(8, 64)
+    plan = explain_str(S.semdedup_pairs(emb, threshold=0.4, codebook=cb),
+                       "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
