@@ -271,3 +271,31 @@ def test_simhash64_banding_recall_property(spark, docs, k):
     banded = sorted((r["id_a"], r["id_b"]) for r in
                     D.simhash_pairs(sim, max_hamming=k, bits=64).collect())
     assert banded == brute
+
+
+@given(words=st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                      min_size=0, max_size=40),
+       size=st.integers(min_value=1, max_value=9),
+       stride=st.integers(min_value=1, max_value=9))
+@settings(**SETTINGS)
+def test_token_window_chunks_properties(spark, words, size, stride):
+    """Invariants of training-window chunking against a Python model:
+    (a) chunk list equals the slicing model exactly; (b) with
+    stride == size (no overlap) concatenating chunks reconstructs the
+    document; (c) every token position is covered by >= 1 chunk."""
+    from go_streams_spark.functions.text import token_window_chunks
+    text = " ".join(words)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = sorted(token_window_chunks(df, size=size, stride=stride).collect(),
+                  key=lambda r: r["chunk_idx"])
+    got = [(r["chunk_idx"], r["chunk_text"], r["n_tokens"]) for r in rows]
+    expect = [(ci, " ".join(words[s:s + size]), min(size, len(words) - s))
+              for ci, s in enumerate(range(0, len(words), stride))]
+    assert got == expect
+    if stride == size:
+        assert " ".join(t for _, t, _ in got) == text.strip()
+    if stride <= size:  # stride > size is deliberate window SAMPLING
+        covered = set()
+        for s in range(0, len(words), stride):
+            covered.update(range(s, min(s + size, len(words))))
+        assert covered == set(range(len(words)))
