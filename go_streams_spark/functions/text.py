@@ -145,7 +145,15 @@ def bigram_lm_doc_scores(df, *, text_col: str = "text",
     model size is vocabulary-squared-bounded, data volume passes
     through exactly one shuffle join. All arithmetic is
     integer-derived, so the rounded outputs are engine-exact."""
-    bg = bigram_rows(df, text_col=text_col, id_col=id_col)
+    from ..plans.caching import track_persist
+
+    # persist the bigram rows: four consumers (doc scores, model, first-
+    # word rollup, vocab) would otherwise re-run the corpus explode four
+    # times (their pruned subtrees don't canonicalize to one scan). At
+    # 100 TB this is "materialize the bigram table once" — the standard
+    # LM-pipeline intermediate, same decision as the TF-IDF doc-term
+    # matrix. Freed via plans.release_tracked() between queries.
+    bg = track_persist(bigram_rows(df, text_col=text_col, id_col=id_col))
     model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     first = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (bg.select(F.col("w1").alias("w")).union(
