@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "sequence_packing_batches",
     "embedding_quantize_int8",
     "bpe_first_merges",
+    "bpe_train_merge_table",
     "keyed_batch_stats",
     "quality_rank_normalized",
     "chi2_token_lang",

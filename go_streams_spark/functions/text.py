@@ -191,3 +191,56 @@ def token_window_chunks(df, *, text_col: str = "text", id_col: str = "doc_id",
         F.col("__pos").cast("int").alias("chunk_idx"),
         F.array_join(chunk, " ").alias("chunk_text"),
         F.size(chunk).cast("long").alias("n_tokens"))
+
+
+def bpe_train_merges(df, *, text_col: str = "text", rounds: int = 5,
+                     min_count: int = 2):
+    """Iterative BPE tokenizer training, distributed: ``rounds`` merge
+    steps over the corpus vocabulary (token -> count, symbols array).
+
+    Per round: (1) weighted adjacent-symbol-pair counts — an explode
+    over the VOCABULARY (shrunk by the token repetition factor), one
+    hash agg; (2) the argmax pair comes to the driver (one row — merge
+    DECISIONS are index metadata, the same driver-residency call as the
+    IVF codebook); (3) every vocab entry rewrites its symbol array with
+    a greedy left-to-right fold (F.aggregate, pure JVM) and the vocab
+    is localCheckpoint'ed so round k+1's plan does not replay rounds
+    1..k (the connected-components lineage rule). Stops early when no
+    pair reaches ``min_count``. Returns the merge table (round, pair,
+    cnt) — k rows, the training artifact a tokenizer ships.
+
+    No SQL oracle (iterative argmax is not one DuckDB query); exactness
+    is pinned against an independent Python BPE reference in
+    tests/test_functions.py::test_bpe_train_matches_python_reference."""
+    spark = df.sparkSession
+    vocab = (df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("tok_cnt"))
+             .select(F.split("tok", "").alias("syms"), "tok_cnt")
+             .localCheckpoint())
+    merges: list[tuple] = []
+    for r in range(rounds):
+        n1 = F.greatest(F.size("syms") - 1, F.lit(0))
+        pr = vocab.select(
+            F.explode(F.zip_with(F.slice("syms", 1, n1),
+                                 F.slice("syms", 2, n1),
+                                 lambda a, b: F.struct(a.alias("a"),
+                                                       b.alias("b"))))
+            .alias("p"), "tok_cnt")
+        best = (pr.groupBy("p").agg(F.sum("tok_cnt").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("p.a"), F.col("p.b"))
+                .first())
+        if best is None or best["cnt"] < min_count:
+            break
+        a, b = best["p"]["a"], best["p"]["b"]
+        merges.append((r, a + b, int(best["cnt"])))
+        merged = F.aggregate(
+            "syms", F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                         F.array(F.lit(a + b)))
+            ).otherwise(F.concat(acc, F.array(x))))
+        vocab = (vocab.select(merged.alias("syms"), "tok_cnt")
+                 .localCheckpoint())
+    return spark.createDataFrame(merges, "round int, pair string, cnt long")

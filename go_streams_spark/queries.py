@@ -5918,3 +5918,14 @@ def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_functions.py::test_semdedup_matches_numpy_reference."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.semdedup_prune(emb, threshold=0.4, nlist=8, iterations=2)
+
+
+@query("bpe_train_merge_table")
+def bpe_train_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training over the documents corpus: 8
+    merge rounds, each = vocabulary-grain pair count + driver argmax +
+    JVM fold rewrite + localCheckpoint (lineage truncation). Rows-only
+    gate entry (iterative argmax is not one SQL query); exactness vs an
+    independent Python BPE trainer is pinned by
+    tests/test_functions.py::test_bpe_train_matches_python_reference."""
+    return T.bpe_train_merges(_t(spark, sf_dir, "documents"), rounds=8)

@@ -458,3 +458,48 @@ def test_semdedup_pairs_plan_no_cartesian(spark, sf_dir):
                        "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bpe_train_matches_python_reference(spark):
+    """bpe_train_merges equals a from-scratch Python BPE trainer (same
+    greedy left-to-right merge, count-desc/pair-asc tie-break) on a
+    corpus with evolving multi-char merges."""
+    docs = [(i, t) for i, t in enumerate(
+        ["low lower lowest", "low low newer newest", "wider new newer",
+         "lowest newest wide wide wider"])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r["round"], r["pair"], r["cnt"])
+           for r in T.bpe_train_merges(df, rounds=6).collect()]
+
+    from collections import Counter
+    vocab = Counter()
+    for _, t in docs:
+        for tok in t.lower().split():
+            vocab[tuple(tok)] += 1
+    expect = []
+    for r in range(6):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < 2:
+            break
+        expect.append((r, a + b, cnt))
+        new_vocab = Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += c
+        vocab = new_vocab
+    assert got == expect
+    assert len(got) == 6 and any(len(p) > 2 for _, p, _ in got)
