@@ -144,3 +144,58 @@ def single_partition_exchange_rows(df) -> list[int]:
 
     walk(df._jdf.queryExecution().executedPlan())
     return out
+
+
+def nested_loop_build_rows(df) -> list[int]:
+    """Rows on the BUILD (broadcast) side of each BroadcastNestedLoopJoin
+    in an EXECUTED DataFrame's plan, plus a -1 sentinel for any
+    CartesianProduct. A nested-loop join is fine when the broadcast side
+    is scalar metadata (a bounds row, a vocab count) and fatal when it
+    is data-sized; this reads the actual broadcast row count so tests
+    can assert the bound."""
+    out: list[int] = []
+
+    def walk(n):
+        name = n.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(n.executedPlan())
+            return
+        if "QueryStage" in name:
+            walk(n.plan())
+            return
+        if name == "CartesianProduct":
+            out.append(-1)
+        if name == "BroadcastNestedLoopJoin":
+            # the build side is a BroadcastExchange somewhere below one
+            # child, usually wrapped in InputAdapter/BroadcastQueryStage
+            def find_bx(m):
+                mn = m.nodeName()
+                if "QueryStage" in mn:
+                    return find_bx(m.plan())
+                if mn == "BroadcastExchange":
+                    return m
+                for j in range(m.children().size()):
+                    r = find_bx(m.children().apply(j))
+                    if r is not None:
+                        return r
+                return None
+
+            try:
+                build_right = "BuildRight" in n.buildSide().toString()
+            except Exception:
+                build_right = True
+            child = n.children().apply(1 if build_right else 0)
+            bx = find_bx(child)
+            if bx is None:
+                out.append(-1)  # undetected build side: flag, don't hide
+            else:
+                try:
+                    out.append(int(
+                        bx.metrics().apply("numOutputRows").value()))
+                except Exception:
+                    out.append(-1)
+        for i in range(n.children().size()):
+            walk(n.children().apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out

@@ -502,3 +502,36 @@ def test_single_partition_exchange_inputs_bounded(spark, sf_dir):
     assert not offenders, (
         "fact-sized input reached a SinglePartition exchange "
         "(query, rows_in, allowed): " + repr(offenders))
+
+
+def test_nested_loop_joins_scalar_build_only(spark, sf_dir):
+    """Whole-registry join audit: a BroadcastNestedLoopJoin is allowed
+    ONLY as a scalar cross join (1-row broadcast of bounds / vocab
+    size / grand totals — the broadcast-metadata idiom); any data-sized
+    nested-loop build or CartesianProduct fails. Plans are explained
+    first, only the matches execute (same recipe as the SinglePartition
+    sweep)."""
+    from go_streams_spark.plans import release_tracked
+    from go_streams_spark.plans.inspect import nested_loop_build_rows
+    from go_streams_spark.queries import QUERIES
+
+    with_bnlj = []
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        p = explain_str(df, "simple")
+        assert "CartesianProduct" not in p, f"{name}: cartesian in plan"
+        if "BroadcastNestedLoopJoin" in p:
+            with_bnlj.append((name, df))
+        release_tracked()
+    assert with_bnlj, "sweep found no nested-loop queries — regex broke?"
+
+    offenders = []
+    for name, df in with_bnlj:
+        df.collect()
+        for rows in nested_loop_build_rows(df):
+            if rows < 0 or rows > 8:  # scalar metadata, not data
+                offenders.append((name, rows))
+        release_tracked()
+    assert not offenders, (
+        "data-sized nested-loop build side (query, build_rows): "
+        + repr(offenders))
