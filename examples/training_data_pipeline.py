@@ -1,6 +1,7 @@
 """Training-data curation pipeline over the synthetic documents table:
 quality-filter -> language-gate -> exact dedup -> near-dup (MinHash LSH)
--> domain-mixture sampling -> token accounting. The 100 TB shape: every
+-> LM perplexity gate -> domain-mixture sampling -> token-window
+chunking -> token accounting. The 100 TB shape: every
 stage is a narrow projection or a keyed equi-join; sampling and split
 assignment are pure hash functions (reproducible under any
 partitioning, engine, or re-ingest).
@@ -37,6 +38,12 @@ def main():
     drop = near.select(F.col("id_b").alias("doc_id")).distinct()
     deduped = survivors.join(drop, "doc_id", "left_anti")
 
+    # LM-perplexity gate: the corpus is its own bigram model (add-1);
+    # drop the most surprising tail (CCNet-style quality filtering)
+    ppl = T.bigram_lm_doc_scores(docs).select("doc_id", "ppl")
+    cutoff = ppl.agg(F.expr("percentile_approx(ppl, 0.95)")).first()[0]
+    deduped = deduped.join(ppl, "doc_id").where(F.col("ppl") <= cutoff)
+
     # domain-mixture sampling: a deterministic salted-hash coin applies
     # per-source target rates (down-weight over-represented sources)
     u = ((F.conv(F.substring(F.md5(F.concat(
@@ -51,6 +58,11 @@ def main():
           f"exact_survivors={survivors.count()} deduped={deduped.count()} "
           f"final={final.count()}")
     final.select(F.sum("n_tokens").alias("total_tokens")).show()
+
+    # training windows: size-32 token chunks at stride 24 (overlap 8)
+    chunks = T.token_window_chunks(
+        final.select("doc_id", "text"), size=32, stride=24)
+    print(f"chunks={chunks.count()}")
 
     # train/valid/test assignment + sequence packing: both pure hash
     # functions of the doc — reproducible at any scale, no coordination
