@@ -96,12 +96,22 @@ def lang_id(text: Column | str) -> Column:
 
 
 def word_ngrams(text: Column | str, n: int = 3, lowercase: bool = True) -> Column:
-    """Distinct word n-gram shingles (space-joined)."""
+    """Distinct word n-gram shingles (space-joined).
+
+    Built by zipping ``n`` shifted slices of the token array — NOT via
+    element_at inside a transform lambda, which Catalyst inlines so the
+    tokenization re-runs once per element per position (O(len*n) splits
+    per doc; measured 5.7s -> 0.6s for the corpus shingle count at
+    sf0.1). The slice/zip form evaluates the token array n times per
+    ROW."""
     t = F.col(text) if isinstance(text, str) else text
     toks = tokens(F.lower(t) if lowercase else t)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
-    return F.array_distinct(F.when(F.size(toks) >= n, F.transform(idx, gram))
+    m = F.size(toks) - (n - 1)
+    grams = F.slice(toks, 1, m)
+    for j in range(1, n):
+        grams = F.zip_with(grams, F.slice(toks, 1 + j, m),
+                           lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.when(F.size(toks) >= n, grams)
                             .otherwise(F.array()))
 
 
