@@ -62,8 +62,13 @@ def brute_force_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "em
 
 
 def sign_bucket(vec: Column | str, nbits: int = 8) -> Column:
-    """LSH bucket key: packed sign bits of the first ``nbits`` dims."""
-    v = as_double(vec)
+    """LSH bucket key: packed sign bits of the first ``nbits`` dims.
+
+    Reads the RAW vector column (sign(float) == sign(double cast)) —
+    element_at over an ``as_double`` transform would re-run the O(dim)
+    cast once per bit (the Catalyst lambda-inlining pathology fixed in
+    text.word_ngrams)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
     bits = [F.when(F.element_at(v, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
             for i in range(nbits)]
     out = bits[0]
