@@ -67,3 +67,21 @@ def test_distributed_ordinal_requires_order():
     from go_streams_spark.operators import distributed_ordinal
     with pytest.raises(TypeError):
         distributed_ordinal(None)  # order_by is keyword-required
+
+
+def test_zorder_key_rejects_overwide_keys(spark):
+    from pyspark.sql import functions as F
+
+    from go_streams_spark.operators.layout import zorder_key
+    cols = [F.lit(1).cast("long")] * 8
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(cols, bits=8)  # 64 key bits would hit the sign bit
+    zorder_key(cols, bits=7)  # 56 bits: fine
+
+
+def test_token_window_chunks_rejects_nonpositive():
+    from go_streams_spark.functions.text import token_window_chunks
+    with pytest.raises(ValueError, match="positive"):
+        token_window_chunks(None, size=0)
+    with pytest.raises(ValueError, match="positive"):
+        token_window_chunks(None, stride=-1)

@@ -625,3 +625,25 @@ def test_global_fold_stream_reference_golden(spark, tmp_path):
     q.awaitTermination(120)
     rows = sorted(spark.table(name).collect(), key=lambda r: r["seq"])
     assert [r["acc"] for r in rows] == ["1", "12", "123", "1234", "12345"]
+
+
+def test_token_window_chunks_stream_batch_parity(spark, tmp_path):
+    """token_window_chunks is stateless per-row fan-out, so it runs
+    unchanged on a stream and emits exactly the batch result."""
+    from go_streams_spark.functions.text import token_window_chunks
+    src = str(tmp_path / "src")
+    rows = [(i, " ".join(f"w{j}" for j in range(i + 3))) for i in range(5)]
+    spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    batch = token_window_chunks(
+        spark.read.parquet(src), size=4, stride=3)
+    stream = token_window_chunks(
+        spark.readStream.schema("doc_id long, text string").parquet(src),
+        size=4, stride=3)
+    name = _mem_name()
+    q = (stream.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    key = lambda r: (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+    assert sorted(map(key, spark.table(name).collect())) == \
+        sorted(map(key, batch.collect()))
