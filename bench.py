@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "simhash64_near_pairs",
     "embedding_knn",
     "semdedup_prune",
+    "semdedup_fixed_codebook",
     "ann_sign_lsh",
     "ann_ivf_knn",
     "ann_query_vector_topk",

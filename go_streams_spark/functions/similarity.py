@@ -503,22 +503,33 @@ def train_codebook(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "emb
 
 
 def assign_clusters(df: DataFrame, codebook, *, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    round_dp: int | None = None) -> DataFrame:
     """Nearest-centroid (cosine) cluster assignment in ONE vectorized
     mapInPandas pass — the codebook rides in the closure (k x d floats,
     driver-resident index metadata, same decision as a broadcast join).
-    Returns (id, cid, v) with v the double-cast vector."""
+    Returns (id, cid, v) with v the double-cast vector.
+
+    ``round_dp``: round sims before the argmax with lowest-cid
+    tie-break (the ivf_knn routing convention) — makes the assignment
+    reproducible by a SQL oracle; None = raw argmax."""
     import numpy as np
     import pandas as pd
 
     cb = np.asarray(codebook, dtype=np.float64)
     cb_n = cb / np.linalg.norm(cb, axis=1, keepdims=True)
+    c_ids = np.arange(len(cb), dtype=np.int64)
 
     def _assign(batches):
         for pdf in batches:
             q = np.array(list(pdf["v"]), dtype=np.float64)
             qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            cid = np.argmax(qn @ cb_n.T, axis=1)
+            sims = qn @ cb_n.T
+            if round_dp is not None:
+                sims = np.round(sims, round_dp)
+                cid = np.array([np.lexsort((c_ids, -row))[0] for row in sims])
+            else:
+                cid = np.argmax(sims, axis=1)
             yield pd.DataFrame({id_col: pdf[id_col],
                                 "cid": cid.astype("int64"), "v": pdf["v"]})
 
@@ -530,7 +541,8 @@ def assign_clusters(df: DataFrame, codebook, *, id_col: str = "vec_id",
 def semdedup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                    vec_col: str = "embedding", threshold: float = 0.95,
                    nlist: int = 16, iterations: int = 3,
-                   codebook=None, round_dp: int = 6) -> DataFrame:
+                   codebook=None, round_dp: int = 6,
+                   assign_round_dp: int | None = None) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
     k-means the embedding space, then compare pairs ONLY within a
     cluster — semantic duplicates land in the same centroid cell, so
@@ -551,7 +563,8 @@ def semdedup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     if codebook is None:
         codebook = train_codebook(df, id_col=id_col, vec_col=vec_col,
                                   k=nlist, iterations=iterations)
-    assigned = assign_clusters(df, codebook, id_col=id_col, vec_col=vec_col)
+    assigned = assign_clusters(df, codebook, id_col=id_col, vec_col=vec_col,
+                               round_dp=assign_round_dp)
 
     def _scan(key, pdf):
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -577,7 +590,7 @@ def semdedup_pairs(df: DataFrame, *, id_col: str = "vec_id",
 def semdedup_prune(df: DataFrame, *, id_col: str = "vec_id",
                    vec_col: str = "embedding", threshold: float = 0.95,
                    nlist: int = 16, iterations: int = 3,
-                   codebook=None) -> DataFrame:
+                   codebook=None, assign_round_dp: int | None = None) -> DataFrame:
     """SemDeDup keep/drop verdict per vector: a vector is DROPPED when a
     lower-id vector in its cluster is cosine-similar above ``threshold``
     (the paper's keep-one-representative rule made deterministic by id
@@ -586,9 +599,11 @@ def semdedup_prune(df: DataFrame, *, id_col: str = "vec_id",
     if codebook is None:
         codebook = train_codebook(df, id_col=id_col, vec_col=vec_col,
                                   k=nlist, iterations=iterations)
-    assigned = assign_clusters(df, codebook, id_col=id_col, vec_col=vec_col)
+    assigned = assign_clusters(df, codebook, id_col=id_col, vec_col=vec_col,
+                               round_dp=assign_round_dp)
     pairs = semdedup_pairs(df, id_col=id_col, vec_col=vec_col,
-                           threshold=threshold, codebook=codebook)
+                           threshold=threshold, codebook=codebook,
+                           assign_round_dp=assign_round_dp)
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return (assigned.select(id_col, "cid")
             .join(dropped.withColumn("__d", F.lit(True)), id_col, "left")

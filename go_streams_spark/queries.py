@@ -5929,3 +5929,49 @@ def bpe_train_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     independent Python BPE trainer is pinned by
     tests/test_functions.py::test_bpe_train_matches_python_reference."""
     return T.bpe_train_merges(_t(spark, sf_dir, "documents"), rounds=8)
+
+
+@query("semdedup_fixed_codebook", """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 8
+), csims AS (
+  SELECT v.vec_id, c.cid, v.v,
+         round(list_sum(list_transform(list_zip(v.v, c.cv), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(v.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 6) AS csim
+  FROM v CROSS JOIN c
+), assign AS (
+  SELECT vec_id, cid, v
+  FROM (SELECT vec_id, cid, v,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY csim DESC, cid) AS crn
+        FROM csims)
+  WHERE crn = 1
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM assign a JOIN assign b USING (cid)
+  WHERE a.vec_id < b.vec_id
+    AND round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+              / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                 * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) >= 0.4
+)
+SELECT vec_id, cid,
+       vec_id NOT IN (SELECT id_b FROM pairs) AS kept
+FROM assign
+""")
+def semdedup_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with a DETERMINISTIC codebook (the 8 lowest-id vectors,
+    the ivf_knn convention) so the full pipeline — rounded nearest-
+    centroid assignment with cid tie-break, within-cluster pair scan,
+    drop-vs-lower-id — is hash-checked against a DuckDB oracle. The
+    k-means sibling `semdedup_prune` is the production path; this entry
+    pins the execution machinery end to end."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = [r["v"] for r in sorted(
+        emb.where(F.col("vec_id") < 8)
+        .select(S.as_double("embedding").alias("v"), "vec_id").collect(),
+        key=lambda r: r["vec_id"])]
+    return S.semdedup_prune(emb, threshold=0.4, codebook=cb,
+                            assign_round_dp=6)
