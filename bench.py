@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "semdedup_prune",
     "semdedup_fixed_codebook",
     "ann_sign_lsh",
+    "ann_sign_lsh_multiprobe",
     "ann_ivf_knn",
     "ann_query_vector_topk",
     "gopher_repetition_stats",

@@ -78,17 +78,29 @@ def sign_bucket(vec: Column | str, nbits: int = 8) -> Column:
 
 
 def sign_lsh_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
-                 k: int = 3, nbits: int = 8, round_dp: int = 6) -> DataFrame:
+                 k: int = 3, nbits: int = 8, round_dp: int = 6,
+                 multi_probe: int = 0) -> DataFrame:
     """Approximate top-k: exact cosine ranking within each sign-bucket.
 
     The join is an equi-join on the bucket key — shuffle-partitioned,
     broadcast-free, and the per-bucket pair count is N_b^2 rather than
-    N^2. Recall improves with multi-probe (query neighboring buckets) —
-    documented extension, not needed for the oracle contract.
+    N^2. ``multi_probe=1`` additionally probes every bucket at Hamming
+    distance 1 from the query's own (the standard multi-probe LSH
+    recall knob): the QUERY side explodes to nbits+1 probe keys — the
+    join stays an equi-join and candidate volume grows by at most
+    (nbits+1)x, never towards N^2. A (query, member) pair still meets
+    at most once because the member side keeps its single true bucket.
     """
     base = df.select(F.col(id_col), as_double(vec_col).alias("v"),
                      sign_bucket(vec_col, nbits).alias("bucket"))
-    a = base.select(F.col("bucket"), F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    if multi_probe:
+        probe_arr = F.array(F.col("bucket"),
+                            *[F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                              for i in range(nbits)])
+        a = base.select(F.explode(probe_arr).alias("bucket"),
+                        F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    else:
+        a = base.select(F.col("bucket"), F.col(id_col).alias("id_a"), F.col("v").alias("va"))
     b = base.select(F.col("bucket"), F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
     pairs = (a.join(b, "bucket")
              .where(F.col("id_a") != F.col("id_b"))

@@ -5975,3 +5975,45 @@ def semdedup_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
         key=lambda r: r["vec_id"])]
     return S.semdedup_prune(emb, threshold=0.4, codebook=cb,
                             assign_round_dp=6)
+
+
+@query("ann_sign_lsh_multiprobe", """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), bv AS (
+  SELECT vec_id, v,
+         (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END
+        + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
+        + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END
+        + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END
+        + CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END
+        + CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END
+        + CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END
+        + CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END)::BIGINT AS bucket
+  FROM v
+), probes AS (
+  SELECT vec_id, v,
+         unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
+                 xor(bucket, 8), xor(bucket, 16), xor(bucket, 32),
+                 xor(bucket, 64), xor(bucket, 128)]) AS bucket
+  FROM bv
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.bucket, b.vec_id AS id_b,
+         round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS sim
+  FROM probes a JOIN bv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT id_a AS vec_id, bucket, id_b AS neighbor_id, sim, rank::INT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rank
+      FROM pairs)
+WHERE rank <= 3
+""")
+def ann_sign_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe sign-LSH ANN: queries probe their own bucket plus
+    every Hamming-1 neighbor (9 probes at nbits=8) — the standard
+    recall knob that keeps the equi-join plan while bounding extra
+    candidate volume to (nbits+1)x. Recall uplift over single-probe is
+    pinned by tests/test_functions.py::test_sign_lsh_multiprobe_recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.sign_lsh_knn(emb, k=3, nbits=8, multi_probe=1)

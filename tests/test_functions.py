@@ -503,3 +503,34 @@ def test_bpe_train_matches_python_reference(spark):
         vocab = new_vocab
     assert got == expect
     assert len(got) == 6 and any(len(p) > 2 for _, p, _ in got)
+
+
+def test_sign_lsh_multiprobe_recall(spark, sf_dir):
+    """Multi-probe (Hamming-1) sign-LSH must dominate single-probe:
+    every query keeps at least as many of its true (brute-force) top-3
+    neighbors, total recall@3 strictly improves on this data, and the
+    plan stays an equi-join (no cartesian)."""
+    from go_streams_spark.plans import explain_str
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    truth = {}
+    for r in S.brute_force_knn(emb, k=3).collect():
+        truth.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        hit = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hit / sum(len(t) for t in truth.values()), got
+
+    single = S.sign_lsh_knn(emb, k=3, nbits=8)
+    multi = S.sign_lsh_knn(emb, k=3, nbits=8, multi_probe=1)
+    r1, g1 = recall(single)
+    r2, g2 = recall(multi)
+    assert r2 > r1
+    # per-query: multi-probe candidates are a superset of single-probe's
+    for q, t in truth.items():
+        assert len(g2.get(q, set()) & t) >= len(g1.get(q, set()) & t)
+    plan = explain_str(multi, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
