@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "asof_join_purchases",
     "interval_join_purchase_context",
     "rollup_status_priority",
+    "cube_status_flag_metrics",
     "salted_agg_user_totals",
     "percentiles_by_flag",
     "percentiles_by_flag_hist",

@@ -6017,3 +6017,30 @@ def ann_sign_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by tests/test_functions.py::test_sign_lsh_multiprobe_recall."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.sign_lsh_knn(emb, k=3, nbits=8, multi_probe=1)
+
+
+@query("cube_status_flag_metrics", """
+SELECT coalesce(l_linestatus, 'ALL')  AS status,
+       coalesce(l_returnflag, 'ALL') AS flag,
+       CAST(grouping(l_linestatus) * 2 + grouping(l_returnflag) AS INT) AS gid,
+       count(*)                      AS cnt,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+GROUP BY CUBE (l_linestatus, l_returnflag)
+""")
+def cube_status_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (linestatus, returnflag) with grouping_id disambiguation
+    — all four grouping sets (detail, each margin, grand total) in ONE
+    expand + ONE shuffle; grouping() bits distinguish a real NULL from
+    a subtotal row (the OLAP-correctness detail coalesce alone gets
+    wrong)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.cube("l_linestatus", "l_returnflag")
+            .agg((F.grouping("l_linestatus") * 2
+                  + F.grouping("l_returnflag")).cast("int").alias("gid"),
+                 F.count(F.lit(1)).alias("cnt"),
+                 F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2).alias("revenue"))
+            .select(F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+                    F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+                    "gid", "cnt", "revenue"))
