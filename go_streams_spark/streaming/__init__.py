@@ -5,7 +5,8 @@ built-in Spark equivalent."""
 from .io import (file_stream_source, rate_source, memory_sink, console_sink,
                  noop_sink, foreach_batch_sink, with_bounded_retry)
 from .stateful import (running_fold_stream, global_fold_stream,
-                       count_or_time_batch_stream, running_sum_stream_tws)
+                       count_or_time_batch_stream, running_sum_stream_tws,
+                       heavy_hitters_stream)
 from .incremental_dedup import (incremental_near_dup_sink,
                                 near_dup_filter_batch, batch_band_keys)
 
@@ -13,5 +14,6 @@ __all__ = [
     "file_stream_source", "rate_source", "memory_sink", "console_sink",
     "noop_sink", "foreach_batch_sink", "with_bounded_retry",
     "running_fold_stream", "global_fold_stream", "count_or_time_batch_stream",
+    "heavy_hitters_stream",
     "incremental_near_dup_sink", "near_dup_filter_batch", "batch_band_keys",
 ]

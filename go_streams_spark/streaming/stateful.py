@@ -185,3 +185,65 @@ def running_sum_stream_tws(df: DataFrame, *, key_col: str,
                 outputStructType=f"{key_col} string, total double",
                 outputMode="Update",
                 timeMode="None"))
+
+
+def heavy_hitters_stream(df: DataFrame, *, item_col: str,
+                         capacity: int = 16, num_buckets: int = 8,
+                         output_mode: str = "update") -> DataFrame:
+    """Streaming heavy hitters (SpaceSaving, Metwally et al. 2005) with
+    BOUNDED state — the trending-topics/top-k operator the reference
+    cannot express (its windows buffer raw elements; this keeps exactly
+    ``capacity`` counters per bucket forever, regardless of stream
+    volume).
+
+    Sharding: items hash to one of ``num_buckets`` state keys, so each
+    distinct item lives in exactly ONE bucket — emitting the union of
+    per-bucket counters is a correct global sketch (no double count),
+    and state scales horizontally like any keyed stream. Per batch and
+    bucket the classic update runs over the batch's item counts: tracked
+    item += c; room left -> new counter (error 0); else evict the min
+    counter (count = min + c, error = min). Emits every tracked counter
+    each batch: (bucket, item, cnt, err) with the SpaceSaving guarantee
+    true_count <= cnt and cnt - err <= true_count; any item with true
+    frequency above the bucket's min counter is guaranteed tracked.
+    Downstream global top-k = orderBy(cnt desc) limit k over the last
+    emission — counter-grain data, volume-independent.
+    """
+    bucket = F.pmod(F.xxhash64(F.col(item_col)), F.lit(num_buckets)) \
+        .cast("int").alias("__hh_bucket")
+    keyed = df.select(bucket, F.col(item_col).cast("string").alias("__item"))
+
+    def _update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            items, counts, errors = state.get
+            track = {i: [c, e] for i, c, e in zip(items, counts, errors)}
+        else:
+            track = {}
+        for pdf in pdfs:
+            for item, c in pdf["__item"].value_counts().items():
+                c = int(c)
+                if item in track:
+                    track[item][0] += c
+                elif len(track) < capacity:
+                    track[item] = [c, 0]
+                else:
+                    evict = min(track, key=lambda t: (track[t][0], t))
+                    floor = track.pop(evict)[0]
+                    track[item] = [floor + c, floor]
+        items = sorted(track)
+        state.update((items,
+                      [track[i][0] for i in items],
+                      [track[i][1] for i in items]))
+        yield pd.DataFrame({
+            "bucket": [key[0]] * len(items),
+            "item": items,
+            "cnt": [track[i][0] for i in items],
+            "err": [track[i][1] for i in items],
+        })
+
+    return (keyed.groupBy("__hh_bucket")
+            .applyInPandasWithState(
+                _update,
+                "bucket int, item string, cnt long, err long",
+                "items array<string>, counts array<long>, errors array<long>",
+                output_mode, GroupStateTimeout.NoTimeout))

@@ -647,3 +647,60 @@ def test_token_window_chunks_stream_batch_parity(spark, tmp_path):
     key = lambda r: (r["doc_id"], r["chunk_idx"], r["chunk_text"], r["n_tokens"])
     assert sorted(map(key, spark.table(name).collect())) == \
         sorted(map(key, batch.collect()))
+
+
+def test_heavy_hitters_stream_space_saving(spark, tmp_path):
+    """SpaceSaving sketch over a multi-batch skewed stream: bounded
+    state (capacity counters per bucket), and the classic guarantees
+    hold against exact counts — every tracked counter satisfies
+    cnt - err <= true <= cnt, and the genuinely heavy items are all
+    tracked with EXACT counts (they never get evicted)."""
+    from collections import Counter
+
+    from go_streams_spark.streaming import heavy_hitters_stream
+    src = str(tmp_path / "src")
+    # 3 micro-batches; heavy items h0..h2 dominate, long tail of t-items
+    batches, truth = [], Counter()
+    for b in range(3):
+        items = []
+        for h in range(3):
+            items += [f"h{h}"] * (40 - 10 * h)
+        items += [f"t{b}_{j}" for j in range(30)]
+        batches.append(items)
+        truth.update(items)
+    for b, items in enumerate(batches):
+        spark.createDataFrame([(x,) for x in items], "item string") \
+            .coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("item string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = heavy_hitters_stream(stream, item_col="item",
+                               capacity=8, num_buckets=4)
+    by_batch: dict[int, list] = {}
+    q = (out.writeStream
+         .foreachBatch(lambda df, bid: by_batch.__setitem__(bid, df.collect()))
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # each invocation emits a bucket's FULL tracked set, so the final
+    # counter state per bucket is its rows in the LAST batch that
+    # touched it (earlier emissions are superseded wholesale)
+    final = {}
+    for bid in sorted(by_batch):
+        per_bucket_rows = {}
+        for r in by_batch[bid]:
+            per_bucket_rows.setdefault(r["bucket"], []).append(r)
+        for b, rows in per_bucket_rows.items():
+            final = {k: v for k, v in final.items() if k[0] != b}
+            for r in rows:
+                final[(b, r["item"])] = (r["cnt"], r["err"])
+    # bounded state: per bucket at most `capacity` counters survive
+    per_bucket = Counter(b for b, _ in final)
+    assert all(n <= 8 for n in per_bucket.values())
+    by_item = {i: ce for (_, i), ce in final.items()}
+    for item, (cnt, err) in by_item.items():
+        assert cnt - err <= truth[item] <= cnt, (item, cnt, err)
+    for h in ("h0", "h1", "h2"):  # heavy items tracked, exactly counted
+        assert by_item[h] == (truth[h], 0)
+    # cross-batch accumulation actually happened (not one-batch counts)
+    assert by_item["h0"][0] == 120
