@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "interval_join_purchase_context",
     "rollup_status_priority",
     "cube_status_flag_metrics",
+    "count_min_freq_estimates",
     "salted_agg_user_totals",
     "percentiles_by_flag",
     "percentiles_by_flag_hist",

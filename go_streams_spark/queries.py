@@ -6044,3 +6044,56 @@ def cube_status_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
                     F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
                     "gid", "cnt", "revenue"))
+
+
+@query("count_min_freq_estimates", """
+WITH cm AS (
+  SELECT i,
+         ('0x' || substr(md5(i::VARCHAR || ':' || user_id::VARCHAR), 1, 13))::BIGINT % 256 AS bucket,
+         count(*) AS c
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+  GROUP BY 1, 2
+), truth AS (
+  SELECT user_id, count(*) AS true_cnt
+  FROM events GROUP BY user_id
+  ORDER BY true_cnt DESC, user_id LIMIT 20
+)
+SELECT t.user_id, t.true_cnt, min(cm.c) AS est_cnt
+FROM truth t
+JOIN (SELECT unnest([0, 1, 2, 3]) AS i) r ON true
+JOIN cm ON cm.i = r.i
+      AND cm.bucket = ('0x' || substr(md5(r.i::VARCHAR || ':' || t.user_id::VARCHAR), 1, 13))::BIGINT % 256
+GROUP BY t.user_id, t.true_cnt
+""")
+def count_min_freq_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode-Muthukrishnan): 4x256 counters built in
+    ONE pass (explode to 4 hash rows, hash agg — mergeable across
+    partitions/streams by counter addition), then point-queries for the
+    true top-20 users: est = min over rows of the hashed counter. The
+    estimate NEVER undercounts (est >= true, test-pinned); width trades
+    memory for overcount. Deterministic md5 bucket hashing is
+    bit-identical in DuckDB, so the whole sketch is hash-checked."""
+    ev = _t(spark, sf_dir, "events")
+
+    def bucket(i_col, item):
+        return F.conv(F.substring(
+            F.md5(F.concat(i_col.cast("string"), F.lit(":"),
+                           item.cast("string"))), 1, 13), 16, 10) \
+            .cast("long") % 256
+
+    rows = ev.select(F.col("user_id"),
+                     F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i"))
+    cm = (rows.groupBy("i", bucket(F.col("i"), F.col("user_id")).alias("bucket"))
+          .agg(F.count(F.lit(1)).alias("c")))
+    truth = (ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_cnt"))
+             .orderBy(F.col("true_cnt").desc(), "user_id").limit(20))
+    probes = truth.crossJoin(
+        spark.range(4).select(F.col("id").cast("int").alias("i")))
+    return (probes.alias("p")
+            .join(cm.alias("s"),
+                  (F.col("s.i") == F.col("p.i"))
+                  & (F.col("s.bucket")
+                     == bucket(F.col("p.i"), F.col("p.user_id"))))
+            .groupBy("p.user_id", "p.true_cnt")
+            .agg(F.min("s.c").alias("est_cnt"))
+            .select(F.col("user_id"), F.col("true_cnt"), "est_cnt"))

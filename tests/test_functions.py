@@ -534,3 +534,18 @@ def test_sign_lsh_multiprobe_recall(spark, sf_dir):
     plan = explain_str(multi, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_count_min_never_undercounts(spark, sf_dir):
+    """Count-Min property: est >= true for EVERY probed item (hash
+    collisions only ever inflate), and heavy items with unique buckets
+    estimate exactly."""
+    from go_streams_spark.queries import QUERIES
+    rows = QUERIES["count_min_freq_estimates"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["est_cnt"] >= r["true_cnt"], r
+    # the sketch is not vacuous: most top-20 estimates are exact at 256
+    # buckets over ~15-20 distinct users
+    exact = sum(1 for r in rows if r["est_cnt"] == r["true_cnt"])
+    assert exact >= len(rows) // 2
