@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "resample_fill_forward",
     "feature_moments",
     "decontaminate_ngram_overlap",
+    "duplicate_span_profile",
     "chunk_dedup_reassembly",
     "label_centroids",
     "windowed_distinct_users",

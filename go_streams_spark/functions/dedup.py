@@ -481,3 +481,41 @@ def chunk_dedup(df: DataFrame, *, text_col: str = "text",
                  n_kept.alias("n_kept"),
                  F.when(n_kept == 0, F.lit(None).cast("string"))
                   .otherwise(clean).alias("clean_text")))
+
+
+def duplicate_span_stats(df: DataFrame, *, text_col: str = "text",
+                         id_col: str = "doc_id", span: int = 16) -> DataFrame:
+    """Exact duplicated-span profile — the exact-substring complement to
+    MinHash (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": duplicated spans >= L tokens are the
+    memorization vector MinHash's doc-level similarity misses).
+
+    Every stride-1 ``span``-token window is hashed (md5 of the joined
+    slice — one O(span) slice per position, the zip/slice idiom, no
+    quadratic re-tokenization); a window is DUPLICATED when its hash
+    occurs in more than one document. Returns per-doc
+    (n_windows, n_dup_windows, dup_frac) — the drop/trim signal. Plan:
+    one explode (rows = total token count), one shuffle on the span
+    hash, one doc-grain rollup; no pair blowup because popular spans
+    aggregate to counts, never to doc x doc pairs."""
+    from .text import tokens
+
+    arr = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(1), F.size(arr) - (span - 1))
+    win = (df.where(F.size(arr) >= span)
+           .select(F.col(id_col), arr.alias("__arr"),
+                   F.explode(starts).alias("__s"))
+           .select(id_col,
+                   F.md5(F.array_join(
+                       F.slice(F.col("__arr"), F.col("__s"), span), " "))
+                   .alias("h")))
+    spread = win.groupBy("h").agg(
+        F.countDistinct(id_col).alias("nd"))
+    return (win.join(spread, "h")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_windows"),
+                 F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                 .alias("n_dup_windows"))
+            .withColumn("dup_frac",
+                        F.round(F.col("n_dup_windows")
+                                / F.col("n_windows"), 6)))

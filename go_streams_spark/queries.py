@@ -6097,3 +6097,29 @@ def count_min_freq_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("p.user_id", "p.true_cnt")
             .agg(F.min("s.c").alias("est_cnt"))
             .select(F.col("user_id"), F.col("true_cnt"), "est_cnt"))
+
+
+@query("duplicate_span_profile", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+), win AS (
+  SELECT doc_id, md5(array_to_string(arr[i : i + 15], ' ')) AS h
+  FROM toks, UNNEST(generate_series(1, len(arr) - 15)) AS t(i)
+  WHERE len(arr) >= 16
+), spread AS (
+  SELECT h, count(DISTINCT doc_id) AS nd FROM win GROUP BY h
+)
+SELECT doc_id,
+       count(*)                                        AS n_windows,
+       sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)          AS n_dup_windows,
+       round(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END)
+             / count(*), 6)                             AS dup_frac
+FROM win JOIN spread USING (h)
+GROUP BY doc_id
+""")
+def duplicate_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span (16-token, stride-1) fraction per document
+    — functions/dedup.py::duplicate_span_stats. The memorization-risk
+    metric exact-substring dedup acts on."""
+    return D.duplicate_span_stats(_t(spark, sf_dir, "documents"), span=16)

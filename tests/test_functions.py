@@ -549,3 +549,20 @@ def test_count_min_never_undercounts(spark, sf_dir):
     # buckets over ~15-20 distinct users
     exact = sum(1 for r in rows if r["est_cnt"] == r["true_cnt"])
     assert exact >= len(rows) // 2
+
+
+def test_duplicate_span_stats_planted(spark):
+    """Two docs sharing one exact 4-token span are both flagged with
+    exactly the shared window positions; a unique doc reports zero."""
+    docs = [
+        (1, "q w e r t y u i"),          # windows at 1..5 (span 4)
+        (2, "a a q w e r b b"),          # shares span "q w e r"
+        (3, "z z z x c v n m"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           D.duplicate_span_stats(df, span=4).collect()}
+    assert out[1]["n_windows"] == 5 and out[1]["n_dup_windows"] == 1
+    assert out[2]["n_windows"] == 5 and out[2]["n_dup_windows"] == 1
+    assert out[3]["n_dup_windows"] == 0
+    assert out[1]["dup_frac"] == 0.2
