@@ -209,6 +209,8 @@ def heavy_hitters_stream(df: DataFrame, *, item_col: str,
     Downstream global top-k = orderBy(cnt desc) limit k over the last
     emission — counter-grain data, volume-independent.
     """
+    if capacity < 1 or num_buckets < 1:
+        raise ValueError("capacity and num_buckets must be >= 1")
     bucket = F.pmod(F.xxhash64(F.col(item_col)), F.lit(num_buckets)) \
         .cast("int").alias("__hh_bucket")
     keyed = df.select(bucket, F.col(item_col).cast("string").alias("__item"))

@@ -85,3 +85,9 @@ def test_token_window_chunks_rejects_nonpositive():
         token_window_chunks(None, size=0)
     with pytest.raises(ValueError, match="positive"):
         token_window_chunks(None, stride=-1)
+
+
+def test_heavy_hitters_invalid():
+    from go_streams_spark.streaming import heavy_hitters_stream
+    with pytest.raises(ValueError, match=">= 1"):
+        heavy_hitters_stream(None, item_col="x", capacity=0)
