@@ -172,3 +172,29 @@ def kafka_sink(bootstrap_servers: str, topic: str, *, checkpoint: str,
         return w.start()
 
     return Sink(run, name=f"kafka:{topic}")
+
+
+def with_refreshed_dim(dim_loader, on, fn, *, how: str = "left",
+                       broadcast: bool = True):
+    """Slowly-changing-dimension enrichment for streams: wrap a
+    foreachBatch function so each micro-batch joins a FRESHLY LOADED
+    dimension (``dim_loader()`` runs per batch, e.g.
+    ``lambda: spark.read.parquet(dim_path)``).
+
+    Why not a plain stream-static join: Spark analyzes the static side
+    ONCE, so a dimension overwritten mid-query either goes stale or
+    kills the stream with FileNotFound when the old files vanish
+    (observed on Spark 4.1; pinned by
+    test_stream_static_dim_refresh_via_foreach_batch). Re-reading inside
+    foreachBatch is the standard fix — the dim is re-planned per batch
+    and broadcast-joined (dimension-sized, never stream-sized).
+    """
+    from pyspark.sql import functions as _F
+
+    def wrapped(df: DataFrame, batch_id: int):
+        dim = dim_loader()
+        if broadcast:
+            dim = _F.broadcast(dim)
+        fn(df.join(dim, on, how), batch_id)
+
+    return wrapped

@@ -95,3 +95,44 @@ def test_stream_static_enrichment_join(spark, tmp_path):
     q.awaitTermination(120)
     rows = {(r["nation_key"], r["n_name"]) for r in spark.table(name).collect()}
     assert rows == {(1, "NATION_1"), (2, "NATION_2"), (3, "UNKNOWN")}
+
+
+def test_stream_static_dim_refresh_via_foreach_batch(spark, tmp_path):
+    """Slowly-changing dimension: a plain stream-static join pins the
+    dim at analysis time, so with_refreshed_dim re-reads it inside
+    foreachBatch — batch 0 must see the OLD dim row and batch 1 the
+    overwritten NEW one, with the query surviving the overwrite."""
+    import time as _t
+
+    from go_streams_spark.streaming import with_refreshed_dim
+    d = str(tmp_path)
+    facts_dir = os.path.join(d, "facts")
+    dim_dir = os.path.join(d, "dim")
+    spark.createDataFrame([(1, "OLD")], "k int, v string") \
+        .coalesce(1).write.parquet(dim_dir)
+    spark.createDataFrame([(1, 1.0)], "k int, a double") \
+        .coalesce(1).write.mode("append").parquet(facts_dir)
+    facts = (spark.readStream.schema("k int, a double")
+             .option("maxFilesPerTrigger", 1).parquet(facts_dir))
+    got = {}
+    q = (facts.writeStream
+         .foreachBatch(with_refreshed_dim(
+             lambda: spark.read.parquet(dim_dir), "k",
+             lambda df, bid: got.__setitem__(
+                 bid, [(r["k"], r["a"], r["v"])
+                       for r in df.select("k", "a", "v").collect()])))
+         .option("checkpointLocation", os.path.join(d, "cp")).start())
+    deadline = _t.time() + 60
+    while _t.time() < deadline and 0 not in got:
+        _t.sleep(0.5)
+    spark.createDataFrame([(1, "NEW")], "k int, v string") \
+        .coalesce(1).write.mode("overwrite").parquet(dim_dir)
+    spark.createDataFrame([(1, 2.0)], "k int, a double") \
+        .coalesce(1).write.mode("append").parquet(facts_dir)
+    deadline = _t.time() + 60
+    while _t.time() < deadline and len(got) < 2:
+        _t.sleep(0.5)
+    assert q.exception() is None
+    q.stop()
+    assert got[0] == [(1, 1.0, "OLD")]
+    assert got[1] == [(1, 2.0, "NEW")]
