@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "event_pair_lift",
     "mom_revenue_growth",
     "weekly_churn_rate",
+    "session_path_topk",
     "new_vs_returning_orders",
     "pivot_multi_agg_metrics",
     "conversion_latency_stats",

@@ -6123,3 +6123,54 @@ def duplicate_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     — functions/dedup.py::duplicate_span_stats. The memorization-risk
     metric exact-substring dedup acts on."""
     return D.duplicate_span_stats(_t(spark, sf_dir, "documents"), span=16)
+
+
+@query("session_path_topk", """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts))::BIGINT
+                   - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id) AS sid
+  FROM e
+), p AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM s GROUP BY user_id, sid
+)
+SELECT path, count(*) AS cnt
+FROM p GROUP BY path ORDER BY cnt DESC, path LIMIT 20
+""")
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: sessionize per user (30-min inactivity gap,
+    lag-islands), build each session's ORDERED event-type path, count
+    path frequencies, top-20. The product-analytics staple (what do
+    sessions look like?) — two window passes over user-partitioned data
+    (one shuffle on user_id that both reuse), then path-grain
+    aggregation; collect_list is per-session bounded, never corpus-wide.
+    Path order is (ts, event_id)-deterministic in both engines."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events.ts is TIMESTAMP_NTZ on current testdata — NTZ won't cast
+    # straight to long; hop through timestamp (same wall-clock seconds)
+    sec = F.col("ts").cast("timestamp").cast("long")
+    brk = F.when(F.lag("ts").over(w).isNull()
+                 | ((sec - F.lag(sec).over(w)) > 1800), 1).otherwise(0)
+    s = (ev.select("user_id", "ts", "event_id", "event_type",
+                   brk.alias("brk"))
+         .withColumn("sid", F.sum("brk").over(
+             w.rowsBetween(Window.unboundedPreceding, 0))))
+    paths = (s.groupBy("user_id", "sid")
+             .agg(F.concat_ws(">", F.transform(
+                 F.array_sort(F.collect_list(
+                     F.struct("ts", "event_id", "event_type"))),
+                 lambda x: x.event_type)).alias("path")))
+    return (paths.groupBy("path").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "path").limit(20))

@@ -219,3 +219,22 @@ def test_execution_metrics_shuffle_accounting(spark, sf_dir):
     proj.collect()
     m2 = execution_metrics(proj)
     assert m2.get("shuffle_bytes_written", 0) == 0
+
+
+def test_release_tracked_frees_all_caches(spark, sf_dir):
+    """Operators that pin materializations (distributed_ordinal, LSH
+    band tables, TF-IDF/bigram intermediates) must all route through
+    track_persist, and release_tracked must leave ZERO persisted RDDs
+    behind — the bench/oracle loops rely on this to not accumulate
+    executor memory across a 183-query session."""
+    from go_streams_spark.plans import release_tracked
+    from go_streams_spark.queries import QUERIES
+    release_tracked()  # clean slate from earlier tests
+    for name in ("equidepth_price_histogram", "tfidf_top_terms",
+                 "bigram_lm_doc_scores", "dedup_minhash_pairs"):
+        QUERIES[name](spark, sf_dir).write.format("noop") \
+            .mode("overwrite").save()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
+    freed = release_tracked()
+    assert freed >= 4
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
