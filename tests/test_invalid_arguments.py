@@ -91,3 +91,22 @@ def test_heavy_hitters_invalid():
     from go_streams_spark.streaming import heavy_hitters_stream
     with pytest.raises(ValueError, match=">= 1"):
         heavy_hitters_stream(None, item_col="x", capacity=0)
+
+
+def test_real_adapter_import_guards():
+    """Without the broker client libraries (absent from this container),
+    each real adapter must fail with an actionable ImportError naming
+    the package and the clientFactory escape hatch — not an opaque
+    ModuleNotFoundError deep in a Spark task."""
+    from go_streams_spark.sources.nats_jetstream import NatsPyAdapter
+    from go_streams_spark.sources.pulsar import PulsarClientAdapter
+    from go_streams_spark.sources.redis_stream import resolve_client_factory
+    for adapter, pkg in ((PulsarClientAdapter, "pulsar-client"),
+                         (NatsPyAdapter, "nats-py"),
+                         (resolve_client_factory({}), "'redis'")):
+        try:
+            adapter({})
+        except ImportError as e:
+            assert pkg in str(e) and "clientFactory" in str(e), (adapter, e)
+        except Exception as e:  # library present: anything else is fine
+            pass

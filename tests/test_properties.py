@@ -299,3 +299,35 @@ def test_token_window_chunks_properties(spark, words, size, stride):
         for s in range(0, len(words), stride):
             covered.update(range(s, min(s + size, len(words))))
         assert covered == set(range(len(words)))
+
+
+@given(docs=st.lists(st.lists(st.sampled_from("abc"), min_size=0, max_size=12),
+                     min_size=1, max_size=6),
+       span=st.integers(min_value=2, max_value=4))
+@settings(**SETTINGS)
+def test_duplicate_span_stats_matches_python_model(spark, docs, span):
+    """duplicate_span_stats == a from-scratch Python model: per doc,
+    count stride-1 span windows and how many of them occur (as exact
+    token sequences) in at least one OTHER document."""
+    from collections import defaultdict
+
+    from go_streams_spark.functions.dedup import duplicate_span_stats
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+           for r in duplicate_span_stats(df, span=span).collect()}
+
+    windows = defaultdict(set)           # span tuple -> docs containing it
+    per_doc = {}
+    for i, toks in enumerate(docs):
+        spans = [tuple(toks[j:j + span]) for j in range(len(toks) - span + 1)]
+        per_doc[i] = spans
+        for sp in spans:
+            windows[sp].add(i)
+    expect = {}
+    for i, spans in per_doc.items():
+        if not spans:
+            continue  # short docs emit no row
+        dup = sum(1 for sp in spans if len(windows[sp]) > 1)
+        expect[i] = (len(spans), dup)
+    assert got == expect
