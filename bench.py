@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "fanout_merge",
     "batch_by_count",
     "throttler_discard",
+    "per_user_rate_limit",
     # relational (joins / windows / set ops)
     "q3_shipping_priority",
     "q5_local_supplier_volume",

@@ -59,11 +59,16 @@ def throttle_options(elements: int, period_seconds: float,
 
 
 def discard_over_quota(quota: int, ts: str | Column, period: str,
-                       *, order_by: Sequence[Column | str] | None = None) -> Flow:
+                       *, order_by: Sequence[Column | str] | None = None,
+                       keys: Sequence[Column | str] = ()) -> Flow:
     """Discard-mode approximation: keep first ``quota`` elements per
     ``period`` bucket of ``ts`` (``flow/throttler.go:117-125``).
 
-    Deterministic given ``order_by``; one shuffle on the period bucket.
+    ``keys`` scopes the quota per key (per-tenant/per-user rate
+    limiting — beyond the reference's single global bucket): the window
+    partitions on (keys..., bucket), so hot tenants can't starve the
+    rest and the shuffle spreads across tenants instead of one global
+    period partition. Deterministic given ``order_by``.
     """
     if quota <= 0:
         raise ValueError("quota must be positive")
@@ -72,7 +77,8 @@ def discard_over_quota(quota: int, ts: str | Column, period: str,
     def _apply(df: DataFrame) -> DataFrame:
         bucket = F.window(tcol, period).getField("start").alias("__tb")
         ob = [F.col(c) if isinstance(c, str) else c for c in (order_by or [tcol])]
-        w = Window.partitionBy(F.col("__tb")).orderBy(*ob)
+        kcols = [F.col(k) if isinstance(k, str) else k for k in keys]
+        w = Window.partitionBy(*kcols, F.col("__tb")).orderBy(*ob)
         return (df.withColumn("__tb", bucket)
                 .withColumn("__rn", F.row_number().over(w))
                 .filter(F.col("__rn") <= quota)

@@ -6174,3 +6174,28 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  lambda x: x.event_type)).alias("path")))
     return (paths.groupBy("path").agg(F.count(F.lit(1)).alias("cnt"))
             .orderBy(F.col("cnt").desc(), "path").limit(20))
+
+
+@query("per_user_rate_limit", """
+WITH b AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, count(*) AS kept, round(sum(value), 2) AS kept_value
+FROM b WHERE rn <= 3
+GROUP BY user_id
+""")
+def per_user_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tenant Discard throttling: at most 3 events per user per
+    hour (keys= scoping of discard_over_quota — beyond the reference's
+    single global bucket), then per-user admission stats. The window
+    partitions on (user, hour): no global single-partition stage."""
+    ev = _t(spark, sf_dir, "events")
+    limited = discard_over_quota(
+        3, F.col("ts").cast("timestamp"), "1 hour",
+        order_by=["ts", "event_id"], keys=["user_id"])(ev)
+    return (limited.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("kept"),
+                 F.round(F.sum("value"), 2).alias("kept_value")))
