@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "stratified_split_docs",
     "trending_topk_users",
     "part_pair_cooccurrence",
+    "pagerank_part_graph",
     "scd2_user_state_history",
     "bigram_lm_counts",
     "bigram_lm_doc_scores",

@@ -6199,3 +6199,61 @@ def per_user_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (limited.groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("kept"),
                  F.round(F.sum("value"), 2).alias("kept_value")))
+
+
+@query("pagerank_part_graph", """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), nodes AS (
+  SELECT u AS node, count(*) AS outdeg FROM pairs GROUP BY u
+), meta AS (SELECT count(*) AS n FROM nodes),
+pr0 AS (
+  SELECT node, outdeg, 1000000000000 // n AS pr FROM nodes CROSS JOIN meta
+),
+it1 AS (
+  SELECT nd.node, nd.outdeg,
+         (15 * 1000000000000) // (100 * meta.n)
+         + (85 * coalesce(s.s, 0)) // 100 AS pr
+  FROM nodes nd CROSS JOIN meta
+  LEFT JOIN (SELECT p.v AS node, sum(pr0.pr // pr0.outdeg) AS s
+             FROM pr0 JOIN pairs p ON pr0.node = p.u GROUP BY p.v) s
+    USING (node)
+),
+it2 AS (
+  SELECT nd.node, nd.outdeg,
+         (15 * 1000000000000) // (100 * meta.n)
+         + (85 * coalesce(s.s, 0)) // 100 AS pr
+  FROM nodes nd CROSS JOIN meta
+  LEFT JOIN (SELECT p.v AS node, sum(it1.pr // it1.outdeg) AS s
+             FROM it1 JOIN pairs p ON it1.node = p.u GROUP BY p.v) s
+    USING (node)
+),
+it3 AS (
+  SELECT nd.node, nd.outdeg,
+         (15 * 1000000000000) // (100 * meta.n)
+         + (85 * coalesce(s.s, 0)) // 100 AS pr
+  FROM nodes nd CROSS JOIN meta
+  LEFT JOIN (SELECT p.v AS node, sum(it2.pr // it2.outdeg) AS s
+             FROM it2 JOIN pairs p ON it2.node = p.u GROUP BY p.v) s
+    USING (node)
+)
+SELECT node, round(pr / 1000000000000.0, 6) AS pr FROM it3
+""")
+def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, d=0.85) over the part co-occurrence
+    graph — functions/graph.py::pagerank. ENGINE-EXACT by integer
+    micro-unit arithmetic (floor division, order-independent integer
+    sums), so the iterative algorithm is hash-checked against a
+    chained-CTE DuckDB oracle — unlike float PageRank, which no two
+    engines reproduce bitwise. Edge build is the basket-explode shape
+    (one fact scan)."""
+    from .functions.graph import pagerank
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts"))
+    fwd = (baskets.select(F.explode("parts").alias("src"), "parts")
+           .select("src", F.explode(F.filter(
+               F.col("parts"), lambda x: x != F.col("src"))).alias("dst")))
+    return pagerank(fwd, iterations=3)

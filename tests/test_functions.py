@@ -566,3 +566,19 @@ def test_duplicate_span_stats_planted(spark):
     assert out[2]["n_windows"] == 5 and out[2]["n_dup_windows"] == 1
     assert out[3]["n_dup_windows"] == 0
     assert out[1]["dup_frac"] == 0.2
+
+
+def test_pagerank_invariants(spark):
+    """Integer-unit PageRank on a known graph: mass ~1 (floor losses
+    only), the hub outranks leaves, symmetric nodes tie exactly."""
+    from go_streams_spark.functions.graph import pagerank
+    edges = [(h, s) for h in (1,) for s in (2, 3, 4)] + \
+            [(s, 1) for s in (2, 3, 4)]  # star: 1 <-> {2,3,4}
+    df = spark.createDataFrame(edges, "src long, dst long")
+    pr = {r["node"]: r["pr"] for r in pagerank(df, iterations=5).collect()}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6
+    assert pr[1] > pr[2]
+    assert pr[2] == pr[3] == pr[4]  # exact tie: integer arithmetic
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pagerank(df, iterations=-1)
