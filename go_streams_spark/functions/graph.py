@@ -63,12 +63,15 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     pr = nodes.select("node", "outdeg",
                       F.lit(PAGERANK_SCALE // n).cast("long").alias("pr"))
     for _ in range(iterations):
-        contrib = (pr.where(F.col("outdeg") > 0)
-                   .join(e, pr["node"] == e["u"])
+        # rank tables are node-grain (tiny next to edges): broadcast
+        # them into the edge join so each iteration's only shuffle is
+        # the dst-sum of contributions (with map-side partials)
+        contrib = (e.join(F.broadcast(pr.where(F.col("outdeg") > 0)),
+                          pr["node"] == e["u"])
                    .select(F.col("v").alias("node"),
                            F.expr("pr div outdeg").alias("c")))
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        pr = (nodes.join(sums, "node", "left")
+        pr = (nodes.join(F.broadcast(sums), "node", "left")
               .select("node", "outdeg",
                       (F.lit(base).cast("long")
                        + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100"))
