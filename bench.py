@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "incremental_agg_merge",
     "equidepth_price_histogram",
     "fuzzy_name_match_pairs",
+    "entity_resolution_clusters",
     "ab_test_welch",
     "embedding_norm_stats",
     "referential_integrity_audit",

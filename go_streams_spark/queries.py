@@ -6257,3 +6257,39 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("src", F.explode(F.filter(
                F.col("parts"), lambda x: x != F.col("src"))).alias("dst")))
     return pagerank(fwd, iterations=3)
+
+
+@query("entity_resolution_clusters", """
+WITH RECURSIVE names AS (SELECT DISTINCT p_name FROM part),
+pairs AS (
+  SELECT a.p_name AS name_a, b.p_name AS name_b
+  FROM names a JOIN names b
+    ON string_split(a.p_name, ' ')[2] = string_split(b.p_name, ' ')[2]
+   AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) <= 4
+), edges AS (
+  SELECT name_a AS a, name_b AS b FROM pairs
+  UNION
+  SELECT name_b, name_a FROM pairs
+), reach(n, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+), labels AS (
+  SELECT n AS name, min(m) AS canonical FROM reach GROUP BY n
+)
+SELECT canonical, count(*) AS n_aliases
+FROM labels GROUP BY canonical HAVING count(*) > 1
+""")
+def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution: block -> edit-distance compare ->
+    connected components -> canonical entity per alias group (the
+    block/compare/cluster architecture, stages reused from
+    fuzzy_name_match_pairs + dedup.connected_components). Oracle states
+    the same fixpoint declaratively (recursive transitive closure);
+    emits multi-alias entities with their alias counts."""
+    pairs = QUERIES["fuzzy_name_match_pairs"](spark, sf_dir)
+    comps = D.connected_components(pairs, src="name_a", dst="name_b")
+    return (comps.groupBy(F.col("component").alias("canonical"))
+            .agg(F.count(F.lit(1)).alias("n_aliases"))
+            .where(F.col("n_aliases") > 1))
