@@ -704,3 +704,43 @@ def test_heavy_hitters_stream_space_saving(spark, tmp_path):
         assert by_item[h] == (truth[h], 0)
     # cross-batch accumulation actually happened (not one-batch counts)
     assert by_item["h0"][0] == 120
+
+
+def test_stream_session_paths_with_watermark(spark, tmp_path):
+    """Sessionized ordered event paths under Structured Streaming:
+    session_window(gap 30m) + per-session ordered collect across
+    multiple micro-batches emits, in append mode, exactly the finalized
+    sessions (watermark passed end+gap); a far-future flush event
+    advances the watermark to close them."""
+    import datetime as dt
+    src = str(tmp_path / "src")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(mins, user, typ):
+        return (user, t0 + dt.timedelta(minutes=mins), typ)
+
+    b1 = [ev(0, 1, "view"), ev(5, 1, "click"), ev(0, 2, "view")]
+    b2 = [ev(10, 1, "purchase"), ev(90, 1, "view"),  # 2nd session for u1
+          ev(4, 2, "click")]
+    b3 = [ev(600, 1, "flush"), ev(600, 2, "flush")]  # watermark advancer
+    for batch in (b1, b2, b3):
+        spark.createDataFrame(batch, "user_id long, ts timestamp, event_type string") \
+            .coalesce(1).write.mode("append").parquet(src)
+    stream = (spark.readStream.schema("user_id long, ts timestamp, event_type string")
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withWatermark("ts", "10 minutes"))
+    paths = (stream.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+             .agg(F.concat_ws(">", F.transform(
+                 F.array_sort(F.collect_list(F.struct("ts", "event_type"))),
+                 lambda x: x.event_type)).alias("path")))
+    name = _mem_name()
+    q = (paths.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["path"]) for r in spark.table(name).collect()}
+    # finalized sessions: u1 view>click>purchase (0-10m), u1 view (90m),
+    # u2 view>click (0-4m); the flush events' own sessions stay open
+    assert got == {(1, "view>click>purchase"), (1, "view"),
+                   (2, "view>click")}
