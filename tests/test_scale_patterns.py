@@ -535,3 +535,23 @@ def test_nested_loop_joins_scalar_build_only(spark, sf_dir):
     assert not offenders, (
         "data-sized nested-loop build side (query, build_rows): "
         + repr(offenders))
+
+
+def test_compact_parquet_small_files(spark, tmpdir, sf_dir):
+    """Streaming-sink maintenance: 40 tiny files compact to the
+    measured-size target with identical contents."""
+    from go_streams_spark.operators.layout import (
+        compact_parquet, parquet_size_stats)
+    src = os.path.join(str(tmpdir), "small")
+    dst = os.path.join(str(tmpdir), "compact")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(40).write.mode("overwrite").parquet(src)
+    assert parquet_size_stats(spark, src)["files"] >= 40
+    stats = compact_parquet(spark, src, dst, target_file_mb=1)
+    assert stats["after"]["files"] == stats["target_files"] < 40
+    # contents identical (order-insensitive)
+    a = spark.read.parquet(src).groupBy("event_type").count().collect()
+    b = spark.read.parquet(dst).groupBy("event_type").count().collect()
+    assert sorted(map(str, a)) == sorted(map(str, b))
+    with pytest.raises(ValueError):
+        compact_parquet(spark, src, dst, target_file_mb=0)
