@@ -132,3 +132,17 @@ def test_sql_surface_over_registered_views(spark, sf_dir):
                    F.round(F.sum("o_totalprice"), 2).alias("revenue")))
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, expect.collect()))
+
+
+def test_registry_integrity():
+    """Registry meta-invariants that silent-fail otherwise: every oracle
+    belongs to a registered query; bench headline names all resolve (the
+    bench loop skips unknown names without erroring — a typo would
+    silently shrink the benchmark); no blank names."""
+    import bench
+    from go_streams_spark.queries import ORACLE, QUERIES
+    assert set(ORACLE) <= set(QUERIES)
+    missing = [n for n in bench.BENCH_QUERIES if n not in QUERIES]
+    assert not missing, f"bench names not in registry: {missing}"
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
+    assert all(n and n == n.strip() for n in QUERIES)
