@@ -379,3 +379,40 @@ def test_kafka_sink_contract():
         "topic": "out-topic",
         "kafka.acks": "all",
     }
+
+
+def test_parquet_schema_evolution_merge(spark, tmpdir):
+    """Schema evolution on re-ingest: a later batch adds a column;
+    mergeSchema reads the union schema with nulls backfilled — the
+    append-only ingestion contract a long-lived corpus needs."""
+    import os
+    p = os.path.join(str(tmpdir), "evolve")
+    spark.createDataFrame([(1, "a")], "id long, v string") \
+        .write.mode("append").parquet(p)
+    spark.createDataFrame([(2, "b", 9.5)], "id long, v string, score double") \
+        .write.mode("append").parquet(p)
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+
+def test_csv_corrupt_record_quarantine(spark, tmpdir):
+    """Malformed-row quarantine on CSV ingest: PERMISSIVE mode parses
+    good rows and routes broken ones to a corrupt-record column instead
+    of failing the job — the practical ingestion posture at scale
+    (DROPMALFORMED silently loses data; FAILFAST dies on row 1)."""
+    import os
+    p = os.path.join(str(tmpdir), "raw.csv")
+    with open(p, "w") as f:
+        f.write("1,alice,10.5\n2,bob,notanumber\n3,carol,7.25\n")
+    df = (spark.read
+          .schema("id int, name string, score double, _bad string")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .csv(p))
+    rows = df.collect()
+    good = {r["id"]: r["score"] for r in rows if r["_bad"] is None}
+    bad = [r["_bad"] for r in rows if r["_bad"] is not None]
+    assert good == {1: 10.5, 3: 7.25}
+    assert bad == ["2,bob,notanumber"]
