@@ -3,7 +3,7 @@ operators (running fold/reduce, count-or-time batch) that have no
 built-in Spark equivalent."""
 
 from .io import (file_stream_source, rate_source, memory_sink, console_sink,
-                 with_refreshed_dim,
+                 with_refreshed_dim, idempotent_parquet_sink,
                  noop_sink, foreach_batch_sink, with_bounded_retry)
 from .stateful import (running_fold_stream, global_fold_stream,
                        count_or_time_batch_stream, running_sum_stream_tws,
@@ -12,7 +12,7 @@ from .incremental_dedup import (incremental_near_dup_sink,
                                 near_dup_filter_batch, batch_band_keys)
 
 __all__ = [
-    "with_refreshed_dim",
+    "with_refreshed_dim", "idempotent_parquet_sink",
     "file_stream_source", "rate_source", "memory_sink", "console_sink",
     "noop_sink", "foreach_batch_sink", "with_bounded_retry",
     "running_fold_stream", "global_fold_stream", "count_or_time_batch_stream",

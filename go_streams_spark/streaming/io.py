@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter
 
 from ..api import Sink
@@ -198,3 +199,27 @@ def with_refreshed_dim(dim_loader, on, fn, *, how: str = "left",
         fn(df.join(dim, on, how), batch_id)
 
     return wrapped
+
+
+def idempotent_parquet_sink(path: str, *, checkpoint: str,
+                            available_now: bool = False) -> Sink:
+    """Exactly-once parquet sink: each micro-batch lands in its own
+    ``batch_id=N`` partition via DYNAMIC partition overwrite, so a
+    replayed batch (restart after a crash between write and commit)
+    overwrites itself instead of duplicating — the standard
+    batchId-idempotence recipe made concrete for files. Readers get
+    exactly-once by reading the directory; the batch_id column is
+    dropped on read or used for incremental consumption."""
+
+    def run(df: DataFrame):
+        def write_batch(batch_df: DataFrame, batch_id: int):
+            (batch_df.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id")
+             .parquet(path))
+
+        return (_writer(df, available_now, checkpoint)
+                .foreachBatch(write_batch).start())
+
+    return Sink(run, name=f"idempotent_parquet:{path}")
