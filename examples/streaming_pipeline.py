@@ -48,6 +48,23 @@ def main():
          .option("checkpointLocation", os.path.join(d, "ckpt"))
          .trigger(availableNow=True).start())
     q.awaitTermination()
+
+    # streaming heavy hitters: bounded-state SpaceSaving top-k over the
+    # value stream, landed exactly-once via the batchId-partitioned
+    # idempotent parquet sink
+    from go_streams_spark.streaming import (
+        heavy_hitters_stream, idempotent_parquet_sink)
+    hh = heavy_hitters_stream(
+        spark.readStream.format("parquet")
+        .schema("ts timestamp, value double")
+        .option("pathGlobFilter", "*.parquet").load(d)
+        .selectExpr("CAST(value AS STRING) AS item"),
+        item_col="item", capacity=8, num_buckets=2)
+    q2 = Source(hh).to(idempotent_parquet_sink(
+        os.path.join(d, "hh_out"), checkpoint=os.path.join(d, "ckpt_hh"),
+        available_now=True, output_mode="update"))
+    q2.awaitTermination(120)
+    spark.read.parquet(os.path.join(d, "hh_out"))         .orderBy(F.col("cnt").desc()).show(5)
     print("published lines:", sum(1 for _ in open(out)))
 
 

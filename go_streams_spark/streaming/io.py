@@ -202,7 +202,8 @@ def with_refreshed_dim(dim_loader, on, fn, *, how: str = "left",
 
 
 def idempotent_parquet_sink(path: str, *, checkpoint: str,
-                            available_now: bool = False) -> Sink:
+                            available_now: bool = False,
+                            output_mode: str = "append") -> Sink:
     """Exactly-once parquet sink: each micro-batch lands in its own
     ``batch_id=N`` partition via DYNAMIC partition overwrite, so a
     replayed batch (restart after a crash between write and commit)
@@ -220,6 +221,7 @@ def idempotent_parquet_sink(path: str, *, checkpoint: str,
              .parquet(path))
 
         return (_writer(df, available_now, checkpoint)
+                .outputMode(output_mode)
                 .foreachBatch(write_batch).start())
 
     return Sink(run, name=f"idempotent_parquet:{path}")
