@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..plans.caching import track_persist
-from .text import tokens, word_ngrams
+from .text import tokens
 
 
 def content_digest(text: Column | str, *, normalize: bool = True) -> Column:
