@@ -42,7 +42,11 @@ def main():
     # drop the most surprising tail (CCNet-style quality filtering)
     ppl = T.bigram_lm_doc_scores(docs).select("doc_id", "ppl")
     cutoff = ppl.agg(F.expr("percentile_approx(ppl, 0.95)")).first()[0]
-    deduped = deduped.join(ppl, "doc_id").where(F.col("ppl") <= cutoff)
+    # LEFT join: docs with < 2 tokens have no bigram row; absence of a
+    # perplexity score is not a reason to drop a doc that passed every
+    # other gate
+    deduped = (deduped.join(ppl, "doc_id", "left")
+               .where(F.col("ppl").isNull() | (F.col("ppl") <= cutoff)))
 
     # domain-mixture sampling: a deterministic salted-hash coin applies
     # per-source target rates (down-weight over-represented sources)

@@ -124,6 +124,14 @@ def extract_features(df: DataFrame, *, blob_col: str = "media", id_col: str = "d
             for b, t in zip(pdf[blob_col], pdf[type_col]):
                 if decode is not _decode_stub and not str(t).startswith("image/"):
                     feats.append(_decode_stub(b, t, dim).tolist())
+                elif decode is not _decode_stub:
+                    # quarantine undecodable blobs to the stub instead
+                    # of failing the task: one corrupt image is
+                    # inevitable at web scale and must not kill the job
+                    try:
+                        feats.append(decode(b, t, dim).tolist())
+                    except Exception:
+                        feats.append(_decode_stub(b, t, dim).tolist())
                 else:
                     feats.append(decode(b, t, dim).tolist())
             yield pd.DataFrame({

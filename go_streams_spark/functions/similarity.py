@@ -529,13 +529,18 @@ def assign_clusters(df: DataFrame, codebook, *, id_col: str = "vec_id",
     import pandas as pd
 
     cb = np.asarray(codebook, dtype=np.float64)
-    cb_n = cb / np.linalg.norm(cb, axis=1, keepdims=True)
+    # zero-norm guard: a zero vector/centroid must yield 0 sims (and a
+    # deterministic lowest-cid assignment), never NaN rows whose
+    # ordering is engine-dependent
+    cb_norm = np.linalg.norm(cb, axis=1, keepdims=True)
+    cb_n = cb / np.where(cb_norm == 0, 1.0, cb_norm)
     c_ids = np.arange(len(cb), dtype=np.int64)
 
     def _assign(batches):
         for pdf in batches:
             q = np.array(list(pdf["v"]), dtype=np.float64)
-            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            q_norm = np.linalg.norm(q, axis=1, keepdims=True)
+            qn = q / np.where(q_norm == 0, 1.0, q_norm)
             sims = qn @ cb_n.T
             if round_dp is not None:
                 sims = np.round(sims, round_dp)
@@ -554,7 +559,8 @@ def semdedup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                    vec_col: str = "embedding", threshold: float = 0.95,
                    nlist: int = 16, iterations: int = 3,
                    codebook=None, round_dp: int = 6,
-                   assign_round_dp: int | None = None) -> DataFrame:
+                   assign_round_dp: int | None = None,
+                   assigned: DataFrame | None = None) -> DataFrame:
     """SemDeDup candidate pairs (Abbas et al. 2023, arXiv:2303.09540):
     k-means the embedding space, then compare pairs ONLY within a
     cluster — semantic duplicates land in the same centroid cell, so
@@ -572,11 +578,13 @@ def semdedup_pairs(df: DataFrame, *, id_col: str = "vec_id",
     import numpy as np
     import pandas as pd
 
-    if codebook is None:
-        codebook = train_codebook(df, id_col=id_col, vec_col=vec_col,
-                                  k=nlist, iterations=iterations)
-    assigned = assign_clusters(df, codebook, id_col=id_col, vec_col=vec_col,
-                               round_dp=assign_round_dp)
+    if assigned is None:
+        if codebook is None:
+            codebook = train_codebook(df, id_col=id_col, vec_col=vec_col,
+                                      k=nlist, iterations=iterations)
+        assigned = assign_clusters(df, codebook, id_col=id_col,
+                                   vec_col=vec_col,
+                                   round_dp=assign_round_dp)
 
     def _scan(key, pdf):
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -587,7 +595,8 @@ def semdedup_pairs(df: DataFrame, *, id_col: str = "vec_id",
                                  "sim": []}).astype(
                 {"id_a": "int64", "id_b": "int64",
                  "cid": "int64", "sim": "float64"})
-        vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+        v_norm = np.linalg.norm(v, axis=1, keepdims=True)
+        vn = v / np.where(v_norm == 0, 1.0, v_norm)  # zero-norm guard
         s = np.round(vn @ vn.T, round_dp)
         ia, ib = np.triu_indices(len(ids), 1)
         keep = s[ia, ib] >= threshold
@@ -611,11 +620,15 @@ def semdedup_prune(df: DataFrame, *, id_col: str = "vec_id",
     if codebook is None:
         codebook = train_codebook(df, id_col=id_col, vec_col=vec_col,
                                   k=nlist, iterations=iterations)
+    # ONE assignment pass feeds both the verdict table and the pair
+    # scan (a second mapInPandas over the whole corpus would double the
+    # cost of the most expensive non-training stage)
     assigned = assign_clusters(df, codebook, id_col=id_col, vec_col=vec_col,
                                round_dp=assign_round_dp)
     pairs = semdedup_pairs(df, id_col=id_col, vec_col=vec_col,
                            threshold=threshold, codebook=codebook,
-                           assign_round_dp=assign_round_dp)
+                           assign_round_dp=assign_round_dp,
+                           assigned=assigned)
     dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return (assigned.select(id_col, "cid")
             .join(dropped.withColumn("__d", F.lit(True)), id_col, "left")

@@ -90,8 +90,15 @@ def parquet_size_stats(spark, path: str) -> dict:
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
     fs = p.getFileSystem(conf)
-    sizes = [f.getLen() for f in fs.listStatus(p)
-             if f.getPath().getName().endswith(".parquet")]
+    # RECURSIVE listing: partitioned layouts (batch_id=N/, dt=.../) keep
+    # their files in subdirectories — a top-level listStatus would see 0
+    # bytes and compact a 50 GB table into one file
+    it = fs.listFiles(p, True)
+    sizes = []
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            sizes.append(f.getLen())
     if not sizes:
         return {"files": 0, "bytes": 0, "min": 0, "avg": 0, "max": 0}
     return {"files": len(sizes), "bytes": sum(sizes), "min": min(sizes),

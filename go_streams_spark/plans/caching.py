@@ -11,9 +11,11 @@ Usage::
     ...
     release_tracked()                     # bench/tests, between queries
 
-``release_tracked`` is safe to call at any time: unpersisting a
-DataFrame mid-query only forces recomputation of not-yet-read blocks,
-it never changes results (and callers invoke it between actions).
+Call ``release_tracked`` only BETWEEN queries (after the action that
+consumed the pinned DataFrame): the pins are correctness devices for
+nondeterministic subtrees (range exchanges feeding two branches), so
+releasing one before its query's first action re-exposes the divergent
+re-evaluation the persist exists to prevent.
 """
 
 from __future__ import annotations

@@ -92,21 +92,44 @@ class PulsarClientAdapter:
         try:
             return self._ser(consumer.get_last_message_id())
         finally:
+            try:
+                # unsubscribe, not just close: a merely-closed durable
+                # subscription leaves a parked broker-side cursor that
+                # retains every later message forever (and a second
+                # prober would hit ConsumerBusy on the shared name)
+                consumer.unsubscribe()
+            except Exception:
+                pass
             consumer.close()
+
+    @staticmethod
+    def _id_key(mid):
+        try:  # stable accessors present in every pulsar-client release
+            return (mid.ledger_id(), mid.entry_id(), mid.batch_index())
+        except AttributeError:
+            return None
 
     def read_range(self, topic: str, start_exclusive: str, end_inclusive: str):
         reader = self._client.create_reader(
             topic, self._deser(start_exclusive),
             start_message_id_inclusive=False)
+        # deserialize the range end ONCE, not per message; compare via
+        # the stable (ledger, entry, batch) accessors, not MessageId
+        # operator overloads (rich comparison is not a stable part of
+        # the Python client API across versions)
+        end_id = self._deser(end_inclusive)
+        end_key = self._id_key(end_id)
         try:
             while reader.has_message_available():
                 msg = reader.read_next(timeout_millis=10_000)
-                mid = self._ser(msg.message_id())
-                yield (mid, msg.partition_key() or None, msg.data())
-                # compare via serialized ids, not MessageId operator
-                # overloads (rich comparison is not a stable part of the
-                # Python client API across versions)
-                if self.compare_ids(mid, end_inclusive) >= 0:
+                mid = msg.message_id()
+                yield (self._ser(mid), msg.partition_key() or None,
+                       msg.data())
+                k = self._id_key(mid)
+                if k is not None and end_key is not None:
+                    if k >= end_key:
+                        break
+                elif mid >= end_id:  # last resort: rich comparison
                     break
         finally:
             reader.close()

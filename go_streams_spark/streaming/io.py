@@ -190,12 +190,10 @@ def with_refreshed_dim(dim_loader, on, fn, *, how: str = "left",
     foreachBatch is the standard fix — the dim is re-planned per batch
     and broadcast-joined (dimension-sized, never stream-sized).
     """
-    from pyspark.sql import functions as _F
-
     def wrapped(df: DataFrame, batch_id: int):
         dim = dim_loader()
         if broadcast:
-            dim = _F.broadcast(dim)
+            dim = F.broadcast(dim)
         fn(df.join(dim, on, how), batch_id)
 
     return wrapped

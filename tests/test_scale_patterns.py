@@ -484,20 +484,26 @@ def test_single_partition_exchange_inputs_bounded(spark, sf_dir):
 
     offenders = []
     with_single = []
-    for name, fn in QUERIES.items():
-        df = fn(spark, sf_dir)
-        if "Exchange SinglePartition" in explain_str(df, "simple"):
-            with_single.append((name, df))
-        release_tracked()
-    assert with_single, "sweep found no SinglePartition queries — regex broke?"
+    # NOTE: no release_tracked() until every audited DF has executed —
+    # the tracked persists are CORRECTNESS pins (distributed_ordinal's
+    # two branches must read one materialization); releasing them here
+    # would run non-production plans and re-expose the divergence the
+    # pin exists to prevent.
+    try:
+        for name, fn in QUERIES.items():
+            df = fn(spark, sf_dir)
+            if "Exchange SinglePartition" in explain_str(df, "simple"):
+                with_single.append((name, df))
+        assert with_single,             "sweep found no SinglePartition queries — regex broke?"
 
-    for name, df in with_single:
-        df.collect()
-        rows = single_partition_exchange_rows(df)
-        bound = max(default_bound, grain_bounds.get(name, 0))
-        for r in rows:
-            if r < 0 or r > bound:
-                offenders.append((name, r, bound))
+        for name, df in with_single:
+            df.collect()
+            rows = single_partition_exchange_rows(df)
+            bound = max(default_bound, grain_bounds.get(name, 0))
+            for r in rows:
+                if r < 0 or r > bound:
+                    offenders.append((name, r, bound))
+    finally:
         release_tracked()
     assert not offenders, (
         "fact-sized input reached a SinglePartition exchange "
@@ -516,21 +522,24 @@ def test_nested_loop_joins_scalar_build_only(spark, sf_dir):
     from go_streams_spark.queries import QUERIES
 
     with_bnlj = []
-    for name, fn in QUERIES.items():
-        df = fn(spark, sf_dir)
-        p = explain_str(df, "simple")
-        assert "CartesianProduct" not in p, f"{name}: cartesian in plan"
-        if "BroadcastNestedLoopJoin" in p:
-            with_bnlj.append((name, df))
-        release_tracked()
-    assert with_bnlj, "sweep found no nested-loop queries — regex broke?"
-
     offenders = []
-    for name, df in with_bnlj:
-        df.collect()
-        for rows in nested_loop_build_rows(df):
-            if rows < 0 or rows > 8:  # scalar metadata, not data
-                offenders.append((name, rows))
+    # pins stay in place until every audited DF has executed (see the
+    # SinglePartition sweep note)
+    try:
+        for name, fn in QUERIES.items():
+            df = fn(spark, sf_dir)
+            p = explain_str(df, "simple")
+            assert "CartesianProduct" not in p, f"{name}: cartesian in plan"
+            if "BroadcastNestedLoopJoin" in p:
+                with_bnlj.append((name, df))
+        assert with_bnlj, "sweep found no nested-loop queries — regex broke?"
+
+        for name, df in with_bnlj:
+            df.collect()
+            for rows in nested_loop_build_rows(df):
+                if rows < 0 or rows > 8:  # scalar metadata, not data
+                    offenders.append((name, rows))
+    finally:
         release_tracked()
     assert not offenders, (
         "data-sized nested-loop build side (query, build_rows): "
@@ -555,3 +564,9 @@ def test_compact_parquet_small_files(spark, tmpdir, sf_dir):
     assert sorted(map(str, a)) == sorted(map(str, b))
     with pytest.raises(ValueError):
         compact_parquet(spark, src, dst, target_file_mb=0)
+    # partitioned layouts (streaming-sink output) must be measured
+    # recursively — a top-level listing would report 0 bytes
+    psrc = os.path.join(str(tmpdir), "parts")
+    ev.limit(200).write.partitionBy("event_type").mode("overwrite")         .parquet(psrc)
+    pstats = parquet_size_stats(spark, psrc)
+    assert pstats["files"] > 0 and pstats["bytes"] > 0
