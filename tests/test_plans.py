@@ -230,11 +230,17 @@ def test_release_tracked_frees_all_caches(spark, sf_dir):
     from go_streams_spark.plans import release_tracked
     from go_streams_spark.queries import QUERIES
     release_tracked()  # clean slate from earlier tests
+
+    def persisted_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                   .toArray())
+
+    baseline = persisted_ids()  # other tests' own caches are not ours
     for name in ("equidepth_price_histogram", "tfidf_top_terms",
                  "bigram_lm_doc_scores", "dedup_minhash_pairs"):
         QUERIES[name](spark, sf_dir).write.format("noop") \
             .mode("overwrite").save()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0
+    assert persisted_ids() - baseline
     freed = release_tracked()
     assert freed >= 4
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert persisted_ids() - baseline == set()
