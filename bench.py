@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "trending_topk_users",
     "part_pair_cooccurrence",
     "pagerank_part_graph",
+    "pagerank_part_graph_shuffle",
     "scd2_user_state_history",
     "bigram_lm_counts",
     "bigram_lm_doc_scores",

@@ -19,9 +19,17 @@ from ..plans.caching import track_persist
 PAGERANK_SCALE = 1_000_000_000_000
 
 
+#: ``broadcast_ranks="auto"`` switches to the co-partitioned join plan
+#: above this node count (~tens of MB of (node, outdeg, pr) rows —
+#: comfortably under executor memory, far under driver OOM territory)
+BROADCAST_MAX_NODES = 5_000_000
+
+
 def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
              iterations: int = 3, damping_pct: int = 85,
-             round_dp: int = 6) -> DataFrame:
+             round_dp: int = 6,
+             broadcast_ranks: bool | str = "auto",
+             broadcast_max_nodes: int = BROADCAST_MAX_NODES) -> DataFrame:
     """Iterative PageRank with ENGINE-EXACT integer arithmetic.
 
     ``edges`` is a directed edge list (pass both directions for an
@@ -36,26 +44,62 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     by the floor losses (bounded by N*iterations/SCALE — irrelevant at
     micro-unit scale).
 
-    Plan shape: edges + out-degrees are computed once and pinned
-    (track_persist); each iteration is one join edges-to-ranks (shuffle
-    on src) + one sum by dst — the same two-exchange loop GraphX/Pregel
-    runs, with lineage kept shallow because every input of iteration k
-    is either cached (edges, degrees) or the (node-grain) rank table of
-    iteration k-1. Returns (node, pr) with pr = scaled float, rounded.
+    Two plan shapes, picked by ``broadcast_ranks``:
+
+    * **Broadcast** (``True``, or ``"auto"`` with N <=
+      ``broadcast_max_nodes``): rank tables are node-grain and small, so
+      broadcast them into the edge join — each iteration's only shuffle
+      is the dst-sum of contributions (map-side partials). Fastest, but
+      every executor (and the driver) holds the full rank table:
+      only safe while N is bounded.
+    * **Co-partitioned shuffle** (``False``, or ``"auto"`` above the
+      threshold): edges are hash-partitioned on ``u`` ONCE (pinned via
+      track_persist) and the rank table is shuffle-hash-joined against
+      them — 2 exchanges per iteration (rank table into the edge join +
+      the dst-sum), both node/edge-partition-sized, memory bounded at
+      any N. This is the GraphX/Pregel shape. Joins carry explicit
+      ``shuffle_hash`` hints so Catalyst's size estimation can never
+      silently re-introduce a broadcast of a table that grows with the
+      graph.
+
+    In both modes every input of iteration k is either cached (edges,
+    degrees) or the node-grain rank table of iteration k-1. Returns
+    (node, pr) with pr = scaled float, rounded.
     """
     if iterations < 0 or not 0 <= damping_pct <= 100:
         raise ValueError("iterations >= 0 and 0 <= damping_pct <= 100")
+    if broadcast_ranks not in (True, False, "auto"):
+        raise ValueError("broadcast_ranks must be True, False, or 'auto'")
     e = track_persist(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct())
     deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
-    nodes = track_persist(
-        e.select(F.col("u").alias("node")).union(
-            e.select(F.col("v").alias("node"))).distinct()
+    if broadcast_ranks is False:
+        # out-degrees are node-grain too: the one-time nodes-build join
+        # must not rely on Catalyst estimating deg as broadcastable
+        deg = deg.hint("shuffle_hash")
+    nodes = (e.select(F.col("u").alias("node")).union(
+        e.select(F.col("v").alias("node"))).distinct()
         .join(deg, F.col("node") == F.col("u"), "left")
         .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")))
+    if broadcast_ranks is False:
+        # co-partition the per-iteration join inputs up front: edges on
+        # the probe key u, nodes on the dst-sum key node. Both persists
+        # expose hashpartitioning to EnsureRequirements, so the steady-
+        # state loop only ever shuffles the iteration-k rank table.
+        e = track_persist(e.repartition("u"))
+        nodes = track_persist(nodes.repartition("node"))
+        use_broadcast = False
+    else:
+        nodes = track_persist(nodes)
+        use_broadcast = True  # may flip below under "auto"
     n = nodes.count()  # scalar graph metadata (like an IVF codebook)
     if n == 0:
         return nodes.select(F.col("node"), F.lit(0.0).alias("pr"))
+    if broadcast_ranks == "auto" and n > broadcast_max_nodes:
+        # counted AFTER the cheap persist: the rank table is too big to
+        # ship to every executor — fall back to co-partitioned joins
+        # (nodes stays cached un-repartitioned; only sums shuffles)
+        use_broadcast = False
 
     # exact Python integer division — double division + floor can be
     # off by one ulp at an integer boundary
@@ -63,15 +107,16 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     pr = nodes.select("node", "outdeg",
                       F.lit(PAGERANK_SCALE // n).cast("long").alias("pr"))
     for _ in range(iterations):
-        # rank tables are node-grain (tiny next to edges): broadcast
-        # them into the edge join so each iteration's only shuffle is
-        # the dst-sum of contributions (with map-side partials)
-        contrib = (e.join(F.broadcast(pr.where(F.col("outdeg") > 0)),
-                          pr["node"] == e["u"])
+        live = pr.where(F.col("outdeg") > 0)
+        rank_side = F.broadcast(live) if use_broadcast \
+            else live.hint("shuffle_hash")
+        contrib = (e.join(rank_side, live["node"] == e["u"])
                    .select(F.col("v").alias("node"),
                            F.expr("pr div outdeg").alias("c")))
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        pr = (nodes.join(F.broadcast(sums), "node", "left")
+        sums_side = F.broadcast(sums) if use_broadcast \
+            else sums.hint("shuffle_hash")
+        pr = (nodes.join(sums_side, "node", "left")
               .select("node", "outdeg",
                       (F.lit(base).cast("long")
                        + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100"))

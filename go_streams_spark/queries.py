@@ -6201,7 +6201,7 @@ def per_user_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 2).alias("kept_value")))
 
 
-@query("pagerank_part_graph", """
+_PAGERANK_PART_SQL = """
 WITH pairs AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b
@@ -6240,7 +6240,10 @@ it3 AS (
     USING (node)
 )
 SELECT node, round(pr / 1000000000000.0, 6) AS pr FROM it3
-""")
+"""
+
+
+@query("pagerank_part_graph", _PAGERANK_PART_SQL)
 def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 iterations, d=0.85) over the part co-occurrence
     graph — functions/graph.py::pagerank. ENGINE-EXACT by integer
@@ -6257,6 +6260,25 @@ def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("src", F.explode(F.filter(
                F.col("parts"), lambda x: x != F.col("src"))).alias("dst")))
     return pagerank(fwd, iterations=3)
+
+
+@query("pagerank_part_graph_shuffle", _PAGERANK_PART_SQL)
+def pagerank_part_graph_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same integer-exact PageRank, forced onto the LARGE-GRAPH plan:
+    ``broadcast_ranks=False`` hash-partitions the edge set on src once
+    and shuffle-hash-joins the node-grain rank tables against it — the
+    co-partitioned GraphX/Pregel shape with bounded memory at any node
+    count (no rank-table broadcast anywhere; plan-pinned in
+    tests/test_plans.py). Identical oracle SQL as pagerank_part_graph:
+    floor-division integer arithmetic makes both plans bitwise equal."""
+    from .functions.graph import pagerank
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts"))
+    fwd = (baskets.select(F.explode("parts").alias("src"), "parts")
+           .select("src", F.explode(F.filter(
+               F.col("parts"), lambda x: x != F.col("src"))).alias("dst")))
+    return pagerank(fwd, iterations=3, broadcast_ranks=False)
 
 
 @query("entity_resolution_clusters", """

@@ -582,3 +582,25 @@ def test_pagerank_invariants(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         pagerank(df, iterations=-1)
+
+
+def test_pagerank_modes_bitwise_equal(spark):
+    """Broadcast and co-partitioned-shuffle plans must be BITWISE equal
+    (integer floor-division arithmetic is order-independent), and
+    'auto' must flip to the shuffle plan above broadcast_max_nodes."""
+    from go_streams_spark.functions.graph import pagerank
+    from go_streams_spark.plans import release_tracked
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    bcast = sorted(pagerank(df, iterations=4,
+                            broadcast_ranks=True).collect())
+    shuf = sorted(pagerank(df, iterations=4,
+                           broadcast_ranks=False).collect())
+    auto_small = sorted(pagerank(df, iterations=4).collect())
+    auto_big = sorted(pagerank(df, iterations=4,
+                               broadcast_max_nodes=2).collect())
+    assert bcast == shuf == auto_small == auto_big
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pagerank(df, broadcast_ranks="sometimes")
+    release_tracked()
