@@ -398,7 +398,8 @@ def simhash_pairs(sim: DataFrame, *, id_col: str = "doc_id",
 
 
 def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_b",
-                         max_iterations: int = 20) -> DataFrame:
+                         max_iterations: int = 20,
+                         on_nonconverged: str = "raise") -> DataFrame:
     """Connected components over near-dup pairs — the clustering stage
     that turns pairwise matches into dedup groups (keep one doc per
     component). Returns (id, component) with component = min id reachable.
@@ -410,7 +411,16 @@ def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_
     a handful of passes suffice at any scale. Each pass is one
     shuffle-join + one min-agg; no driver-side graph state beyond the
     convergence counter.
+
+    A graph whose diameter exceeds ``max_iterations`` (a path-shaped
+    near-dup chain) would otherwise return WRONG components silently —
+    so exhausting the budget while labels are still changing is loud:
+    ``on_nonconverged="raise"`` (default) raises RuntimeError;
+    ``"warn"`` emits a warning and returns the partial labels (only for
+    callers that treat components as a best-effort grouping).
     """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError("on_nonconverged must be 'raise' or 'warn'")
     edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
              .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
              .distinct())
@@ -426,6 +436,7 @@ def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_
               .distinct()
               .withColumn("component", F.col("id"))
               .localCheckpoint(eager=True))
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (edges.join(labels, edges.b == labels.id)
                         .groupBy(edges.a.alias("id"))
@@ -441,8 +452,18 @@ def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        msg = (f"connected_components did not converge within "
+               f"{max_iterations} iterations (labels still changing — "
+               f"component diameter exceeds the budget); raise "
+               f"max_iterations or pass on_nonconverged='warn'")
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
 
 

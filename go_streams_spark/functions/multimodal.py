@@ -96,12 +96,28 @@ def _pick_decoder(codec: str):
     if codec == "stub":
         return _decode_stub
     if codec == "pil":
+        # import EAGERLY so a missing pillow raises once per task here:
+        # deferring it to _decode_pil would let the per-row corrupt-blob
+        # quarantine swallow the ImportError and silently emit stub
+        # features when the user explicitly requested real decode
+        from PIL import Image  # noqa: F401
         return _decode_pil
     try:
         import PIL  # noqa: F401
         return _decode_pil
     except ImportError:
         return _decode_stub
+
+
+def _quarantine_errors():
+    """Exception classes the per-row quarantine may swallow: genuinely
+    corrupt/undecodable blobs only — NEVER environment errors like
+    ImportError (those must fail the task loudly)."""
+    try:
+        from PIL import UnidentifiedImageError
+        return (UnidentifiedImageError, OSError, ValueError)
+    except ImportError:
+        return (OSError, ValueError)
 
 
 def extract_features(df: DataFrame, *, blob_col: str = "media", id_col: str = "doc_id",
@@ -119,6 +135,7 @@ def extract_features(df: DataFrame, *, blob_col: str = "media", id_col: str = "d
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         decode = _pick_decoder(codec)
+        quarantine = _quarantine_errors()
         for pdf in batches:
             feats = []
             for b, t in zip(pdf[blob_col], pdf[type_col]):
@@ -130,7 +147,7 @@ def extract_features(df: DataFrame, *, blob_col: str = "media", id_col: str = "d
                     # inevitable at web scale and must not kill the job
                     try:
                         feats.append(decode(b, t, dim).tolist())
-                    except Exception:
+                    except quarantine:
                         feats.append(_decode_stub(b, t, dim).tolist())
                 else:
                     feats.append(decode(b, t, dim).tolist())

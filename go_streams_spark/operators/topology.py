@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Callable, Sequence
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -121,7 +122,18 @@ def distributed_ordinal(df: DataFrame, *, order_by: Sequence[Column | str],
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if strict:
-        df = df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+        # EXPLICIT partition count mirroring the upstream partition
+        # count (not spark.sql.shuffle.partitions): parallelism tracks
+        # the data size, so a small input is not fanned out to hundreds
+        # of near-empty reduce tasks (the dominant bench cost of the
+        # round-3 shape), while a 10^5-partition fact keeps its
+        # parallelism. Floor of 2 — n_parts=1 would degenerate the
+        # range exchange into the fact-wide Exchange SinglePartition
+        # this operator exists to avoid. REPARTITION_BY_NUM is also
+        # AQE-coalesce-exempt, so the branch partition COUNTS can't be
+        # re-planned apart even before the pin below.
+        n_parts = max(2, df.rdd.getNumPartitions())
+        df = df.repartitionByRange(n_parts, *cols).sortWithinPartitions(*cols)
     # monotonically_increasing_id after the in-partition sort encodes
     # (partition_id << 33) + local_row_index in iteration order, i.e.
     # exactly the (pid, local ordinal) pair — decoding it replaces the
@@ -134,15 +146,21 @@ def distributed_ordinal(df: DataFrame, *, order_by: Sequence[Column | str],
             .withColumn("__rn",
                         (F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
                          + F.lit(1)).cast("long")))
-    # The counts branch below and the data branch both read `part`. The
-    # range exchange + __mid are NONDETERMINISTIC (sampled boundaries,
-    # AQE coalescing can differ per branch because the counts branch is
-    # column-pruned to the key — a separate exchange in the plan), so
-    # two independent evaluations could assign divergent __pid spaces
-    # and silently mis-number ordinals. Persisting pins exactly one
-    # materialization that both branches share; release via
-    # plans.release_tracked() between queries.
-    part = track_persist(part)
+    # The counts branch below and the data branch both read `part`, and
+    # the range exchange is NONDETERMINISTIC ACROSS PLAN INSTANCES:
+    # RangePartitioner seeds its boundary sampling with the shuffle
+    # RDD's id (byteswap32(partIdx ^ (rddId << 16))), and each branch
+    # plans its own exchange (column pruning makes them
+    # non-canonically-equal, so ReuseExchange can't fire). Two
+    # independent evaluations sample DIFFERENT boundaries and assign
+    # divergent __pid spaces — silently mis-numbering ordinals. (Small
+    # inputs mask this: when every row fits the sample, boundaries are
+    # seed-independent — sf0.001 passed while sf0.01 diverged.)
+    # Persisting pins exactly ONE materialization both branches share;
+    # deserialized level skips the columnar-compression CPU the round-3
+    # serialized pin paid. Release via plans.release_tracked() between
+    # queries, only after the consuming action.
+    part = track_persist(part, StorageLevel.MEMORY_AND_DISK_DESER)
     # offsets = exclusive prefix-sum of per-partition counts, computed
     # IN-PLAN (no driver collect / no second job). The prefix-sum window
     # is single-partition but over one row PER PARTITION (thousands at

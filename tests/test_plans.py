@@ -226,7 +226,7 @@ def test_release_tracked_frees_all_caches(spark, sf_dir):
     band tables, TF-IDF/bigram intermediates) must all route through
     track_persist, and release_tracked must leave ZERO persisted RDDs
     behind — the bench/oracle loops rely on this to not accumulate
-    executor memory across a 183-query session."""
+    executor memory across a 188-query session."""
     from go_streams_spark.plans import release_tracked
     from go_streams_spark.queries import QUERIES
     release_tracked()  # clean slate from earlier tests
