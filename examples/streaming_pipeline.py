@@ -64,7 +64,13 @@ def main():
         os.path.join(d, "hh_out"), checkpoint=os.path.join(d, "ckpt_hh"),
         available_now=True, output_mode="update"))
     q2.awaitTermination(120)
-    spark.read.parquet(os.path.join(d, "hh_out"))         .orderBy(F.col("cnt").desc()).show(5)
+    # update-mode emissions are CUMULATIVE across micro-batches: earlier
+    # batch_id partitions hold stale counter snapshots, so top-k must be
+    # ranked over the LAST batch only (heavy_hitters_stream docstring)
+    hh_all = spark.read.parquet(os.path.join(d, "hh_out"))
+    (hh_all.where(F.col("batch_id")
+                  == hh_all.agg(F.max("batch_id")).collect()[0][0])
+     .orderBy(F.col("cnt").desc()).show(5))
     print("published lines:", sum(1 for _ in open(out)))
 
 

@@ -7,10 +7,10 @@ from .inspect import (
     count_exchanges, has_broadcast_join, wholestage_codegen_spans,
     execution_metrics,
 )
-from .caching import track_persist, release_tracked
+from .caching import pin_scope, release_tracked, track_persist
 
 __all__ = [
     "explain_str", "pushed_filters", "read_schema_columns",
     "count_exchanges", "has_broadcast_join", "wholestage_codegen_spans",
-    "execution_metrics", "track_persist", "release_tracked",
+    "execution_metrics", "track_persist", "release_tracked", "pin_scope",
 ]

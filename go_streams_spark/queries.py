@@ -5969,10 +5969,21 @@ def semdedup_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means sibling `semdedup_prune` is the production path; this entry
     pins the execution machinery end to end."""
     emb = _t(spark, sf_dir, "embeddings")
-    cb = [r["v"] for r in sorted(
+    rows = sorted(
         emb.where(F.col("vec_id") < 8)
         .select(S.as_double("embedding").alias("v"), "vec_id").collect(),
-        key=lambda r: r["vec_id"])]
+        key=lambda r: r["vec_id"])
+    # Spark's cid is the codebook LIST INDEX while the oracle's cid is
+    # the raw vec_id — they only mean the same thing when vec_ids are
+    # exactly the dense 0..7. Regenerated testdata starting at 1 would
+    # silently shift every cid and fail the hash gate confusingly
+    # (ADVICE r3); fail loudly here instead.
+    got = [r["vec_id"] for r in rows]
+    if got != list(range(8)):
+        raise ValueError(
+            f"semdedup_fixed_codebook expects dense vec_ids 0..7 for the "
+            f"codebook (list index == vec_id == oracle cid); got {got}")
+    cb = [r["v"] for r in rows]
     return S.semdedup_prune(emb, threshold=0.4, codebook=cb,
                             assign_round_dp=6)
 

@@ -266,3 +266,35 @@ def test_pagerank_shuffle_mode_no_broadcast(spark, sf_dir):
                          "simple")
     assert "BroadcastHashJoin" in plan_b
     release_tracked()
+
+
+def test_pin_scope_releases_only_its_own_pins(spark, sf_dir):
+    """pin_scope must release exactly the pins registered inside it and
+    leave global/tracked pins (and outer scopes) alone — the ADVICE
+    concurrency hazard: release_tracked() from a bench thread must not
+    unpersist a DataFrame a concurrent scoped query still depends on."""
+    from go_streams_spark.plans import pin_scope, release_tracked
+    from go_streams_spark.plans.caching import track_persist
+    release_tracked()
+
+    def persisted_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                   .toArray())
+
+    baseline = persisted_ids()
+    outer = track_persist(spark.range(10).selectExpr("id AS a"))
+    outer.count()
+    with pin_scope() as pins:
+        inner = track_persist(spark.range(20).selectExpr("id AS b"))
+        inner.count()
+        assert pins == [inner]
+        # a bench thread's global release must NOT free the scoped pin
+        assert release_tracked() == 1  # frees outer only
+        assert inner.storageLevel.useMemory  # still pinned
+    assert not inner.storageLevel.useMemory  # freed at scope exit
+    assert persisted_ids() - baseline == set()
+    with pin_scope():  # nested scopes: inner frees before outer
+        with pin_scope() as p2:
+            track_persist(spark.range(5)).count()
+            assert len(p2) == 1
+        assert persisted_ids() - baseline == set()
