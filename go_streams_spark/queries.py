@@ -29,6 +29,28 @@ from .operators import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
+#: SinglePartition exemption classes a query may declare at registration
+#: time (``@query(..., bound="customer-grain")``). The scale sweep
+#: (tests/test_scale_patterns.py::test_single_partition_exchange_inputs_bounded)
+#: derives the numeric row bound for each class FROM THE DATA at audit
+#: time — declaring a class here documents WHY the query's global
+#: sort/rank is volume-independent, it never grants a free pass on row
+#: counts. Undeclared queries get only the default scalar/bookkeeping
+#: bound and fail the sweep with a message pointing at this declaration.
+BOUND_CLASSES: dict[str, str] = {
+    # reduce-first series analytics: rows entering the global window are
+    # one per hour bucket, independent of event volume
+    "hour-grid": "distinct hours in events.ts",
+    # one row per month bucket, independent of order volume
+    "month-grid": "distinct months in orders.o_orderdate",
+    # global concentration ranks over one row per customer; grows with
+    # the business, not event volume (1e8+ mitigation: histogram-sketch
+    # siblings, SCALE.md §13)
+    "customer-grain": "rows in customer",
+    "user-grain": "distinct user_id in events",
+}
+BOUNDS: dict[str, str] = {}
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a synthetic table. ``events.ts`` is parquet TIMESTAMP(NANOS)
@@ -65,11 +87,17 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src
 
 
-def query(name: str, sql: str | None = None):
+def query(name: str, sql: str | None = None, bound: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if sql is not None:
             ORACLE[name] = sql
+        if bound is not None:
+            if bound not in BOUND_CLASSES:
+                raise ValueError(
+                    f"{name}: unknown SinglePartition bound class {bound!r}; "
+                    f"known: {sorted(BOUND_CLASSES)}")
+            BOUNDS[name] = bound
         return fn
     return deco
 
@@ -3607,7 +3635,7 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_total", F.sum("transitions").over(wt))
 
 
-@query("rfm_segments", """
+@query("rfm_segments", bound="customer-grain", sql="""
 WITH c AS (
   SELECT o_custkey,
          max(o_orderdate::DATE)             AS last_dt,
@@ -4796,7 +4824,7 @@ def time_decay_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_events")))
 
 
-@query("rolling_correlation_series", """
+@query("rolling_correlation_series", bound="hour-grid", sql="""
 WITH grid AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS hour,
          sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END)    AS clicks,
@@ -4871,7 +4899,7 @@ def stream_parity_keyed_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "cnt", "sum_value")
 
 
-@query("hourly_peak_detection", """
+@query("hourly_peak_detection", bound="hour-grid", sql="""
 WITH grid AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS hour,
          round(sum(value), 2) AS v
@@ -5041,7 +5069,7 @@ def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_days")))
 
 
-@query("revenue_gini_concentration", """
+@query("revenue_gini_concentration", bound="customer-grain", sql="""
 WITH per_cust AS (
   SELECT o_custkey, sum(o_totalprice) AS rev
   FROM orders GROUP BY o_custkey
@@ -5456,7 +5484,7 @@ def event_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                             / (F.col("ca") * F.col("cb")), 4).alias("lift")))
 
 
-@query("mom_revenue_growth", """
+@query("mom_revenue_growth", bound="month-grid", sql="""
 WITH m AS (
   SELECT date_trunc('month', o_orderdate) AS mo,
          round(sum(o_totalprice), 2) AS rev
@@ -5617,7 +5645,7 @@ def conversion_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lat_s, 0.5)") / 3600, 2).alias("p50_hours"))
 
 
-@query("ltv_decile_profile", """
+@query("ltv_decile_profile", bound="user-grain", sql="""
 WITH u AS (
   SELECT user_id, round(sum(value), 2) AS ltv FROM events GROUP BY user_id
 )
@@ -5773,7 +5801,7 @@ def mean_ci_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(m + 1.96 * se, 4).alias("ci_hi")))
 
 
-@query("cumulative_user_growth", """
+@query("cumulative_user_growth", bound="user-grain", sql="""
 WITH firsts AS (
   SELECT user_id, min(ts::DATE) AS d FROM events GROUP BY user_id
 ), daily AS (

@@ -453,34 +453,30 @@ def test_single_partition_exchange_inputs_bounded(spark, sf_dir):
     ("SinglePartition inventory")."""
     from go_streams_spark.plans import release_tracked
     from go_streams_spark.plans.inspect import single_partition_exchange_rows
-    from go_streams_spark.queries import QUERIES, _t
+    from go_streams_spark.queries import BOUNDS, BOUND_CLASSES, QUERIES, _t
 
     shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
     ev = _t(spark, sf_dir, "events")
-    n_hours = (ev.select(F.date_trunc("hour", F.col("ts").cast("timestamp")))
-               .distinct().count())
-    n_users = ev.select("user_id").distinct().count()
-    n_cust = _t(spark, sf_dir, "customer").count()
-    n_months = (_t(spark, sf_dir, "orders")
-                .select(F.date_trunc("month", "o_orderdate"))
-                .distinct().count())
+    # numeric bound per DECLARED class — classes live on the @query
+    # registration (queries.BOUNDS); this sweep only prices them from
+    # the data, so a new grain-bounded query declares itself instead of
+    # hand-editing test code
+    class_bounds = {
+        "hour-grid": (ev.select(F.date_trunc(
+            "hour", F.col("ts").cast("timestamp"))).distinct().count()),
+        "month-grid": (_t(spark, sf_dir, "orders")
+                       .select(F.date_trunc("month", "o_orderdate"))
+                       .distinct().count()),
+        "customer-grain": _t(spark, sf_dir, "customer").count(),
+        "user-grain": ev.select("user_id").distinct().count(),
+    }
+    assert set(class_bounds) == set(BOUND_CLASSES), (
+        "sweep prices a different class set than queries.BOUND_CLASSES "
+        "declares — update both together")
     # default: scalar aggregates (1 row) and per-partition bookkeeping
     # (<= partitions rows); 2x headroom for AQE-split stages
     default_bound = max(64, 2 * shuf)
-    grain_bounds = {
-        # hour-grid series analytics (volume-independent by reduce-first)
-        "rolling_correlation_series": n_hours,
-        "hourly_peak_detection": n_hours,
-        # month grid
-        "mom_revenue_growth": n_months,
-        # customer-grain concentration stats (global rank over customers;
-        # 100 TB mitigation = histogram-sketch variants, see SCALE.md)
-        "revenue_gini_concentration": n_cust,
-        "rfm_segments": n_cust,
-        # user-grain deciles / cumulative series
-        "ltv_decile_profile": n_users,
-        "cumulative_user_growth": n_users,
-    }
+    grain_bounds = {name: class_bounds[cls] for name, cls in BOUNDS.items()}
 
     offenders = []
     with_single = []
@@ -507,7 +503,11 @@ def test_single_partition_exchange_inputs_bounded(spark, sf_dir):
         release_tracked()
     assert not offenders, (
         "fact-sized input reached a SinglePartition exchange "
-        "(query, rows_in, allowed): " + repr(offenders))
+        "(query, rows_in, allowed): " + repr(offenders) + "\n"
+        "If a query's global sort/rank is genuinely grain-bounded, "
+        "declare it at registration: @query(name, bound=<class>) with a "
+        "class from go_streams_spark.queries.BOUND_CLASSES — never "
+        "raise the default bound.")
 
 
 def test_nested_loop_joins_scalar_build_only(spark, sf_dir):
