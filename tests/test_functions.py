@@ -223,6 +223,80 @@ def test_multimodal_real_pil_decode(spark):
     assert np.allclose(feats[2], M._decode_stub(wav, "audio/wav", 16))
 
 
+def test_video_frame_sampler_selection():
+    """codec='stub' always byte-slices; codec='auto' picks PyAV only
+    when importable (not baked into this container) and falls back to
+    slicing otherwise — never raises at selection time."""
+    assert M._pick_frame_sampler("stub") is M._slice_frames
+    try:
+        import av  # noqa: F401
+        assert M._pick_frame_sampler("auto") is M._av_frames
+    except ImportError:
+        assert M._pick_frame_sampler("auto") is M._slice_frames
+
+
+def test_video_real_av_decode(spark):
+    """Real video decode path — runs wherever PyAV exists (any real
+    cluster video task; skipped in this codec-free container). A tiny
+    mp4 encoded in-memory round-trips through demux -> decode ->
+    grayscale raster frames via the same mapInPandas plumbing as the
+    stub, mixed with a non-video row that falls back to byte slicing."""
+    av = pytest.importorskip("av")
+    import io as _io
+
+    import numpy as np
+
+    buf = _io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = 16, 16
+        for i in range(6):
+            arr = np.full((16, 16, 3), i * 20, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(arr, format="rgb24")
+            for pkt in stream.encode(frame):
+                container.mux(pkt)
+        for pkt in stream.encode():
+            container.mux(pkt)
+    mp4 = buf.getvalue()
+    assert M._looks_like_video(mp4)
+    blob = b"not-a-video-" + b"\x07" * 100
+    df = spark.createDataFrame([(1, bytearray(mp4)), (2, bytearray(blob))],
+                               "doc_id long, media binary")
+    rows = M.sample_frames(df, frame_size=16, every_k=2, max_frames=3,
+                           codec="auto").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # video doc: every-2nd decoded frame, capped at 3, 16-byte rasters
+    assert [r["frame_idx"] for r in by_doc[1]] == [0, 2, 4]
+    assert all(len(bytes(r["frame"])) == 16 for r in by_doc[1])
+    # the decoded constant-gray frames brighten over time (i*20 ramp)
+    means = [np.frombuffer(bytes(r["frame"]), dtype=np.uint8).mean()
+             for r in sorted(by_doc[1], key=lambda r: r["frame_idx"])]
+    assert means[0] < means[1] < means[2]
+    # the non-video row is byte-identical to the stub slicing
+    expect = M._slice_frames(blob, 16, 2, 3)
+    got = [(r["frame_idx"], bytes(r["frame"]))
+           for r in sorted(by_doc[2], key=lambda r: r["frame_idx"])]
+    assert got == expect
+
+
+def test_video_forced_av_without_pyav_raises(spark):
+    """codec='av' is an explicit request for real decode: when PyAV is
+    missing the task must FAIL (eager import in _pick_frame_sampler),
+    not silently slice bytes. Runs only in PyAV-free environments like
+    this container."""
+    try:
+        import av  # noqa: F401
+        pytest.skip("PyAV present — the forced path decodes for real")
+    except ImportError:
+        pass
+    df = spark.createDataFrame([(1, bytearray(b"\x1aE\xdf\xa3" + b"\x00" * 64))],
+                               "doc_id long, media binary")
+    with pytest.raises(Exception, match="av|ImportError|ModuleNotFound"):
+        M.sample_frames(df, codec="av").collect()
+
+
 def test_connected_components_nonconvergence_is_loud(spark):
     """A path graph with diameter > max_iterations must NOT silently
     return partial (wrong) components: default raises, 'warn' warns and
