@@ -7,7 +7,8 @@ from .io import (file_stream_source, rate_source, memory_sink, console_sink,
                  noop_sink, foreach_batch_sink, with_bounded_retry)
 from .stateful import (running_fold_stream, global_fold_stream,
                        count_or_time_batch_stream, running_sum_stream_tws,
-                       heavy_hitters_stream)
+                       heavy_hitters_stream, heavy_hitters_stream_tws,
+                       count_or_time_batch_stream_tws)
 from .incremental_dedup import (incremental_near_dup_sink,
                                 near_dup_filter_batch, batch_band_keys)
 
@@ -16,6 +17,7 @@ __all__ = [
     "file_stream_source", "rate_source", "memory_sink", "console_sink",
     "noop_sink", "foreach_batch_sink", "with_bounded_retry",
     "running_fold_stream", "global_fold_stream", "count_or_time_batch_stream",
-    "heavy_hitters_stream",
+    "heavy_hitters_stream", "heavy_hitters_stream_tws",
+    "count_or_time_batch_stream_tws",
     "incremental_near_dup_sink", "near_dup_filter_batch", "batch_band_keys",
 ]

@@ -211,9 +211,7 @@ def heavy_hitters_stream(df: DataFrame, *, item_col: str,
     """
     if capacity < 1 or num_buckets < 1:
         raise ValueError("capacity and num_buckets must be >= 1")
-    bucket = F.pmod(F.xxhash64(F.col(item_col)), F.lit(num_buckets)) \
-        .cast("int").alias("__hh_bucket")
-    keyed = df.select(bucket, F.col(item_col).cast("string").alias("__item"))
+    keyed = _hh_keyed(df, item_col, num_buckets)
 
     def _update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if state.exists:
@@ -221,27 +219,12 @@ def heavy_hitters_stream(df: DataFrame, *, item_col: str,
             track = {i: [c, e] for i, c, e in zip(items, counts, errors)}
         else:
             track = {}
-        for pdf in pdfs:
-            for item, c in pdf["__item"].value_counts().items():
-                c = int(c)
-                if item in track:
-                    track[item][0] += c
-                elif len(track) < capacity:
-                    track[item] = [c, 0]
-                else:
-                    evict = min(track, key=lambda t: (track[t][0], t))
-                    floor = track.pop(evict)[0]
-                    track[item] = [floor + c, floor]
+        _spacesaving_ingest(track, pdfs, capacity)
         items = sorted(track)
         state.update((items,
                       [track[i][0] for i in items],
                       [track[i][1] for i in items]))
-        yield pd.DataFrame({
-            "bucket": [key[0]] * len(items),
-            "item": items,
-            "cnt": [track[i][0] for i in items],
-            "err": [track[i][1] for i in items],
-        })
+        yield _hh_frame(key[0], track)
 
     return (keyed.groupBy("__hh_bucket")
             .applyInPandasWithState(
@@ -249,3 +232,161 @@ def heavy_hitters_stream(df: DataFrame, *, item_col: str,
                 "bucket int, item string, cnt long, err long",
                 "items array<string>, counts array<long>, errors array<long>",
                 output_mode, GroupStateTimeout.NoTimeout))
+
+
+def _hh_keyed(df: DataFrame, item_col: str, num_buckets: int) -> DataFrame:
+    bucket = F.pmod(F.xxhash64(F.col(item_col)), F.lit(num_buckets)) \
+        .cast("int").alias("__hh_bucket")
+    return df.select(bucket, F.col(item_col).cast("string").alias("__item"))
+
+
+def _spacesaving_ingest(track: dict, pdfs, capacity: int) -> None:
+    """The classic SpaceSaving update over a micro-batch's per-item
+    counts — shared verbatim by the legacy and transformWithState
+    implementations so their emissions are bit-identical."""
+    for pdf in pdfs:
+        for item, c in pdf["__item"].value_counts().items():
+            c = int(c)
+            if item in track:
+                track[item][0] += c
+            elif len(track) < capacity:
+                track[item] = [c, 0]
+            else:
+                evict = min(track, key=lambda t: (track[t][0], t))
+                floor = track.pop(evict)[0]
+                track[item] = [floor + c, floor]
+
+
+def _hh_frame(bucket_key, track: dict) -> pd.DataFrame:
+    items = sorted(track)
+    return pd.DataFrame({
+        "bucket": [bucket_key] * len(items),
+        "item": items,
+        "cnt": [track[i][0] for i in items],
+        "err": [track[i][1] for i in items],
+    })
+
+
+def heavy_hitters_stream_tws(df: DataFrame, *, item_col: str,
+                             capacity: int = 16,
+                             num_buckets: int = 8) -> DataFrame:
+    """``heavy_hitters_stream`` on the ``transformWithStateInPandas``
+    API (Spark 4 arbitrary-state processor) — same bucket sharding, same
+    SpaceSaving kernel (``_spacesaving_ingest``, shared), same
+    (bucket, item, cnt, err) emissions, so the engine's stateful ops are
+    not pinned to the legacy ``applyInPandasWithState`` protocol. State
+    is one named ValueState of (items, counts, errors) arrays — bounded
+    at ``capacity`` counters per bucket forever. Requires the RocksDB
+    state store provider and google.protobuf in the Python worker
+    (standard cluster images; the parity test import-skips without it).
+    """
+    if capacity < 1 or num_buckets < 1:
+        raise ValueError("capacity and num_buckets must be >= 1")
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    keyed = _hh_keyed(df, item_col, num_buckets)
+
+    class SpaceSaving(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._track = handle.getValueState(
+                "track",
+                "items array<string>, counts array<long>, errors array<long>")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._track.exists():
+                items, counts, errors = self._track.get()
+                track = {i: [c, e]
+                         for i, c, e in zip(items, counts, errors)}
+            else:
+                track = {}
+            _spacesaving_ingest(track, rows, capacity)
+            items = sorted(track)
+            self._track.update((items,
+                                [track[i][0] for i in items],
+                                [track[i][1] for i in items]))
+            yield _hh_frame(key[0], track)
+
+        def close(self) -> None:
+            pass
+
+    return (keyed.groupBy("__hh_bucket")
+            .transformWithStateInPandas(
+                statefulProcessor=SpaceSaving(),
+                outputStructType="bucket int, item string, cnt long, err long",
+                outputMode="Update",
+                timeMode="None"))
+
+
+def count_or_time_batch_stream_tws(df: DataFrame, *, key_cols: list[str],
+                                   value_col: str, max_size: int,
+                                   interval_ms: int,
+                                   output_schema: str) -> DataFrame:
+    """``count_or_time_batch_stream`` on ``transformWithStateInPandas``:
+    size-flushes in ``handleInputRows``, the residual-buffer time-flush
+    via a REAL named timer (``registerTimer`` / ``handleExpiredTimer``
+    — the tws timer API replacing the legacy single
+    ``setTimeoutDuration`` slot). A size-flush deletes and re-registers
+    the pending timer, reproducing the reference's timer reset on
+    size-flush (flow/batch.go:92-96). Emissions match the legacy
+    operator: (key..., batch array, batch_size, reason).
+
+    Run with a ``processingTime`` trigger and stop explicitly (same
+    AvailableNow caveat as the legacy operator: pending processing-time
+    work keeps the drain loop alive). Requires RocksDB state store +
+    google.protobuf (parity test import-skips without them).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class Batcher(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._buf = handle.getValueState("buf", "buf array<double>")
+
+        def _frame(self, key, batches):
+            return pd.DataFrame({
+                **{k: [key[i]] * len(batches)
+                   for i, k in enumerate(key_cols)},
+                "batch": [b for b, _ in batches],
+                "batch_size": [len(b) for b, _ in batches],
+                "reason": [r for _, r in batches],
+            })
+
+        def handleInputRows(self, key, rows, timerValues):
+            buf = list(self._buf.get()[0]) if self._buf.exists() else []
+            out = []
+            for pdf in rows:
+                for v in pdf[value_col]:
+                    buf.append(float(v))
+                    if len(buf) >= max_size:
+                        out.append((buf, "size"))
+                        buf = []
+            # single pending timer for the residual buffer: clear any
+            # previous one (timer reset on size-flush), re-arm if needed
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            if buf:
+                self._buf.update((buf,))
+                self._handle.registerTimer(
+                    timerValues.getCurrentProcessingTimeInMs() + interval_ms)
+            else:
+                self._buf.clear()
+            if out:
+                yield self._frame(key, out)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            buf = list(self._buf.get()[0]) if self._buf.exists() else []
+            self._buf.clear()
+            if buf:
+                yield self._frame(key, [(buf, "time")])
+
+        def close(self) -> None:
+            pass
+
+    return (df.groupBy(*key_cols)
+            .transformWithStateInPandas(
+                statefulProcessor=Batcher(),
+                outputStructType=output_schema,
+                outputMode="Append",
+                timeMode="ProcessingTime"))

@@ -180,3 +180,121 @@ def test_idempotent_parquet_sink_replay_safe(spark, tmp_path):
     final = spark.read.parquet(out)
     assert sorted((r["k"], r["v"]) for r in final.collect()) == [
         ("a", 1), ("b", 2), ("c", 3)]  # no duplicates after replay
+
+
+def _rocksdb(spark):
+    """Context manager: force the RocksDB state store provider (required
+    by transformWithStateInPandas), restoring the prior provider."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def cm():
+        provider = ("org.apache.spark.sql.execution.streaming."
+                    "state.RocksDBStateStoreProvider")
+        key = "spark.sql.streaming.stateStore.providerClass"
+        old = spark.conf.get(key, None)
+        spark.conf.set(key, provider)
+        try:
+            yield
+        finally:
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+    return cm()
+
+
+def _final_hh_state(by_batch: dict) -> dict:
+    """Reconstruct final per-(bucket, item) counters from update-mode
+    emissions: each invocation emits a bucket's FULL tracked set, so a
+    bucket's rows in the LAST batch that touched it supersede earlier
+    emissions wholesale."""
+    final = {}
+    for bid in sorted(by_batch):
+        per_bucket_rows = {}
+        for r in by_batch[bid]:
+            per_bucket_rows.setdefault(r["bucket"], []).append(r)
+        for b, rows in per_bucket_rows.items():
+            final = {k: v for k, v in final.items() if k[0] != b}
+            for r in rows:
+                final[(b, r["item"])] = (r["cnt"], r["err"])
+    return final
+
+
+def test_tws_heavy_hitters_parity(spark, tmp_path):
+    """heavy_hitters_stream_tws (transformWithStateInPandas) must emit
+    counters BIT-IDENTICAL to the legacy applyInPandasWithState operator
+    on the same multi-batch skewed stream — same bucket sharding, same
+    shared SpaceSaving kernel, different state protocol. Skipped where
+    google.protobuf (the tws state-server dependency) is absent."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from go_streams_spark.streaming import (
+        heavy_hitters_stream, heavy_hitters_stream_tws)
+
+    src = str(tmp_path / "src")
+    for b in range(3):
+        items = []
+        for h in range(3):
+            items += [f"h{h}"] * (40 - 10 * h)
+        items += [f"t{b}_{j}" for j in range(30)]
+        spark.createDataFrame([(x,) for x in items], "item string") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    def run(op, cp, **kw):
+        stream = (spark.readStream.schema("item string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = op(stream, item_col="item", capacity=8, num_buckets=4, **kw)
+        by_batch: dict[int, list] = {}
+        q = (out.writeStream
+             .foreachBatch(lambda df, bid: by_batch.__setitem__(
+                 bid, df.collect()))
+             .outputMode("update")
+             .option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return _final_hh_state(by_batch)
+
+    legacy = run(heavy_hitters_stream, str(tmp_path / "cp_legacy"))
+    with _rocksdb(spark):
+        tws = run(heavy_hitters_stream_tws, str(tmp_path / "cp_tws"))
+    assert tws == legacy
+    assert len(tws) > 0
+
+
+def test_tws_count_or_time_batch_flushes(spark, tmp_path):
+    """count_or_time_batch_stream_tws: size-flushes from
+    handleInputRows, residual flushed by a REAL tws timer
+    (registerTimer -> handleExpiredTimer) — the same emissions the
+    legacy operator produces for this input (3 size-batches of 3 plus a
+    1-element time-batch covering all 10 values). Skipped without
+    google.protobuf."""
+    import time
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from go_streams_spark.streaming import count_or_time_batch_stream_tws
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame([(1, float(i)) for i in range(10)],
+                          "k int, value double") \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("k int, value double").parquet(src))
+    out = count_or_time_batch_stream_tws(
+        stream, key_cols=["k"], value_col="value", max_size=3,
+        interval_ms=3000,
+        output_schema="k int, batch array<double>, batch_size int, reason string")
+    name = _mem()
+    with _rocksdb(spark):
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "cp"))
+             .start())
+        deadline = time.time() + 90
+        while time.time() < deadline and spark.table(name).count() < 4:
+            time.sleep(1)
+        q.stop()
+    got = spark.table(name).collect()
+    assert len(got) == 4
+    sizes = sorted((r["batch_size"], r["reason"]) for r in got)
+    assert sizes == [(1, "time"), (3, "size"), (3, "size"), (3, "size")]
+    flat = sorted(v for r in got for v in r["batch"])
+    assert flat == [float(i) for i in range(10)]
