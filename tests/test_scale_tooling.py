@@ -1,0 +1,105 @@
+"""tools/scale_testdata.py — the derived-data generator behind the
+measured-scaling table in SCALE.md. Guards the invariants the
+measurement's validity rests on: exact row multiples, per-copy FK
+integrity (join selectivity preserved), linear (not quadratic)
+duplicate-structure growth for documents, and norm/cosine-preserving
+embedding rotation."""
+
+import sys
+import os
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+SRC = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def scaled(tmp_path_factory):
+    from scale_testdata import scale_dir
+    dst = str(tmp_path_factory.mktemp("scaled") / "x2")
+    scale_dir(SRC, dst, 2)
+    return dst
+
+
+def test_row_multiples_and_fixed_dims(scaled):
+    con = duckdb.connect()
+    for t in ["customer", "supplier", "part", "orders", "lineitem",
+              "events", "documents", "embeddings"]:
+        n_src = con.execute(
+            f"SELECT count(*) FROM '{SRC}/{t}.parquet'").fetchone()[0]
+        n_dst = con.execute(
+            f"SELECT count(*) FROM '{scaled}/{t}.parquet'").fetchone()[0]
+        assert n_dst == 2 * n_src, t
+    for t in ["region", "nation"]:  # fixed dims at every scale factor
+        n_src = con.execute(
+            f"SELECT count(*) FROM '{SRC}/{t}.parquet'").fetchone()[0]
+        n_dst = con.execute(
+            f"SELECT count(*) FROM '{scaled}/{t}.parquet'").fetchone()[0]
+        assert n_dst == n_src, t
+
+
+def test_fk_integrity_preserved(scaled):
+    """Every scaled fact row still joins a scaled dim row — the copies
+    reference each other, never dangle, so join selectivities match the
+    source distribution."""
+    con = duckdb.connect()
+    dangling = con.execute(f"""
+        SELECT count(*) FROM '{scaled}/orders.parquet' o
+        LEFT JOIN '{scaled}/customer.parquet' c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL""").fetchone()[0]
+    assert dangling == 0
+    dangling = con.execute(f"""
+        SELECT count(*) FROM '{scaled}/lineitem.parquet' l
+        LEFT JOIN '{scaled}/orders.parquet' o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderkey IS NULL""").fetchone()[0]
+    assert dangling == 0
+    # keys are globally unique after shifting
+    for t, k in [("customer", "c_custkey"), ("orders", "o_orderkey"),
+                 ("documents", "doc_id"), ("embeddings", "vec_id")]:
+        n, d = con.execute(
+            f"SELECT count(*), count(DISTINCT {k}) "
+            f"FROM '{scaled}/{t}.parquet'").fetchone()
+        assert n == d, t
+
+
+def test_document_duplicate_structure_scales_linearly(scaled):
+    """The copy perturbation must NOT create cross-copy duplicates (a
+    verbatim copy would give every doc a twin -> quadratic near-dup pair
+    growth); within each copy the source's exact-dup group structure is
+    reproduced, so distinct-text count exactly doubles."""
+    con = duckdb.connect()
+    d_src = con.execute(
+        f"SELECT count(DISTINCT text) FROM '{SRC}/documents.parquet'"
+    ).fetchone()[0]
+    d_dst = con.execute(
+        f"SELECT count(DISTINCT text) FROM '{scaled}/documents.parquet'"
+    ).fetchone()[0]
+    assert d_dst == 2 * d_src
+    # n_chars recomputed for perturbed copies
+    bad = con.execute(
+        f"SELECT count(*) FROM '{scaled}/documents.parquet' "
+        f"WHERE n_chars != length(text)").fetchone()[0]
+    assert bad == 0
+
+
+def test_embedding_rotation_preserves_norms(scaled):
+    """Copy i rotates dimensions: norms identical to the source vector,
+    so intra-copy cosine structure (what kNN/near-dup queries measure)
+    is bit-preserved while copies decorrelate."""
+    con = duckdb.connect()
+    n_src = con.execute(
+        f"SELECT count(*) FROM '{SRC}/embeddings.parquet'").fetchone()[0]
+    rows = con.execute(f"""
+        WITH s AS (SELECT vec_id, embedding FROM '{SRC}/embeddings.parquet'),
+             d AS (SELECT vec_id - {n_src} AS vec_id, embedding
+                   FROM '{scaled}/embeddings.parquet'
+                   WHERE vec_id >= {n_src})
+        SELECT s.embedding AS a, d.embedding AS b
+        FROM s JOIN d USING (vec_id) LIMIT 50""").fetchall()
+    assert rows
+    for a, b in rows:
+        assert sorted(a) == sorted(b)  # rotation: same multiset
+        assert a != b or all(x == a[0] for x in a)  # actually rotated
