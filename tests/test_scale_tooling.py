@@ -83,6 +83,17 @@ def test_document_duplicate_structure_scales_linearly(scaled):
         f"SELECT count(*) FROM '{scaled}/documents.parquet' "
         f"WHERE n_chars != length(text)").fetchone()[0]
     assert bad == 0
+    # name columns too: distinct names double (verbatim copies would
+    # collapse under the fuzzy-match queries' distinct())
+    for t, c in [("part", "p_name"), ("customer", "c_name"),
+                 ("supplier", "s_name")]:
+        d_src = con.execute(
+            f"SELECT count(DISTINCT {c}) FROM '{SRC}/{t}.parquet'"
+        ).fetchone()[0]
+        d_dst = con.execute(
+            f"SELECT count(DISTINCT {c}) FROM '{scaled}/{t}.parquet'"
+        ).fetchone()[0]
+        assert d_dst == 2 * d_src, t
 
 
 def test_embedding_rotation_preserves_norms(scaled):

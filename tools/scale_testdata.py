@@ -27,6 +27,16 @@ Two tables need more than a key shift to stay representative:
   positions. Rotation preserves norms and every intra-copy cosine
   (near-dup/kNN structure identical per copy) while cross-copy cosines
   decorrelate, again scaling neighbor structure linearly.
+- ``part``/``customer``/``supplier`` name columns get the same
+  per-token suffix as documents: verbatim name copies would either
+  collapse under the fuzzy-match queries' ``.distinct()`` (zero growth)
+  or, once distinct, form 10-way identical-name cliques (quadratic
+  match growth). Suffixed copies keep intra-copy edit distances exactly
+  (suffixes align token-wise) and put each copy in DISJOINT blocking
+  buckets — distinct names and block COUNT grow 10x with block sizes
+  constant. Note the real fixed-vocabulary regime grows block SIZE
+  instead (quadratic pair work) — that regime is called out separately
+  in SCALE.md's entity-resolution notes.
 
 ``region``/``nation`` are fixed dimensions at every TPC-H scale factor
 and are copied verbatim. ``events`` keeps its time range (event RATE
@@ -48,13 +58,13 @@ import duckdb
 TABLES = [
     ("region", [], None),
     ("nation", [], None),
-    ("customer", ["c_custkey"], None),
-    ("supplier", ["s_suppkey"], None),
-    ("part", ["p_partkey"], None),
+    ("customer", ["c_custkey"], "perturb:c_name"),
+    ("supplier", ["s_suppkey"], "perturb:s_name"),
+    ("part", ["p_partkey"], "perturb:p_name"),
     ("orders", ["o_orderkey", "o_custkey"], None),
     ("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"], None),
     ("events", ["event_id", "user_id"], None),
-    ("documents", ["doc_id"], "perturb_text"),
+    ("documents", ["doc_id"], "perturb:text"),
     ("embeddings", ["vec_id"], "rotate_vec"),
 ]
 
@@ -90,17 +100,20 @@ def scale_dir(src: str, dst: str, factor: int) -> None:
             f"DESCRIBE SELECT * FROM '{src_pq}'").fetchall()]
         selects = []
         for i in range(factor if keys else 1):
+            perturb_col = (extra.split(":", 1)[1]
+                           if extra and extra.startswith("perturb:") else None)
             proj = []
             for c in cols:
                 if c in keys and i:
                     proj.append(f"{c} + {i * maxes[c]} AS {c}")
-                elif extra == "perturb_text" and c == "text" and i:
-                    # suffix every token: all shingles change, intra-copy
-                    # duplicate structure preserved (see module docstring)
+                elif c == perturb_col and i:
+                    # suffix every token: all shingles/blocks change, so
+                    # copies are unrelated while intra-copy duplicate and
+                    # edit-distance structure is preserved (docstring)
                     proj.append(
-                        r"regexp_replace(text, '(\S+)', "
-                        f"'\\1~{i}', 'g') AS text")
-                elif extra == "perturb_text" and c == "n_chars" and i:
+                        rf"regexp_replace({c}, '(\S+)', "
+                        f"'\\1~{i}', 'g') AS {c}")
+                elif perturb_col == "text" and c == "n_chars" and i:
                     proj.append(
                         r"length(regexp_replace(text, '(\S+)', "
                         f"'\\1~{i}', 'g')) AS n_chars")
