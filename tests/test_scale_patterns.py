@@ -570,3 +570,43 @@ def test_compact_parquet_small_files(spark, tmpdir, sf_dir):
     ev.limit(200).write.partitionBy("event_type").mode("overwrite")         .parquet(psrc)
     pstats = parquet_size_stats(spark, psrc)
     assert pstats["files"] > 0 and pstats["bytes"] > 0
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Catalyst's InjectRuntimeFilter prunes the FACT scan with a bloom
+    filter built from a selective dim's join keys — the 100 TB runtime
+    semi-join-reduction path (SCALE.md "Runtime filters"). The
+    application-side threshold (default 10 GB scanned) is sized for
+    clusters, so the optimization is invisible at bench scale; lowering
+    it locally must inject bloom_filter_agg on the dim side and
+    might_contain into the fact scan's filter, with results identical
+    to the unfiltered plan."""
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    from go_streams_spark.queries import _t
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") < 5)
+
+    def join_df():
+        return (li.join(part, li.l_partkey == part.p_partkey)
+                .select("l_orderkey", "l_partkey", "p_name"))
+
+    baseline = join_df().count()
+    scan_key = ("spark.sql.optimizer.runtime.bloomFilter."
+                "applicationSideScanSizeThreshold")
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_scan = spark.conf.get(scan_key)
+    old_bcast = spark.conf.get(bcast_key)
+    # runtime filters target non-broadcast joins (a broadcast join
+    # already prunes build-side misses at probe time)
+    spark.conf.set(scan_key, "0")
+    spark.conf.set(bcast_key, "-1")
+    try:
+        df = join_df()
+        plan = explain_str(df, "formatted")
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        assert df.count() == baseline  # pruning is purely advisory
+    finally:
+        spark.conf.set(scan_key, old_scan)
+        spark.conf.set(bcast_key, old_bcast)
