@@ -61,6 +61,20 @@ def brute_force_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "em
                     "sim", "rank"))
 
 
+def auto_nbits(n: int, dim: int, target_bucket: int = 8) -> int:
+    """Data-adaptive sign-LSH width: the smallest bit count whose
+    2^nbits buckets keep EXPECTED occupancy <= ``target_bucket`` — i.e.
+    the knob that holds per-bucket pair work CONSTANT as the corpus
+    grows (fixed nbits makes occupancy grow linearly and within-bucket
+    candidate pairs quadratically; measured exponent 1.93 at 10x data
+    before this, SCALE.md §16). Pure-integer formula (bit_length of the
+    ceil-divided bucket demand) so a SQL oracle reproduces it without
+    float-rounding hazards; floor of 8 bits, cap at the vector dim (a
+    sign bit per dimension is all there is) and 62 (BIGINT-safe)."""
+    m = (n + target_bucket - 1) // target_bucket
+    return min(62, dim, max(8, (m - 1).bit_length()))
+
+
 def sign_bucket(vec: Column | str, nbits: int = 8) -> Column:
     """LSH bucket key: packed sign bits of the first ``nbits`` dims.
 
@@ -78,8 +92,8 @@ def sign_bucket(vec: Column | str, nbits: int = 8) -> Column:
 
 
 def sign_lsh_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
-                 k: int = 3, nbits: int = 8, round_dp: int = 6,
-                 multi_probe: int = 0) -> DataFrame:
+                 k: int = 3, nbits: int | str = 8, round_dp: int = 6,
+                 multi_probe: int = 0, target_bucket: int = 8) -> DataFrame:
     """Approximate top-k: exact cosine ranking within each sign-bucket.
 
     The join is an equi-join on the bucket key — shuffle-partitioned,
@@ -90,7 +104,18 @@ def sign_lsh_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embed
     join stays an equi-join and candidate volume grows by at most
     (nbits+1)x, never towards N^2. A (query, member) pair still meets
     at most once because the member side keeps its single true bucket.
+
+    ``nbits="auto"`` sizes the bucket space from the data
+    (``auto_nbits``: expected occupancy <= ``target_bucket``) so the
+    per-bucket pair work stays constant as the corpus grows — with a
+    FIXED nbits, candidate volume is N^2/2^nbits, i.e. still quadratic.
+    The count/dim lookup is scalar index metadata (two tiny jobs at
+    build time, same decision class as the IVF codebook collect).
     """
+    if nbits == "auto":
+        n = df.count()
+        dim = df.select(F.min(F.size(vec_col))).first()[0] or 0
+        nbits = auto_nbits(max(n, 1), max(dim, 1), target_bucket)
     base = df.select(F.col(id_col), as_double(vec_col).alias("v"),
                      sign_bucket(vec_col, nbits).alias("bucket"))
     if multi_probe:
@@ -376,8 +401,21 @@ def brute_force_knn_matmul(df: DataFrame, *, id_col: str = "vec_id",
         _knn, schema=f"{id_col} long, neighbor_id long, sim double, rank int")
 
 
+def auto_nlist(n: int) -> int:
+    """Data-adaptive IVF list count: the classic nlist ~ 4*sqrt(N) rule
+    (FAISS guideline). With nlist FIXED, inverted-list length grows
+    linearly and the per-list re-rank goes quadratic (measured exponent
+    1.63 at 10x data, SCALE.md §16); nlist ~ sqrt(N) bounds total
+    re-rank work at O(N^1.5) for fixed nprobe — the standard IVF
+    operating point (going flatter needs hierarchical routing / PQ,
+    out of scope). floor(4*sqrt(n)) is reproducible in SQL: sqrt of an
+    integer is exactly rounded IEEE, 4* is exact, floor matches."""
+    import math
+    return max(16, math.floor(4 * math.sqrt(max(n, 1))))
+
+
 def ivf_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
-            k: int = 3, nlist: int = 16, nprobe: int = 4,
+            k: int = 3, nlist: int | str = 16, nprobe: int = 4,
             round_dp: int = 6, codebook=None) -> DataFrame:
     """IVF (inverted-file) approximate top-k — the cluster-at-scale path.
 
@@ -407,6 +445,9 @@ def ivf_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
     import pandas as pd
 
     base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    if nlist == "auto":
+        # scalar index metadata, like the codebook collect below
+        nlist = auto_nlist(df.count())
     if codebook is not None:
         c_mat = np.asarray(codebook, dtype=np.float64)  # e.g. train_codebook()
     else:

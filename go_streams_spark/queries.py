@@ -850,19 +850,18 @@ def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("ann_sign_lsh", """
-WITH v AS (
+WITH cfg AS (
+  SELECT least(62, min(len(embedding)),
+               greatest(8, length(bin((count(*) + 7) // 8 - 1))))::INT AS nbits
+  FROM embeddings
+), v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
 ), bv AS (
   SELECT vec_id, v,
-         (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END
-        + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
-        + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END
-        + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END
-        + CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END
-        + CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END
-        + CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END
-        + CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END)::BIGINT AS bucket
-  FROM v
+         list_sum(list_transform(range(0, nbits),
+           i -> CASE WHEN v[i + 1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)
+         )::BIGINT AS bucket
+  FROM v CROSS JOIN cfg
 ), pairs AS (
   SELECT a.vec_id AS id_a, a.bucket, b.vec_id AS id_b,
          round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
@@ -877,9 +876,13 @@ WHERE rank <= 3
 """)
 def ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN (sign-LSH): equi-join on the bucket key instead of a
-    cross join — the plan shape that survives 100 TB."""
+    cross join — the plan shape that survives 100 TB. nbits='auto'
+    (integer formula mirrored in the cfg CTE) grows the bucket space
+    with the corpus so expected occupancy — and with it per-bucket pair
+    work — stays constant; a fixed nbits was measured at exponent 1.57
+    on 10x data (SCALE.md §16)."""
     emb = _t(spark, sf_dir, "embeddings")
-    out = S.sign_lsh_knn(emb, k=3, nbits=8)
+    out = S.sign_lsh_knn(emb, k=3, nbits="auto")
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
@@ -2569,10 +2572,13 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("ann_ivf_knn", """
-WITH v AS (
+WITH cfg AS (
+  SELECT greatest(16, floor(4 * sqrt(count(*)))::BIGINT) AS nlist
+  FROM embeddings
+), v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
 ), c AS (
-  SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 16
+  SELECT vec_id AS cid, v AS cv FROM v CROSS JOIN cfg WHERE vec_id < nlist
 ), csims AS (
   SELECT v.vec_id, c.cid, v.v,
          round(list_sum(list_transform(list_zip(v.v, c.cv), p -> p[1] * p[2]))
@@ -2606,10 +2612,13 @@ def ann_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-nprobe probing, per-list exact re-rank (functions/similarity.py
     ::ivf_knn). The 100 TB plan: one broadcast join against the codebook
     builds inverted lists AND probe lists in a single pass; candidate
-    generation is an equi-join on the list id."""
+    generation is an equi-join on the list id. nlist='auto' follows the
+    FAISS nlist ~ 4*sqrt(N) rule (mirrored in the cfg CTE) so inverted
+    lists stay sqrt-sized — a fixed nlist was measured at exponent 1.63
+    on 10x data (SCALE.md §16)."""
     from .functions.similarity import ivf_knn
     emb = _t(spark, sf_dir, "embeddings")
-    return ivf_knn(emb, k=3, nlist=16, nprobe=4)
+    return ivf_knn(emb, k=3, nlist="auto", nprobe=4)
 
 
 @query("tfidf_top_terms", """
@@ -6017,24 +6026,22 @@ def semdedup_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("ann_sign_lsh_multiprobe", """
-WITH v AS (
+WITH cfg AS (
+  SELECT least(62, min(len(embedding)),
+               greatest(8, length(bin((count(*) + 7) // 8 - 1))))::INT AS nbits
+  FROM embeddings
+), v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
 ), bv AS (
-  SELECT vec_id, v,
-         (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END
-        + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
-        + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END
-        + CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END
-        + CASE WHEN v[5] >= 0 THEN 16 ELSE 0 END
-        + CASE WHEN v[6] >= 0 THEN 32 ELSE 0 END
-        + CASE WHEN v[7] >= 0 THEN 64 ELSE 0 END
-        + CASE WHEN v[8] >= 0 THEN 128 ELSE 0 END)::BIGINT AS bucket
-  FROM v
+  SELECT vec_id, v, nbits,
+         list_sum(list_transform(range(0, nbits),
+           i -> CASE WHEN v[i + 1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)
+         )::BIGINT AS bucket
+  FROM v CROSS JOIN cfg
 ), probes AS (
   SELECT vec_id, v,
-         unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4),
-                 xor(bucket, 8), xor(bucket, 16), xor(bucket, 32),
-                 xor(bucket, 64), xor(bucket, 128)]) AS bucket
+         unnest(list_prepend(bucket, list_transform(range(0, nbits),
+                i -> xor(bucket, (1::BIGINT << i))))) AS bucket
   FROM bv
 ), pairs AS (
   SELECT a.vec_id AS id_a, b.bucket, b.vec_id AS id_b,
@@ -6050,12 +6057,14 @@ WHERE rank <= 3
 """)
 def ann_sign_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe sign-LSH ANN: queries probe their own bucket plus
-    every Hamming-1 neighbor (9 probes at nbits=8) — the standard
-    recall knob that keeps the equi-join plan while bounding extra
-    candidate volume to (nbits+1)x. Recall uplift over single-probe is
-    pinned by tests/test_functions.py::test_sign_lsh_multiprobe_recall."""
+    every Hamming-1 neighbor (nbits+1 probes) — the standard recall
+    knob that keeps the equi-join plan while bounding extra candidate
+    volume to (nbits+1)x. Recall uplift over single-probe is pinned by
+    tests/test_functions.py::test_sign_lsh_multiprobe_recall.
+    nbits='auto' holds bucket occupancy constant as the corpus grows
+    (fixed nbits measured at exponent 1.93 on 10x data, SCALE.md §16)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.sign_lsh_knn(emb, k=3, nbits=8, multi_probe=1)
+    return S.sign_lsh_knn(emb, k=3, nbits="auto", multi_probe=1)
 
 
 @query("cube_status_flag_metrics", """
