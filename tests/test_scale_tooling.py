@@ -114,3 +114,24 @@ def test_embedding_rotation_preserves_norms(scaled):
     for a, b in rows:
         assert sorted(a) == sorted(b)  # rotation: same multiset
         assert a != b or all(x == a[0] for x in a)  # actually rotated
+
+
+def test_adaptive_ann_formulas_match_sql_exactly():
+    """auto_nbits / auto_nlist must agree with their SQL mirrors (the
+    cfg CTEs in ann_sign_lsh / ann_ivf_knn oracles) at EVERY corpus
+    size, not just the gate SFs — integer bit_length vs length(bin()),
+    and floor(4*sqrt(n)) across engines. Sweeps sizes around every
+    power-of-two and power-of-ten boundary where rounding could split."""
+    from go_streams_spark.functions.similarity import auto_nbits, auto_nlist
+
+    con = duckdb.connect()
+    sizes = sorted({n + d for n in [1, 8, 64, 500, 2000, 20000, 10**6, 10**9]
+                    for d in (-1, 0, 1) if n + d >= 1}
+                   | {2**k + d for k in range(3, 31) for d in (-1, 0, 1)}
+                   | {8 * 2**k for k in range(3, 28)})
+    for n in sizes:
+        sql_bits, sql_list = con.execute(f"""
+            SELECT least(62, 64, greatest(8, length(bin(({n} + 7) // 8 - 1))))::INT,
+                   greatest(16, floor(4 * sqrt({n})))::BIGINT""").fetchone()
+        assert auto_nbits(n, 64) == sql_bits, n
+        assert auto_nlist(n) == sql_list, n
