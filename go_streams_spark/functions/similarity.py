@@ -113,9 +113,10 @@ def sign_lsh_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embed
     build time, same decision class as the IVF codebook collect).
     """
     if nbits == "auto":
-        n = df.count()
-        dim = df.select(F.min(F.size(vec_col))).first()[0] or 0
-        nbits = auto_nbits(max(n, 1), max(dim, 1), target_bucket)
+        # one scalar job for both stats (count + min dim)
+        n, dim = df.select(F.count(F.lit(1)),
+                           F.min(F.size(vec_col))).first()
+        nbits = auto_nbits(max(n or 0, 1), max(dim or 0, 1), target_bucket)
     base = df.select(F.col(id_col), as_double(vec_col).alias("v"),
                      sign_bucket(vec_col, nbits).alias("bucket"))
     if multi_probe:
