@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "stratified_split_docs",
     "trending_topk_users",
     "part_pair_cooccurrence",
+    "triangle_count_parts",
     "pagerank_part_graph",
     "pagerank_part_graph_shuffle",
     "scd2_user_state_history",

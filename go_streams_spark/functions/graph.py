@@ -124,3 +124,55 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     return pr.select("node",
                      F.round(F.col("pr") / F.lit(float(PAGERANK_SCALE)),
                              round_dp).alias("pr"))
+
+
+def triangle_count(edges: DataFrame, *, src: str = "src",
+                   dst: str = "dst") -> DataFrame:
+    """Exact triangle + wedge count with DEGREE-ORDERED orientation —
+    the standard trick that makes distributed triangle enumeration
+    O(m^1.5) instead of O(sum deg^2):
+
+      1. canonicalize to undirected distinct edges (a < b, no loops);
+      2. orient every edge from its lower-(degree, id) endpoint to the
+         higher one — a DAG under the total order (deg, id), where
+         every node's OUT-degree is O(sqrt(m)) (a node with out-degree
+         t has t neighbors of degree >= its own >= t, so t^2 <= 2m);
+      3. wedges: self-join oriented edges on the tail u, ordered
+         (x before y under the same total order) so each wedge builds
+         once — sum of out-deg^2 <= m * sqrt(2m) rows, the bound a
+         naive (unoriented) neighbor join does not have: a single
+         high-degree hub (every catalog has one) makes the naive wedge
+         set quadratic in its degree, while orientation caps it;
+      4. close: equi-join wedges against oriented edges on (x, y) —
+         the closing edge is always oriented x -> y because the order
+         is total and consistent across steps.
+
+    All equi-joins and hash aggregations — no driver state, no
+    cartesian. Returns ONE row: (triangles, wedges) — wedge count is
+    the denominator for the global clustering coefficient
+    (3*triangles/wedges)."""
+    a, b = F.col(src), F.col(dst)
+    und = (edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+           .where(F.col("a") != F.col("b")).distinct())
+    deg = (und.select(F.col("a").alias("node"))
+           .unionAll(und.select(F.col("b").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.struct(F.col("da"), F.col("a"))
+                   < F.struct(F.col("db"), F.col("b")))
+    o = (und.join(da, "a").join(db, "b")
+         .select(F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+                 F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+                 F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv")))
+    e1 = o.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    e2 = o.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedges = (e1.join(e2, "u")
+              .where(F.struct(F.col("dx"), F.col("x"))
+                     < F.struct(F.col("dy"), F.col("y")))
+              .select("x", "y"))
+    closing = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).agg(
+        F.count(F.lit(1)).alias("triangles"))
+    n_wedges = wedges.agg(F.count(F.lit(1)).alias("wedges"))
+    return tri.crossJoin(n_wedges)

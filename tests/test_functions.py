@@ -720,3 +720,26 @@ def test_pagerank_modes_bitwise_equal(spark):
     with _pt.raises(ValueError):
         pagerank(df, broadcast_ranks="sometimes")
     release_tracked()
+
+
+def test_triangle_count_known_graphs(spark):
+    """Degree-ordered triangle census: K4 has 4 triangles (and exactly
+    4 oriented wedges — every wedge closes), a path has none, and a
+    triangle with a pendant edge counts 1/1 regardless of edge
+    direction or duplication in the input."""
+    from go_streams_spark.functions.graph import triangle_count
+    k4 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)],
+        "src long, dst long")
+    assert triangle_count(k4).collect()[0].asDict() == {
+        "triangles": 4, "wedges": 4}
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                 "src long, dst long")
+    assert triangle_count(path).collect()[0].asDict() == {
+        "triangles": 0, "wedges": 0}
+    # direction + duplicate + self-loop hygiene: canonicalization
+    messy = spark.createDataFrame(
+        [(2, 1), (1, 2), (3, 2), (1, 3), (4, 3), (3, 3)],
+        "src long, dst long")
+    assert triangle_count(messy).collect()[0].asDict() == {
+        "triangles": 1, "wedges": 1}
