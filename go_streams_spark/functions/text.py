@@ -9,6 +9,7 @@ has an exact ANSI-SQL equivalent (used by the DuckDB oracles).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -223,7 +224,8 @@ def bpe_train_merges(df, *, text_col: str = "text", rounds: int = 5,
     is localCheckpoint'ed so round k+1's plan does not replay rounds
     1..k (the connected-components lineage rule). Stops early when no
     pair reaches ``min_count``. Returns the merge table (round, pair,
-    cnt) — k rows, the training artifact a tokenizer ships.
+    a, b, cnt) — k rows, the training artifact a tokenizer ships; feed
+    the (a, b) columns to ``bpe_encode`` to tokenize a corpus with it.
 
     No SQL oracle (iterative argmax is not one DuckDB query); exactness
     is pinned against an independent Python BPE reference in
@@ -248,7 +250,9 @@ def bpe_train_merges(df, *, text_col: str = "text", rounds: int = 5,
         if best is None or best["cnt"] < min_count:
             break
         a, b = best["p"]["a"], best["p"]["b"]
-        merges.append((r, a + b, int(best["cnt"])))
+        # keep the pair SIDES alongside the concatenation: "the" could
+        # be t+he or th+e — bpe_encode needs the unambiguous (a, b)
+        merges.append((r, a + b, a, b, int(best["cnt"])))
         merged = F.aggregate(
             "syms", F.array().cast("array<string>"),
             lambda acc, x: F.when(
@@ -259,4 +263,87 @@ def bpe_train_merges(df, *, text_col: str = "text", rounds: int = 5,
             ).otherwise(F.concat(acc, F.array(x))))
         vocab = (vocab.select(merged.alias("syms"), "tok_cnt")
                  .localCheckpoint())
-    return spark.createDataFrame(merges, "round int, pair string, cnt long")
+    return spark.createDataFrame(
+        merges, "round int, pair string, a string, b string, cnt long")
+
+
+def _merge_fold(syms, a: str, b: str):
+    """One greedy left-to-right application of merge (a, b) over a
+    symbol array — the EXACT fold ``bpe_train_merges`` uses to rewrite
+    its vocabulary, reused so encode mirrors training bit-for-bit."""
+    return F.aggregate(
+        syms, F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a)) & (x == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(a + b)))
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+def bpe_apply_merges(word, merges: list[tuple[str, str]]):
+    """Column expression: encode one (lowercased) word with a trained
+    merge table — split to characters, then apply each (a, b) merge in
+    rank order with the greedy left-to-right fold. Pure JVM (nested
+    higher-order functions), no Python in the hot path; expression
+    depth grows with len(merges), so this path is for the small merge
+    tables the distributed trainer produces — use ``bpe_encode(...,
+    vectorized=True)`` for shipped tokenizers with thousands of merges."""
+    syms = F.filter(F.split(word, ""), lambda x: x != "")
+    for a, b in merges:
+        syms = _merge_fold(syms, a, b)
+    return syms
+
+
+def bpe_encode(df, *, merges, text_col: str = "text",
+               out_col: str = "bpe_tokens", vectorized: bool = False):
+    """Apply a trained BPE merge table to a corpus: lowercase ->
+    whitespace words (the trainer's pre-tokenization) -> per-word merge
+    folds -> flattened token array per document.
+
+    ``merges`` is a list of (a, b) pairs in rank order — e.g.
+    ``[(p[0], p[1:]) for p in bpe_train_merges(df)...]`` is WRONG
+    (pair strings are ambiguous); pass the (a, b) tuples you trained
+    with, or split the trainer's rows with the known boundary. The
+    sequential-in-rank-order application contract matches
+    ``bpe_train_merges``'s vocabulary rewrite exactly (tested).
+
+    Two executions of the same semantics:
+      * default: nested JVM higher-order functions — zero Python,
+        whole-stage codegen, right for small trained tables;
+      * ``vectorized=True``: one Arrow-batched pandas UDF applying the
+        same folds in Python dicts — flat cost in len(merges), right
+        for real tokenizers (32k merges would blow up expression depth
+        and Catalyst analysis time JVM-side). Both paths are
+        parity-tested against each other and an independent reference.
+    """
+    words = tokens(F.lower(F.col(text_col)))
+    if not vectorized:
+        enc = F.flatten(F.transform(words, lambda w: bpe_apply_merges(w, merges)))
+        return df.withColumn(out_col, enc)
+
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    merge_list = list(merges)
+
+    @pandas_udf("array<string>")
+    def _enc(texts: pd.Series) -> pd.Series:
+        def one(t):
+            out = []
+            for w in (t or "").lower().split(" "):
+                if not w:
+                    continue
+                syms = list(w)
+                for a, b in merge_list:
+                    acc = []
+                    for x in syms:
+                        if acc and acc[-1] == a and x == b:
+                            acc[-1] = a + b
+                        else:
+                            acc.append(x)
+                    syms = acc
+                out.extend(syms)
+            return out
+        return texts.map(one)
+
+    return df.withColumn(out_col, _enc(F.col(text_col)))

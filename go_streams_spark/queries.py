@@ -4034,6 +4034,25 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges, src="part_a", dst="part_b")
 
 
+@query("bpe_encode_corpus")  # rows-only: iterative train + fold encode
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE loop: train a merge table on the corpus
+    (text.bpe_train_merges, 6 rounds) and ENCODE the corpus with it
+    (text.bpe_encode — per-word greedy merge folds, pure JVM
+    higher-order functions, zero Python in the encode hot path).
+    Rows-only in the driver gate (iterative training is not one SQL
+    query); exactness is pinned against an independent Python
+    encoder AND the Arrow-vectorized twin in
+    tests/test_functions.py::test_bpe_encode_paths_agree."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    table = T.bpe_train_merges(docs, rounds=6).collect()
+    merges = [(r["a"], r["b"]) for r in sorted(table, key=lambda r: r["round"])]
+    enc = T.bpe_encode(docs, merges=merges)
+    return (enc.select("doc_id", F.size("bpe_tokens").alias("n_bpe"),
+                       F.slice("bpe_tokens", 1, 8).alias("head_tokens"))
+            .orderBy("doc_id"))
+
+
 @query("scd2_user_state_history", """
 WITH runs AS (
   SELECT user_id, event_type, ts, event_id,

@@ -743,3 +743,45 @@ def test_triangle_count_known_graphs(spark):
         "src long, dst long")
     assert triangle_count(messy).collect()[0].asDict() == {
         "triangles": 1, "wedges": 1}
+
+
+def test_bpe_encode_paths_agree(spark):
+    """bpe_encode's JVM fold path, its Arrow-vectorized twin, and an
+    independent Python encoder all produce IDENTICAL token sequences
+    for a trained merge table — including multi-char merges and the
+    (a, b) disambiguation the trainer's pair string alone cannot give
+    (e.g. 'the' = th+e vs t+he)."""
+    docs = [(i, t) for i, t in enumerate(
+        ["low lower lowest", "low low newer newest", "wider new newer",
+         "lowest newest wide wide wider"])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    table = sorted(T.bpe_train_merges(df, rounds=6).collect(),
+                   key=lambda r: r["round"])
+    merges = [(r["a"], r["b"]) for r in table]
+    assert len(merges) == 6 and any(len(a) > 1 for a, _ in merges)
+
+    jvm = {r["doc_id"]: r["bpe_tokens"]
+           for r in T.bpe_encode(df, merges=merges).collect()}
+    vec = {r["doc_id"]: r["bpe_tokens"]
+           for r in T.bpe_encode(df, merges=merges, vectorized=True).collect()}
+    assert jvm == vec
+
+    def py_encode(t):
+        out = []
+        for w in t.lower().split():
+            syms = list(w)
+            for a, b in merges:
+                acc = []
+                for x in syms:
+                    if acc and acc[-1] == a and x == b:
+                        acc[-1] = a + b
+                    else:
+                        acc.append(x)
+                syms = acc
+            out.extend(syms)
+        return out
+
+    for i, t in docs:
+        assert jvm[i] == py_encode(t), i
+    # merges actually fired (not a char-split no-op)
+    assert any(len(tok) > 2 for toks in jvm.values() for tok in toks)
