@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "trending_topk_users",
     "part_pair_cooccurrence",
     "triangle_count_parts",
+    "k_core_parts",
     "pagerank_part_graph",
     "pagerank_part_graph_shuffle",
     "scd2_user_state_history",

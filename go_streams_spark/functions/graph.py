@@ -126,6 +126,88 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                              round_dp).alias("pr"))
 
 
+def k_core(edges: DataFrame, *, k: int, src: str = "src", dst: str = "dst",
+           max_iterations: int = 12,
+           on_nonconverged: str = "raise") -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly delete
+    nodes whose degree in the REMAINING graph is < k until none remain,
+    then return the surviving nodes with their core degrees.
+
+    Plan per pass: one degree aggregation (hash shuffle on node) and a
+    both-endpoint semi-join filter of the edge set — linear in the
+    remaining edges, with the edge set ``localCheckpoint``'ed each pass
+    so pass p's plan never replays passes 1..p-1 (the
+    connected_components lineage rule). Pass count is bounded by the
+    peel depth of the graph, which for real co-occurrence/social graphs
+    is small (the degeneracy ordering collapses hubs in a handful of
+    rounds). Convergence is checked with a per-pass scalar count;
+    exhausting ``max_iterations`` unconverged raises (or warns with
+    ``on_nonconverged="warn"``) — never a silent partial answer (same
+    contract as connected_components).
+
+    The SQL oracle chains one peel CTE per pass (a fixed chain of
+    length ``max_iterations`` is exact whenever the peel converges
+    within it — peeling is monotone and idempotent after convergence,
+    and non-convergence raises loudly here instead of mismatching)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError("on_nonconverged must be 'raise' or 'warn'")
+    a, b = F.col(src), F.col(dst)
+    e = (edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+         .where(F.col("a") != F.col("b")).distinct().localCheckpoint())
+    converged = False
+    for _ in range(max_iterations):
+        deg = (e.select(F.col("a").alias("node"))
+               .unionAll(e.select(F.col("b").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+        keep = deg.where(F.col("d") >= k).select("node")
+        dropped = deg.where(F.col("d") < k).count()  # scalar convergence probe
+        if dropped == 0:
+            converged = True
+            break
+        e = (e.join(keep.withColumnRenamed("node", "a"), "a", "semi")
+             .join(keep.withColumnRenamed("node", "b"), "b", "semi")
+             .select("a", "b").localCheckpoint())
+    if not converged:
+        msg = (f"k_core(k={k}) did not converge within "
+               f"{max_iterations} iterations")
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+        warnings.warn(msg)
+    return (e.select(F.col("a").alias("node"))
+            .unionAll(e.select(F.col("b").alias("node")))
+            .groupBy("node").agg(F.count(F.lit(1)).alias("core_deg")))
+
+
+def k_core_oracle_sql(edge_cte: str, *, k: int, passes: int) -> str:
+    """Generate the chained-CTE DuckDB oracle for ``k_core``: ``passes``
+    peel rounds over an edge CTE named ``e0`` (provided by
+    ``edge_cte``), each keeping only edges whose BOTH endpoints have
+    degree >= k in the previous round's edge set."""
+    # every e{i} is referenced three times by pass i+1 — MATERIALIZED
+    # stops DuckDB's default CTE inlining from expanding the chain
+    # exponentially (2^passes lineitem scans otherwise)
+    parts = [edge_cte]
+    for i in range(passes):
+        parts.append(f"""k{i} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT node, count(*) AS d FROM (
+      SELECT a AS node FROM e{i} UNION ALL SELECT b AS node FROM e{i})
+    GROUP BY node)
+  WHERE d >= {k}
+), e{i + 1} AS MATERIALIZED (
+  SELECT a, b FROM e{i}
+  WHERE a IN (SELECT node FROM k{i}) AND b IN (SELECT node FROM k{i})
+)""")
+    return (f"WITH {', '.join(parts)}\n"
+            f"SELECT node, count(*) AS core_deg FROM (\n"
+            f"  SELECT a AS node FROM e{passes}"
+            f" UNION ALL SELECT b AS node FROM e{passes})\n"
+            f"GROUP BY node")
+
+
 def triangle_count(edges: DataFrame, *, src: str = "src",
                    dst: str = "dst") -> DataFrame:
     """Exact triangle + wedge count with DEGREE-ORDERED orientation —

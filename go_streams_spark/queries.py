@@ -4034,6 +4034,34 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges, src="part_a", dst="part_b")
 
 
+def _part_edge_cte() -> str:
+    """Shared DuckDB edge CTE: the part co-occurrence graph (pairs in
+    >= 2 orders), named ``e0`` for the generated k-core peel chain."""
+    return """pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), e0 AS MATERIALIZED (SELECT pa AS a, pb AS b FROM pairs WHERE n >= 2)"""
+
+
+from .functions.graph import k_core_oracle_sql as _k_core_sql  # noqa: E402
+
+
+@query("k_core_parts", sql=_k_core_sql(_part_edge_cte(), k=3, passes=12))
+def k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the part co-occurrence graph (functions/graph.py::
+    k_core): iterative peel, one degree agg + both-endpoint semi-join
+    per pass, lineage truncated per pass. The oracle is a GENERATED
+    chain of 12 peel CTEs — exact because the Spark side raises rather
+    than returning partial cores if 12 passes ever stop sufficing
+    (monotone peel: extra passes after convergence are no-ops)."""
+    from .functions.graph import k_core
+    edges = part_pair_cooccurrence(spark, sf_dir).select("part_a", "part_b")
+    return k_core(edges, src="part_a", dst="part_b", k=3, max_iterations=12)
+
+
 @query("bpe_encode_corpus")  # rows-only: iterative train + fold encode
 def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full BPE loop: train a merge table on the corpus

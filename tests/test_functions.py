@@ -785,3 +785,40 @@ def test_bpe_encode_paths_agree(spark):
         assert jvm[i] == py_encode(t), i
     # merges actually fired (not a char-split no-op)
     assert any(len(tok) > 2 for toks in jvm.values() for tok in toks)
+
+
+def test_k_core_peel_and_convergence_contract(spark):
+    """k_core peels a K4-plus-chain down to exactly the K4 at k=3
+    (pendant chain removed transitively across passes); a too-small
+    iteration budget raises instead of returning a partially-peeled
+    (wrong) core, and 'warn' downgrades to best-effort with a warning —
+    the connected_components loud-failure contract."""
+    import warnings
+
+    from go_streams_spark.functions.graph import k_core
+    # K4 + pendant chain: all three chain nodes drop in ONE pass at k=3
+    g = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+         (4, 5), (5, 6), (6, 7)], "src long, dst long")
+    got = sorted((r["node"], r["core_deg"])
+                 for r in k_core(g, k=3, max_iterations=12).collect())
+    assert got == [(1, 3), (2, 3), (3, 3), (4, 3)]
+    # at k=2 the chain peels CASCADING, one endpoint per pass (7, then
+    # 6, then 5): a 2-pass budget must raise, not return a half-peeled
+    # core
+    tri_chain = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (6, 7)],
+        "src long, dst long")
+    full = sorted((r["node"], r["core_deg"])
+                  for r in k_core(tri_chain, k=2, max_iterations=12).collect())
+    assert full == [(1, 2), (2, 2), (3, 2)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(tri_chain, k=2, max_iterations=2)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        partial = k_core(tri_chain, k=2, max_iterations=2,
+                         on_nonconverged="warn").collect()
+    assert any("did not converge" in str(x.message) for x in w)
+    assert len(partial) >= 3  # best-effort superset of the true core
+    # k above the max degree peels everything
+    assert k_core(g, k=5).count() == 0
