@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "new_vs_returning_orders",
     "pivot_multi_agg_metrics",
     "conversion_latency_stats",
+    "cohort_retention_weekly",
+    "dow_seasonality_residuals",
 ]
 
 

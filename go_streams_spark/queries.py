@@ -4034,6 +4034,87 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges, src="part_a", dst="part_b")
 
 
+@query("cohort_retention_weekly", """
+WITH w AS (
+  SELECT user_id, date_trunc('week', ts)::DATE AS wk
+  FROM events GROUP BY 1, 2
+), firsts AS (
+  SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id
+), act AS (
+  SELECT f.cohort, (date_diff('day', f.cohort, w.wk) // 7)::BIGINT AS age_weeks,
+         count(DISTINCT w.user_id) AS active_users
+  FROM w JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+), base AS (
+  SELECT cohort, active_users AS cohort_size FROM act WHERE age_weeks = 0
+)
+SELECT cohort, age_weeks, active_users, cohort_size,
+       round(active_users * 1.0 / cohort_size, 4) AS retention
+FROM act JOIN base USING (cohort)
+ORDER BY cohort, age_weeks
+""")
+def cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the classic growth-analytics
+    triangle: users cohorted by first-active week, retention = share of
+    the cohort active at each week age.
+
+    Scale: (user, week) activity dedupes FIRST (one user-grain
+    shuffle); cohorts join back on user_id (co-partitioned with the
+    dedup); everything after runs at cohort x age grain — weeks
+    squared, volume-independent. The base join is week-grain (tiny,
+    broadcast)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (ev.select("user_id",
+                   F.date_trunc("week", F.col("ts")).cast("date").alias("wk"))
+         .distinct())
+    firsts = w.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = (w.join(firsts, "user_id")
+           .groupBy("cohort",
+                    F.expr("datediff(wk, cohort) div 7")
+                    .cast("long").alias("age_weeks"))
+           .agg(F.count_distinct("user_id").alias("active_users")))
+    base = (act.where(F.col("age_weeks") == 0)
+            .select("cohort", F.col("active_users").alias("cohort_size")))
+    return (act.join(F.broadcast(base), "cohort")
+            .select("cohort", "age_weeks", "active_users", "cohort_size",
+                    F.round(F.col("active_users") / F.col("cohort_size"), 4)
+                    .alias("retention"))
+            .orderBy("cohort", "age_weeks"))
+
+
+@query("dow_seasonality_residuals", """
+WITH daily AS (
+  SELECT ts::DATE AS d, round(sum(value), 2) AS rev FROM events GROUP BY 1
+), prof AS (
+  SELECT (dayofweek(d) + 1)::INT AS dow, round(avg(rev), 4) AS dow_mean
+  FROM daily GROUP BY 1
+)
+SELECT d, rev, (dayofweek(d) + 1)::INT AS dow, dow_mean,
+       round(rev - dow_mean, 4) AS residual
+FROM daily JOIN prof ON (dayofweek(d) + 1) = prof.dow
+ORDER BY d
+""")
+def dow_seasonality_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal decomposition (STL-lite): daily totals,
+    per-DOW seasonal means, deseasonalized residuals — the baseline
+    anomaly view for weekly-periodic business metrics.
+
+    Scale: event volume collapses to day grain in the first
+    aggregation; the profile (7 rows) broadcasts back. Reduce-first:
+    nothing after the first shuffle depends on volume."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy(F.col("ts").cast("date").alias("d"))
+             .agg(F.round(F.sum("value"), 2).alias("rev")))
+    prof = (daily.groupBy(F.dayofweek("d").cast("int").alias("dow"))
+            .agg(F.round(F.avg("rev"), 4).alias("dow_mean")))
+    return (daily.withColumn("dow", F.dayofweek("d").cast("int"))
+            .join(F.broadcast(prof), "dow")
+            .select("d", "rev", "dow", "dow_mean",
+                    F.round(F.col("rev") - F.col("dow_mean"), 4)
+                    .alias("residual"))
+            .orderBy("d"))
+
+
 def _part_edge_cte() -> str:
     """Shared DuckDB edge CTE: the part co-occurrence graph (pairs in
     >= 2 orders), named ``e0`` for the generated k-core peel chain."""
