@@ -70,36 +70,49 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
         raise ValueError("iterations >= 0 and 0 <= damping_pct <= 100")
     if broadcast_ranks not in (True, False, "auto"):
         raise ValueError("broadcast_ranks must be True, False, or 'auto'")
-    e = track_persist(
+    # staging pin: ONE materialization of the canonical edge set feeds
+    # the node count and the mode-specific loop inputs below
+    e0 = track_persist(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct())
-    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
-    if broadcast_ranks is False:
-        # out-degrees are node-grain too: the one-time nodes-build join
-        # must not rely on Catalyst estimating deg as broadcastable
-        deg = deg.hint("shuffle_hash")
-    nodes = (e.select(F.col("u").alias("node")).union(
-        e.select(F.col("v").alias("node"))).distinct()
-        .join(deg, F.col("node") == F.col("u"), "left")
-        .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")))
-    if broadcast_ranks is False:
+    # node count decides the plan shape BEFORE the loop inputs are
+    # built, so the "auto" fallback gets the SAME co-partition pins and
+    # join hints as an explicit broadcast_ranks=False (an earlier
+    # version decided after building them — the auto fallback then ran
+    # with un-repartitioned edges, re-shuffling the full edge set every
+    # iteration)
+    n = (e0.select(F.col("u").alias("node"))
+         .union(e0.select(F.col("v").alias("node"))).distinct().count())
+    use_broadcast = broadcast_ranks is True or (
+        broadcast_ranks == "auto" and n <= broadcast_max_nodes)
+
+    def build_nodes(deg):
+        return (e0.select(F.col("u").alias("node")).union(
+            e0.select(F.col("v").alias("node"))).distinct()
+            .join(deg, F.col("node") == F.col("u"), "left")
+            .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")))
+
+    deg = e0.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    if n == 0:
+        return build_nodes(deg).select(F.col("node"),
+                                       F.lit(0.0).alias("pr"))
+    if use_broadcast:
+        e = e0
+        nodes = track_persist(build_nodes(deg))
+    else:
         # co-partition the per-iteration join inputs up front: edges on
         # the probe key u, nodes on the dst-sum key node. Both persists
         # expose hashpartitioning to EnsureRequirements, so the steady-
-        # state loop only ever shuffles the iteration-k rank table.
-        e = track_persist(e.repartition("u"))
-        nodes = track_persist(nodes.repartition("node"))
-        use_broadcast = False
-    else:
-        nodes = track_persist(nodes)
-        use_broadcast = True  # may flip below under "auto"
-    n = nodes.count()  # scalar graph metadata (like an IVF codebook)
-    if n == 0:
-        return nodes.select(F.col("node"), F.lit(0.0).alias("pr"))
-    if broadcast_ranks == "auto" and n > broadcast_max_nodes:
-        # counted AFTER the cheap persist: the rank table is too big to
-        # ship to every executor — fall back to co-partitioned joins
-        # (nodes stays cached un-repartitioned; only sums shuffles)
-        use_broadcast = False
+        # state loop only ever shuffles the iteration-k rank table. The
+        # deg join is shuffle_hash-hinted: out-degrees are node-grain
+        # too, and Catalyst must never estimate them broadcastable.
+        e = track_persist(e0.repartition("u"))
+        nodes = track_persist(
+            build_nodes(deg.hint("shuffle_hash")).repartition("node"))
+        # materialize the loop inputs, then drop the staging pin — the
+        # graphs this mode exists for must not cache the edge set twice
+        e.count()
+        nodes.count()
+        e0.unpersist()
 
     # exact Python integer division — double division + floor can be
     # off by one ulp at an integer boundary
@@ -157,15 +170,26 @@ def k_core(edges: DataFrame, *, k: int, src: str = "src", dst: str = "dst",
     e = (edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
          .where(F.col("a") != F.col("b")).distinct().localCheckpoint())
     converged = False
-    for _ in range(max_iterations):
+    # max_iterations FILTER passes, max_iterations+1 probes: a peel that
+    # drops its last node in pass max_iterations is converged (the final
+    # probe confirms it) — probing only before each filter would reject
+    # exactly-at-budget runs that produced the correct core
+    for i in range(max_iterations + 1):
+        # node-grain degree table, materialized ONCE per pass: both the
+        # scalar convergence probe and the semi-join filter read it
+        # (unmaterialized, the filter's plan would re-run the full
+        # degree aggregation a second time)
         deg = (e.select(F.col("a").alias("node"))
                .unionAll(e.select(F.col("b").alias("node")))
-               .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
-        keep = deg.where(F.col("d") >= k).select("node")
-        dropped = deg.where(F.col("d") < k).count()  # scalar convergence probe
+               .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+               .localCheckpoint())
+        dropped = deg.where(F.col("d") < k).count()
         if dropped == 0:
             converged = True
             break
+        if i == max_iterations:
+            break  # budget exhausted with peeling still in progress
+        keep = deg.where(F.col("d") >= k).select("node")
         e = (e.join(keep.withColumnRenamed("node", "a"), "a", "semi")
              .join(keep.withColumnRenamed("node", "b"), "b", "semi")
              .select("a", "b").localCheckpoint())
@@ -230,9 +254,12 @@ def triangle_count(edges: DataFrame, *, src: str = "src",
          is total and consistent across steps.
 
     All equi-joins and hash aggregations — no driver state, no
-    cartesian. Returns ONE row: (triangles, wedges) — wedge count is
-    the denominator for the global clustering coefficient
-    (3*triangles/wedges)."""
+    cartesian. Returns ONE row: (triangles, wedges), where ``wedges``
+    is the TOTAL path-of-length-2 count sum(C(deg(v), 2)) — the
+    orientation-independent denominator of the global clustering
+    coefficient 3*triangles/wedges (K4: 4 triangles, 12 wedges,
+    CC = 1). The ORIENTED wedge set built internally is smaller (each
+    triangle closes exactly one oriented wedge) and is never exposed."""
     a, b = F.col(src), F.col(dst)
     und = (edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
            .where(F.col("a") != F.col("b")).distinct())
@@ -256,5 +283,9 @@ def triangle_count(edges: DataFrame, *, src: str = "src",
     closing = o.select(F.col("u").alias("x"), F.col("v").alias("y"))
     tri = wedges.join(closing, ["x", "y"]).agg(
         F.count(F.lit(1)).alias("triangles"))
-    n_wedges = wedges.agg(F.count(F.lit(1)).alias("wedges"))
+    # total wedges from the degree table (node-grain, one tiny agg) —
+    # NOT the oriented wedge count, which undercounts the CC denominator
+    n_wedges = deg.agg(
+        F.coalesce(F.sum(F.expr("d * (d - 1) div 2")), F.lit(0))
+        .cast("long").alias("wedges"))
     return tri.crossJoin(n_wedges)

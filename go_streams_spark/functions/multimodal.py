@@ -238,9 +238,18 @@ def _video_quarantine_errors():
 
 
 def _looks_like_video(b: bytes) -> bool:
-    """Magic-byte video sniff (webm/matroska EBML header, mp4/mov ftyp
-    box) — the Python-side twin of ``sniff_media_type``."""
-    return b[:4] == b"\x1aE\xdf\xa3" or b[4:8] == b"ftyp"
+    """Magic-byte video sniff — webm/matroska EBML, mp4/mov/3gp ftyp
+    box, RIFF-AVI, FLV, MPEG-TS (two aligned 0x47 sync bytes; a single
+    one would false-positive on any text starting with 'G'). Routing
+    only: under ``codec='auto'`` it decides stub vs decode; an explicit
+    ``codec='av'`` ATTEMPTS DECODE ON EVERY ROW regardless (quarantining
+    undecodable ones), so a container this list misses is never
+    silently byte-sliced when the user asked for real decode."""
+    return (b[:4] == b"\x1aE\xdf\xa3"
+            or b[4:8] == b"ftyp"
+            or (b[:4] == b"RIFF" and b[8:12] == b"AVI ")
+            or b[:4] == b"FLV\x01"
+            or (len(b) >= 189 and b[0] == 0x47 and b[188] == 0x47))
 
 
 def sample_frames(df: DataFrame, *, blob_col: str = "media",
@@ -269,16 +278,19 @@ def sample_frames(df: DataFrame, *, blob_col: str = "media",
             out_id, out_idx, out_frame = [], [], []
             for i, b in zip(pdf[id_col], pdf[blob_col]):
                 b = bytes(b)
-                if sampler is _av_frames and not _looks_like_video(b):
-                    frames = _slice_frames(b, frame_size, every_k, max_frames)
-                elif sampler is _av_frames:
+                # 'auto' routes by sniff; explicit 'av' tries the real
+                # decoder on every row (an unrecognized container must
+                # not silently byte-slice when real decode was asked
+                # for), quarantining genuinely undecodable blobs
+                if (sampler is _av_frames
+                        and (codec == "av" or _looks_like_video(b))):
                     try:
                         frames = sampler(b, frame_size, every_k, max_frames)
                     except quarantine:
                         frames = _slice_frames(b, frame_size, every_k,
                                                max_frames)
                 else:
-                    frames = sampler(b, frame_size, every_k, max_frames)
+                    frames = _slice_frames(b, frame_size, every_k, max_frames)
                 for fidx, raw in frames:
                     out_id.append(i)
                     out_idx.append(fidx)

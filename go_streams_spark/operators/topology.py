@@ -122,17 +122,35 @@ def distributed_ordinal(df: DataFrame, *, order_by: Sequence[Column | str],
     """
     cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
     if strict:
-        # EXPLICIT partition count mirroring the upstream partition
-        # count (not spark.sql.shuffle.partitions): parallelism tracks
-        # the data size, so a small input is not fanned out to hundreds
-        # of near-empty reduce tasks (the dominant bench cost of the
-        # round-3 shape), while a 10^5-partition fact keeps its
-        # parallelism. Floor of 2 — n_parts=1 would degenerate the
-        # range exchange into the fact-wide Exchange SinglePartition
-        # this operator exists to avoid. REPARTITION_BY_NUM is also
-        # AQE-coalesce-exempt, so the branch partition COUNTS can't be
-        # re-planned apart even before the pin below.
-        n_parts = max(2, df.rdd.getNumPartitions())
+        # EXPLICIT data-sized partition count (not
+        # spark.sql.shuffle.partitions): parallelism tracks the input
+        # size, so a small input is not fanned out to hundreds of
+        # near-empty reduce tasks (the dominant bench cost of the
+        # round-3 shape), while a 10 TB fact gets tens of thousands of
+        # range partitions. Sized from the OPTIMIZER's sizeInBytes
+        # estimate — NOT df.rdd.getNumPartitions(), which under AQE
+        # finalizes the adaptive plan and eagerly EXECUTES every
+        # upstream shuffle stage as side jobs (measured 1.3 s of
+        # doubled work on a simple aggregate input), then reports the
+        # post-coalesce count anyway. Floor of 2 — n_parts=1 would
+        # degenerate the range exchange into the fact-wide Exchange
+        # SinglePartition this operator exists to avoid.
+        # REPARTITION_BY_NUM is also AQE-coalesce-exempt, so the branch
+        # partition COUNTS can't be re-planned apart even before the
+        # pin below.
+        spark = df.sparkSession
+        try:
+            size = int(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes())
+            max_bytes = int(str(spark.conf.get(
+                "spark.sql.files.maxPartitionBytes")).rstrip("b"))
+            # cap at 2^20 range partitions: CBO reports a 2^63-ish
+            # sentinel for relations with unknown stats (local
+            # in-memory data), and a million tasks is already beyond
+            # any sane single-query fan-out
+            n_parts = min(1 << 20, max(2, -(-size // max(max_bytes, 1))))
+        except Exception:  # Spark Connect: no _jdf — static fallback
+            n_parts = max(2, spark.sparkContext.defaultParallelism)
         df = df.repartitionByRange(n_parts, *cols).sortWithinPartitions(*cols)
     # monotonically_increasing_id after the in-partition sort encodes
     # (partition_id << 33) + local_row_index in iteration order, i.e.

@@ -3993,26 +3993,31 @@ def part_pair_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("n_orders") >= 2))
 
 
-@query("triangle_count_parts", """
-WITH pairs AS (
+def _part_edge_cte() -> str:
+    """Shared DuckDB edge CTE: the part co-occurrence graph (pairs in
+    >= 2 orders), named ``e0`` — reused verbatim by the triangle and
+    k-core oracles so the edge definition cannot drift between them
+    (it mirrors ``part_pair_cooccurrence``)."""
+    return """pairs AS (
   SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
   FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
   JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY 1, 2
-), und AS (
-  SELECT pa AS a, pb AS b FROM pairs WHERE n >= 2
-), deg AS (
+), e0 AS MATERIALIZED (SELECT pa AS a, pb AS b FROM pairs WHERE n >= 2)"""
+
+
+@query("triangle_count_parts", sql="WITH " + _part_edge_cte() + """, deg AS (
   SELECT node, count(*) AS d FROM (
-    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+    SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
   GROUP BY node
 ), o AS (
-  SELECT CASE WHEN (da.d, und.a) < (db.d, und.b) THEN und.a ELSE und.b END AS u,
-         CASE WHEN (da.d, und.a) < (db.d, und.b) THEN und.b ELSE und.a END AS v,
-         CASE WHEN (da.d, und.a) < (db.d, und.b) THEN db.d ELSE da.d END AS dv
-  FROM und
-  JOIN deg da ON da.node = und.a
-  JOIN deg db ON db.node = und.b
+  SELECT CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.a ELSE e0.b END AS u,
+         CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN e0.b ELSE e0.a END AS v,
+         CASE WHEN (da.d, e0.a) < (db.d, e0.b) THEN db.d ELSE da.d END AS dv
+  FROM e0
+  JOIN deg da ON da.node = e0.a
+  JOIN deg db ON db.node = e0.b
 ), wedges AS (
   SELECT e1.v AS x, e2.v AS y
   FROM o e1 JOIN o e2 ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
@@ -4020,15 +4025,15 @@ WITH pairs AS (
 SELECT
   (SELECT count(*) FROM wedges w JOIN o ON o.u = w.x AND o.v = w.y)::BIGINT
     AS triangles,
-  (SELECT count(*) FROM wedges)::BIGINT AS wedges
+  (SELECT coalesce(sum(d * (d - 1) // 2), 0) FROM deg)::BIGINT AS wedges
 """)
 def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle + wedge census of the part co-occurrence graph
     (functions/graph.py::triangle_count): degree-ordered orientation
     bounds per-node out-degree at O(sqrt(m)), so the wedge self-join is
     O(m^1.5) — hub parts (every catalog has them) cannot go quadratic.
-    Feeds the global clustering coefficient (3*tri/wedges), a standard
-    corpus/graph-quality diagnostic."""
+    ``wedges`` is the total path-of-length-2 count, so the global
+    clustering coefficient is 3*triangles/wedges."""
     from .functions.graph import triangle_count
     edges = part_pair_cooccurrence(spark, sf_dir).select("part_a", "part_b")
     return triangle_count(edges, src="part_a", dst="part_b")
@@ -4113,18 +4118,6 @@ def dow_seasonality_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("rev") - F.col("dow_mean"), 4)
                     .alias("residual"))
             .orderBy("d"))
-
-
-def _part_edge_cte() -> str:
-    """Shared DuckDB edge CTE: the part co-occurrence graph (pairs in
-    >= 2 orders), named ``e0`` for the generated k-core peel chain."""
-    return """pairs AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
-  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
-  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-), e0 AS MATERIALIZED (SELECT pa AS a, pb AS b FROM pairs WHERE n >= 2)"""
 
 
 from .functions.graph import k_core_oracle_sql as _k_core_sql  # noqa: E402

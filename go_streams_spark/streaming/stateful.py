@@ -104,6 +104,14 @@ def count_or_time_batch_stream(df: DataFrame, *, key_cols: list[str],
     cleaning up state" phase forever when processing-time timeouts are
     registered, so the query never self-terminates (observed on Spark
     4.1; the size/time flushes themselves are all emitted correctly).
+
+    Known delta vs the reference's ticker (flow/batch.go:86-96): the
+    GroupState API clears a key's timeout on EVERY invocation, so this
+    operator re-arms the interval whenever new rows arrive — under
+    steady sub-max_size trickle input the time-flush keeps sliding
+    forward instead of firing every interval. The transformWithState
+    port (``count_or_time_batch_stream_tws``) has real named timers and
+    keeps the original deadline, matching the reference exactly.
     """
 
     def batcher(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
@@ -362,14 +370,27 @@ def count_or_time_batch_stream_tws(df: DataFrame, *, key_cols: list[str],
                     if len(buf) >= max_size:
                         out.append((buf, "size"))
                         buf = []
-            # single pending timer for the residual buffer: clear any
-            # previous one (timer reset on size-flush), re-arm if needed
-            for t in list(self._handle.listTimers()):
-                self._handle.deleteTimer(t)
+            # Timer discipline mirrors the reference's ticker
+            # (flow/batch.go:92-96): it fires every interval REGARDLESS
+            # of appends and resets only on a size-flush. So: clear the
+            # pending timer on size-flush (or when the buffer emptied);
+            # otherwise KEEP the existing deadline — deleting and
+            # re-arming on every micro-batch would postpone the
+            # time-flush forever under steady trickle input. (The
+            # legacy applyInPandasWithState operator cannot express
+            # this: GroupState clears its timeout on every invocation —
+            # a documented delta this tws port exists to close.)
+            pending = list(self._handle.listTimers())
+            if out or not buf:
+                for t in pending:
+                    self._handle.deleteTimer(t)
+                pending = []
             if buf:
                 self._buf.update((buf,))
-                self._handle.registerTimer(
-                    timerValues.getCurrentProcessingTimeInMs() + interval_ms)
+                if not pending:
+                    self._handle.registerTimer(
+                        timerValues.getCurrentProcessingTimeInMs()
+                        + interval_ms)
             else:
                 self._buf.clear()
             if out:

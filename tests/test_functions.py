@@ -723,26 +723,28 @@ def test_pagerank_modes_bitwise_equal(spark):
 
 
 def test_triangle_count_known_graphs(spark):
-    """Degree-ordered triangle census: K4 has 4 triangles (and exactly
-    4 oriented wedges — every wedge closes), a path has none, and a
-    triangle with a pendant edge counts 1/1 regardless of edge
-    direction or duplication in the input."""
+    """Degree-ordered triangle census with TOTAL wedge counts (the
+    clustering-coefficient denominator): K4 = 4 triangles / 12 wedges
+    (CC = 3*4/12 = 1), a path = 0 / 2 (CC = 0), and a triangle with a
+    pendant edge counts 1 / 5 regardless of edge direction or
+    duplication in the input."""
     from go_streams_spark.functions.graph import triangle_count
     k4 = spark.createDataFrame(
         [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)],
         "src long, dst long")
     assert triangle_count(k4).collect()[0].asDict() == {
-        "triangles": 4, "wedges": 4}
+        "triangles": 4, "wedges": 12}
     path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
                                  "src long, dst long")
     assert triangle_count(path).collect()[0].asDict() == {
-        "triangles": 0, "wedges": 0}
+        "triangles": 0, "wedges": 2}
     # direction + duplicate + self-loop hygiene: canonicalization
+    # degrees 1:2 2:2 3:3 4:1 -> wedges 1+1+3+0 = 5
     messy = spark.createDataFrame(
         [(2, 1), (1, 2), (3, 2), (1, 3), (4, 3), (3, 3)],
         "src long, dst long")
     assert triangle_count(messy).collect()[0].asDict() == {
-        "triangles": 1, "wedges": 1}
+        "triangles": 1, "wedges": 5}
 
 
 def test_bpe_encode_paths_agree(spark):
@@ -812,6 +814,12 @@ def test_k_core_peel_and_convergence_contract(spark):
     full = sorted((r["node"], r["core_deg"])
                   for r in k_core(tri_chain, k=2, max_iterations=12).collect())
     assert full == [(1, 2), (2, 2), (3, 2)]
+    # the peel needs EXACTLY 4 filter passes (7, 6, 5, then 4 drop one
+    # per pass): a budget of exactly 4 must converge, not raise — the
+    # final probe after the last filter confirms it
+    exact = sorted((r["node"], r["core_deg"])
+                   for r in k_core(tri_chain, k=2, max_iterations=4).collect())
+    assert exact == full
     with pytest.raises(RuntimeError, match="did not converge"):
         k_core(tri_chain, k=2, max_iterations=2)
     with warnings.catch_warnings(record=True) as w:
@@ -822,3 +830,20 @@ def test_k_core_peel_and_convergence_contract(spark):
     assert len(partial) >= 3  # best-effort superset of the true core
     # k above the max degree peels everything
     assert k_core(g, k=5).count() == 0
+
+
+def test_video_sniff_covers_common_containers():
+    """The routing sniff recognizes webm/EBML, mp4 ftyp, RIFF-AVI, FLV
+    and aligned MPEG-TS sync bytes — and does NOT fire on text that
+    merely starts with 'G' (a single 0x47 would)."""
+    s = M._looks_like_video
+    assert s(b"\x1aE\xdf\xa3" + b"\0" * 16)                  # webm/mkv
+    assert s(b"\0\0\0\x20ftypisom" + b"\0" * 8)              # mp4
+    assert s(b"RIFF\x10\x00\x00\x00AVI LIST" + b"\0" * 8)    # avi
+    assert s(b"FLV\x01\x05" + b"\0" * 16)                    # flv
+    ts = bytearray(b"\0" * 200)
+    ts[0] = 0x47
+    ts[188] = 0x47
+    assert s(bytes(ts))                                      # mpeg-ts
+    assert not s(b"G'day, this is just text that is fairly long" * 8)
+    assert not s(b"RIFF\x10\x00\x00\x00WAVEfmt " + b"\0" * 8)  # wav != avi

@@ -24,25 +24,32 @@ import sys
 
 
 def report(small_path: str, big_path: str, data_ratio: float = 10.0):
-    small = json.load(open(small_path))["queries"]
-    big = json.load(open(big_path))["queries"]
+    sj, bj = json.load(open(small_path)), json.load(open(big_path))
+    small, big = sj["queries"], bj["queries"]
+    # column labels from the files themselves, not hard-coded SFs
+    s_label = f"sf{sj.get('sf', '?')} s"
+    b_label = f"sf{bj.get('sf', '?')} s"
     rows = []
     for q in sorted(set(small) & set(big)):
         s, b = small[q], big[q]
-        ratio = b / s if s else float("inf")
-        exp = math.log(ratio) / math.log(data_ratio) if ratio > 0 else 0.0
+        if s <= 0 or b <= 0:  # skipped/failed query: no meaningful ratio
+            print(f"| {q} | {s:.2f} | {b:.2f} | (zero-time entry, skipped) ||")
+            continue
+        ratio = b / s
+        exp = math.log(ratio) / math.log(data_ratio)
         rows.append((q, s, b, ratio, exp))
     rows.sort(key=lambda r: -r[3])
-    print(f"| query | sf0.1 s | sf1 s | ratio | exponent |")
+    print(f"| query | {s_label} | {b_label} | ratio | exponent |")
     print("|---|---|---|---|---|")
     for q, s, b, ratio, exp in rows:
         e = f"{exp:.2f}" if b >= 1.0 else "(overhead-bound)"
         print(f"| {q} | {s:.2f} | {b:.2f} | {ratio:.1f}x | {e} |")
     tot_s = sum(r[1] for r in rows)
     tot_b = sum(r[2] for r in rows)
-    print(f"\ntotal: {tot_s:.1f}s -> {tot_b:.1f}s "
-          f"({tot_b / tot_s:.1f}x on {data_ratio:g}x data; "
-          f"exponent {math.log(tot_b / tot_s) / math.log(data_ratio):.2f})")
+    if tot_s > 0 and tot_b > 0:
+        print(f"\ntotal: {tot_s:.1f}s -> {tot_b:.1f}s "
+              f"({tot_b / tot_s:.1f}x on {data_ratio:g}x data; "
+              f"exponent {math.log(tot_b / tot_s) / math.log(data_ratio):.2f})")
 
 
 if __name__ == "__main__":
