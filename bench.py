@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "part_pair_cooccurrence",
     "triangle_count_parts",
     "k_core_parts",
+    "lpa_communities_parts",
     "pagerank_part_graph",
     "pagerank_part_graph_shuffle",
     "scd2_user_state_history",

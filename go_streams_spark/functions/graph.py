@@ -10,7 +10,7 @@ the usual float-PageRank is only reproducible run-to-run on one engine.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..plans.caching import track_persist
@@ -230,6 +230,70 @@ def k_core_oracle_sql(edge_cte: str, *, k: int, passes: int) -> str:
             f"  SELECT a AS node FROM e{passes}"
             f" UNION ALL SELECT b AS node FROM e{passes})\n"
             f"GROUP BY node")
+
+
+def label_propagation(edges: DataFrame, *, src: str = "src",
+                      dst: str = "dst", iterations: int = 3) -> DataFrame:
+    """Deterministic semi-synchronous label propagation (community
+    detection): every node starts labeled with its own id; each round,
+    every node adopts the most frequent label among its NEIGHBORS, ties
+    broken by the smallest label — a total order, so the result is
+    bit-reproducible across engines and partitionings (classic LPA
+    breaks ties randomly; the deterministic rule is what makes a SQL
+    oracle possible). Fixed ``iterations`` rounds (the oracle chains
+    one CTE per round; LPA is conventionally run a small fixed number
+    of rounds — it has no guaranteed fixpoint, labels can oscillate).
+
+    Plan per round: adjacency join against the node-grain label table
+    (shuffle on the neighbor key), a (node, label) count aggregation
+    with map-side partials, and a per-node argmax window partitioned by
+    node — all keyed hash exchanges, nothing node-quadratic; the label
+    table is localCheckpoint'ed per round (lineage truncation, the
+    iterative-op rule). Returns (node, community)."""
+    a, b = F.col(src), F.col(dst)
+    und = (edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+           .where(F.col("a") != F.col("b")).distinct())
+    adj = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+           .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
+           .localCheckpoint())
+    labels = (adj.select(F.col("u").alias("node")).distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint())
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(iterations):
+        labels = (adj.join(labels.withColumnRenamed("node", "u"), "u")
+                  .groupBy(F.col("v").alias("node"), "label")
+                  .agg(F.count(F.lit(1)).alias("c"))
+                  .withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") == 1)
+                  .select("node", "label")
+                  .localCheckpoint())
+    return labels.select("node", F.col("label").alias("community"))
+
+
+def lpa_oracle_sql(edge_cte: str, *, iterations: int) -> str:
+    """Generate the chained-CTE DuckDB oracle for ``label_propagation``
+    over an edge CTE named ``e0``: one most-frequent-neighbor-label
+    round per CTE, same (count desc, label asc) tie-break."""
+    parts = [edge_cte, """adj AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT u AS node, u AS label FROM adj
+)"""]
+    for i in range(iterations):
+        parts.append(f"""l{i + 1} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, label) AS rn
+    FROM (
+      SELECT adj.v AS node, l.label, count(*) AS c
+      FROM adj JOIN l{i} l ON l.node = adj.u
+      GROUP BY adj.v, l.label))
+  WHERE rn = 1
+)""")
+    return (f"WITH {', '.join(parts)}\n"
+            f"SELECT node, label AS community FROM l{iterations}")
 
 
 def triangle_count(edges: DataFrame, *, src: str = "src",

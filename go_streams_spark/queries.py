@@ -4121,6 +4121,20 @@ def dow_seasonality_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from .functions.graph import k_core_oracle_sql as _k_core_sql  # noqa: E402
+from .functions.graph import lpa_oracle_sql as _lpa_sql  # noqa: E402
+
+
+@query("lpa_communities_parts", sql=_lpa_sql(_part_edge_cte(), iterations=3))
+def lpa_communities_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic label-propagation communities over the part
+    co-occurrence graph (functions/graph.py::label_propagation): 3
+    rounds of most-frequent-neighbor-label with (count desc, label asc)
+    tie-break — bit-reproducible, so the chained-CTE oracle matches
+    exactly. Community structure over co-purchase graphs is the
+    classic assortment/market-basket segmentation."""
+    from .functions.graph import label_propagation
+    edges = part_pair_cooccurrence(spark, sf_dir).select("part_a", "part_b")
+    return label_propagation(edges, src="part_a", dst="part_b", iterations=3)
 
 
 @query("k_core_parts", sql=_k_core_sql(_part_edge_cte(), k=3, passes=12))

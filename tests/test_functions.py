@@ -847,3 +847,35 @@ def test_video_sniff_covers_common_containers():
     assert s(bytes(ts))                                      # mpeg-ts
     assert not s(b"G'day, this is just text that is fairly long" * 8)
     assert not s(b"RIFF\x10\x00\x00\x00WAVEfmt " + b"\0" * 8)  # wav != avi
+
+
+def test_label_propagation_two_cliques(spark):
+    """Deterministic LPA: two K4 cliques joined by one bridge edge
+    resolve to two communities labeled by each clique's minimum node id
+    (the tie-break makes round 1 adopt the min neighbor label, and
+    majority keeps the bridge from merging them)."""
+    from collections import Counter, defaultdict
+
+    from go_streams_spark.functions.graph import label_propagation
+    c1 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    c2 = [(11, 12), (11, 13), (11, 14), (12, 13), (12, 14), (13, 14)]
+    edges = c1 + c2 + [(4, 11)]
+    g = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["community"]
+           for r in label_propagation(g, iterations=3).collect()}
+
+    # independent Python reference with the same deterministic rule
+    adj = defaultdict(set)
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        labels = {v: min(Counter(labels[u] for u in adj[v]).items(),
+                         key=lambda kv: (-kv[1], kv[0]))[0]
+                  for v in adj}
+    assert got == labels
+    # structural sanity: clique 1 coalesces on its min id; the cliques
+    # never merge into one community across the bridge
+    assert {got[n] for n in (1, 2, 3, 4)} == {1}
+    assert got[2] != got[13]
