@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "simhash_docs",
     "simhash64_near_pairs",
     "embedding_knn",
+    "hard_negatives_by_label",
     "semdedup_prune",
     "semdedup_fixed_codebook",
     "ann_sign_lsh",

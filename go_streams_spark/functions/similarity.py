@@ -278,7 +278,8 @@ def cosine_near_dup_lsh(df: DataFrame, *, id_col: str = "vec_id",
 
 def block_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
               k: int = 5, query_blocks: int = 8, index_shards: int = 4,
-              round_dp: int = 6) -> DataFrame:
+              round_dp: int = 6,
+              exclude_match_col: str | None = None) -> DataFrame:
     """EXACT cosine top-k for every vector, fully distributed — the
     scale-safe replacement for driver-collect brute force.
 
@@ -299,6 +300,13 @@ def block_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddin
     the true top-k under the same (sim desc, id asc) total order.
     Size blocks/shards so two sub-matrices fit an executor's memory at
     the target scale.
+
+    ``exclude_match_col``: when set (e.g. ``"label"``), candidates whose
+    value in that column EQUALS the query's are excluded — per-class
+    HARD-NEGATIVE MINING for contrastive training (nearest vectors that
+    are NOT of the query's own class). Exactness is preserved: the
+    filter applies inside every cogroup before its local top-k, so the
+    shard-winner union is the true top-k of the filtered candidate set.
     """
     import numpy as np
     import pandas as pd
@@ -306,13 +314,16 @@ def block_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddin
     Q, S = query_blocks, index_shards
     # grouping keys cast to int on BOTH sides: cogroup silently splits
     # groups whose key types differ (pmod -> long vs explode -> int)
-    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    xcols = [F.col(exclude_match_col)] if exclude_match_col else []
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"), *xcols)
+    la = [F.col(exclude_match_col).alias("la")] if exclude_match_col else []
+    lb = [F.col(exclude_match_col).alias("lb")] if exclude_match_col else []
     q = base.select(F.pmod(F.col(id_col), F.lit(Q)).cast("int").alias("qb"),
                     F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("sb"),
-                    F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+                    F.col(id_col).alias("id_a"), F.col("v").alias("va"), *la)
     ix = base.select(F.explode(F.sequence(F.lit(0), F.lit(Q - 1))).alias("qb"),
                      F.pmod(F.col(id_col), F.lit(S)).cast("int").alias("sb"),
-                     F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+                     F.col(id_col).alias("id_b"), F.col("v").alias("vb"), *lb)
 
     def _local_topk(key, qpdf, ipdf):
         if qpdf.empty or ipdf.empty:
@@ -329,9 +340,13 @@ def block_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddin
             / (np.linalg.norm(qa, axis=1)[:, None]
                * np.linalg.norm(ib, axis=1)[None, :]),
             round_dp)
+        qlabels = (qpdf["la"].to_numpy() if exclude_match_col else None)
+        ilabels = (ipdf["lb"].to_numpy() if exclude_match_col else None)
         out_a, out_b, out_s = [], [], []
-        for qi, row in zip(qids, sims):
+        for j, (qi, row) in enumerate(zip(qids, sims)):
             mask = iids != qi
+            if exclude_match_col:
+                mask &= ilabels != qlabels[j]
             cids, csims = iids[mask], row[mask]
             order = np.lexsort((cids, -csims))[:k]
             out_a.extend([qi] * len(order))

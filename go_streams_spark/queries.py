@@ -4039,6 +4039,33 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges, src="part_a", dst="part_b")
 
 
+@query("hard_negatives_by_label", """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v, label
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS sim
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id AND a.label <> b.label
+)
+SELECT id_a AS vec_id, id_b AS neighbor_id, sim, rank::INT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rank
+      FROM pairs)
+WHERE rank <= 3
+""")
+def hard_negatives_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: each vector's
+    top-3 nearest neighbors among OTHER classes (block_knn with
+    exclude_match_col="label") — the same fully-distributed 2-D blocked
+    matmul as the exact kNN gate, with the class filter applied inside
+    each cogroup before its local top-k so exactness is preserved."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.block_knn(emb, k=3, query_blocks=8, index_shards=4,
+                       exclude_match_col="label")
+
+
 @query("cohort_retention_weekly", """
 WITH w AS (
   SELECT user_id, date_trunc('week', ts)::DATE AS wk

@@ -879,3 +879,36 @@ def test_label_propagation_two_cliques(spark):
     # never merge into one community across the bridge
     assert {got[n] for n in (1, 2, 3, 4)} == {1}
     assert got[2] != got[13]
+
+
+def test_block_knn_hard_negative_exclusion(spark):
+    """exclude_match_col filters same-class candidates inside every
+    cogroup: every returned neighbor has a different label than its
+    query, results equal a per-pair reference with the same rule, and
+    the unfiltered path is unchanged."""
+    import itertools
+    import math
+    vecs = [(i, [math.cos(i * 0.37), math.sin(i * 0.37), 0.25], i % 3)
+            for i in range(24)]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int")
+    got = {(r["vec_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+           for r in S.block_knn(emb, k=2, query_blocks=3, index_shards=2,
+                                exclude_match_col="label").collect()}
+    labels = {i: lb for i, _, lb in vecs}
+    assert all(labels[q] != labels[n] for (q, _), (n, _) in got.items())
+    # independent reference: exact cosine, same tie-break, label filter
+    sims = {}
+    for (i, va, la), (j, vb, lb) in itertools.permutations(vecs, 2):
+        if la == lb:
+            continue
+        d = sum(x * y for x, y in zip(va, vb))
+        na = math.sqrt(sum(x * x for x in va))
+        nb = math.sqrt(sum(x * x for x in vb))
+        sims.setdefault(i, []).append((round(d / (na * nb), 6), j))
+    expect = {}
+    for i, cands in sims.items():
+        for rank, (s, j) in enumerate(
+                sorted(cands, key=lambda t: (-t[0], t[1]))[:2], 1):
+            expect[(i, rank)] = (j, s)
+    assert got == expect
