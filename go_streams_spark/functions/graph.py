@@ -142,6 +142,16 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                              round_dp).alias("pr"))
 
 
+def _canonical_undirected(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonical undirected distinct edge set (a < b, no self-loops) —
+    the shared first step of k_core / triangle_count /
+    label_propagation, factored so the canonicalization rule cannot
+    drift between them (their oracles all assume it)."""
+    a, b = F.col(src), F.col(dst)
+    return (edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+            .where(F.col("a") != F.col("b")).distinct())
+
+
 def k_core(edges: DataFrame, *, k: int, src: str = "src", dst: str = "dst",
            max_iterations: int = 12,
            on_nonconverged: str = "raise") -> DataFrame:
@@ -169,9 +179,7 @@ def k_core(edges: DataFrame, *, k: int, src: str = "src", dst: str = "dst",
         raise ValueError("k must be >= 1")
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError("on_nonconverged must be 'raise' or 'warn'")
-    a, b = F.col(src), F.col(dst)
-    e = (edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-         .where(F.col("a") != F.col("b")).distinct().localCheckpoint())
+    e = _canonical_undirected(edges, src, dst).localCheckpoint()
     converged = False
     # max_iterations FILTER passes, max_iterations+1 probes: a peel that
     # drops its last node in pass max_iterations is converged (the final
@@ -253,9 +261,9 @@ def label_propagation(edges: DataFrame, *, src: str = "src",
     node — all keyed hash exchanges, nothing node-quadratic; the label
     table is localCheckpoint'ed per round (lineage truncation, the
     iterative-op rule). Returns (node, community)."""
-    a, b = F.col(src), F.col(dst)
-    und = (edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-           .where(F.col("a") != F.col("b")).distinct())
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    und = _canonical_undirected(edges, src, dst)
     adj = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
            .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
            .localCheckpoint())
@@ -278,6 +286,8 @@ def lpa_oracle_sql(edge_cte: str, *, iterations: int) -> str:
     """Generate the chained-CTE DuckDB oracle for ``label_propagation``
     over an edge CTE named ``e0``: one most-frequent-neighbor-label
     round per CTE, same (count desc, label asc) tie-break."""
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
     parts = [edge_cte, """adj AS MATERIALIZED (
   SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0
 ), l0 AS MATERIALIZED (
@@ -327,9 +337,7 @@ def triangle_count(edges: DataFrame, *, src: str = "src",
     coefficient 3*triangles/wedges (K4: 4 triangles, 12 wedges,
     CC = 1). The ORIENTED wedge set built internally is smaller (each
     triangle closes exactly one oriented wedge) and is never exposed."""
-    a, b = F.col(src), F.col(dst)
-    und = (edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-           .where(F.col("a") != F.col("b")).distinct())
+    und = _canonical_undirected(edges, src, dst)
     deg = (und.select(F.col("a").alias("node"))
            .unionAll(und.select(F.col("b").alias("node")))
            .groupBy("node").agg(F.count(F.lit(1)).alias("d")))

@@ -307,6 +307,10 @@ def block_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddin
     are NOT of the query's own class). Exactness is preserved: the
     filter applies inside every cogroup before its local top-k, so the
     shard-winner union is the true top-k of the filtered candidate set.
+    Rows with a NULL in that column are dropped up front on both sides
+    — SQL's three-valued ``a.label <> b.label`` never matches a NULL
+    pair, and numpy's NaN != x would instead KEEP them all, so the
+    explicit filter keeps engine and oracle semantics identical.
     """
     import numpy as np
     import pandas as pd
@@ -314,6 +318,8 @@ def block_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddin
     Q, S = query_blocks, index_shards
     # grouping keys cast to int on BOTH sides: cogroup silently splits
     # groups whose key types differ (pmod -> long vs explode -> int)
+    if exclude_match_col:
+        df = df.where(F.col(exclude_match_col).isNotNull())
     xcols = [F.col(exclude_match_col)] if exclude_match_col else []
     base = df.select(F.col(id_col), as_double(vec_col).alias("v"), *xcols)
     la = [F.col(exclude_match_col).alias("la")] if exclude_match_col else []

@@ -888,7 +888,10 @@ def test_block_knn_hard_negative_exclusion(spark):
     the unfiltered path is unchanged."""
     import itertools
     import math
-    vecs = [(i, [math.cos(i * 0.37), math.sin(i * 0.37), 0.25], i % 3)
+    # label = i % 5 is deliberately CO-PRIME with query_blocks=3: each
+    # cogroup mixes query labels, so a bug using a group-constant query
+    # label (instead of per-row) cannot pass
+    vecs = [(i, [math.cos(i * 0.37), math.sin(i * 0.37), 0.25], i % 5)
             for i in range(24)]
     emb = spark.createDataFrame(
         vecs, "vec_id long, embedding array<float>, label int")
