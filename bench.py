@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "ann_sign_lsh_multiprobe",
     "ann_ivf_knn",
     "ann_query_vector_topk",
+    "rrf_fused_ann",
     "gopher_repetition_stats",
     "data_quality_report",
     "vocab_top_tokens",

@@ -697,3 +697,47 @@ def semdedup_prune(df: DataFrame, *, id_col: str = "vec_id",
             .join(dropped.withColumn("__d", F.lit(True)), id_col, "left")
             .select(id_col, "cid",
                     F.coalesce(~F.col("__d"), F.lit(True)).alias("kept")))
+
+
+#: RRF reciprocal mass in integer micro-units (order-independent sums)
+RRF_SCALE = 1_000_000_000_000
+
+
+def rrf_fuse(rankings: list[DataFrame], *, id_col: str = "vec_id",
+             neighbor_col: str = "neighbor_id", rank_col: str = "rank",
+             k: int = 3, c: int = 60) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009): combine
+    per-query rankings from multiple retrieval systems into one,
+    score(q, d) = sum_i 1/(c + rank_i(q, d)), missing entries contribute
+    nothing. The hybrid-search standard (sparse + dense, multiple ANN
+    probes) because it needs no score calibration across systems.
+
+    ENGINE-EXACT: the reciprocal is computed in integer micro-units
+    (``RRF_SCALE div (c + rank)``) so the per-document sum is
+    order-independent and bit-identical in any 64-bit engine — float
+    reciprocals would make the fused ranking sensitive to addition
+    order at rounding boundaries (the PageRank integer trick).
+
+    Relational shape: UNION ALL of the ranking tables, one keyed hash
+    aggregation on (query, doc) with map-side partials, one per-query
+    top-k window (WindowGroupLimit: k rows per partition) — ranking
+    tables are (queries x k_i)-sized, never corpus-sized, so fusion
+    cost is independent of corpus volume. Returns
+    (id, neighbor, rrf_micro, fused_rank)."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if c < 0 or k < 1:
+        raise ValueError("c must be >= 0 and k >= 1")
+    cols = [id_col, neighbor_col, rank_col]
+    allr = rankings[0].select(*cols)
+    for r in rankings[1:]:
+        allr = allr.unionAll(r.select(*cols))
+    scores = (allr.groupBy(id_col, neighbor_col)
+              .agg(F.sum(F.expr(f"{RRF_SCALE} div ({c} + {rank_col})"))
+                   .cast("long").alias("rrf_micro")))
+    w = Window.partitionBy(id_col).orderBy(F.col("rrf_micro").desc(),
+                                           F.col(neighbor_col))
+    return (scores.withColumn("fused_rank", F.row_number().over(w))
+            .where(F.col("fused_rank") <= k)
+            .select(id_col, neighbor_col, "rrf_micro",
+                    F.col("fused_rank").cast("int").alias("fused_rank")))

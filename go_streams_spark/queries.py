@@ -4039,6 +4039,46 @@ def triangle_count_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges, src="part_a", dst="part_b")
 
 
+def _rrf_sql() -> str:
+    """Compose the RRF oracle from the two ANN oracles' own SQL (nested
+    WITH inside a CTE — supported by DuckDB), so the fused oracle can
+    never drift from the rankings it fuses."""
+    return f"""
+WITH s1 AS ({ORACLE["ann_sign_lsh"]}),
+s2 AS ({ORACLE["ann_ivf_knn"]}),
+u AS (
+  SELECT vec_id, neighbor_id, rank FROM s1
+  UNION ALL
+  SELECT vec_id, neighbor_id, rank FROM s2
+), sc AS (
+  SELECT vec_id, neighbor_id,
+         sum(1000000000000 // (60 + rank))::BIGINT AS rrf_micro
+  FROM u GROUP BY 1, 2
+)
+SELECT vec_id, neighbor_id, rrf_micro, fused_rank::INT AS fused_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY rrf_micro DESC, neighbor_id)
+             AS fused_rank
+      FROM sc)
+WHERE fused_rank <= 3
+"""
+
+
+@query("rrf_fused_ann", sql=_rrf_sql())
+def rrf_fused_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval fusion: Reciprocal Rank Fusion of the sign-LSH
+    and IVF ANN rankings (functions/similarity.py::rrf_fuse) — the
+    calibration-free way to combine retrieval systems (RAG hybrid
+    search). Integer micro-unit reciprocals make the fused ranking
+    engine-exact; fusion cost is (queries x k)-sized, corpus-volume
+    independent."""
+    emb = _t(spark, sf_dir, "embeddings")
+    from .functions.similarity import ivf_knn, rrf_fuse, sign_lsh_knn
+    r1 = sign_lsh_knn(emb, k=3, nbits="auto")
+    r2 = ivf_knn(emb, k=3, nlist="auto", nprobe=4)
+    return rrf_fuse([r1, r2], k=3)
+
+
 @query("hard_negatives_by_label", """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v, label

@@ -915,3 +915,27 @@ def test_block_knn_hard_negative_exclusion(spark):
                 sorted(cands, key=lambda t: (-t[0], t[1]))[:2], 1):
             expect[(i, rank)] = (j, s)
     assert got == expect
+
+
+def test_rrf_fuse_known_rankings(spark):
+    """RRF on two hand-built rankings: doc ranked well by BOTH systems
+    outranks a doc ranked first by only one; integer micro-unit scores
+    match the formula exactly; singleton entries still fuse."""
+    r1 = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "vec_id long, neighbor_id long, rank int")
+    r2 = spark.createDataFrame(
+        [(1, 11, 1), (1, 10, 2), (1, 13, 3)],
+        "vec_id long, neighbor_id long, rank int")
+    out = {r["neighbor_id"]: (r["rrf_micro"], r["fused_rank"])
+           for r in S.rrf_fuse([r1, r2], k=4).collect()}
+    M = S.RRF_SCALE
+    assert out[10][0] == M // 61 + M // 62
+    assert out[11][0] == M // 62 + M // 61
+    assert out[12][0] == M // 63
+    assert out[13][0] == M // 63
+    # both-systems docs outrank single-system docs; tie resolves by id
+    assert out[10][1] == 1 and out[11][1] == 2  # equal scores, id order
+    assert out[12][1] == 3 and out[13][1] == 4
+    with pytest.raises(ValueError):
+        S.rrf_fuse([])
