@@ -110,3 +110,42 @@ def test_real_adapter_import_guards():
             assert pkg in str(e) and "clientFactory" in str(e), (adapter, e)
         except Exception as e:  # library present: anything else is fine
             pass
+
+
+def test_round4_graph_and_fusion_invalid():
+    """The round-4 ops reject nonsense budgets/knobs loudly at build
+    time — never a silent empty/self-label/partial answer."""
+    from go_streams_spark.functions.graph import (
+        k_core, k_core_oracle_sql, label_propagation, lpa_oracle_sql,
+        pagerank)
+    from go_streams_spark.functions.similarity import rrf_fuse
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        k_core(None, k=0)
+    with pytest.raises(ValueError, match="raise.*warn|'raise' or 'warn'"):
+        k_core(None, k=2, on_nonconverged="explode")
+    with pytest.raises(ValueError, match=">= 0"):
+        label_propagation(None, iterations=-1)
+    with pytest.raises(ValueError, match=">= 0"):
+        lpa_oracle_sql("e0 AS (SELECT 1 a, 2 b)", iterations=-1)
+    with pytest.raises(ValueError, match="broadcast_ranks"):
+        pagerank(None, broadcast_ranks="maybe")
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="c must be >= 0"):
+        rrf_fuse([None], c=-1)
+    # oracle generators emit one CTE pair per pass/round
+    assert k_core_oracle_sql("e0 AS (SELECT 1 a, 2 b)",
+                             k=2, passes=3).count("AS MATERIALIZED") == 6
+    assert lpa_oracle_sql("e0 AS (SELECT 1 a, 2 b)",
+                          iterations=2).count("l2") > 0
+
+
+def test_bpe_encode_and_sampler_invalid():
+    from go_streams_spark.functions.multimodal import _pick_frame_sampler
+    from go_streams_spark.functions.similarity import auto_nbits, auto_nlist
+    # selection never raises for 'auto'/'stub'; formulas clamp sanely
+    assert _pick_frame_sampler("stub") is not None
+    assert auto_nbits(1, 1) == 1           # dim cap
+    assert auto_nbits(1, 64) == 8          # floor
+    assert auto_nbits(8 * 2**70, 64) == 62  # BIGINT-safe cap
+    assert auto_nlist(1) == 16             # floor
