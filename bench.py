@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "lpa_communities_parts",
     "pagerank_part_graph",
     "pagerank_part_graph_shuffle",
+    "pagerank_weighted_parts",
     "scd2_user_state_history",
     "bigram_lm_counts",
     "bigram_lm_doc_scores",

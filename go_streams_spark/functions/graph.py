@@ -19,6 +19,11 @@ from ..plans.caching import track_persist
 PAGERANK_SCALE = 1_000_000_000_000
 
 
+#: weighted edges: per-edge share of a node's outgoing mass is held in
+#: integer parts-per-SHARE_SCALE (precomputed once; pr * share stays
+#: under 2^63 because pr <= ~PAGERANK_SCALE and share <= SHARE_SCALE)
+SHARE_SCALE = 1_000_000
+
 #: ``broadcast_ranks="auto"`` switches to the co-partitioned join plan
 #: above this node count (~tens of MB of (node, outdeg, pr) rows —
 #: comfortably under executor memory, far under driver OOM territory)
@@ -26,6 +31,7 @@ BROADCAST_MAX_NODES = 5_000_000
 
 
 def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+             weight: str | None = None,
              iterations: int = 3, damping_pct: int = 85,
              round_dp: int = 6,
              broadcast_ranks: bool | str = "auto",
@@ -37,6 +43,14 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
 
         contrib(u)  = pr(u) div outdeg(u)
         pr'(v)      = (100-d)*SCALE div (100*N)  +  d*sum_in(v) div 100
+
+    With ``weight`` set (an INTEGER edge-weight column; duplicate
+    (u, v) rows sum), each edge instead carries a precomputed integer
+    share = (w * SHARE_SCALE) div weighted_outdeg(u), and
+    contrib = (pr * share) div SHARE_SCALE — still pure 64-bit floor
+    arithmetic, still order-independent and oracle-exact; the share
+    quantization (parts-per-million of u's mass) is the documented
+    deterministic contract, mirrored verbatim in the SQL oracle.
 
     — floor division everywhere, so the result is independent of
     addition order AND identical in any engine with 64-bit integers
@@ -75,14 +89,23 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     # materializes them and yields the node count that picks the mode
     # (a separate distinct-union count job was measured at +1.5-2.5 s
     # pure overhead at bench scale)
-    e0 = track_persist(
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct())
+    if weight is None:
+        e0 = track_persist(
+            edges.select(F.col(src).alias("u"),
+                         F.col(dst).alias("v")).distinct())
+        deg_agg = F.count(F.lit(1)).alias("outdeg")
+    else:
+        e0 = track_persist(
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                         F.col(weight).cast("long").alias("w"))
+            .groupBy("u", "v").agg(F.sum("w").alias("w")))
+        deg_agg = F.sum("w").alias("outdeg")  # weighted out-mass
     # deg is node-grain (grows with the graph): the one-time build join
     # is shuffle_hash-hinted unconditionally so Catalyst can never
     # estimate it broadcastable — mode-independent plan safety, at the
     # cost of a shuffle join where a small graph's build could have
     # broadcast (one-time, grain-bounded)
-    deg = e0.groupBy("u").agg(F.count(F.lit(1)).alias("outdeg"))
+    deg = e0.groupBy("u").agg(deg_agg)
     nodes0 = track_persist(
         e0.select(F.col("u").alias("node")).union(
             e0.select(F.col("v").alias("node"))).distinct()
@@ -122,13 +145,25 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     base = ((100 - damping_pct) * PAGERANK_SCALE) // (100 * n)
     pr = nodes.select("node", "outdeg",
                       F.lit(PAGERANK_SCALE // n).cast("long").alias("pr"))
+    if weight is not None:
+        # per-edge integer share of u's outgoing mass, precomputed ONCE
+        # and carried with the (cached) edge set
+        wdeg = deg.withColumnRenamed("outdeg", "wdeg")
+        if not use_broadcast:
+            wdeg = wdeg.hint("shuffle_hash")
+        e = track_persist(
+            e.join(wdeg, "u")
+            .select("u", "v",
+                    F.expr(f"(w * {SHARE_SCALE}) div wdeg").alias("share")))
     for _ in range(iterations):
         live = pr.where(F.col("outdeg") > 0)
         rank_side = F.broadcast(live) if use_broadcast \
             else live.hint("shuffle_hash")
+        contrib_expr = (F.expr("pr div outdeg") if weight is None
+                        else F.expr(f"(pr * share) div {SHARE_SCALE}"))
         contrib = (e.join(rank_side, live["node"] == e["u"])
                    .select(F.col("v").alias("node"),
-                           F.expr("pr div outdeg").alias("c")))
+                           contrib_expr.alias("c")))
         sums = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         sums_side = F.broadcast(sums) if use_broadcast \
             else sums.hint("shuffle_hash")

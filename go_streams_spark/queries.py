@@ -6534,6 +6534,67 @@ SELECT node, round(pr / 1000000000000.0, 6) AS pr FROM it3
 """
 
 
+def _weighted_pagerank_sql(iterations: int = 3) -> str:
+    """Chained-CTE oracle for WEIGHTED integer PageRank over the part
+    co-occurrence graph: per-edge share = (w * 1e6) div wdeg(u),
+    contrib = (pr * share) div 1e6 — mirrors functions/graph.py
+    ::pagerank(weight=...) exactly."""
+    its = []
+    prev = "pr0"
+    for i in range(1, iterations + 1):
+        its.append(f"""it{i} AS (
+  SELECT nd.node, nd.outdeg,
+         (15 * 1000000000000) // (100 * meta.n)
+         + (85 * coalesce(s.s, 0)) // 100 AS pr
+  FROM nodes nd CROSS JOIN meta
+  LEFT JOIN (SELECT ew.v AS node, sum(({prev}.pr * ew.share) // 1000000) AS s
+             FROM {prev} JOIN ew ON {prev}.node = ew.u GROUP BY ew.v) s
+    USING (node)
+)""")
+        prev = f"it{i}"
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS w
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+), wdeg AS MATERIALIZED (
+  SELECT u, sum(w) AS wdeg FROM pairs GROUP BY u
+), ew AS MATERIALIZED (
+  SELECT p.u, p.v, (p.w * 1000000) // d.wdeg AS share
+  FROM pairs p JOIN wdeg d USING (u)
+), nodes AS MATERIALIZED (
+  SELECT u AS node, wdeg AS outdeg FROM wdeg
+), meta AS (SELECT count(*) AS n FROM nodes),
+pr0 AS (
+  SELECT node, outdeg, 1000000000000 // n AS pr FROM nodes CROSS JOIN meta
+),
+{', '.join(its)}
+SELECT node, round(pr / 1000000000000.0, 6) AS pr FROM {prev}
+"""
+
+
+@query("pagerank_weighted_parts", sql=_weighted_pagerank_sql(3))
+def pagerank_weighted_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank over the part co-occurrence graph: edge weight
+    = number of co-occurring orders, so frequently-bought-together
+    parts pass proportionally more rank mass — the realistic variant
+    for co-occurrence/citation graphs. Engine-exact integer arithmetic
+    (per-edge parts-per-million shares precomputed once; see
+    functions/graph.py::pagerank weight contract) hash-checked against
+    the generated chained-CTE oracle."""
+    from .functions.graph import pagerank
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts"))
+    fwd = (baskets.select(F.explode("parts").alias("src"), "parts")
+           .select("src", F.explode(F.filter(
+               "parts", lambda x: x != F.col("src"))).alias("dst")))
+    weighted = fwd.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+    return pagerank(weighted, weight="w", iterations=3)
+
+
 @query("pagerank_part_graph", _PAGERANK_PART_SQL)
 def pagerank_part_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 iterations, d=0.85) over the part co-occurrence

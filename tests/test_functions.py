@@ -939,3 +939,42 @@ def test_rrf_fuse_known_rankings(spark):
     assert out[12][1] == 3 and out[13][1] == 4
     with pytest.raises(ValueError):
         S.rrf_fuse([])
+
+
+def test_weighted_pagerank_matches_python_reference(spark):
+    """pagerank(weight=...) equals an independent Python implementation
+    of the documented integer contract (share = w*1e6 div wdeg,
+    contrib = pr*share div 1e6) on an asymmetric weighted graph, and
+    weights actually matter: the heavily-pointed-to node outranks the
+    lightly-pointed-to one of equal degree."""
+    from collections import defaultdict
+
+    from go_streams_spark.functions.graph import (
+        PAGERANK_SCALE, SHARE_SCALE, pagerank)
+    edges = [(1, 2, 9), (1, 3, 1), (2, 1, 1), (3, 1, 1), (2, 3, 2),
+             (1, 2, 1)]  # duplicate (1,2) row: weights must sum
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {r["node"]: r["pr"]
+           for r in pagerank(df, weight="w", iterations=3).collect()}
+
+    w = defaultdict(int)
+    for u, v, ww in edges:
+        w[(u, v)] += ww
+    nodes = sorted({x for e in w for x in e})
+    wdeg = defaultdict(int)
+    for (u, _), ww in w.items():
+        wdeg[u] += ww
+    share = {(u, v): (ww * SHARE_SCALE) // wdeg[u]
+             for (u, v), ww in w.items()}
+    n = len(nodes)
+    pr = {x: PAGERANK_SCALE // n for x in nodes}
+    for _ in range(3):
+        sums = defaultdict(int)
+        for (u, v), sh in share.items():
+            if wdeg[u] > 0:
+                sums[v] += (pr[u] * sh) // SHARE_SCALE
+        base = (15 * PAGERANK_SCALE) // (100 * n)
+        pr = {x: base + (85 * sums[x]) // 100 for x in nodes}
+    expect = {x: round(pr[x] / float(PAGERANK_SCALE), 6) for x in nodes}
+    assert got == expect
+    assert got[2] > got[3]  # 1 sends 10/11 of its mass to 2, 1/11 to 3
