@@ -44,8 +44,10 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
         contrib(u)  = pr(u) div outdeg(u)
         pr'(v)      = (100-d)*SCALE div (100*N)  +  d*sum_in(v) div 100
 
-    With ``weight`` set (an INTEGER edge-weight column; duplicate
-    (u, v) rows sum), each edge instead carries a precomputed integer
+    With ``weight`` set (an INTEGER edge-weight column, values > 0;
+    duplicate (u, v) rows sum — a non-integral column raises at build
+    time, a NULL/zero/negative value fails the first job that scans
+    it), each edge instead carries a precomputed integer
     share = (w * SHARE_SCALE) div weighted_outdeg(u), and
     contrib = (pr * share) div SHARE_SCALE — still pure 64-bit floor
     arithmetic, still order-independent and oracle-exact; the share
@@ -84,6 +86,23 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
         raise ValueError("iterations >= 0 and 0 <= damping_pct <= 100")
     if broadcast_ranks not in (True, False, "auto"):
         raise ValueError("broadcast_ranks must be True, False, or 'auto'")
+    if weight is not None:
+        # loud-failure contract (same as the other graph ops): a float
+        # weight column would be silently floor-truncated by the long
+        # cast, and a <= 0 / NULL weight makes the integer share
+        # division emit NULL (silently dropped from sums) or divide by
+        # zero. Dtype is checked here (free); values are checked with a
+        # raise_error guard that rides the existing edge scan — first
+        # bad row fails the job, zero extra cost on clean data.
+        from pyspark.sql.types import (ByteType, ShortType, IntegerType,
+                                       LongType)
+        wtype = edges.schema[weight].dataType
+        if not isinstance(wtype, (ByteType, ShortType, IntegerType,
+                                  LongType)):
+            raise ValueError(
+                f"pagerank: weight column {weight!r} must be integral "
+                f"(got {wtype.simpleString()}); cast explicitly if the "
+                "truncation is intended")
     # staging pins: ONE materialization each of the canonical edge set
     # and the node table; the single nodes0.count() below both
     # materializes them and yields the node count that picks the mode
@@ -95,9 +114,16 @@ def pagerank(edges: DataFrame, *, src: str = "src", dst: str = "dst",
                          F.col(dst).alias("v")).distinct())
         deg_agg = F.count(F.lit(1)).alias("outdeg")
     else:
+        w_checked = F.when(
+            F.col(weight).isNull() | (F.col(weight) <= 0),
+            F.raise_error(F.concat(
+                F.lit("pagerank: weight must be a positive integer, got "),
+                F.coalesce(F.col(weight).cast("string"), F.lit("NULL")),
+                F.lit(f" (column {weight!r})")))
+        ).otherwise(F.col(weight).cast("long"))
         e0 = track_persist(
             edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
-                         F.col(weight).cast("long").alias("w"))
+                         w_checked.alias("w"))
             .groupBy("u", "v").agg(F.sum("w").alias("w")))
         deg_agg = F.sum("w").alias("outdeg")  # weighted out-mass
     # deg is node-grain (grows with the graph): the one-time build join

@@ -269,7 +269,21 @@ def sample_frames(df: DataFrame, *, blob_col: str = "media",
     document, one ROW per frame — the explode shape downstream feature
     extraction and dedup expect. No shuffle: rows fan out within their
     partition, with Arrow batch size capping peak decode memory.
+
+    Knobs are validated at build time (the constructor-panic contract
+    of the other operators): a bad ``every_k=0`` would otherwise
+    surface late and per-task — as a range() ValueError in the stub or
+    a modulo ZeroDivisionError in the PyAV path, where the quarantine
+    handler would misread it as a corrupt blob.
     """
+    if frame_size < 1:
+        raise ValueError("frame_size must be positive")
+    if every_k < 1:
+        raise ValueError("every_k must be positive")
+    if max_frames < 0:
+        raise ValueError("max_frames must be >= 0")
+    if codec not in ("stub", "av", "auto"):
+        raise ValueError("codec must be 'stub', 'av', or 'auto'")
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         sampler = _pick_frame_sampler(codec)

@@ -23,6 +23,28 @@ from pyspark.sql import functions as F
 
 from ..plans.caching import track_persist
 
+#: Spark byte-string suffixes (JavaUtils.byteStringAsBytes): bare
+#: numbers are bytes for byte-typed confs like maxPartitionBytes
+_BYTE_SUFFIXES = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+                  "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30,
+                  "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40,
+                  "p": 1 << 50, "pb": 1 << 50}
+
+
+def parse_byte_string(value: str) -> int:
+    """Parse a Spark byte-string conf value ("134217728", "128m",
+    "1g", "128MB") to bytes — the same grammar as the JVM's
+    ``JavaUtils.byteStringAsBytes`` (integer + optional
+    case-insensitive b/k/kb/m/mb/g/gb/t/tb/p/pb suffix), reimplemented
+    in Python so Spark Connect sessions (no ``_jvm``) can parse too.
+    Raises ValueError on anything else."""
+    s = str(value).strip().lower()
+    num = s.rstrip("kmgtpb")
+    mult = _BYTE_SUFFIXES.get(s[len(num):])
+    if not num or not num.isdigit() or mult is None:
+        raise ValueError(f"invalid byte string: {value!r}")
+    return int(num) * mult
+
 
 def split(df: DataFrame, predicate: Column) -> tuple[DataFrame, DataFrame]:
     """Disjoint 2-way partition by predicate (``flow/util.go:23-41``).
@@ -142,15 +164,20 @@ def distributed_ordinal(df: DataFrame, *, order_by: Sequence[Column | str],
         try:
             size = int(df._jdf.queryExecution().optimizedPlan()
                        .stats().sizeInBytes())
-            max_bytes = int(str(spark.conf.get(
-                "spark.sql.files.maxPartitionBytes")).rstrip("b"))
+        except AttributeError:  # Spark Connect: no _jdf — static fallback
+            n_parts = max(2, spark.sparkContext.defaultParallelism)
+        else:
+            # full suffix grammar ("128m", "1g", ...), not just a
+            # trailing "b": a legal suffixed conf value must size the
+            # fan-out, not silently fall back to defaultParallelism —
+            # and a genuinely malformed conf raises here, loudly
+            max_bytes = parse_byte_string(spark.conf.get(
+                "spark.sql.files.maxPartitionBytes"))
             # cap at 2^20 range partitions: CBO reports a 2^63-ish
             # sentinel for relations with unknown stats (local
             # in-memory data), and a million tasks is already beyond
             # any sane single-query fan-out
             n_parts = min(1 << 20, max(2, -(-size // max(max_bytes, 1))))
-        except Exception:  # Spark Connect: no _jdf — static fallback
-            n_parts = max(2, spark.sparkContext.defaultParallelism)
         df = df.repartitionByRange(n_parts, *cols).sortWithinPartitions(*cols)
     # monotonically_increasing_id after the in-partition sort encodes
     # (partition_id << 33) + local_row_index in iteration order, i.e.

@@ -105,13 +105,16 @@ def count_or_time_batch_stream(df: DataFrame, *, key_cols: list[str],
     registered, so the query never self-terminates (observed on Spark
     4.1; the size/time flushes themselves are all emitted correctly).
 
-    Known delta vs the reference's ticker (flow/batch.go:86-96): the
-    GroupState API clears a key's timeout on EVERY invocation, so this
-    operator re-arms the interval whenever new rows arrive — under
-    steady sub-max_size trickle input the time-flush keeps sliding
-    forward instead of firing every interval. The transformWithState
-    port (``count_or_time_batch_stream_tws``) has real named timers and
-    keeps the original deadline, matching the reference exactly.
+    Timer parity with the reference's ticker (flow/batch.go:86-96):
+    the reference calls ``ticker.Reset(interval)`` after EVERY received
+    element, so its time-flush deadline slides with input. The
+    GroupState API clears a key's timeout on every invocation, so this
+    operator re-arms the interval whenever new rows arrive — the same
+    sliding deadline, at micro-batch rather than per-element
+    granularity (indistinguishable: a micro-batch's elements arrive
+    together, so only the last element's reset matters). The
+    transformWithState port (``count_or_time_batch_stream_tws``)
+    mirrors this with explicit deleteTimer/registerTimer per input.
     """
 
     def batcher(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
@@ -334,9 +337,12 @@ def count_or_time_batch_stream_tws(df: DataFrame, *, key_cols: list[str],
     size-flushes in ``handleInputRows``, the residual-buffer time-flush
     via a REAL named timer (``registerTimer`` / ``handleExpiredTimer``
     — the tws timer API replacing the legacy single
-    ``setTimeoutDuration`` slot). A size-flush deletes and re-registers
-    the pending timer, reproducing the reference's timer reset on
-    size-flush (flow/batch.go:92-96). Emissions match the legacy
+    ``setTimeoutDuration`` slot). Every input invocation deletes the
+    pending timer and (when a residual buffer remains) re-registers it
+    at now+interval, reproducing the reference's per-element
+    ``ticker.Reset(interval)`` (flow/batch.go:95-96) at micro-batch
+    granularity — the deadline slides with input, exactly like the
+    legacy operator's GroupState timeout. Emissions match the legacy
     operator: (key..., batch array, batch_size, reason).
 
     Run with a ``processingTime`` trigger and stop explicitly (same
@@ -371,26 +377,20 @@ def count_or_time_batch_stream_tws(df: DataFrame, *, key_cols: list[str],
                         out.append((buf, "size"))
                         buf = []
             # Timer discipline mirrors the reference's ticker
-            # (flow/batch.go:92-96): it fires every interval REGARDLESS
-            # of appends and resets only on a size-flush. So: clear the
-            # pending timer on size-flush (or when the buffer emptied);
-            # otherwise KEEP the existing deadline — deleting and
-            # re-arming on every micro-batch would postpone the
-            # time-flush forever under steady trickle input. (The
-            # legacy applyInPandasWithState operator cannot express
-            # this: GroupState clears its timeout on every invocation —
-            # a documented delta this tws port exists to close.)
-            pending = list(self._handle.listTimers())
-            if out or not buf:
-                for t in pending:
-                    self._handle.deleteTimer(t)
-                pending = []
+            # (flow/batch.go:95-96): ticker.Reset(interval) after EVERY
+            # received element, so the time-flush deadline slides with
+            # input. At micro-batch granularity that means: every input
+            # invocation drops the pending timer, and a new one is
+            # armed at now+interval only while a residual buffer
+            # remains (an empty buffer needs no timer — the reference's
+            # tick is a no-op there).
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
             if buf:
                 self._buf.update((buf,))
-                if not pending:
-                    self._handle.registerTimer(
-                        timerValues.getCurrentProcessingTimeInMs()
-                        + interval_ms)
+                self._handle.registerTimer(
+                    timerValues.getCurrentProcessingTimeInMs()
+                    + interval_ms)
             else:
                 self._buf.clear()
             if out:

@@ -978,3 +978,25 @@ def test_weighted_pagerank_matches_python_reference(spark):
     expect = {x: round(pr[x] / float(PAGERANK_SCALE), 6) for x in nodes}
     assert got == expect
     assert got[2] > got[3]  # 1 sends 10/11 of its mass to 2, 1/11 to 3
+
+
+def test_weighted_pagerank_rejects_bad_weights(spark):
+    """pagerank(weight=...) fails LOUDLY on inputs that would silently
+    corrupt the integer-share arithmetic: a non-integral weight column
+    (would be floor-truncated by the long cast) raises at build time;
+    a zero/negative/NULL weight value (NULL share silently dropped
+    from sums under non-ANSI mode) fails the first job that scans it."""
+    from py4j.protocol import Py4JJavaError
+
+    from go_streams_spark.functions.graph import pagerank
+
+    floats = spark.createDataFrame([(1, 2, 1.5)], "src long, dst long, w double")
+    with pytest.raises(ValueError, match="must be integral"):
+        pagerank(floats, weight="w")
+
+    for bad in (0, -3, None):
+        df = spark.createDataFrame([(1, 2, 7), (2, 1, bad)],
+                                   "src long, dst long, w long")
+        with pytest.raises(Exception, match="positive integer") as exc:
+            pagerank(df, weight="w", iterations=1).collect()
+        assert isinstance(exc.value, Py4JJavaError) or "positive" in str(exc.value)

@@ -149,3 +149,41 @@ def test_bpe_encode_and_sampler_invalid():
     assert auto_nbits(1, 64) == 8          # floor
     assert auto_nbits(8 * 2**70, 64) == 62  # BIGINT-safe cap
     assert auto_nlist(1) == 16             # floor
+
+
+def test_parse_byte_string_grammar():
+    """parse_byte_string mirrors JavaUtils.byteStringAsBytes: bare
+    numbers are bytes, every legal suffix (b/k/kb/m/mb/g/gb/t/tb/p/pb,
+    case-insensitive) scales, and anything else raises — it must never
+    silently misparse a conf value like '128m' the way a bare
+    rstrip('b') would."""
+    from go_streams_spark.operators.topology import parse_byte_string
+
+    assert parse_byte_string("134217728") == 134217728
+    assert parse_byte_string("128b") == 128
+    assert parse_byte_string("128m") == 128 << 20
+    assert parse_byte_string("128MB") == 128 << 20
+    assert parse_byte_string(" 1g ") == 1 << 30
+    assert parse_byte_string("2k") == 2048
+    assert parse_byte_string("3TB") == 3 << 40
+    assert parse_byte_string("1pb") == 1 << 50
+    for bad in ("", "m", "1.5g", "-1k", "12 m", "1q", "0x10", "1gbb"):
+        with pytest.raises(ValueError, match="byte string"):
+            parse_byte_string(bad)
+
+
+def test_sample_frames_invalid_knobs():
+    """sample_frames validates its knobs at build time: every_k=0 would
+    otherwise fail late per-task (range() ValueError in the stub,
+    ZeroDivisionError in the PyAV path, misread as a corrupt blob by
+    the quarantine handler)."""
+    from go_streams_spark.functions.multimodal import sample_frames
+
+    with pytest.raises(ValueError, match="frame_size"):
+        sample_frames(None, frame_size=0)
+    with pytest.raises(ValueError, match="every_k"):
+        sample_frames(None, every_k=0)
+    with pytest.raises(ValueError, match="max_frames"):
+        sample_frames(None, max_frames=-1)
+    with pytest.raises(ValueError, match="codec"):
+        sample_frames(None, codec="ffmpeg")

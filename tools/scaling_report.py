@@ -29,11 +29,11 @@ def report(small_path: str, big_path: str, data_ratio: float = 10.0):
     # column labels from the files themselves, not hard-coded SFs
     s_label = f"sf{sj.get('sf', '?')} s"
     b_label = f"sf{bj.get('sf', '?')} s"
-    rows = []
+    rows, skipped = [], []
     for q in sorted(set(small) & set(big)):
         s, b = small[q], big[q]
         if s <= 0 or b <= 0:  # skipped/failed query: no meaningful ratio
-            print(f"| {q} | {s:.2f} | {b:.2f} | (zero-time entry, skipped) ||")
+            skipped.append((q, s, b))
             continue
         ratio = b / s
         exp = math.log(ratio) / math.log(data_ratio)
@@ -44,6 +44,10 @@ def report(small_path: str, big_path: str, data_ratio: float = 10.0):
     for q, s, b, ratio, exp in rows:
         e = f"{exp:.2f}" if b >= 1.0 else "(overhead-bound)"
         print(f"| {q} | {s:.2f} | {b:.2f} | {ratio:.1f}x | {e} |")
+    # zero-time rows go AFTER the header so the table renders; they are
+    # table rows (not a footnote) so a grep of the table still sees them
+    for q, s, b in skipped:
+        print(f"| {q} | {s:.2f} | {b:.2f} | (zero-time entry, skipped) | |")
     tot_s = sum(r[1] for r in rows)
     tot_b = sum(r[2] for r in rows)
     if tot_s > 0 and tot_b > 0:
