@@ -91,6 +91,8 @@ BENCH_QUERIES = [
     "ann_ivf_knn",
     "ann_query_vector_topk",
     "rrf_fused_ann",
+    "pq_adc_topk",
+    "ann_pq_rerank",
     "gopher_repetition_stats",
     "data_quality_report",
     "vocab_top_tokens",

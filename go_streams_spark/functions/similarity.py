@@ -741,3 +741,258 @@ def rrf_fuse(rankings: list[DataFrame], *, id_col: str = "vec_id",
             .where(F.col("fused_rank") <= k)
             .select(id_col, neighbor_col, "rrf_micro",
                     F.col("fused_rank").cast("int").alias("fused_rank")))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN (Jégou et al. 2011,
+# "Product quantization for nearest neighbor search"; the FAISS IndexPQ /
+# IndexIVFPQ memory model). At 100 TB of raw float32 embeddings the index
+# side CANNOT ship vectors: dim=64 float32 is 256 bytes/vector, while an
+# m=4 PQ code is 4 bytes + one float norm — a ~20-60x smaller shuffle and
+# executor-cache footprint. ADC (asymmetric distance computation) keeps
+# the QUERY side exact-precision: only the candidate side is quantized.
+# ---------------------------------------------------------------------------
+
+
+def fixed_pq_codebooks(df: DataFrame, *, id_col: str = "vec_id",
+                       vec_col: str = "embedding", m: int = 4,
+                       ksub: int = 8) -> "np.ndarray":
+    """Deterministic PQ sub-codebooks: the ``ksub`` lowest-id vectors,
+    each split into ``m`` equal sub-vectors — the same oracle-
+    reproducible convention as ``ivf_knn``'s vec_id<nlist codebook
+    (sub-codebook s of centroid j = subvector s of vector j). Returns a
+    (m, ksub, dim/m) float64 array — bounded index metadata. At scale
+    you'd plug in ``train_pq_codebooks`` output; the execution plan is
+    identical, only the codebook values change."""
+    import numpy as np
+
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    rows = sorted(base.where(F.col(id_col) < ksub).collect(),
+                  key=lambda r: r[0])
+    if len(rows) < ksub:
+        raise ValueError(f"fixed_pq_codebooks: need {ksub} vectors with "
+                         f"{id_col} < {ksub}, found {len(rows)}")
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)  # (ksub, dim)
+    dim = mat.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+    # (m, ksub, sd): codebooks[s][j] = subvector s of vector j
+    return mat.reshape(ksub, m, sd).transpose(1, 0, 2).copy()
+
+
+def train_pq_codebooks(df: DataFrame, *, id_col: str = "vec_id",
+                       vec_col: str = "embedding", m: int = 4,
+                       ksub: int = 16, iterations: int = 4) -> "np.ndarray":
+    """Per-subspace Lloyd's k-means PQ training, distributed and
+    deterministic (init = the ksub lowest-id vectors' subvectors, i.e.
+    ``fixed_pq_codebooks``). Each iteration is ONE vectorized
+    assignment pass over the corpus (all m subspaces assigned in the
+    same pass — the codebooks ride in the closure) plus ONE
+    (subspace, cluster, dim)-grain mean aggregation: m*ksub*(dim/m)
+    cells come back to the driver, never vectors. Euclidean assignment
+    (the PQ objective is L2 reconstruction error). Returns the
+    (m, ksub, dim/m) codebook tensor for ``pq_encode``/``pq_adc_knn``."""
+    import numpy as np
+    import pandas as pd
+
+    cb = fixed_pq_codebooks(df, id_col=id_col, vec_col=vec_col,
+                            m=m, ksub=ksub)
+    n_m, n_k, sd = cb.shape
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+
+    for _ in range(iterations):
+        def _assign(batches, cb=cb):
+            for pdf in batches:
+                q = np.array(list(pdf["v"]), dtype=np.float64)
+                qs = q.reshape(len(q), n_m, sd)
+                out_m, out_c, out_d, out_x = [], [], [], []
+                for s in range(n_m):
+                    # (n, ksub) squared L2 to subspace-s centroids
+                    d2 = ((qs[:, s, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+                    code = np.argmin(d2, axis=1)
+                    n = len(q)
+                    out_m.append(np.full(n * sd, s, dtype=np.int64))
+                    out_c.append(np.repeat(code.astype(np.int64), sd))
+                    out_d.append(np.tile(np.arange(sd, dtype=np.int64), n))
+                    out_x.append(qs[:, s, :].reshape(-1))
+                yield pd.DataFrame({"m": np.concatenate(out_m),
+                                    "cid": np.concatenate(out_c),
+                                    "dim": np.concatenate(out_d),
+                                    "x": np.concatenate(out_x)})
+
+        cells = base.mapInPandas(
+            _assign, schema="m long, cid long, dim long, x double")
+        means = (cells.groupBy("m", "cid", "dim")
+                 .agg(F.avg("x").alias("mu")).collect())
+        new = cb.copy()  # empty clusters keep their previous centroid
+        for r in means:
+            new[r["m"], r["cid"], r["dim"]] = r["mu"]
+        cb = new
+    return cb
+
+
+def pq_encode(df: DataFrame, codebooks, *, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              dist_round_dp: int | None = 6) -> DataFrame:
+    """PQ-encode every vector: per subspace s, code[s] = argmin over
+    sub-centroids of the squared L2 distance (rounded to
+    ``dist_round_dp`` with lowest-centroid tie-break, so a SQL oracle
+    reproduces the choice bit-for-bit; None = raw argmin). Emits
+    (id, codes array<int>, recon_norm double) — recon_norm is the norm
+    of the reconstruction (subspaces concatenate orthogonally, so
+    |recon|^2 = sum_s |centroid_s|^2), precomputed at encode time
+    because ADC cosine needs it and the raw vector is gone.
+
+    ONE vectorized mapInPandas pass, no shuffle; the codebook tensor is
+    closure-resident index metadata (m*ksub*dim/m floats)."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    n_m, n_k, sd = cb.shape
+    cnorm2 = (cb ** 2).sum(-1)  # (m, ksub)
+
+    def _encode(batches):
+        for pdf in batches:
+            q = np.array(list(pdf["v"]), dtype=np.float64)
+            qs = q.reshape(len(q), n_m, sd)
+            codes = np.empty((len(q), n_m), dtype=np.int32)
+            for s in range(n_m):
+                d2 = ((qs[:, s, None, :] - cb[s][None, :, :]) ** 2).sum(-1)
+                if dist_round_dp is not None:
+                    d2 = np.round(d2, dist_round_dp)
+                codes[:, s] = np.argmin(d2, axis=1)  # first min = lowest cid
+            rn = np.sqrt(cnorm2[np.arange(n_m)[None, :], codes].sum(axis=1))
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "codes": list(codes),
+                                "recon_norm": rn})
+
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    return base.mapInPandas(
+        _encode, schema=f"{id_col} long, codes array<int>, recon_norm double")
+
+
+def pq_adc_knn(df: DataFrame, codebooks, *, id_col: str = "vec_id",
+               vec_col: str = "embedding", k: int = 3,
+               query_blocks: int = 8, index_shards: int = 4,
+               round_dp: int = 6,
+               encoded: DataFrame | None = None) -> DataFrame:
+    """Compressed-domain exact-scan ANN (FAISS IndexPQ): every query
+    meets every CODE, never every vector — the ``block_knn`` 2-D
+    blocked-cogroup shape with the index side carrying m-byte PQ codes
+    + one norm instead of dim floats. Asymmetric distance computation:
+    each cogroup builds the query-side lookup table
+    LUT[q, s, j] = dot(q_sub_s, centroid_{s,j}) with one einsum
+    (b x m x ksub floats), then approx_dot(q, v) = sum_s LUT[q, s,
+    code_v[s]] is a pure table gather — no decode, no per-pair float
+    dot. approx_cos = approx_dot / (|q| * |recon_v|), rounded, id
+    tie-break.
+
+    Scale: the index side of the shuffle is codes-only (m bytes +
+    8-byte norm per vector vs 4*dim bytes raw — 26x smaller at dim=64/
+    m=4), which is the entire point of PQ: a 100 TB float32 corpus
+    becomes a ~2-4 TB code table that fits executor caches. Accuracy
+    is bounded by quantization error; compose with exact re-rank of
+    the top candidates (``block_knn`` on the survivor set) when recall
+    matters. ``encoded``: pass a pre-encoded (id, codes, recon_norm)
+    DataFrame to reuse an existing code table (the IndexPQ "build once,
+    query many" shape)."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=np.float64)
+    n_m, n_k, sd = cb.shape
+    Q, S = query_blocks, index_shards
+    if encoded is None:
+        encoded = pq_encode(df, cb, id_col=id_col, vec_col=vec_col)
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    q = base.select(F.pmod(F.col(id_col), F.lit(Q)).cast("int").alias("qb"),
+                    F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("sb"),
+                    F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    ix = encoded.select(
+        F.explode(F.sequence(F.lit(0), F.lit(Q - 1))).alias("qb"),
+        F.pmod(F.col(id_col), F.lit(S)).cast("int").alias("sb"),
+        F.col(id_col).alias("id_b"), F.col("codes").alias("cb_codes"),
+        F.col("recon_norm").alias("rnorm"))
+
+    def _local_topk(key, qpdf, ipdf):
+        if qpdf.empty or ipdf.empty:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        qa = np.array(list(qpdf["va"]), dtype=np.float64)
+        qs = qa.reshape(len(qa), n_m, sd)
+        qn = np.linalg.norm(qa, axis=1)
+        codes = np.array(list(ipdf["cb_codes"]), dtype=np.int64)  # (n, m)
+        rn = ipdf["rnorm"].to_numpy(dtype=np.float64)
+        qids = qpdf["id_a"].to_numpy(dtype=np.int64)
+        iids = ipdf["id_b"].to_numpy(dtype=np.int64)
+        # LUT: (b, m, ksub); ADC gather-sum -> (b, n) approx dots
+        lut = np.einsum("bmd,mkd->bmk", qs, cb)
+        adot = np.zeros((len(qa), len(codes)), dtype=np.float64)
+        for s in range(n_m):
+            adot += lut[:, s, codes[:, s]]
+        sims = np.round(adot / (qn[:, None] * rn[None, :]), round_dp)
+        out_a, out_b, out_s = [], [], []
+        for j, (qi, row) in enumerate(zip(qids, sims)):
+            mask = iids != qi
+            cids, csims = iids[mask], row[mask]
+            order = np.lexsort((cids, -csims))[:k]
+            out_a.extend([qi] * len(order))
+            out_b.extend(cids[order])
+            out_s.extend(csims[order])
+        return pd.DataFrame({"id_a": np.array(out_a, dtype="int64"),
+                             "id_b": np.array(out_b, dtype="int64"),
+                             "sim": np.array(out_s, dtype="float64")})
+
+    cand = (q.groupBy("qb", "sb").cogroup(ix.groupBy("qb", "sb"))
+            .applyInPandas(_local_topk, schema="id_a long, id_b long, sim double"))
+    w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("id_a").alias(id_col),
+                    F.col("id_b").alias("neighbor_id"),
+                    "sim", F.col("rank").cast("int").alias("rank")))
+
+
+def pq_rerank_knn(df: DataFrame, codebooks, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding", k: int = 3,
+                  shortlist: int = 20, round_dp: int = 6,
+                  query_blocks: int = 8, index_shards: int = 4) -> DataFrame:
+    """The production PQ composition (FAISS IndexPQ + refine): ADC over
+    codes produces a ``shortlist``-sized candidate set per query, then
+    ONLY those N*shortlist pairs are re-scored with exact full-precision
+    cosine — never N² and never a full-width vector shuffle for the
+    scan phase. Recall grows monotonically with ``shortlist`` (the PQ
+    recall/cost knob, pinned by tests/test_functions.py::
+    test_pq_rerank_recall_monotone); the compressed scan stays the one
+    place the whole corpus is touched.
+
+    Plan: pq_adc_knn's blocked-cogroup scan (codes-only shuffle), then
+    two hash joins rehydrate the raw vectors for the candidate pairs
+    (each vector crosses the wire once per shortlist membership), one
+    window top-k. Exactness of the re-rank: rounded raw-dot cosine,
+    id tie-break — the block_knn/ivf_knn oracle formula."""
+    cand = pq_adc_knn(df, codebooks, id_col=id_col, vec_col=vec_col,
+                      k=shortlist, round_dp=round_dp,
+                      query_blocks=query_blocks, index_shards=index_shards)
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"),
+                     norm(as_double(vec_col)).alias("n"))
+    qa = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                     F.col("n").alias("na"))
+    ib = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                     F.col("n").alias("nb"))
+    exact = (cand.select(F.col(id_col).alias("id_a"),
+                         F.col("neighbor_id").alias("id_b"))
+             .join(qa, "id_a").join(ib, "id_b")
+             .select("id_a", "id_b",
+                     F.round(dot(F.col("va"), F.col("vb"))
+                             / (F.col("na") * F.col("nb")),
+                             round_dp).alias("sim")))
+    w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
+    return (exact.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(F.col("id_a").alias(id_col),
+                    F.col("id_b").alias("neighbor_id"),
+                    "sim", F.col("rank").cast("int").alias("rank")))

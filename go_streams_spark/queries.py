@@ -6667,3 +6667,187 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (comps.groupBy(F.col("component").alias("canonical"))
             .agg(F.count(F.lit(1)).alias("n_aliases"))
             .where(F.col("n_aliases") > 1))
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 5): compressed-domain ANN — the FAISS
+# IndexPQ memory model (Jégou et al. 2011). The index side of every
+# shuffle carries m-byte codes + one norm instead of 4*dim-byte raw
+# vectors, which is what makes a 100 TB float32 embedding corpus
+# cache-resident (~26x smaller at dim=64 / m=4).
+# ---------------------------------------------------------------------------
+
+@query("pq_encode_codes", """
+WITH cfg AS (
+  SELECT (min(len(embedding)) // 4)::INT AS sd FROM embeddings
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), cb AS (
+  SELECT m, vec_id AS cid, v[m * sd + 1 : m * sd + sd] AS cv
+  FROM v CROSS JOIN cfg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m)
+  WHERE vec_id < 8
+), dists AS (
+  SELECT a.vec_id, cb.m, cb.cid,
+         round(list_sum(list_transform(
+             list_zip(a.v[cb.m * sd + 1 : cb.m * sd + sd], cb.cv),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d,
+         list_sum(list_transform(cb.cv, x -> x * x)) AS cnorm2
+  FROM v a CROSS JOIN cfg CROSS JOIN cb
+), enc AS (
+  SELECT vec_id, m, cid, cnorm2,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+  FROM dists
+)
+SELECT vec_id,
+       max(CASE WHEN m = 0 THEN cid END)::INT AS c0,
+       max(CASE WHEN m = 1 THEN cid END)::INT AS c1,
+       max(CASE WHEN m = 2 THEN cid END)::INT AS c2,
+       max(CASE WHEN m = 3 THEN cid END)::INT AS c3,
+       round(sqrt(sum(cnorm2)), 6) AS recon_norm
+FROM enc WHERE rn = 1 GROUP BY vec_id
+""")
+def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codes for every vector: m=4 subspaces, 8 sub-centroids each
+    (the deterministic vec_id<8 codebook convention of ann_ivf_knn /
+    semdedup_fixed_codebook — at scale you'd plug in
+    train_pq_codebooks, same plan). Each 256-byte float vector becomes
+    4 bytes of codes + one reconstruction norm. Encoding is ONE
+    vectorized mapInPandas pass, zero shuffle; argmin over rounded
+    squared L2 with lowest-centroid tie-break is reproduced exactly by
+    the oracle's window rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = S.fixed_pq_codebooks(emb, m=4, ksub=8)
+    enc = S.pq_encode(emb, cbs)
+    return enc.select(
+        "vec_id",
+        F.col("codes")[0].alias("c0"), F.col("codes")[1].alias("c1"),
+        F.col("codes")[2].alias("c2"), F.col("codes")[3].alias("c3"),
+        F.round("recon_norm", 6).alias("recon_norm"))
+
+
+@query("pq_adc_topk", """
+WITH cfg AS (
+  SELECT (min(len(embedding)) // 4)::INT AS sd FROM embeddings
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), cb AS (
+  SELECT m, vec_id AS cid, v[m * sd + 1 : m * sd + sd] AS cv
+  FROM v CROSS JOIN cfg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m)
+  WHERE vec_id < 8
+), dists AS (
+  SELECT a.vec_id, cb.m, cb.cid, cb.cv,
+         round(list_sum(list_transform(
+             list_zip(a.v[cb.m * sd + 1 : cb.m * sd + sd], cb.cv),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d,
+         list_sum(list_transform(cb.cv, x -> x * x)) AS cnorm2
+  FROM v a CROSS JOIN cfg CROSS JOIN cb
+), enc AS (
+  SELECT vec_id, m, cid, cv, cnorm2,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+  FROM dists
+), sel AS (
+  SELECT vec_id, m, cv FROM enc WHERE rn = 1
+), rnorm AS (
+  SELECT vec_id, sqrt(sum(cnorm2)) AS rnorm FROM enc WHERE rn = 1 GROUP BY vec_id
+), qn AS (
+  SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm FROM v
+), adots AS (
+  SELECT q.vec_id AS id_a, s.vec_id AS id_b,
+         sum(list_sum(list_transform(
+             list_zip(q.v[s.m * sd + 1 : s.m * sd + sd], s.cv),
+             p -> p[1] * p[2]))) AS adot
+  FROM v q CROSS JOIN cfg JOIN sel s ON q.vec_id <> s.vec_id
+  GROUP BY 1, 2
+), sims AS (
+  SELECT id_a, id_b, round(adot / (qn.qnorm * rnorm.rnorm), 6) AS sim
+  FROM adots JOIN qn ON qn.vec_id = adots.id_a
+             JOIN rnorm ON rnorm.vec_id = adots.id_b
+)
+SELECT id_a AS vec_id, id_b AS neighbor_id, sim, rank::INT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rank
+      FROM sims)
+WHERE rank <= 3
+""")
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-domain top-3 via asymmetric distance computation
+    (FAISS IndexPQ): queries stay full-precision, candidates exist
+    ONLY as 4-byte PQ codes + a norm; each cogroup builds the per-query
+    LUT (one einsum) and scores candidates by pure table gather —
+    no decode, no per-pair float dot. 2-D blocked cogroup (the
+    block_knn shape), so the code table shuffles in m-byte rows: the
+    plan a 100 TB corpus actually runs. Recall vs exact kNN is pinned
+    by tests/test_functions.py::test_pq_adc_recall_floor; compose with
+    exact re-rank (block_knn over survivors) when recall matters."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = S.fixed_pq_codebooks(emb, m=4, ksub=8)
+    return S.pq_adc_knn(emb, cbs, k=3)
+
+
+@query("ann_pq_rerank", """
+WITH cfg AS (
+  SELECT (min(len(embedding)) // 4)::INT AS sd FROM embeddings
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), cb AS (
+  SELECT m, vec_id AS cid, v[m * sd + 1 : m * sd + sd] AS cv
+  FROM v CROSS JOIN cfg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m)
+  WHERE vec_id < 8
+), dists AS (
+  SELECT a.vec_id, cb.m, cb.cid, cb.cv,
+         round(list_sum(list_transform(
+             list_zip(a.v[cb.m * sd + 1 : cb.m * sd + sd], cb.cv),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d,
+         list_sum(list_transform(cb.cv, x -> x * x)) AS cnorm2
+  FROM v a CROSS JOIN cfg CROSS JOIN cb
+), enc AS (
+  SELECT vec_id, m, cid, cv, cnorm2,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+  FROM dists
+), sel AS (
+  SELECT vec_id, m, cv FROM enc WHERE rn = 1
+), rnorm AS (
+  SELECT vec_id, sqrt(sum(cnorm2)) AS rnorm FROM enc WHERE rn = 1 GROUP BY vec_id
+), qn AS (
+  SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm FROM v
+), adots AS (
+  SELECT q.vec_id AS id_a, s.vec_id AS id_b,
+         sum(list_sum(list_transform(
+             list_zip(q.v[s.m * sd + 1 : s.m * sd + sd], s.cv),
+             p -> p[1] * p[2]))) AS adot
+  FROM v q CROSS JOIN cfg JOIN sel s ON q.vec_id <> s.vec_id
+  GROUP BY 1, 2
+), shortlist AS (
+  SELECT id_a, id_b
+  FROM (SELECT adots.id_a, adots.id_b,
+               row_number() OVER (
+                 PARTITION BY adots.id_a
+                 ORDER BY round(adot / (qn.qnorm * rnorm.rnorm), 6) DESC,
+                          adots.id_b) AS arank
+        FROM adots JOIN qn ON qn.vec_id = adots.id_a
+                   JOIN rnorm ON rnorm.vec_id = adots.id_b)
+  WHERE arank <= 20
+), exact AS (
+  SELECT s.id_a, s.id_b,
+         round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS sim
+  FROM shortlist s
+  JOIN v a ON a.vec_id = s.id_a
+  JOIN v b ON b.vec_id = s.id_b
+)
+SELECT id_a AS vec_id, id_b AS neighbor_id, sim, rank::INT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rank
+      FROM exact)
+WHERE rank <= 3
+""")
+def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production PQ pipeline: compressed ADC scan shortlists 20
+    candidates per query, exact full-precision cosine re-ranks ONLY
+    those pairs to a final top-3 (FAISS IndexPQ + refine). The corpus
+    is scanned exclusively in code space (4 bytes/vector); raw vectors
+    are rehydrated for N*20 pairs, never N². Recall grows monotonically
+    with the shortlist size — the PQ cost/recall knob — pinned by
+    tests/test_functions.py::test_pq_rerank_recall_monotone."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cbs = S.fixed_pq_codebooks(emb, m=4, ksub=8)
+    return S.pq_rerank_knn(emb, cbs, k=3, shortlist=20)

@@ -187,3 +187,17 @@ def test_sample_frames_invalid_knobs():
         sample_frames(None, max_frames=-1)
     with pytest.raises(ValueError, match="codec"):
         sample_frames(None, codec="ffmpeg")
+
+
+def test_pq_invalid_arguments(spark):
+    """PQ constructors fail loudly at build time: a dim not divisible
+    by m would silently drop trailing dimensions; fewer than ksub
+    low-id vectors would build a short codebook whose codes disagree
+    with the oracle's."""
+    rows = [(i, [float(i + j) for j in range(6)]) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from go_streams_spark.functions.similarity import fixed_pq_codebooks
+    with pytest.raises(ValueError, match="not divisible"):
+        fixed_pq_codebooks(df, m=4, ksub=4)   # dim 6 % 4 != 0
+    with pytest.raises(ValueError, match="need 8 vectors"):
+        fixed_pq_codebooks(df, m=2, ksub=8)   # only 4 vectors exist
