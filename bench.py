@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "rrf_fused_ann",
     "pq_adc_topk",
     "ann_pq_rerank",
+    "dsir_importance_weights",
     "gopher_repetition_stats",
     "data_quality_report",
     "vocab_top_tokens",

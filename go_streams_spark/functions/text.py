@@ -347,3 +347,83 @@ def bpe_encode(df, *, merges, text_col: str = "text",
         return texts.map(one)
 
     return df.withColumn(out_col, _enc(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by how much more likely
+# its hashed-ngram bag is under a TARGET distribution than under the
+# raw-corpus distribution, then keep the highest-weight docs. The
+# standard pretraining-data selection op when you have a small trusted
+# target domain and a huge raw crawl.
+# ---------------------------------------------------------------------------
+
+
+def hashed_feature_buckets(text: Column | str, *, buckets: int = 512) -> Column:
+    """DSIR's hashed bag-of-ngrams featurizer: unigrams + adjacent
+    bigrams of the lowercased whitespace tokens, each hashed into
+    ``buckets`` via the md5-prefix trick (bit-identical in DuckDB, the
+    count_min_freq_estimates convention). Returns the bucket-id array
+    WITH multiplicity — DSIR weights are sums over feature occurrences.
+
+    Pure per-row JVM array work (slice/zip_with/transform), zero
+    shuffle; bigrams via the zip-of-shifted-slices form, never
+    element_at-in-a-lambda (the O(len^2) Catalyst inlining trap,
+    measured in word_ngrams)."""
+    t = F.col(text) if isinstance(text, str) else text
+    toks = tokens(F.lower(t))
+    n1 = F.greatest(F.size(toks) - 1, F.lit(0))
+    bis = F.zip_with(F.slice(toks, 1, n1), F.slice(toks, 2, n1),
+                     lambda a, b: F.concat(a, F.lit("_"), b))
+    feats = F.concat(toks, bis)
+    return F.transform(
+        feats,
+        lambda f: F.conv(F.substring(F.md5(f), 1, 13), 16, 10)
+                   .cast("long") % buckets)
+
+
+def dsir_importance(df, *, target: Column, text_col: str = "text",
+                    id_col: str = "doc_id", buckets: int = 512,
+                    keep_cols: tuple[str, ...] = ()) -> "DataFrame":
+    """Per-document DSIR importance weights.
+
+    weight(doc) = sum over the doc's hashed features of
+    ln(p_target(bucket)) - ln(p_raw(bucket)), with add-1 smoothing
+    (p(b) = (count_b + 1) / (total + buckets)) — the bag-of-hashed-
+    ngrams importance estimator of arXiv:2302.03169 §2.2. ``target``
+    is a boolean Column marking the in-domain subset (e.g.
+    lang == 'en'); the raw distribution is the whole input.
+
+    Scale shape: ONE explode into (doc, bucket) counts (doc-grain
+    rows, the expensive shuffle and the only one that grows with the
+    corpus); the bucket histograms for BOTH distributions roll up from
+    that aggregate (``buckets`` rows — bounded); the log-ratio table
+    re-joins as a broadcast. A 100 TB corpus pays one token-grain
+    pass + one doc-grain aggregation, exactly like tfidf_top_terms.
+    Returns (id, keep_cols..., n_feats, dsir_weight)."""
+    from pyspark.sql import functions as _F
+
+    keep = [F.col(c) for c in keep_cols]
+    db = (df.select(F.col(id_col), *keep, target.alias("is_target"),
+                    F.explode(hashed_feature_buckets(
+                        F.col(text_col), buckets=buckets)).alias("bucket"))
+          .groupBy(id_col, *keep_cols, "is_target", "bucket")
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    bt = (db.groupBy("bucket")
+          .agg(F.sum("cnt").alias("n_raw"),
+               F.sum(F.when(F.col("is_target"), F.col("cnt"))
+                     .otherwise(F.lit(0))).alias("n_tgt")))
+    totals = bt.agg(F.sum("n_raw").alias("t_raw"),
+                    F.sum("n_tgt").alias("t_tgt"))
+    lr = (bt.crossJoin(F.broadcast(totals))  # 1-row scalar metadata
+          .select("bucket",
+                  (F.log((F.col("n_tgt") + 1.0)
+                         / (F.col("t_tgt") + float(buckets)))
+                   - F.log((F.col("n_raw") + 1.0)
+                           / (F.col("t_raw") + float(buckets))))
+                  .alias("log_ratio")))
+    return (db.join(F.broadcast(lr), "bucket")
+            .groupBy(id_col, *keep_cols)
+            .agg(F.sum("cnt").alias("n_feats"),
+                 F.sum(F.col("cnt") * F.col("log_ratio"))
+                 .alias("dsir_weight")))

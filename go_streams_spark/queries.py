@@ -48,6 +48,10 @@ BOUND_CLASSES: dict[str, str] = {
     # siblings, SCALE.md §13)
     "customer-grain": "rows in customer",
     "user-grain": "distinct user_id in events",
+    # one row per document; grows with corpus CATALOG size, not token
+    # volume (1e9+ docs: replace the global rank with a weight-threshold
+    # filter or a per-shard top-k merge)
+    "doc-grain": "rows in documents",
 }
 BOUNDS: dict[str, str] = {}
 
@@ -6851,3 +6855,65 @@ def ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     cbs = S.fixed_pq_codebooks(emb, m=4, ksub=8)
     return S.pq_rerank_knn(emb, cbs, k=3, shortlist=20)
+
+
+@query("dsir_importance_weights", """
+WITH arrs AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS arr
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang, unnest(
+    list_concat(arr, list_transform(range(1, greatest(len(arr), 1)),
+                                    i -> arr[i] || '_' || arr[i + 1]))) AS feat
+  FROM arrs
+), db AS (
+  SELECT doc_id, lang, (lang = 'en') AS is_target,
+         ('0x' || substr(md5(feat), 1, 13))::BIGINT % 512 AS bucket,
+         count(*) AS cnt
+  FROM feats GROUP BY 1, 2, 3, 4
+), bt AS (
+  SELECT bucket, sum(cnt) AS n_raw,
+         sum(CASE WHEN is_target THEN cnt ELSE 0 END) AS n_tgt
+  FROM db GROUP BY bucket
+), tot AS (
+  SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM bt
+), lr AS (
+  SELECT bucket,
+         ln((n_tgt + 1.0) / (t_tgt + 512.0))
+           - ln((n_raw + 1.0) / (t_raw + 512.0)) AS log_ratio
+  FROM bt CROSS JOIN tot
+), w AS (
+  SELECT db.doc_id, db.lang, sum(cnt) AS n_feats,
+         round(sum(cnt * log_ratio), 4) AS dsir_weight
+  FROM db JOIN lr USING (bucket) GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_feats, dsir_weight, sel_rank::INT AS sel_rank
+FROM (SELECT *, row_number() OVER (ORDER BY dsir_weight DESC, doc_id)
+             AS sel_rank
+      FROM w)
+WHERE sel_rank <= 100
+""", bound="doc-grain")
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): score
+    every document by the log-ratio of its hashed bag-of-ngrams
+    likelihood under a target distribution (here: the lang='en'
+    subset) vs the raw corpus, keep the top 100. The standard
+    importance-resampling selection pass a pretraining pipeline runs
+    over a raw crawl.
+
+    Plan: ONE feature explode -> (doc, bucket) counts (the only
+    corpus-sized shuffle); both 512-bucket histograms roll up from
+    that aggregate; the log-ratio table broadcasts back. Ranking uses
+    the ROUNDED weight with doc_id tie-break so Spark and the oracle
+    order identically; the global top-100 rank is doc-grain-bounded
+    (declared)."""
+    docs = _t(spark, sf_dir, "documents")
+    w = T.dsir_importance(docs, target=F.col("lang") == "en",
+                          buckets=512, keep_cols=("lang",))
+    w = w.select("doc_id", "lang", "n_feats",
+                 F.round("dsir_weight", 4).alias("dsir_weight"))
+    from pyspark.sql import Window
+    rk = Window.orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
+    return (w.withColumn("sel_rank", F.row_number().over(rk).cast("int"))
+            .where(F.col("sel_rank") <= 100))
