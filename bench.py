@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "pq_adc_topk",
     "ann_pq_rerank",
     "dsir_importance_weights",
+    "stream_join_view_purchase",
     "gopher_repetition_stats",
     "data_quality_report",
     "vocab_top_tokens",

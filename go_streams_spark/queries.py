@@ -6917,3 +6917,46 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = Window.orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
     return (w.withColumn("sel_rank", F.row_number().over(rk).cast("int"))
             .where(F.col("sel_rank") <= 100))
+
+
+@query("stream_join_view_purchase", """
+WITH v AS (
+  SELECT user_id, ts AS v_ts FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase'
+)
+SELECT time_bucket(INTERVAL '1 hour', v_ts) AS view_hour,
+       count(*)             AS n_pairs,
+       round(sum(value), 2) AS purchase_value
+FROM v JOIN p USING (user_id)
+WHERE p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTE
+GROUP BY 1
+""")
+def stream_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM watermarked interval join — view events joined to
+    purchase events of the same user within [view, view + 30 min],
+    both sides moving (the attribution-join shape the reference's
+    single-input flows cannot express). Watermarks on BOTH streams
+    bound the join state to O(users x window); the availableNow replay
+    lands matched pairs in a memory sink and the hourly rollup
+    hash-matches the batch interval-join oracle."""
+    import uuid as _uuid
+    from .streaming import memory_sink, stream_interval_join
+    views = (_events_stream(spark, sf_dir)
+             .where(F.col("event_type") == "view")
+             .select("user_id",
+                     F.col("ts").cast("timestamp").alias("v_ts")))
+    purchases = (_events_stream(spark, sf_dir)
+                 .where(F.col("event_type") == "purchase")
+                 .select("user_id",
+                         F.col("ts").cast("timestamp").alias("p_ts"),
+                         "value"))
+    joined = stream_interval_join(
+        views, purchases, key="user_id", left_ts="v_ts", right_ts="p_ts",
+        lower="0 seconds", upper="30 minutes", watermark="1 hour")
+    name = "ssjoin_" + _uuid.uuid4().hex[:10]
+    Source(joined).to(memory_sink(name, output_mode="append"))
+    return (spark.table(name)
+            .groupBy(F.date_trunc("hour", "v_ts").alias("view_hour"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.round(F.sum("value"), 2).alias("purchase_value")))

@@ -201,3 +201,23 @@ def test_pq_invalid_arguments(spark):
         fixed_pq_codebooks(df, m=4, ksub=4)   # dim 6 % 4 != 0
     with pytest.raises(ValueError, match="need 8 vectors"):
         fixed_pq_codebooks(df, m=2, ksub=8)   # only 4 vectors exist
+
+
+def test_stream_interval_join_invalid(spark):
+    """stream_interval_join fails loudly at build time: unknown join
+    type, missing key/timestamp columns, and non-key column collisions
+    (which would otherwise surface as Spark ambiguous-reference errors
+    deep in analysis)."""
+    from go_streams_spark.streaming import stream_interval_join
+
+    l = spark.createDataFrame([], "user_id int, v_ts timestamp, value double")
+    r = spark.createDataFrame([], "user_id int, p_ts timestamp, value double")
+    with pytest.raises(ValueError, match="join_type"):
+        stream_interval_join(l, r, key="user_id", left_ts="v_ts",
+                             right_ts="p_ts", join_type="cross")
+    with pytest.raises(ValueError, match="no column"):
+        stream_interval_join(l, r, key="user_id", left_ts="missing",
+                             right_ts="p_ts")
+    with pytest.raises(ValueError, match="collision"):
+        stream_interval_join(l, r, key="user_id", left_ts="v_ts",
+                             right_ts="p_ts")  # 'value' on both sides

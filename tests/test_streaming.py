@@ -744,3 +744,53 @@ def test_stream_session_paths_with_watermark(spark, tmp_path):
     # u2 view>click (0-4m); the flush events' own sessions stay open
     assert got == {(1, "view>click>purchase"), (1, "view"),
                    (2, "view>click")}
+
+
+def test_stream_stream_interval_join_cross_batch(spark, tmp_path):
+    """Stream-stream interval join matches across MICRO-BATCHES: a view
+    buffered in the join state store is matched by a purchase arriving
+    in a later batch — the property that distinguishes a true
+    stream-stream join from a per-batch join. Out-of-range purchases
+    (beyond the +30 min bound) must NOT match."""
+    import json, time, uuid
+    from go_streams_spark.sources import register_replay_source
+    from go_streams_spark.streaming import stream_interval_join
+
+    path = str(tmp_path / "ssj.jsonl")
+    rows = [
+        {"side": "v", "user_id": 1, "ts": "2024-01-01 00:00:00", "value": 0.0},
+        {"side": "v", "user_id": 2, "ts": "2024-01-01 00:00:00", "value": 0.0},
+        # later batch: in-range purchase for user 1 (+10 min) ...
+        {"side": "p", "user_id": 1, "ts": "2024-01-01 00:10:00", "value": 5.0},
+        # ... and an OUT-OF-RANGE one for user 2 (+2 h)
+        {"side": "p", "user_id": 2, "ts": "2024-01-01 02:00:00", "value": 7.0},
+    ]
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    fmt = register_replay_source(spark)
+
+    def load():
+        return (spark.readStream.format(fmt)
+                .option("path", path)
+                .option("ddl", "side string, user_id int, ts string, value double")
+                .option("rowsPerBatch", "1").load())
+
+    views = (load().where(F.col("side") == "v")
+             .select("user_id", F.col("ts").cast("timestamp").alias("v_ts")))
+    purchases = (load().where(F.col("side") == "p")
+                 .select("user_id", F.col("ts").cast("timestamp").alias("p_ts"),
+                         "value"))
+    joined = stream_interval_join(
+        views, purchases, key="user_id", left_ts="v_ts", right_ts="p_ts",
+        upper="30 minutes", watermark="10 minutes")
+    name = "ssj_" + uuid.uuid4().hex[:8]
+    q = (joined.writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    deadline = time.time() + 90
+    while time.time() < deadline and spark.table(name).count() < 1:
+        time.sleep(0.5)
+    time.sleep(2)  # grace: catch a spurious second match if one exists
+    q.stop()
+    got = [(r["user_id"], r["value"]) for r in spark.table(name).collect()]
+    assert got == [(1, 5.0)]  # cross-batch match; out-of-range excluded
