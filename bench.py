@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "rrf_fused_ann",
     "pq_adc_topk",
     "ann_pq_rerank",
+    "ann_ivf_pq",
     "dsir_importance_weights",
     "stream_join_view_purchase",
     "gopher_repetition_stats",

@@ -996,3 +996,128 @@ def pq_rerank_knn(df: DataFrame, codebooks, *, id_col: str = "vec_id",
             .select(F.col("id_a").alias(id_col),
                     F.col("id_b").alias("neighbor_id"),
                     "sim", F.col("rank").cast("int").alias("rank")))
+
+
+def ivf_pq_knn(df: DataFrame, *, id_col: str = "vec_id",
+               vec_col: str = "embedding", k: int = 3,
+               nlist: int | str = "auto", nprobe: int = 4,
+               m: int = 4, ksub: int = 8, round_dp: int = 6,
+               coarse_codebook=None, pq_codebooks=None,
+               rerank_shortlist: int | None = None) -> DataFrame:
+    """IVF-PQ — the FAISS IndexIVFPQ composition and the design a
+    100 TB embedding corpus actually runs: IVF coarse routing bounds
+    WHICH candidates a query meets (sum-of-probed-list sizes, never
+    N); PQ codes bound what each candidate COSTS (m bytes + a norm,
+    never 4*dim bytes). Together: sqrt-scale candidate volume scanned
+    in compressed space with per-list LUT gathers.
+
+    Shape: one vectorized routing pass (coarse codebook in the
+    closure, crn=1 = inverted-list assignment, crn<=nprobe = probe
+    set); one encode pass (PQ codebooks in the closure); one cogroup
+    on the list id where ONLY codes cross the wire for members —
+    queries bring raw vectors and build their (m x ksub) LUT once per
+    list. Deterministic codebooks (vec_id<nlist coarse, vec_id<ksub
+    sub-codebooks) keep it oracle-reproducible; plug in
+    ``train_codebook``/``train_pq_codebooks`` output for production —
+    identical plan. ``rerank_shortlist``: when set, ADC produces that
+    many candidates per query and exact full-precision cosine re-ranks
+    them to the final top-k (the refine stage)."""
+    import numpy as np
+    import pandas as pd
+
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    if nlist == "auto":
+        nlist = auto_nlist(df.count())
+    if coarse_codebook is not None:
+        c_mat = np.asarray(coarse_codebook, dtype=np.float64)
+    else:
+        cent_rows = sorted(base.where(F.col(id_col) < nlist).collect(),
+                           key=lambda r: r[0])
+        c_mat = np.array([r["v"] for r in cent_rows], dtype=np.float64)
+    if pq_codebooks is None:
+        pq_codebooks = fixed_pq_codebooks(df, id_col=id_col,
+                                          vec_col=vec_col, m=m, ksub=ksub)
+    cb = np.asarray(pq_codebooks, dtype=np.float64)
+    n_m, n_k, sd = cb.shape
+    c_ids = np.arange(len(c_mat), dtype=np.int64)
+    c_len = np.linalg.norm(c_mat, axis=1)
+
+    def _route(batches):
+        # identical routing math to ivf_knn: rounded cosine, cid
+        # tie-break; crn=1 is the inverted-list assignment
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.array(list(pdf["v"]), dtype=np.float64)
+            sims = np.round(
+                (q @ c_mat.T)
+                / (np.linalg.norm(q, axis=1)[:, None] * c_len[None, :]),
+                round_dp)
+            out_id, out_cid, out_crn = [], [], []
+            for i, row in enumerate(sims):
+                order = np.lexsort((c_ids, -row))[:max(nprobe, 1)]
+                out_id.extend([ids[i]] * len(order))
+                out_cid.extend(c_ids[order])
+                out_crn.extend(range(1, len(order) + 1))
+            yield pd.DataFrame({id_col: out_id, "cid": out_cid,
+                                "crn": out_crn})
+
+    routed = base.mapInPandas(_route, schema=f"{id_col} long, cid long, crn int")
+    enc = pq_encode(df, cb, id_col=id_col, vec_col=vec_col)
+    members = (routed.where(F.col("crn") == 1).drop("crn")
+               .join(enc, id_col)
+               .select(F.col("cid").alias("cid_m"),
+                       F.col(id_col).alias("id_b"),
+                       F.col("codes").alias("cb_codes"),
+                       F.col("recon_norm").alias("rnorm")))
+    probes = (routed.drop("crn")
+              .join(base, id_col)
+              .select("cid", F.col(id_col).alias("id_a"),
+                      F.col("v").alias("va")))
+
+    def _adc(key, probe_pdf, member_pdf):
+        if probe_pdf.empty or member_pdf.empty:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        qa = np.array(list(probe_pdf["va"]), dtype=np.float64)
+        qs = qa.reshape(len(qa), n_m, sd)
+        qn = np.linalg.norm(qa, axis=1)
+        codes = np.array(list(member_pdf["cb_codes"]), dtype=np.int64)
+        rn = member_pdf["rnorm"].to_numpy(dtype=np.float64)
+        ia = probe_pdf["id_a"].to_numpy(dtype=np.int64)
+        ib = member_pdf["id_b"].to_numpy(dtype=np.int64)
+        lut = np.einsum("bmd,mkd->bmk", qs, cb)
+        adot = np.zeros((len(qa), len(codes)), dtype=np.float64)
+        for s in range(n_m):
+            adot += lut[:, s, codes[:, s]]
+        sims = np.round(adot / (qn[:, None] * rn[None, :]), round_dp)
+        a_idx, b_idx = np.nonzero(ia[:, None] != ib[None, :])
+        return pd.DataFrame({"id_a": ia[a_idx], "id_b": ib[b_idx],
+                             "sim": sims[a_idx, b_idx]})
+
+    pairs = (probes.groupBy("cid").cogroup(members.groupBy("cid_m"))
+             .applyInPandas(_adc, schema="id_a long, id_b long, sim double"))
+    # a pair can surface via several probed lists with the same ADC sim
+    pairs = pairs.groupBy("id_a", "id_b").agg(F.max("sim").alias("sim"))
+    kk = rerank_shortlist if rerank_shortlist is not None else k
+    wk = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
+    cand = (pairs.withColumn("rank", F.row_number().over(wk))
+            .where(F.col("rank") <= kk))
+    if rerank_shortlist is None:
+        return cand.select(F.col("id_a").alias(id_col),
+                           F.col("id_b").alias("neighbor_id"),
+                           "sim", F.col("rank").cast("int").alias("rank"))
+    qa = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                     norm(F.col("v")).alias("na"))
+    ib = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                     norm(F.col("v")).alias("nb"))
+    exact = (cand.select("id_a", "id_b").join(qa, "id_a").join(ib, "id_b")
+             .select("id_a", "id_b",
+                     F.round(dot(F.col("va"), F.col("vb"))
+                             / (F.col("na") * F.col("nb")),
+                             round_dp).alias("sim")))
+    return (exact.withColumn("rank", F.row_number().over(wk))
+            .where(F.col("rank") <= k)
+            .select(F.col("id_a").alias(id_col),
+                    F.col("id_b").alias("neighbor_id"),
+                    "sim", F.col("rank").cast("int").alias("rank")))

@@ -6960,3 +6960,85 @@ def stream_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.date_trunc("hour", "v_ts").alias("view_hour"))
             .agg(F.count(F.lit(1)).alias("n_pairs"),
                  F.round(F.sum("value"), 2).alias("purchase_value")))
+
+
+@query("ann_ivf_pq", """
+WITH cfg AS (
+  SELECT greatest(16, floor(4 * sqrt(count(*)))::BIGINT) AS nlist,
+         (min(len(embedding)) // 4)::INT AS sd
+  FROM embeddings
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS ccid, v AS cv FROM v CROSS JOIN cfg WHERE vec_id < nlist
+), csims AS (
+  SELECT v.vec_id, c.ccid,
+         round(list_sum(list_transform(list_zip(v.v, c.cv), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(v.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 6) AS csim
+  FROM v CROSS JOIN c
+), ranked AS (
+  SELECT vec_id, ccid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, ccid) AS crn
+  FROM csims
+), assign AS (
+  SELECT vec_id AS id_b, ccid FROM ranked WHERE crn = 1
+), probes AS (
+  SELECT vec_id AS id_a, ccid FROM ranked WHERE crn <= 4
+), pq AS (
+  SELECT m, vec_id AS cid, v[m * sd + 1 : m * sd + sd] AS cv
+  FROM v CROSS JOIN cfg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m)
+  WHERE vec_id < 8
+), dists AS (
+  SELECT a.vec_id, pq.m, pq.cid, pq.cv,
+         round(list_sum(list_transform(
+             list_zip(a.v[pq.m * sd + 1 : pq.m * sd + sd], pq.cv),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d,
+         list_sum(list_transform(pq.cv, x -> x * x)) AS cnorm2
+  FROM v a CROSS JOIN cfg CROSS JOIN pq
+), enc AS (
+  SELECT vec_id, m, cid, cv, cnorm2,
+         row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+  FROM dists
+), sel AS (
+  SELECT vec_id, m, cv FROM enc WHERE rn = 1
+), rnorm AS (
+  SELECT vec_id, sqrt(sum(cnorm2)) AS rnorm FROM enc WHERE rn = 1 GROUP BY vec_id
+), qn AS (
+  SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm FROM v
+), cand AS (
+  SELECT DISTINCT p.id_a, a.id_b
+  FROM probes p JOIN assign a ON a.ccid = p.ccid
+  WHERE a.id_b <> p.id_a
+), adots AS (
+  SELECT cd.id_a, cd.id_b,
+         sum(list_sum(list_transform(
+             list_zip(q.v[s.m * sd + 1 : s.m * sd + sd], s.cv),
+             p -> p[1] * p[2]))) AS adot
+  FROM cand cd
+  JOIN v q ON q.vec_id = cd.id_a
+  JOIN sel s ON s.vec_id = cd.id_b
+  CROSS JOIN cfg
+  GROUP BY 1, 2
+), sims AS (
+  SELECT id_a, id_b, round(adot / (qn.qnorm * rnorm.rnorm), 6) AS sim
+  FROM adots JOIN qn ON qn.vec_id = adots.id_a
+             JOIN rnorm ON rnorm.vec_id = adots.id_b
+)
+SELECT id_a AS vec_id, id_b AS neighbor_id, sim, rank::INT AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rank
+      FROM sims)
+WHERE rank <= 3
+""")
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IndexIVFPQ): coarse IVF routing bounds WHICH
+    candidates each query meets (probed inverted lists, sqrt-scale
+    volume); PQ codes bound what each candidate COSTS in the cogroup
+    (4 bytes + a norm, never 256 raw bytes). The composition a 100 TB
+    corpus runs: candidate generation is a list-id equi-join, scoring
+    is a per-list LUT gather, and member vectors never cross the wire.
+    Deterministic codebooks (nlist='auto' coarse = vec_id<nlist,
+    sub-codebooks = vec_id<8) make the whole two-level index
+    hash-checkable against the oracle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_pq_knn(emb, k=3, nlist="auto", nprobe=4, m=4, ksub=8)

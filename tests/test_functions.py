@@ -1131,3 +1131,37 @@ def test_dsir_matches_python_reference(spark):
         assert abs(got[doc_id][1] - w) < 1e-9
     # semantic sanity: target-vocabulary doc 4 outscores noise doc 3
     assert got[4][1] > got[3][1]
+
+
+def test_ivf_pq_rerank_and_plan(spark, sf_dir):
+    """IVF-PQ: the refine stage (exact re-rank of the ADC shortlist)
+    must not lose recall vs scoring in code space alone, the output
+    contract holds (k rows per query, ranks 1..k, sims in [-1, 1]),
+    and the plan is equi-join/cogroup only — no cartesian."""
+    from go_streams_spark.plans import explain_str
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    truth = {}
+    for r in S.brute_force_knn(emb, k=3).collect():
+        truth.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+        return (sum(len(got.get(q, set()) & t) for q, t in truth.items())
+                / sum(len(t) for t in truth.values()))
+
+    plain = S.ivf_pq_knn(emb, k=3, nlist=16, nprobe=4, m=4, ksub=8)
+    refined = S.ivf_pq_knn(emb, k=3, nlist=16, nprobe=4, m=4, ksub=8,
+                           rerank_shortlist=20)
+    rows = plain.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["vec_id"], []).append(r["rank"])
+        assert -1.01 <= r["sim"] <= 1.01
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+    assert recall(refined) >= recall(plain)
+    plan = explain_str(plain, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
