@@ -95,7 +95,12 @@ BENCH_QUERIES = [
     "ann_pq_rerank",
     "ann_ivf_pq",
     "dsir_importance_weights",
-    "stream_join_view_purchase",
+    "negative_sampling_pairs",
+    "leakage_safe_split",
+    # stream_join_view_purchase stays registry/oracle-only: like every
+    # stream_* query it pays multi-second fixed trigger/state-store
+    # startup that swamps sf0.1 data work — the bench line measures
+    # batch pipeline throughput (no stream_* query is benched)
     "gopher_repetition_stats",
     "data_quality_report",
     "vocab_top_tokens",

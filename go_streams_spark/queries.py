@@ -7042,3 +7042,154 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checkable against the oracle."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.ivf_pq_knn(emb, k=3, nlist="auto", nprobe=4, m=4, ksub=8)
+
+
+@query("negative_sampling_pairs", """
+WITH cfg AS (
+  SELECT count(*) AS np FROM part
+), inter AS (
+  SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+), users AS (
+  SELECT DISTINCT user_id FROM inter
+), cand AS (
+  SELECT user_id, i,
+         ('0x' || substr(md5(user_id::VARCHAR || ':' || i::VARCHAR), 1, 13))::BIGINT
+           % np AS item
+  FROM users CROSS JOIN cfg
+       CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS i)
+), neg AS (
+  SELECT c.user_id, c.item, min(c.i) AS i
+  FROM cand c ANTI JOIN inter USING (user_id, item)
+  GROUP BY 1, 2
+)
+SELECT user_id, item AS neg_item, slot::INT AS slot
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY i, item) AS slot
+      FROM neg)
+WHERE slot <= 4
+""")
+def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive / recsys
+    training: for every user with interactions (customer x purchased
+    part via orders⋈lineitem), draw 8 hash-derived candidate items,
+    drop the ones the user actually interacted with (anti-join), keep
+    the first 4 survivors — reproducible negatives with no RNG state,
+    the same md5-derived-uniform trick as the sampling queries.
+
+    Scale: candidates are user-grain x 8 (bounded fan-out); the
+    anti-join against the fact-sized interaction set is ONE hash
+    shuffle on (user, item); the slot rank is per-user (parallel,
+    WindowGroupLimit). Collision dedup (two draws hitting the same
+    item) keeps the lowest draw index so engine and oracle rank
+    identically."""
+    cfg = _t(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("np"))
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    inter = (orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select(F.col("o_custkey").alias("user_id"),
+                     F.col("l_partkey").alias("item")).distinct())
+    users = inter.select("user_id").distinct()
+    cand = (users.crossJoin(F.broadcast(cfg))  # 1-row scalar metadata
+            .select("user_id", "np",
+                    F.explode(F.array(*[F.lit(i) for i in range(8)]))
+                    .alias("i"))
+            .select("user_id", "i",
+                    (F.conv(F.substring(
+                        F.md5(F.concat(F.col("user_id").cast("string"),
+                                       F.lit(":"),
+                                       F.col("i").cast("string"))), 1, 13),
+                        16, 10).cast("long") % F.col("np")).alias("item")))
+    neg = (cand.join(inter, ["user_id", "item"], "left_anti")
+           .groupBy("user_id", "item").agg(F.min("i").alias("i")))
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("i", "item")
+    return (neg.withColumn("slot", F.row_number().over(w).cast("int"))
+            .where(F.col("slot") <= 4)
+            .select("user_id", F.col("item").alias("neg_item"), "slot"))
+
+
+@query("leakage_safe_split", """
+WITH RECURSIVE t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     for i in generate_series(1, len(toks) - 2)])
+    ELSE [] END) AS s
+  FROM t
+), mh AS (
+  SELECT sh.doc_id, seeds.seed,
+         min(('0x' || substr(md5(sh.s), 1, 15))::BIGINT
+             + seeds.seed * (('0x' || substr(md5(sh.s), 16, 15))::BIGINT % 1000000007)) AS m
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+  GROUP BY sh.doc_id, seeds.seed
+), bands AS (
+  SELECT doc_id, seed // 3 AS band, md5(string_agg(m::VARCHAR, '|' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, seed // 3
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), cnts AS (
+  SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+  GROUP BY c.id_a, c.id_b
+), pairs AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN cnts ca ON ca.doc_id = i.id_a
+  JOIN cnts cb ON cb.doc_id = i.id_b
+  WHERE round(i.i / greatest(ca.c + cb.c - i.i, 1), 4) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(n, m) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+), labels AS (
+  SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
+), asgn AS (
+  SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+)
+SELECT doc_id, component,
+       CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, component,
+             ('0x' || substr(md5(component::VARCHAR), 1, 13))::BIGINT % 10 AS b
+      FROM asgn)
+""")
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: hash-split by NEAR-DUP
+    CLUSTER, never by document — a near-duplicate of a training doc
+    can't land in the eval split (the contamination mode a naive
+    per-doc hash split ships silently; cf. the dedup-then-split rule
+    of C4/Gopher data work). Docs outside any near-dup pair are their
+    own singleton cluster.
+
+    Composition: MinHash-LSH pairs -> connected components -> hash of
+    the component id picks train(80%)/val(10%)/test(10%). Adds one
+    doc-grain left join over the dedup_components pipeline; split
+    assignment is a pure hash, no extra shuffle. No-straddle is pinned
+    by tests/test_functions.py::test_leakage_safe_split_no_straddle."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    comps = D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component")
+    asgn = (docs.select("doc_id").join(comps, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id").alias("component")))
+    b = (F.conv(F.substring(F.md5(F.col("component").cast("string")), 1, 13),
+                16, 10).cast("long") % 10)
+    return asgn.select(
+        "doc_id", "component",
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
+        .alias("split"))

@@ -1165,3 +1165,51 @@ def test_ivf_pq_rerank_and_plan(spark, sf_dir):
     plan = explain_str(plain, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_negative_sampling_excludes_interactions(spark, sf_dir):
+    """Sampled negatives are genuinely negative: no (user, neg_item)
+    row is a true interaction, slots are dense 1..k per user, items
+    stay in the part-key domain, and the draw is reproducible (two
+    runs produce identical rows — hash-derived, no RNG state)."""
+    from go_streams_spark.queries import QUERIES
+
+    out = QUERIES["negative_sampling_pairs"](spark, sf_dir)
+    rows = [(r["user_id"], r["neg_item"], r["slot"]) for r in out.collect()]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    inter = {(r["o_custkey"], r["l_partkey"]) for r in
+             orders.join(li, orders.o_orderkey == li.l_orderkey)
+             .select("o_custkey", "l_partkey").distinct().collect()}
+    n_parts = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    per_user = {}
+    for u, item, slot in rows:
+        assert (u, item) not in inter          # never a true interaction
+        assert 0 <= item < n_parts             # in the item domain
+        per_user.setdefault(u, []).append(slot)
+    assert all(sorted(s) == list(range(1, len(s) + 1))
+               for s in per_user.values())     # dense slots
+    rows2 = [(r["user_id"], r["neg_item"], r["slot"])
+             for r in QUERIES["negative_sampling_pairs"](spark, sf_dir).collect()]
+    assert sorted(rows) == sorted(rows2)       # reproducible
+
+
+def test_leakage_safe_split_no_straddle(spark, sf_dir):
+    """The property the split exists for: every near-dup pair (the
+    MinHash-LSH edges the clustering consumed) lands WHOLLY inside one
+    split — no train/eval contamination path — and the three splits
+    partition the corpus."""
+    from go_streams_spark.queries import QUERIES
+
+    out = QUERIES["leakage_safe_split"](spark, sf_dir)
+    split_of = {r["doc_id"]: (r["split"], r["component"])
+                for r in out.collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(split_of) == docs.count()
+    assert set(s for s, _ in split_of.values()) <= {"train", "val", "test"}
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert pairs, "gate data must contain near-dup pairs"
+    for r in pairs:
+        sa, ca = split_of[r["id_a"]]
+        sb, cb = split_of[r["id_b"]]
+        assert ca == cb and sa == sb, (r["id_a"], r["id_b"], sa, sb)
