@@ -1026,13 +1026,26 @@ def ivf_pq_knn(df: DataFrame, *, id_col: str = "vec_id",
     import pandas as pd
 
     base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
-    if nlist == "auto":
-        nlist = auto_nlist(df.count())
     if coarse_codebook is not None:
+        # nlist is irrelevant with a supplied codebook — resolving
+        # 'auto' here would run a full corpus count() just to discard it
         c_mat = np.asarray(coarse_codebook, dtype=np.float64)
+        if c_mat.ndim != 2 or len(c_mat) == 0:
+            raise ValueError("coarse_codebook must be a non-empty 2-D "
+                             f"array, got shape {c_mat.shape}")
     else:
+        if nlist == "auto":
+            nlist = auto_nlist(df.count())
         cent_rows = sorted(base.where(F.col(id_col) < nlist).collect(),
                            key=lambda r: r[0])
+        if not cent_rows:
+            # loud build-time failure (the fixed_pq_codebooks contract):
+            # an empty codebook would otherwise die as an opaque numpy
+            # shape error inside the executor routing closure
+            raise ValueError(
+                f"ivf_pq_knn: no vectors with {id_col} < {nlist} to build "
+                "the coarse codebook — ids must start near 0, or pass "
+                "coarse_codebook= explicitly")
         c_mat = np.array([r["v"] for r in cent_rows], dtype=np.float64)
     if pq_codebooks is None:
         pq_codebooks = fixed_pq_codebooks(df, id_col=id_col,

@@ -401,8 +401,6 @@ def dsir_importance(df, *, target: Column, text_col: str = "text",
     re-joins as a broadcast. A 100 TB corpus pays one token-grain
     pass + one doc-grain aggregation, exactly like tfidf_top_terms.
     Returns (id, keep_cols..., n_feats, dsir_weight)."""
-    from pyspark.sql import functions as _F
-
     keep = [F.col(c) for c in keep_cols]
     db = (df.select(F.col(id_col), *keep, target.alias("is_target"),
                     F.explode(hashed_feature_buckets(

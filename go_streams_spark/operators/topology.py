@@ -165,7 +165,13 @@ def distributed_ordinal(df: DataFrame, *, order_by: Sequence[Column | str],
             size = int(df._jdf.queryExecution().optimizedPlan()
                        .stats().sizeInBytes())
         except AttributeError:  # Spark Connect: no _jdf — static fallback
-            n_parts = max(2, spark.sparkContext.defaultParallelism)
+            # NOT sparkContext here: Connect's SparkSession raises the
+            # same PySparkAttributeError for sparkContext as for _jdf,
+            # and an exception inside this handler would propagate.
+            # shuffle.partitions is a plain conf read, available on
+            # Connect, and the sizing the session was configured with.
+            n_parts = max(2, int(spark.conf.get(
+                "spark.sql.shuffle.partitions")))
         else:
             # full suffix grammar ("128m", "1g", ...), not just a
             # trailing "b": a legal suffixed conf value must size the

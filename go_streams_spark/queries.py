@@ -1800,8 +1800,16 @@ def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("avg_sentence_len"))
 
 
-@query("dedup_components", """
-WITH RECURSIVE t AS (
+
+#: Shared DuckDB oracle CTE fragments. A convention fix (shingle shape,
+#: band hashing, PQ encode rounding) must change ONE definition, never
+#: N copy-pasted oracles that silently diverge (the k_core_oracle_sql /
+#: lpa_oracle_sql pattern, applied to the MinHash-CC and PQ families).
+
+#: MinHash-LSH near-dup pairs -> symmetric edge set -> transitive
+#: closure (recursive CTE). Ends at ``reach(n, m)``; consumers group it
+#: into labels. Mirrors dedup.ngram_jaccard_pairs + connected_components.
+_NEARDUP_CC_CTES = """t AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
   FROM documents
 ), sh AS (
@@ -1846,7 +1854,10 @@ WITH RECURSIVE t AS (
   SELECT a, a FROM edges
   UNION
   SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
-)
+)"""
+
+@query("dedup_components", f"""
+WITH RECURSIVE {_NEARDUP_CC_CTES}
 SELECT n AS id, min(m) AS component
 FROM reach GROUP BY n ORDER BY id
 """)
@@ -6681,9 +6692,17 @@ def entity_resolution_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cache-resident (~26x smaller at dim=64 / m=4).
 # ---------------------------------------------------------------------------
 
-@query("pq_encode_codes", """
-WITH cfg AS (
-  SELECT (min(len(embedding)) // 4)::INT AS sd FROM embeddings
+
+#: PQ oracle fragments (see the shared-fragment note above
+#: _NEARDUP_CC_CTES). _PQ_BASE_CTES: config + double-cast vectors +
+#: fixed sub-codebooks (vec_id<8) + rounded-L2 encode ranking.
+#: _PQ_ADC_CTES: the encode selection, reconstruction norms and query
+#: norms ADC scoring needs. _PQ_FULLSCAN_SIMS: every query scores every
+#: code (the flat IndexPQ scan) into rounded cosines.
+_PQ_BASE_CTES = """cfg AS (
+  SELECT greatest(16, floor(4 * sqrt(count(*)))::BIGINT) AS nlist,
+         (min(len(embedding)) // 4)::INT AS sd
+  FROM embeddings
 ), v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
 ), cb AS (
@@ -6691,17 +6710,41 @@ WITH cfg AS (
   FROM v CROSS JOIN cfg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m)
   WHERE vec_id < 8
 ), dists AS (
-  SELECT a.vec_id, cb.m, cb.cid,
+  SELECT a.vec_id, cb.m, cb.cid, cb.cv,
          round(list_sum(list_transform(
              list_zip(a.v[cb.m * sd + 1 : cb.m * sd + sd], cb.cv),
              p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d,
          list_sum(list_transform(cb.cv, x -> x * x)) AS cnorm2
   FROM v a CROSS JOIN cfg CROSS JOIN cb
 ), enc AS (
-  SELECT vec_id, m, cid, cnorm2,
+  SELECT vec_id, m, cid, cv, cnorm2,
          row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
   FROM dists
-)
+)"""
+
+_PQ_ADC_CTES = """sel AS (
+  SELECT vec_id, m, cv FROM enc WHERE rn = 1
+), rnorm AS (
+  SELECT vec_id, sqrt(sum(cnorm2)) AS rnorm FROM enc WHERE rn = 1 GROUP BY vec_id
+), qn AS (
+  SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm FROM v
+)"""
+
+_PQ_FULLSCAN_SIMS = """adots AS (
+  SELECT q.vec_id AS id_a, s.vec_id AS id_b,
+         sum(list_sum(list_transform(
+             list_zip(q.v[s.m * sd + 1 : s.m * sd + sd], s.cv),
+             p -> p[1] * p[2]))) AS adot
+  FROM v q CROSS JOIN cfg JOIN sel s ON q.vec_id <> s.vec_id
+  GROUP BY 1, 2
+), sims AS (
+  SELECT id_a, id_b, round(adot / (qn.qnorm * rnorm.rnorm), 6) AS sim
+  FROM adots JOIN qn ON qn.vec_id = adots.id_a
+             JOIN rnorm ON rnorm.vec_id = adots.id_b
+)"""
+
+@query("pq_encode_codes", f"""
+WITH {_PQ_BASE_CTES}
 SELECT vec_id,
        max(CASE WHEN m = 0 THEN cid END)::INT AS c0,
        max(CASE WHEN m = 1 THEN cid END)::INT AS c1,
@@ -6729,44 +6772,8 @@ def pq_encode_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("recon_norm", 6).alias("recon_norm"))
 
 
-@query("pq_adc_topk", """
-WITH cfg AS (
-  SELECT (min(len(embedding)) // 4)::INT AS sd FROM embeddings
-), v AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-), cb AS (
-  SELECT m, vec_id AS cid, v[m * sd + 1 : m * sd + sd] AS cv
-  FROM v CROSS JOIN cfg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m)
-  WHERE vec_id < 8
-), dists AS (
-  SELECT a.vec_id, cb.m, cb.cid, cb.cv,
-         round(list_sum(list_transform(
-             list_zip(a.v[cb.m * sd + 1 : cb.m * sd + sd], cb.cv),
-             p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d,
-         list_sum(list_transform(cb.cv, x -> x * x)) AS cnorm2
-  FROM v a CROSS JOIN cfg CROSS JOIN cb
-), enc AS (
-  SELECT vec_id, m, cid, cv, cnorm2,
-         row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
-  FROM dists
-), sel AS (
-  SELECT vec_id, m, cv FROM enc WHERE rn = 1
-), rnorm AS (
-  SELECT vec_id, sqrt(sum(cnorm2)) AS rnorm FROM enc WHERE rn = 1 GROUP BY vec_id
-), qn AS (
-  SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm FROM v
-), adots AS (
-  SELECT q.vec_id AS id_a, s.vec_id AS id_b,
-         sum(list_sum(list_transform(
-             list_zip(q.v[s.m * sd + 1 : s.m * sd + sd], s.cv),
-             p -> p[1] * p[2]))) AS adot
-  FROM v q CROSS JOIN cfg JOIN sel s ON q.vec_id <> s.vec_id
-  GROUP BY 1, 2
-), sims AS (
-  SELECT id_a, id_b, round(adot / (qn.qnorm * rnorm.rnorm), 6) AS sim
-  FROM adots JOIN qn ON qn.vec_id = adots.id_a
-             JOIN rnorm ON rnorm.vec_id = adots.id_b
-)
+@query("pq_adc_topk", f"""
+WITH {_PQ_BASE_CTES}, {_PQ_ADC_CTES}, {_PQ_FULLSCAN_SIMS}
 SELECT id_a AS vec_id, id_b AS neighbor_id, sim, rank::INT AS rank
 FROM (SELECT *, row_number() OVER (PARTITION BY id_a ORDER BY sim DESC, id_b) AS rank
       FROM sims)
@@ -6779,56 +6786,22 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     LUT (one einsum) and scores candidates by pure table gather —
     no decode, no per-pair float dot. 2-D blocked cogroup (the
     block_knn shape), so the code table shuffles in m-byte rows: the
-    plan a 100 TB corpus actually runs. Recall vs exact kNN is pinned
-    by tests/test_functions.py::test_pq_adc_recall_floor; compose with
-    exact re-rank (block_knn over survivors) when recall matters."""
+    plan a 100 TB corpus actually runs. The re-rank composition and
+    its recall (which must beat this raw compressed scan) are pinned by
+    tests/test_functions.py::test_pq_rerank_recall_monotone; compose
+    with exact re-rank (ann_pq_rerank) when recall matters."""
     emb = _t(spark, sf_dir, "embeddings")
     cbs = S.fixed_pq_codebooks(emb, m=4, ksub=8)
     return S.pq_adc_knn(emb, cbs, k=3)
 
 
-@query("ann_pq_rerank", """
-WITH cfg AS (
-  SELECT (min(len(embedding)) // 4)::INT AS sd FROM embeddings
-), v AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-), cb AS (
-  SELECT m, vec_id AS cid, v[m * sd + 1 : m * sd + sd] AS cv
-  FROM v CROSS JOIN cfg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m)
-  WHERE vec_id < 8
-), dists AS (
-  SELECT a.vec_id, cb.m, cb.cid, cb.cv,
-         round(list_sum(list_transform(
-             list_zip(a.v[cb.m * sd + 1 : cb.m * sd + sd], cb.cv),
-             p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d,
-         list_sum(list_transform(cb.cv, x -> x * x)) AS cnorm2
-  FROM v a CROSS JOIN cfg CROSS JOIN cb
-), enc AS (
-  SELECT vec_id, m, cid, cv, cnorm2,
-         row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
-  FROM dists
-), sel AS (
-  SELECT vec_id, m, cv FROM enc WHERE rn = 1
-), rnorm AS (
-  SELECT vec_id, sqrt(sum(cnorm2)) AS rnorm FROM enc WHERE rn = 1 GROUP BY vec_id
-), qn AS (
-  SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm FROM v
-), adots AS (
-  SELECT q.vec_id AS id_a, s.vec_id AS id_b,
-         sum(list_sum(list_transform(
-             list_zip(q.v[s.m * sd + 1 : s.m * sd + sd], s.cv),
-             p -> p[1] * p[2]))) AS adot
-  FROM v q CROSS JOIN cfg JOIN sel s ON q.vec_id <> s.vec_id
-  GROUP BY 1, 2
-), shortlist AS (
+@query("ann_pq_rerank", f"""
+WITH {_PQ_BASE_CTES}, {_PQ_ADC_CTES}, {_PQ_FULLSCAN_SIMS}, shortlist AS (
   SELECT id_a, id_b
-  FROM (SELECT adots.id_a, adots.id_b,
-               row_number() OVER (
-                 PARTITION BY adots.id_a
-                 ORDER BY round(adot / (qn.qnorm * rnorm.rnorm), 6) DESC,
-                          adots.id_b) AS arank
-        FROM adots JOIN qn ON qn.vec_id = adots.id_a
-                   JOIN rnorm ON rnorm.vec_id = adots.id_b)
+  FROM (SELECT id_a, id_b,
+               row_number() OVER (PARTITION BY id_a
+                                  ORDER BY sim DESC, id_b) AS arank
+        FROM sims)
   WHERE arank <= 20
 ), exact AS (
   SELECT s.id_a, s.id_b,
@@ -6962,14 +6935,8 @@ def stream_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum("value"), 2).alias("purchase_value")))
 
 
-@query("ann_ivf_pq", """
-WITH cfg AS (
-  SELECT greatest(16, floor(4 * sqrt(count(*)))::BIGINT) AS nlist,
-         (min(len(embedding)) // 4)::INT AS sd
-  FROM embeddings
-), v AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
-), c AS (
+@query("ann_ivf_pq", f"""
+WITH {_PQ_BASE_CTES}, {_PQ_ADC_CTES}, c AS (
   SELECT vec_id AS ccid, v AS cv FROM v CROSS JOIN cfg WHERE vec_id < nlist
 ), csims AS (
   SELECT v.vec_id, c.ccid,
@@ -6985,28 +6952,7 @@ WITH cfg AS (
   SELECT vec_id AS id_b, ccid FROM ranked WHERE crn = 1
 ), probes AS (
   SELECT vec_id AS id_a, ccid FROM ranked WHERE crn <= 4
-), pq AS (
-  SELECT m, vec_id AS cid, v[m * sd + 1 : m * sd + sd] AS cv
-  FROM v CROSS JOIN cfg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS m)
-  WHERE vec_id < 8
-), dists AS (
-  SELECT a.vec_id, pq.m, pq.cid, pq.cv,
-         round(list_sum(list_transform(
-             list_zip(a.v[pq.m * sd + 1 : pq.m * sd + sd], pq.cv),
-             p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS d,
-         list_sum(list_transform(pq.cv, x -> x * x)) AS cnorm2
-  FROM v a CROSS JOIN cfg CROSS JOIN pq
-), enc AS (
-  SELECT vec_id, m, cid, cv, cnorm2,
-         row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
-  FROM dists
-), sel AS (
-  SELECT vec_id, m, cv FROM enc WHERE rn = 1
-), rnorm AS (
-  SELECT vec_id, sqrt(sum(cnorm2)) AS rnorm FROM enc WHERE rn = 1 GROUP BY vec_id
-), qn AS (
-  SELECT vec_id, sqrt(list_sum(list_transform(v, x -> x * x))) AS qnorm FROM v
-), cand AS (
+), pcand AS (
   SELECT DISTINCT p.id_a, a.id_b
   FROM probes p JOIN assign a ON a.ccid = p.ccid
   WHERE a.id_b <> p.id_a
@@ -7015,7 +6961,7 @@ WITH cfg AS (
          sum(list_sum(list_transform(
              list_zip(q.v[s.m * sd + 1 : s.m * sd + sd], s.cv),
              p -> p[1] * p[2]))) AS adot
-  FROM cand cd
+  FROM pcand cd
   JOIN v q ON q.vec_id = cd.id_a
   JOIN sel s ON s.vec_id = cd.id_b
   CROSS JOIN cfg
@@ -7109,53 +7055,8 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", F.col("item").alias("neg_item"), "slot"))
 
 
-@query("leakage_safe_split", """
-WITH RECURSIVE t AS (
-  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
-  FROM documents
-), sh AS (
-  SELECT doc_id, unnest(
-    CASE WHEN len(toks) >= 3 THEN
-      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                     for i in generate_series(1, len(toks) - 2)])
-    ELSE [] END) AS s
-  FROM t
-), mh AS (
-  SELECT sh.doc_id, seeds.seed,
-         min(('0x' || substr(md5(sh.s), 1, 15))::BIGINT
-             + seeds.seed * (('0x' || substr(md5(sh.s), 16, 15))::BIGINT % 1000000007)) AS m
-  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
-  GROUP BY sh.doc_id, seeds.seed
-), bands AS (
-  SELECT doc_id, seed // 3 AS band, md5(string_agg(m::VARCHAR, '|' ORDER BY seed)) AS band_key
-  FROM mh GROUP BY doc_id, seed // 3
-), cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
-  WHERE a.doc_id < b.doc_id
-), cnts AS (
-  SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
-), inter AS (
-  SELECT c.id_a, c.id_b, count(*) AS i
-  FROM cand c
-  JOIN sh sa ON sa.doc_id = c.id_a
-  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
-  GROUP BY c.id_a, c.id_b
-), pairs AS (
-  SELECT i.id_a, i.id_b
-  FROM inter i
-  JOIN cnts ca ON ca.doc_id = i.id_a
-  JOIN cnts cb ON cb.doc_id = i.id_b
-  WHERE round(i.i / greatest(ca.c + cb.c - i.i, 1), 4) >= 0.5
-), edges AS (
-  SELECT id_a AS a, id_b AS b FROM pairs
-  UNION
-  SELECT id_b, id_a FROM pairs
-), reach(n, m) AS (
-  SELECT a, a FROM edges
-  UNION
-  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
-), labels AS (
+@query("leakage_safe_split", f"""
+WITH RECURSIVE {_NEARDUP_CC_CTES}, labels AS (
   SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
 ), asgn AS (
   SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component
