@@ -401,12 +401,20 @@ def dsir_importance(df, *, target: Column, text_col: str = "text",
     re-joins as a broadcast. A 100 TB corpus pays one token-grain
     pass + one doc-grain aggregation, exactly like tfidf_top_terms.
     Returns (id, keep_cols..., n_feats, dsir_weight)."""
+    from ..plans.caching import track_persist
+
     keep = [F.col(c) for c in keep_cols]
-    db = (df.select(F.col(id_col), *keep, target.alias("is_target"),
-                    F.explode(hashed_feature_buckets(
-                        F.col(text_col), buckets=buckets)).alias("bucket"))
-          .groupBy(id_col, *keep_cols, "is_target", "bucket")
-          .agg(F.count(F.lit(1)).alias("cnt")))
+    # pinned: db feeds BOTH bucket histograms and the final per-doc
+    # sum — unpinned, Catalyst recomputes the corpus-sized token
+    # explode once per consumer (measured 3 Generate(explode) nodes in
+    # the executed plan). The pin materializes at (doc, bucket) grain,
+    # already aggregated far below token grain.
+    db = track_persist(
+        df.select(F.col(id_col), *keep, target.alias("is_target"),
+                  F.explode(hashed_feature_buckets(
+                      F.col(text_col), buckets=buckets)).alias("bucket"))
+        .groupBy(id_col, *keep_cols, "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt")))
     bt = (db.groupBy("bucket")
           .agg(F.sum("cnt").alias("n_raw"),
                F.sum(F.when(F.col("is_target"), F.col("cnt"))
