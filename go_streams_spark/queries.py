@@ -7032,9 +7032,14 @@ def negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = _t(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("np"))
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    inter = (orders.join(li, orders.o_orderkey == li.l_orderkey)
-             .select(F.col("o_custkey").alias("user_id"),
-                     F.col("l_partkey").alias("item")).distinct())
+    # pinned: inter feeds both the user list and the anti-join —
+    # unpinned, the orders⋈lineitem join runs twice (two full scans of
+    # both fact tables). The pin is the distinct (user, item) set,
+    # already deduped far below lineitem grain.
+    inter = track_persist(
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("user_id"),
+                F.col("l_partkey").alias("item")).distinct())
     users = inter.select("user_id").distinct()
     cand = (users.crossJoin(F.broadcast(cfg))  # 1-row scalar metadata
             .select("user_id", "np",
@@ -7147,8 +7152,13 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.filter(F.split(F.lower(F.col("text")), " "),
                            lambda x: x != "")).alias("tok"))
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # pinned: tf feeds dl, df, the query-term pick AND the scoring join
+    # — unpinned that is 4 corpus scans + explodes (measured). dl
+    # derives FROM tf (sum of term counts = token count), so the token
+    # stream is exploded exactly once, into a doc-term-grain cache.
+    tf = track_persist(
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     qterms = dfreq.orderBy(F.col("df").desc(), "tok").limit(3)
