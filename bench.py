@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "ann_ivf_pq",
     "dsir_importance_weights",
     "negative_sampling_pairs",
+    "next_event_training_pairs",
     "leakage_safe_split",
     # stream_join_view_purchase stays registry/oracle-only: like every
     # stream_* query it pays multi-second fixed trigger/state-store

@@ -7257,3 +7257,47 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                    & (F.expr("b2 & shiftleft(1, cast(h2 % 32 as int))") != 0))
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_bloom_hits")))
+
+
+@query("next_event_training_pairs", """
+WITH seq AS (
+  SELECT user_id, event_type, ts, event_id,
+         row_number() OVER w AS pos,
+         lag(event_type, 3) OVER w AS c1,
+         lag(event_type, 2) OVER w AS c2,
+         lag(event_type, 1) OVER w AS c3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, pos::INT AS pos,
+       c1 || '>' || c2 || '>' || c3 AS context,
+       event_type AS label
+FROM seq WHERE c1 IS NOT NULL
+""")
+def next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-dataset builder: one next-event-prediction training
+    example per event with a full 3-event context window — (user,
+    position, 'a>b>c' context, label) — the example-emission stage a
+    behavioral-model pipeline runs before packing/splitting (the
+    aggregate sibling is markov_transitions; THIS op keeps the
+    examples).
+
+    Scale: one shuffle keyed on user_id serves the row_number and all
+    three lags (a single WindowExec over the same spec); emission is
+    per-row, no second pass. Per-user sequences are the partition
+    grain — the skew knob is user activity, same class as
+    session_path_topk."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    out = ev.select(
+        "user_id",
+        F.row_number().over(w).cast("int").alias("pos"),
+        F.lag("event_type", 3).over(w).alias("c1"),
+        F.lag("event_type", 2).over(w).alias("c2"),
+        F.lag("event_type", 1).over(w).alias("c3"),
+        F.col("event_type").alias("label"))
+    return (out.where(F.col("c1").isNotNull())
+            .select("user_id", "pos",
+                    F.concat_ws(">", "c1", "c2", "c3").alias("context"),
+                    "label"))
