@@ -7185,16 +7185,18 @@ WITH toks AS (
   SELECT doc_id, source,
          list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
   FROM documents
-), grams AS (
-  SELECT doc_id, source, unnest(
-    CASE WHEN len(ts) >= 5 THEN
-      list_distinct([ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
-                     || ts[i+3] || ' ' || ts[i+4]
-                     for i in generate_series(1, len(ts) - 4)])
-    ELSE [] END) AS g
+), pos AS (
+  SELECT doc_id, source, generate_subscripts(ts, 1) AS p, unnest(ts) AS tok
   FROM toks
+), grams AS (
+  SELECT doc_id, source,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS g
+  FROM pos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+  QUALIFY lead(tok, 4) OVER w IS NOT NULL
 ), hashed AS (
-  SELECT doc_id, source, g,
+  SELECT doc_id, source,
          ('0x' || substr(md5(g), 1, 13))::BIGINT % 65536 AS h1,
          ('0x' || substr(md5(g), 14, 13))::BIGINT % 65536 AS h2
   FROM grams
@@ -7205,7 +7207,7 @@ WITH toks AS (
         SELECT h2 FROM hashed WHERE source = 'src0')
   GROUP BY 1
 ), train AS (
-  SELECT DISTINCT doc_id, g, h1, h2 FROM hashed WHERE source <> 'src0'
+  SELECT DISTINCT doc_id, h1, h2 FROM hashed WHERE source <> 'src0'
 )
 SELECT t.doc_id, count(*)::BIGINT AS n_bloom_hits
 FROM train t
@@ -7226,17 +7228,30 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     that matters for decontamination, pinned as a superset check
     against the exact join in tests/test_functions.py::
     test_bloom_decontamination_superset. Deterministic md5 bit
-    positions keep the whole bitmap oracle-exact."""
+    positions keep the whole bitmap oracle-exact.
+
+    Hits count DISTINCT (h1, h2) probe pairs per doc (gram text is
+    dropped the moment it is hashed): the dedup shuffle carries 24-byte
+    hash rows instead of gram strings, and the gram builder is the
+    lead-chain form shared with the exact query (the zip-of-slices
+    word_ngrams builder allocates 4 intermediate string arrays per doc
+    — measured 2x slower at 10x data)."""
     docs = _t(spark, sf_dir, "documents")
-    grams = docs.select(
-        "doc_id", "source",
-        F.explode(T.word_ngrams(F.col("text"), 5)).alias("g"))
+    from pyspark.sql import Window
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    pos = docs.select("doc_id", "source", F.posexplode(toks).alias("p", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    leads = [F.lead("tok", i).over(w) for i in range(1, 5)]
+    grams = (pos.select("doc_id", "source",
+                        F.concat_ws(" ", F.col("tok"), *leads).alias("g"),
+                        leads[-1].alias("_t4"))
+             .where(F.col("_t4").isNotNull()))
 
     def h(start: int) -> F.Column:
         return (F.conv(F.substring(F.md5(F.col("g")), start, 13), 16, 10)
                 .cast("long") % 65536)
 
-    hashed = grams.select("doc_id", "source", "g",
+    hashed = grams.select("doc_id", "source",
                           h(1).alias("h1"), h(14).alias("h2"))
     ev = hashed.where(F.col("source") == "src0")
     bits = (ev.select(F.col("h1").alias("b"))
@@ -7245,7 +7260,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.expr("bit_or(shiftleft(1, cast(b % 32 as int)))")
                  .alias("bits")))
     train = (hashed.where(F.col("source") != "src0")
-             .select("doc_id", "g", "h1", "h2").distinct())
+             .select("doc_id", "h1", "h2").distinct())
     w1 = bits.select(F.col("word_idx").alias("i1"), F.col("bits").alias("b1"))
     w2 = bits.select(F.col("word_idx").alias("i2"), F.col("bits").alias("b2"))
     return (train
