@@ -190,6 +190,32 @@ def main() -> None:
     for name in BENCH_QUERIES[:1]:
         force(QUERIES[name](spark, sf_dir))
 
+    # Single-node pipeline THROUGHPUT (events/sec): the reference's own
+    # claim surface is element throughput through an operator chain, so
+    # time the canonical Map -> Filter -> keyed tumbling-window pipeline
+    # over the events table and report rows/sec. Measured FIRST, right
+    # after warmup: running it after the full query sweep depressed the
+    # number ~35% round-over-round (accumulated JVM/GC/codegen-cache
+    # state), which made round-to-round throughput comparisons noise.
+    from pyspark.sql import functions as F
+    from go_streams_spark.queries import _t
+    ev = _t(spark, sf_dir, "events")
+    n_events = ev.count()
+    best_pipe = float("inf")
+    # best-of-3 (vs 2 for queries): this single number is the headline
+    # throughput and shows the most run-to-run variance; one extra
+    # ~0.3 s pass halves the downside noise
+    for _ in range(3):
+        t0 = time.perf_counter()
+        force(ev
+              .withColumn("v2", F.col("value") * 2)            # Map
+              .where(F.col("v2") > 0)                          # Filter
+              .groupBy("user_id", F.window("ts", "1 hour"))    # Keyed window
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("v2").alias("s")))
+        best_pipe = min(best_pipe, time.perf_counter() - t0)
+    events_per_sec = int(n_events / best_pipe) if best_pipe > 0 else 0
+
     # Two passes per query, keep the min: the first execution of a novel
     # plan pays Janino + JIT compilation of its generated code (measured
     # 2-10x inflation, nondeterministic in a long-lived session); the
@@ -211,28 +237,6 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
-    # Single-node pipeline THROUGHPUT (events/sec): the reference's own
-    # claim surface is element throughput through an operator chain, so
-    # time the canonical Map -> Filter -> keyed tumbling-window pipeline
-    # over the events table and report rows/sec (best of 2, like above).
-    from pyspark.sql import functions as F
-    from go_streams_spark.queries import _t
-    ev = _t(spark, sf_dir, "events")
-    n_events = ev.count()
-    best_pipe = float("inf")
-    # best-of-3 (vs 2 for queries): this single number is the headline
-    # throughput and shows the most run-to-run variance; one extra
-    # ~0.3 s pass halves the downside noise
-    for _ in range(3):
-        t0 = time.perf_counter()
-        force(ev
-              .withColumn("v2", F.col("value") * 2)            # Map
-              .where(F.col("v2") > 0)                          # Filter
-              .groupBy("user_id", F.window("ts", "1 hour"))    # Keyed window
-              .agg(F.count(F.lit(1)).alias("n"),
-                   F.sum("v2").alias("s")))
-        best_pipe = min(best_pipe, time.perf_counter() - t0)
-    events_per_sec = int(n_events / best_pipe) if best_pipe > 0 else 0
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )

@@ -552,3 +552,83 @@ def duplicate_span_stats(df: DataFrame, *, text_col: str = "text",
             .withColumn("dup_frac",
                         F.round(F.col("n_dup_windows")
                                 / F.col("n_windows"), 6)))
+
+
+def remove_duplicate_spans(df: DataFrame, *, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           span: int = 16) -> DataFrame:
+    """Exact-substring dedup REMOVAL — the acting half of Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better"):
+    where ``duplicate_span_stats`` only measures, this rewrites the
+    corpus. Every stride-1 ``span``-token window whose hash occurs more
+    than once corpus-wide is duplicated; the first occurrence in
+    (doc_id, position) order is CANONICAL and keeps its text, every
+    later occurrence has its covered tokens cut, and each document is
+    reassembled from its surviving tokens in order. Lee et al. find
+    maximal duplicated substrings with a suffix array; fixed stride-1
+    windows approximate that (any exact repeat >= ``span`` tokens is
+    caught; trims quantize to window extents) while staying fully
+    relational — no global suffix sort.
+
+    Scale shape: one token-grain explode with a single per-doc window
+    pass (row_number + the lead() chain share one (doc, pos) sort — the
+    duplicate_span_stats shape); one shuffle on the span hash for the
+    occurrence ranking; the drop-position explode is bounded by
+    DUPLICATED text volume x span, not corpus volume; one token-grain
+    anti-join + doc-grain reassembly. collect_list is per-doc bounded.
+    Positions are re-ranked gapless AFTER empty-token filtering so
+    Spark token indices match the oracle's filtered-array indices
+    bit-for-bit.
+
+    Returns (id_col, clean_text, n_tokens, n_removed) for EVERY input
+    document (unchanged docs included; a fully-cut doc keeps an empty
+    clean_text).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("p0")
+    toks = (df.select(F.col(id_col),
+                      F.posexplode(F.split(F.col(text_col), " "))
+                      .alias("p0", "tok"))
+            .where(F.col("tok") != "")
+            .select(F.col(id_col), F.row_number().over(w).alias("pos"),
+                    F.col("tok"),
+                    *[F.lead("tok", j).over(w).alias(f"t{j}")
+                      for j in range(1, span)]))
+    # pinned: feeds both the window ranking and the kept-token
+    # anti-join — unpinned, the token explode + per-doc sort runs twice
+    toks = track_persist(toks.select(
+        id_col, "pos", "tok",
+        F.when(F.col(f"t{span - 1}").isNotNull(),
+               F.md5(F.concat_ws(" ", "tok",
+                                 *[f"t{j}" for j in range(1, span)])))
+        .alias("h")))
+    wh = Window.partitionBy("h")
+    occ = (toks.where(F.col("h").isNotNull())
+           .select(id_col, F.col("pos").alias("s"), "h")
+           .select(id_col, "s",
+                   F.count(F.lit(1)).over(wh).alias("cnt"),
+                   F.row_number().over(
+                       wh.orderBy(id_col, "s")).alias("rn")))
+    droppos = (occ.where((F.col("cnt") > 1) & (F.col("rn") > 1))
+               .select(id_col, F.explode(
+                   F.sequence(F.col("s"), F.col("s") + (span - 1)))
+                   .alias("pos"))
+               .distinct())
+    kept = toks.select(id_col, "pos", "tok").join(
+        droppos, [id_col, "pos"], "left_anti")
+    reasm = (kept.groupBy(id_col)
+             .agg(F.concat_ws(" ", F.transform(
+                      F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                      lambda x: x["tok"])).alias("clean_text"),
+                  F.count(F.lit(1)).alias("n_kept")))
+    base = df.select(
+        F.col(id_col),
+        F.size(F.filter(F.split(F.col(text_col), " "),
+                        lambda x: x != "")).cast("long").alias("n_tokens"))
+    return (base.join(reasm, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    "n_tokens",
+                    (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+                    .cast("long").alias("n_removed")))

@@ -433,3 +433,77 @@ def dsir_importance(df, *, target: Column, text_col: str = "text",
             .agg(F.sum("cnt").alias("n_feats"),
                  F.sum(F.col("cnt") * F.col("log_ratio"))
                  .alias("dsir_weight")))
+
+
+def nb_classifier_scores(df, *, label: Column, train: Column,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         buckets: int = 512,
+                         keep_cols: tuple[str, ...] = ()) -> "DataFrame":
+    """Supervised quality classifier over hashed bag-of-ngrams features
+    — the closed-form (multinomial Naive Bayes) cousin of the fastText
+    linear classifiers modern pretraining pipelines use for model-based
+    quality filtering (DCLM / FineWeb-edu style). ``label`` is the
+    boolean class column, ``train`` the boolean training-subset mask;
+    the model (per-bucket class-conditional log-likelihood ratios +
+    class prior, add-1 smoothed) is fit on the train rows and EVERY doc
+    with at least one feature is scored:
+
+      log_odds = ln((n_pos_docs+1)/(n_neg_docs+1))
+               + sum_b cnt_b * (ln p(b|pos) - ln p(b|neg))
+
+    Returns (id, keep_cols..., n_feats, log_odds, pred). Docs whose
+    text yields zero features carry no evidence and are omitted (the
+    dsir_importance contract).
+
+    Scale shape (identical to dsir_importance): ONE feature explode to
+    a pinned (doc, bucket) aggregate — the only corpus-sized shuffle —
+    which feeds both the bucket-grain model rollup (<= ``buckets``
+    rows) and the per-doc scoring join; the completed weight table
+    (every bucket 0..buckets-1, so train-unseen buckets still
+    contribute their smoothed ratio instead of silently dropping)
+    broadcasts back. Priors are a column-pruned count over the input.
+    """
+    from ..plans.caching import track_persist
+
+    keep = [F.col(c) for c in keep_cols]
+    db = track_persist(
+        df.select(F.col(id_col), *keep, label.alias("y"),
+                  train.alias("tr"),
+                  F.explode(hashed_feature_buckets(
+                      F.col(text_col), buckets=buckets)).alias("bucket"))
+        .groupBy(id_col, *keep_cols, "y", "tr", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt")))
+    bt = (db.where("tr")
+          .groupBy("bucket")
+          .agg(F.sum(F.when(F.col("y"), F.col("cnt"))
+                     .otherwise(F.lit(0))).alias("n_pos"),
+               F.sum(F.when(~F.col("y"), F.col("cnt"))
+                     .otherwise(F.lit(0))).alias("n_neg")))
+    spark = df.sparkSession
+    full = (spark.range(buckets).select(F.col("id").alias("bucket"))
+            .join(bt, "bucket", "left")
+            .select("bucket",
+                    F.coalesce("n_pos", F.lit(0)).alias("n_pos"),
+                    F.coalesce("n_neg", F.lit(0)).alias("n_neg")))
+    tot = full.agg(F.sum("n_pos").alias("t_pos"),
+                   F.sum("n_neg").alias("t_neg"))
+    w = (full.crossJoin(F.broadcast(tot))  # 1-row scalar metadata
+         .select("bucket",
+                 (F.log((F.col("n_pos") + 1.0)
+                        / (F.col("t_pos") + float(buckets)))
+                  - F.log((F.col("n_neg") + 1.0)
+                          / (F.col("t_neg") + float(buckets))))
+                 .alias("llr")))
+    prior = (df.where(train)
+             .agg(F.log((F.sum(label.cast("long")) + 1.0)
+                        / (F.sum((~label).cast("long")) + 1.0))
+                  .alias("prior")))
+    scored = (db.join(F.broadcast(w), "bucket")
+              .groupBy(id_col, *keep_cols)
+              .agg(F.sum("cnt").alias("n_feats"),
+                   F.sum(F.col("cnt") * F.col("llr")).alias("evidence"))
+              .crossJoin(F.broadcast(prior)))  # 1-row scalar metadata
+    return scored.select(
+        id_col, *keep_cols, "n_feats",
+        F.round(F.col("prior") + F.col("evidence"), 4).alias("log_odds"),
+        ((F.col("prior") + F.col("evidence")) > 0).alias("pred"))

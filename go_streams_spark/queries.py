@@ -6431,6 +6431,51 @@ def duplicate_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.duplicate_span_stats(_t(spark, sf_dir, "documents"), span=16)
 
 
+@query("duplicate_span_removal", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+), tok AS (
+  SELECT doc_id, i AS pos, arr[i] AS tok
+  FROM toks, UNNEST(generate_series(1, len(arr))) AS t(i)
+), win AS (
+  SELECT doc_id, i AS s, md5(array_to_string(arr[i : i + 15], ' ')) AS h
+  FROM toks, UNNEST(generate_series(1, len(arr) - 15)) AS t(i)
+  WHERE len(arr) >= 16
+), rk AS (
+  SELECT doc_id, s,
+         count(*) OVER (PARTITION BY h) AS cnt,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
+  FROM win
+), droppos AS (
+  SELECT DISTINCT doc_id, s + o AS pos
+  FROM rk, UNNEST(generate_series(0, 15)) AS t(o)
+  WHERE cnt > 1 AND rn > 1
+), kept AS (
+  SELECT tok.doc_id, tok.pos, tok.tok
+  FROM tok ANTI JOIN droppos
+    ON tok.doc_id = droppos.doc_id AND tok.pos = droppos.pos
+), re AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT toks.doc_id,
+       coalesce(re.clean_text, '')                        AS clean_text,
+       len(toks.arr)::BIGINT                              AS n_tokens,
+       (len(toks.arr) - coalesce(re.n_kept, 0))::BIGINT   AS n_removed
+FROM toks LEFT JOIN re ON toks.doc_id = re.doc_id
+""")
+def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REWRITE (Lee et al. 2022's acting half):
+    non-canonical occurrences of any 16-token span repeated corpus-wide
+    are cut and each document reassembled from its surviving tokens —
+    functions/dedup.py::remove_duplicate_spans. Every doc comes back
+    (clean_text, n_tokens, n_removed)."""
+    return D.remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"), span=16)
+
+
 @query("session_path_topk", """
 WITH e AS (
   SELECT user_id, ts, event_id, event_type,
@@ -6890,6 +6935,67 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = Window.orderBy(F.col("dsir_weight").desc(), F.col("doc_id"))
     return (w.withColumn("sel_rank", F.row_number().over(rk).cast("int"))
             .where(F.col("sel_rank") <= 100))
+
+
+@query("nb_quality_classifier", """
+WITH arrs AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS arr
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang, unnest(
+    list_concat(arr, list_transform(range(1, greatest(len(arr), 1)),
+                                    i -> arr[i] || '_' || arr[i + 1]))) AS feat
+  FROM arrs
+), db AS (
+  SELECT doc_id, lang, (lang = 'en') AS y, (doc_id % 5 < 4) AS tr,
+         ('0x' || substr(md5(feat), 1, 13))::BIGINT % 512 AS bucket,
+         count(*) AS cnt
+  FROM feats GROUP BY 1, 2, 3, 4, 5
+), bt AS (
+  SELECT bucket,
+         sum(CASE WHEN y THEN cnt ELSE 0 END) AS n_pos,
+         sum(CASE WHEN NOT y THEN cnt ELSE 0 END) AS n_neg
+  FROM db WHERE tr GROUP BY bucket
+), fullb AS (
+  SELECT r.bucket, coalesce(bt.n_pos, 0) AS n_pos,
+         coalesce(bt.n_neg, 0) AS n_neg
+  FROM (SELECT unnest(range(0, 512)) AS bucket) r
+  LEFT JOIN bt ON r.bucket = bt.bucket
+), tot AS (
+  SELECT sum(n_pos) AS t_pos, sum(n_neg) AS t_neg FROM fullb
+), w AS (
+  SELECT bucket, ln((n_pos + 1.0) / (t_pos + 512.0))
+                   - ln((n_neg + 1.0) / (t_neg + 512.0)) AS llr
+  FROM fullb CROSS JOIN tot
+), prior AS (
+  SELECT ln((sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + 1.0)
+            / (sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) + 1.0))
+         AS prior
+  FROM documents WHERE doc_id % 5 < 4
+), s AS (
+  SELECT doc_id, lang, sum(cnt) AS n_feats, sum(cnt * llr) AS ev
+  FROM db JOIN w USING (bucket) GROUP BY 1, 2
+)
+SELECT doc_id, lang, n_feats,
+       round(prior + ev, 4) AS log_odds,
+       (round(prior + ev, 4) > 0) AS pred
+FROM s CROSS JOIN prior
+""")
+def nb_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality/domain filtering, the fastText-classifier
+    role in DCLM/FineWeb-style pipelines: a multinomial Naive Bayes
+    classifier over hashed unigram+bigram features
+    (functions/text.py::nb_classifier_scores), fit on the
+    doc_id % 5 < 4 training split with lang='en' as the class, scoring
+    every document with per-doc log-odds + predicted class. One
+    corpus-sized feature shuffle; 512-bucket model broadcasts back."""
+    docs = _t(spark, sf_dir, "documents")
+    out = T.nb_classifier_scores(
+        docs, label=F.col("lang") == "en",
+        train=F.col("doc_id") % 5 < 4, buckets=512, keep_cols=("lang",))
+    return out.select("doc_id", "lang", "n_feats", "log_odds",
+                      (F.col("log_odds") > 0).alias("pred"))
 
 
 @query("stream_join_view_purchase", """

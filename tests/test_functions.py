@@ -684,6 +684,31 @@ def test_duplicate_span_stats_planted(spark):
     assert out[1]["dup_frac"] == 0.2
 
 
+def test_remove_duplicate_spans_planted(spark):
+    """The canonical (lowest doc_id, pos) occurrence of a duplicated
+    span keeps its text; later occurrences are cut; unique and
+    too-short docs pass through untouched; a doc that is ONE big
+    duplicated span comes back empty."""
+    docs = [
+        (1, "q w e r t y u i"),      # canonical "q w e r" at pos 1
+        (2, "a a q w e r b b"),      # loses the shared span
+        (3, "z z z x c v n m"),      # unique: untouched
+        (4, "q w e r"),              # entirely a later occurrence
+        (5, "hi"),                   # shorter than span: untouched
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           D.remove_duplicate_spans(df, span=4).collect()}
+    assert len(out) == 5
+    assert out[1]["clean_text"] == "q w e r t y u i"
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "a a b b"
+    assert out[2]["n_removed"] == 4
+    assert out[3]["clean_text"] == "z z z x c v n m"
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 4
+    assert out[5]["clean_text"] == "hi" and out[5]["n_tokens"] == 1
+
+
 def test_pagerank_invariants(spark):
     """Integer-unit PageRank on a known graph: mass ~1 (floor losses
     only), the hub outranks leaves, symmetric nodes tie exactly."""
@@ -1236,3 +1261,57 @@ def test_bloom_decontamination_superset(spark, sf_dir):
     # DISTINCT grams — compare on the shared distinct-gram basis
     for d, n in exact.items():
         assert bloom[d] >= 1
+
+
+def test_nb_classifier_matches_python_reference(spark):
+    """nb_classifier_scores is engine-exact (to the 4dp round) against
+    an independent hashlib+math Naive Bayes on a toy labeled corpus,
+    and train-unseen buckets still contribute their smoothed ratio."""
+    import hashlib
+    import math
+
+    from go_streams_spark.functions.text import nb_classifier_scores
+
+    docs = [
+        (1, "good clean prose with words", True, True),
+        (2, "more good clean text here", True, True),
+        (3, "spam spam buy now spam", False, True),
+        (4, "buy now spam offer spam", False, True),
+        (5, "clean words with good prose", None, False),   # score-only
+        (6, "novel unseen vocabulary entirely", None, False),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, y boolean, tr boolean")
+    out = {r["doc_id"]: r for r in nb_classifier_scores(
+        df, label=F.col("y"), train=F.col("tr"), buckets=64).collect()}
+
+    B = 64
+
+    def feats(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        fs = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+        return [int(hashlib.md5(f.encode()).hexdigest()[:13], 16) % B
+                for f in fs]
+
+    pos = {}
+    neg = {}
+    for _, text, y, tr in docs:
+        if not tr:
+            continue
+        for b in feats(text):
+            d = pos if y else neg
+            d[b] = d.get(b, 0) + 1
+    t_pos, t_neg = sum(pos.values()), sum(neg.values())
+    prior = math.log((2 + 1.0) / (2 + 1.0))
+    for doc_id, text, _, _ in docs:
+        fs = feats(text)
+        ev = sum(math.log((pos.get(b, 0) + 1.0) / (t_pos + B))
+                 - math.log((neg.get(b, 0) + 1.0) / (t_neg + B))
+                 for b in fs)
+        want = round(prior + ev, 4)
+        got = out[doc_id]
+        assert got["n_feats"] == len(fs)
+        assert abs(got["log_odds"] - want) < 1e-9, (doc_id, got, want)
+        assert got["pred"] == ((prior + ev) > 0)
+    # held-out docs classify sensibly
+    assert out[5]["pred"] is True
