@@ -421,17 +421,23 @@ def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_
     """
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError("on_nonconverged must be 'raise' or 'warn'")
-    # Symmetrize via ONE explode, not union(pairs, pairs.swap): the
-    # union form evaluates the caller's pair pipeline (LSH + verify —
-    # the expensive part) once PER BRANCH, and its .distinct() added a
-    # shuffle that min-label propagation never needed — duplicate edges
-    # (or self-loops) cannot change a min. Measured on dedup_components
-    # at sf0.1: 10.6 -> 6.7 s.
-    edges = track_persist(
-        pairs.select(F.explode(F.array(
-            F.struct(F.col(src).alias("a"), F.col(dst).alias("b")),
-            F.struct(F.col(dst).alias("a"), F.col(src).alias("b"))))
-            .alias("e"))
+    # The pair list is the near-dup GRAPH — orders of magnitude smaller
+    # than the corpus pipeline that produced it — so materialize it
+    # once, eagerly, and run the whole iterative loop off that
+    # snapshot: otherwise the first downstream action re-executes the
+    # caller's LSH + verify pipeline into the edge cache. Measured on
+    # dedup_components at sf0.1: 10.6 s (union-symmetrize) -> 6.7 s
+    # steady-state for this form; run-to-run codegen variance is large
+    # (6.7-15 s cold), so the pin matters more than the exact figure.
+    pairs = pairs.select(F.col(src).alias("pa"),
+                         F.col(dst).alias("pb")).localCheckpoint(eager=True)
+    # Symmetrize via ONE explode, not union(pairs, pairs.swap) +
+    # distinct — duplicate edges (or self-loops) cannot change a min,
+    # and the distinct was a needless shuffle.
+    edges = (pairs.select(F.explode(F.array(
+        F.struct(F.col("pa").alias("a"), F.col("pb").alias("b")),
+        F.struct(F.col("pb").alias("a"), F.col("pa").alias("b"))))
+        .alias("e"))
         .select(F.col("e.a").alias("a"), F.col("e.b").alias("b")))
     # Iterative lineage MUST be truncated every pass (localCheckpoint,
     # eager): without it iteration k re-executes iterations 1..k-1 both
@@ -467,7 +473,6 @@ def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_
         if joined.where("__chg").limit(1).count() == 0:
             converged = True
             break
-    edges.unpersist()
     if not converged:
         msg = (f"connected_components did not converge within "
                f"{max_iterations} iterations (labels still changing — "
