@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "ann_pq_rerank",
     "ann_ivf_pq",
     "dsir_importance_weights",
+    "nb_quality_classifier",
     "negative_sampling_pairs",
     "next_event_training_pairs",
     "leakage_safe_split",
@@ -111,6 +112,7 @@ BENCH_QUERIES = [
     "decontaminate_bloom",
     "bm25_search_topk",
     "duplicate_span_profile",
+    "duplicate_span_removal",
     "chunk_dedup_reassembly",
     "label_centroids",
     "windowed_distinct_users",

@@ -111,3 +111,53 @@ def interval_join(left: DataFrame, right: DataFrame, *, on: Sequence[str],
                 & (_epoch_seconds(rb[right_ts])
                    <= _epoch_seconds(lb[left_ts]) + upper_seconds))
     return joined.where(in_range).drop("__bucket")
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, *,
+                 keys: Sequence[str],
+                 delete_col: str | None = None) -> DataFrame:
+    """Batch MERGE INTO (SCD Type 1): apply a change set to a snapshot
+    in one pass — update rows whose key exists in both, insert
+    source-only rows, keep untouched target rows, and (optionally)
+    delete rows the source marks with a true ``delete_col``. The
+    Delta/Iceberg MERGE semantics expressed as a single full-outer
+    join, for pipelines that maintain plain parquet snapshots.
+
+    Scale shape: ONE shuffle on the merge keys (full-outer equi-join);
+    per-row resolution is a coalesce projection, no window, no second
+    pass. Both sides' non-key columns must match (schema is validated
+    loudly). At 100 TB the same plan holds — the join partitions by
+    key, and AQE handles source/target size asymmetry; if the change
+    set is tiny relative to the snapshot, prefer partition-pruned
+    overwrite (idempotent_parquet_sink) for the write side.
+    """
+    keys = list(keys)
+    if not keys:
+        raise ValueError("merge_upsert: keys must be non-empty")
+    for k in keys:
+        if k not in target.columns or k not in source.columns:
+            raise ValueError(f"merge_upsert: key {k!r} missing from a side")
+    t_cols = [c for c in target.columns if c not in keys]
+    s_cols = [c for c in source.columns
+              if c not in keys and c != delete_col]
+    if set(t_cols) != set(s_cols):
+        raise ValueError(
+            f"merge_upsert: non-key columns differ — target {sorted(t_cols)}"
+            f" vs source {sorted(s_cols)}")
+    # distinct-key contract: a source with duplicate keys would fan out
+    # the join; resolution below assumes one change row per key.
+    # A literal match flag (never NULL on source rows) keeps the
+    # semantics NULL-faithful: an UPDATE that sets a column to NULL
+    # must win over the target value, which coalesce(s.c, t.c) would
+    # silently undo.
+    src = source.withColumn("__is_src", F.lit(True)).alias("s")
+    tgt = target.alias("t")
+    joined = tgt.join(src, keys, "full_outer")
+    if delete_col is not None:
+        joined = joined.where(
+            ~F.coalesce(F.col(f"s.{delete_col}"), F.lit(False)))
+    matched = F.col("s.__is_src").isNotNull()
+    out_cols = [F.col(k).alias(k) for k in keys]
+    out_cols += [F.when(matched, F.col(f"s.{c}"))
+                 .otherwise(F.col(f"t.{c}")).alias(c) for c in t_cols]
+    return joined.select(*out_cols)

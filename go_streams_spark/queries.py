@@ -3869,6 +3869,72 @@ def sql_surface_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+@query("temperature_mixture_sample", """
+WITH cnt AS (
+  SELECT source, count(*) AS n,
+         floor(sqrt(count(*)) * 1000000)::BIGINT AS w
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT sum(w) AS tot_w, sum(n) AS n_docs FROM cnt
+), rates AS (
+  SELECT source, n, w,
+         least(1.0, ((n_docs // 2) * w)::DOUBLE / (tot_w * n)::DOUBLE)
+           AS rate
+  FROM cnt CROSS JOIN tot
+), u AS (
+  SELECT d.source, rates.n, rates.w, rates.rate,
+         (('0x' || substr(md5(d.doc_id::VARCHAR || ':tmix'), 1, 13))::BIGINT
+          + 1) / 4503599627370497.0 AS u
+  FROM documents d JOIN rates ON d.source = rates.source
+)
+SELECT source,
+       max(n)                                    AS n_total,
+       round(max(rate), 6)                       AS rate,
+       count(*) FILTER (WHERE u <= rate)         AS n_kept,
+       round(count(*) FILTER (WHERE u <= rate) * 1.0 / max(n), 3)
+                                                 AS realized
+FROM u GROUP BY source
+""")
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style temperature mixing: per-source keep-rates DERIVED
+    FROM THE DATA as n_s^0.5 temperature weights (alpha=0.5 upsamples
+    rare sources, downsamples dominant ones) normalized to a corpus
+    budget of half the docs, capped at 1.0 — then the same
+    deterministic md5 coin as mixture_sample_docs. The weight/rate
+    arithmetic is pinned to integer micro-units (floor(sqrt(n)*1e6))
+    so the source-grain sum is order-independent and the final doubles
+    are bit-identical across engines.
+
+    Plan: source-grain count (bounded, map-side partials), rate table
+    broadcasts back onto the scan, coin+filter is per-row, final agg
+    is source-grain. ONE corpus-sized pass, zero corpus shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    cnt = (d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+           .select("source", "n",
+                   F.floor(F.sqrt(F.col("n")) * 1000000)
+                   .cast("long").alias("w")))
+    tot = cnt.agg(F.sum("w").alias("tot_w"), F.sum("n").alias("n_docs"))
+    rates = (cnt.crossJoin(F.broadcast(tot))  # 1-row scalar metadata
+             .select("source", "n", "w",
+                     F.least(F.lit(1.0),
+                             (F.floor(F.col("n_docs") / 2).cast("long")
+                              * F.col("w")).cast("double")
+                             / (F.col("tot_w") * F.col("n")).cast("double"))
+                     .alias("rate")))
+    u = ((F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                            F.lit(":tmix"))), 1, 13),
+                 16, 10).cast("double") + 1) / F.lit(4503599627370497.0))
+    joined = (d.select("doc_id", "source")
+              .join(F.broadcast(rates), "source")
+              .select("source", "n", "rate", (u <= F.col("rate")).alias("k")))
+    return (joined.groupBy("source")
+            .agg(F.max("n").alias("n_total"),
+                 F.round(F.max("rate"), 6).alias("rate"),
+                 F.sum(F.col("k").cast("long")).alias("n_kept"),
+                 F.round(F.sum(F.col("k").cast("long"))
+                         / F.max("n"), 3).alias("realized")))
+
+
 @query("mixture_sample_docs", """
 WITH u AS (
   SELECT doc_id, lang, source, n_chars,
@@ -5024,6 +5090,62 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("lc") == 0, 1)).alias("childless_orders"),
         F.sum("lc").alias("n_lineitems"),
         F.sum("oc").alias("n_orders"))
+
+
+@query("merge_upsert_customers", """
+WITH src AS (
+  SELECT c_custkey, c_name,
+         round(c_acctbal + 100, 2) AS c_acctbal,
+         c_mktsegment, FALSE AS del
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, c_name, NULL AS c_acctbal, c_mktsegment, TRUE AS del
+  FROM customer WHERE c_custkey % 10 = 1
+  UNION ALL
+  SELECT c_custkey + 1000000 AS c_custkey,
+         'NEW-' || c_custkey AS c_name, 0.0 AS c_acctbal,
+         'NEW' AS c_mktsegment, FALSE AS del
+  FROM customer WHERE c_custkey % 100 = 2
+)
+SELECT coalesce(s.c_custkey, t.c_custkey) AS c_custkey,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+            ELSE t.c_name END                              AS c_name,
+       round(CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                  ELSE t.c_acctbal END, 2)                 AS c_acctbal,
+       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment
+            ELSE t.c_mktsegment END                        AS c_mktsegment
+FROM customer t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+WHERE NOT coalesce(s.del, FALSE)
+""")
+def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO (SCD1) — operators/joins.py::merge_upsert: a
+    deterministic change set (balance bump for custkey%10=0, delete
+    for %10=1, synthetic inserts for %100=2) applied to the customer
+    snapshot in ONE full-outer key shuffle. The Delta/Iceberg MERGE
+    semantics over plain parquet, NULL-faithful (an update that sets a
+    column to NULL wins over the target value)."""
+    from .operators.joins import merge_upsert
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    upd = (cust.where(F.col("c_custkey") % 10 == 0)
+           .select("c_custkey", "c_name",
+                   F.round(F.col("c_acctbal") + 100, 2).alias("c_acctbal"),
+                   "c_mktsegment", F.lit(False).alias("del")))
+    dele = (cust.where(F.col("c_custkey") % 10 == 1)
+            .select("c_custkey", "c_name",
+                    F.lit(None).cast("double").alias("c_acctbal"),
+                    "c_mktsegment", F.lit(True).alias("del")))
+    ins = (cust.where(F.col("c_custkey") % 100 == 2)
+           .select((F.col("c_custkey") + 1000000).alias("c_custkey"),
+                   F.concat(F.lit("NEW-"), F.col("c_custkey")).alias("c_name"),
+                   F.lit(0.0).alias("c_acctbal"),
+                   F.lit("NEW").alias("c_mktsegment"),
+                   F.lit(False).alias("del")))
+    src = upd.unionByName(dele).unionByName(ins)
+    out = merge_upsert(cust, src, keys=["c_custkey"], delete_col="del")
+    return out.select("c_custkey", "c_name",
+                      F.round("c_acctbal", 2).alias("c_acctbal"),
+                      "c_mktsegment")
 
 
 @query("snapshot_diff_users", """
@@ -6474,6 +6596,71 @@ def duplicate_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     (clean_text, n_tokens, n_removed)."""
     return D.remove_duplicate_spans(
         _t(spark, sf_dir, "documents"), span=16)
+
+
+@query("neardup_keep_best", f"""
+WITH RECURSIVE {_NEARDUP_CC_CTES}, labels AS (
+  SELECT n AS doc_id, min(m) AS component FROM reach GROUP BY n
+), asgn AS (
+  SELECT d.doc_id, coalesce(l.component, d.doc_id) AS component
+  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+), q AS (
+  SELECT doc_id,
+         round(least(1.0, greatest(0.0,
+               0.4 * least(len(list_filter(toks, x -> x IN
+                     ('the','a','of','and','to','in','is','for','on','with')))
+                   / greatest(len(toks), 1) * 4, 1.0)
+             + 0.4 * (CASE WHEN tl >= 3 AND tl <= 10 THEN 1.0 ELSE 0.5 END)
+             + 0.2 * (1 - least(len(regexp_extract_all(text,
+                     '[^a-zA-Z0-9\\s]')) / greatest(length(text), 1)
+                     * 5, 1.0)))), 4) AS quality
+  FROM (SELECT doc_id, text,
+               list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+               list_sum(list_transform(
+                   list_filter(string_split(text, ' '), x -> x <> ''),
+                   x -> length(x)))
+                 / greatest(len(list_filter(string_split(text, ' '),
+                                            x -> x <> '')), 1) AS tl
+        FROM documents)
+), ranked AS (
+  SELECT a.component, a.doc_id, q.quality,
+         row_number() OVER (PARTITION BY a.component
+                            ORDER BY q.quality DESC, a.doc_id) AS rn,
+         count(*) OVER (PARTITION BY a.component) AS n_members
+  FROM asgn a JOIN q ON q.doc_id = a.doc_id
+)
+SELECT component, doc_id AS keeper, n_members, quality AS best_quality
+FROM ranked WHERE rn = 1
+""")
+def neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization, keep-BEST flavor: real curation
+    pipelines keep the highest-quality member of each near-dup
+    cluster, not the lowest id (min-id keeps whichever shard ingested
+    first; argmax-quality keeps the cleanest copy). Composition:
+    MinHash-LSH pairs -> connected components -> per-cluster rank by
+    (rounded quality desc, doc_id) -> rn=1. Singleton docs are their
+    own cluster. The rank window partitions by component — bounded by
+    cluster size, never corpus-global."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    comps = D.connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component")
+    asgn = (docs.select("doc_id").join(comps, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id").alias("component")))
+    q = docs.select("doc_id",
+                    F.round(T.quality_score("text"), 4).alias("quality"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col("doc_id"))
+    ranked = (asgn.join(q, "doc_id")
+              .select("component", "doc_id", "quality",
+                      F.row_number().over(w).alias("rn"),
+                      F.count(F.lit(1)).over(
+                          Window.partitionBy("component")).alias("n_members")))
+    return (ranked.where(F.col("rn") == 1)
+            .select("component", F.col("doc_id").alias("keeper"),
+                    "n_members", F.col("quality").alias("best_quality")))
 
 
 @query("session_path_topk", """

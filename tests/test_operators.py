@@ -231,3 +231,35 @@ def test_distributed_ordinal_branches_consistent_when_sampled(spark):
     assert {r["ord"] for r in rows} == set(range(1, n + 1))  # contiguous
     by_ord = sorted(rows, key=lambda r: r["ord"])
     assert by_ord == sorted(rows, key=lambda r: (r["k"], r["id"]))
+
+
+def test_merge_upsert_semantics(spark):
+    """MERGE semantics: update wins (including explicit NULLs), insert
+    appended, delete removed, untouched target rows intact; malformed
+    inputs fail loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+    from go_streams_spark.operators.joins import merge_upsert
+
+    tgt = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, bal double")
+    src = spark.createDataFrame(
+        [(2, "b2", None, False),   # update with NULL bal — must win
+         (3, None, None, True),    # delete
+         (9, "new", 90.0, False)], # insert
+        "k long, name string, bal double, del boolean")
+    out = {r["k"]: r for r in
+           merge_upsert(tgt, src, keys=["k"], delete_col="del").collect()}
+    assert set(out) == {1, 2, 9}
+    assert out[1]["name"] == "a" and out[1]["bal"] == 10.0
+    assert out[2]["name"] == "b2" and out[2]["bal"] is None
+    assert out[9]["name"] == "new" and out[9]["bal"] == 90.0
+
+    with pytest.raises(ValueError, match="keys must be non-empty"):
+        merge_upsert(tgt, src, keys=[])
+    with pytest.raises(ValueError, match="non-key columns differ"):
+        merge_upsert(tgt.drop("bal"), src, keys=["k"], delete_col="del")
+    with pytest.raises(ValueError, match="missing from a side"):
+        merge_upsert(tgt, src.withColumnRenamed("k", "kk"),
+                     keys=["k"], delete_col="del")
