@@ -99,6 +99,11 @@ BENCH_QUERIES = [
     "negative_sampling_pairs",
     "next_event_training_pairs",
     "leakage_safe_split",
+    # neardup_keep_best / dedup_components stay registry-only: same CC
+    # pipeline leakage_safe_split already benches
+    "temperature_mixture_sample",
+    "ewma_value_by_user",
+    "merge_upsert_customers",
     # stream_join_view_purchase stays registry/oracle-only: like every
     # stream_* query it pays multi-second fixed trigger/state-store
     # startup that swamps sf0.1 data work — the bench line measures

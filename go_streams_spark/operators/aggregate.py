@@ -166,3 +166,49 @@ def _normalize(aggs: dict) -> dict:
             p, m, c = spec
             out[name] = (p, m, c)
     return out
+
+
+def ewma_halving(df: DataFrame, *, key_cols: Sequence[str],
+                 order_cols: Sequence[str], value_col: str,
+                 lags: int = 10, out_col: str = "ewma") -> DataFrame:
+    """Per-key exponentially-weighted moving average with decay 1/2
+    per step, truncated at ``lags`` terms (2^-10 < 0.1% residual
+    weight — the pandas ``ewm(adjust=True)`` form over a bounded
+    history):
+
+      ewma_t = sum_{j=0..L-1} 2^(L-1-j) * x_(t-j)
+             / sum over the same available lags of 2^(L-1-j)
+
+    Engine-exactness is by CONSTRUCTION, not rounding luck: values are
+    pinned to integer micro-units (floor(x*1e6 + 0.5), the
+    embedding_quantize_int8 convention), the weighted numerator and
+    denominator are pure BIGINT sums of lag() columns — no float
+    accumulation whose order could differ between engines — and the
+    single double division at the end is IEEE-identical everywhere.
+
+    Scale shape: one shuffle on the key, one per-key sort shared by
+    every lag column; ``lags`` is a constant column count, not a
+    per-row loop. The streaming analogue is running_fold_stream with
+    the same integer kernel.
+    """
+    if lags < 1:
+        raise ValueError("ewma_halving: lags must be >= 1")
+    if lags > 60:
+        raise ValueError("ewma_halving: lags > 60 overflows the "
+                         "BIGINT weight 2^(lags-1)")
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    m = F.floor(F.col(value_col) * 1000000 + F.lit(0.5)).cast("long")
+    base = df.withColumn("__m", m)
+    lag_cols = [F.lag("__m", j).over(w) for j in range(lags)]
+    num = None
+    den = None
+    for j, lc in enumerate(lag_cols):
+        wt = F.lit(1 << (lags - 1 - j)).cast("long")
+        term = F.when(lc.isNotNull(), lc * wt).otherwise(F.lit(0))
+        avail = F.when(lc.isNotNull(), wt).otherwise(F.lit(0))
+        num = term if num is None else num + term
+        den = avail if den is None else den + avail
+    return (base.withColumn(
+        out_col,
+        F.round(num.cast("double") / den.cast("double") / 1000000.0, 4))
+        .drop("__m"))

@@ -3935,6 +3935,49 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.max("n"), 3).alias("realized")))
 
 
+@query("ewma_value_by_user", """
+WITH m AS (
+  SELECT event_id, user_id, ts,
+         floor(value * 1000000 + 0.5)::BIGINT AS m
+  FROM events
+)
+SELECT event_id, user_id,
+       round((CASE WHEN m IS NOT NULL THEN m * 512 ELSE 0 END
+         + CASE WHEN lag(m, 1) OVER w IS NOT NULL THEN lag(m, 1) OVER w * 256 ELSE 0 END
+         + CASE WHEN lag(m, 2) OVER w IS NOT NULL THEN lag(m, 2) OVER w * 128 ELSE 0 END
+         + CASE WHEN lag(m, 3) OVER w IS NOT NULL THEN lag(m, 3) OVER w * 64 ELSE 0 END
+         + CASE WHEN lag(m, 4) OVER w IS NOT NULL THEN lag(m, 4) OVER w * 32 ELSE 0 END
+         + CASE WHEN lag(m, 5) OVER w IS NOT NULL THEN lag(m, 5) OVER w * 16 ELSE 0 END
+         + CASE WHEN lag(m, 6) OVER w IS NOT NULL THEN lag(m, 6) OVER w * 8 ELSE 0 END
+         + CASE WHEN lag(m, 7) OVER w IS NOT NULL THEN lag(m, 7) OVER w * 4 ELSE 0 END
+         + CASE WHEN lag(m, 8) OVER w IS NOT NULL THEN lag(m, 8) OVER w * 2 ELSE 0 END
+         + CASE WHEN lag(m, 9) OVER w IS NOT NULL THEN lag(m, 9) OVER w * 1 ELSE 0 END)::DOUBLE
+       / (CASE WHEN m IS NOT NULL THEN 512 ELSE 0 END
+         + CASE WHEN lag(m, 1) OVER w IS NOT NULL THEN 256 ELSE 0 END
+         + CASE WHEN lag(m, 2) OVER w IS NOT NULL THEN 128 ELSE 0 END
+         + CASE WHEN lag(m, 3) OVER w IS NOT NULL THEN 64 ELSE 0 END
+         + CASE WHEN lag(m, 4) OVER w IS NOT NULL THEN 32 ELSE 0 END
+         + CASE WHEN lag(m, 5) OVER w IS NOT NULL THEN 16 ELSE 0 END
+         + CASE WHEN lag(m, 6) OVER w IS NOT NULL THEN 8 ELSE 0 END
+         + CASE WHEN lag(m, 7) OVER w IS NOT NULL THEN 4 ELSE 0 END
+         + CASE WHEN lag(m, 8) OVER w IS NOT NULL THEN 2 ELSE 0 END
+         + CASE WHEN lag(m, 9) OVER w IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / 1000000.0, 4) AS ewma
+FROM m WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def ewma_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA smoothing of event values (decay 1/2 per event,
+    10-term history) — operators/aggregate.py::ewma_halving. The
+    recsys/monitoring smoothing primitive; integer-micro-unit lag
+    arithmetic makes it bit-identical across engines. One shuffle on
+    user_id, one per-key sort shared by all lag columns."""
+    from .operators.aggregate import ewma_halving
+    ev = _t(spark, sf_dir, "events")
+    out = ewma_halving(ev, key_cols=["user_id"],
+                       order_cols=["ts", "event_id"], value_col="value",
+                       lags=10)
+    return out.select("event_id", "user_id", "ewma")
+
+
 @query("mixture_sample_docs", """
 WITH u AS (
   SELECT doc_id, lang, source, n_chars,

@@ -263,3 +263,29 @@ def test_merge_upsert_semantics(spark):
     with pytest.raises(ValueError, match="missing from a side"):
         merge_upsert(tgt, src.withColumnRenamed("k", "kk"),
                      keys=["k"], delete_col="del")
+
+
+def test_ewma_halving_matches_pandas(spark):
+    """For histories shorter than `lags`, ewma_halving equals pandas
+    ewm(alpha=0.5, adjust=True) exactly (to the 4dp round); knobs are
+    validated loudly."""
+    import pandas as pd
+    import pytest
+    from go_streams_spark.operators.aggregate import ewma_halving
+
+    vals = [10.0, 2.5, 7.25, 0.5, 3.125, 9.0]
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, seq long, value double")
+    out = (ewma_halving(df, key_cols=["k"], order_cols=["seq"],
+                        value_col="value", lags=10)
+           .orderBy("seq").collect())
+    want = pd.Series(vals).ewm(alpha=0.5, adjust=True).mean()
+    for r, w in zip(out, want):
+        assert abs(r["ewma"] - round(w, 4)) <= 1e-4, (r, w)
+
+    with pytest.raises(ValueError, match="lags must be >= 1"):
+        ewma_halving(df, key_cols=["k"], order_cols=["seq"],
+                     value_col="value", lags=0)
+    with pytest.raises(ValueError, match="overflows"):
+        ewma_halving(df, key_cols=["k"], order_cols=["seq"],
+                     value_col="value", lags=61)
