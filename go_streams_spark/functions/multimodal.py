@@ -336,3 +336,69 @@ def resize_features(df: DataFrame, *, feature_col: str = "feature",
         return col.map(one)
 
     return df.withColumn(feature_col, _resize(F.col(feature_col)))
+
+
+PCM_FEATURE_SCHEMA = ("doc_id long, win_idx int, n_samples int, "
+                      "energy long, peak int, zero_crossings int")
+
+
+def pcm_window_features(df: DataFrame, *, blob_col: str = "media",
+                        id_col: str = "doc_id", window: int = 16,
+                        hop: int = 8) -> DataFrame:
+    """Audio windowed feature extraction over binary PCM via
+    mapInPandas — the audio leg of the modality triad (image decode:
+    ``extract_features``/pillow; video: ``sample_frames``/PyAV). The
+    blob is interpreted as little-endian int16 PCM (the WAV/ffmpeg
+    ``s16le`` payload convention — a real pipeline demuxes the
+    container first, exactly like ``sample_frames``'s codec path);
+    full ``window``-sample frames at stride ``hop`` each emit one row
+    of INTEGER-EXACT features:
+
+      energy         sum of squared samples (int64)
+      peak           max absolute sample
+      zero_crossings sign changes between consecutive samples
+                     (sign(0) counts as non-negative)
+
+    Integer features are deliberate: RMS/dB floats would hash-drift
+    across engines, while these sums are exact and the caller can
+    derive floats downstream. Decode is vectorized numpy
+    (frombuffer + stride windows), never per-sample Python. No
+    shuffle: rows fan out within their partition; Arrow batch size
+    caps peak memory. A trailing odd byte is ignored (s16 framing).
+    """
+    if window < 1:
+        raise ValueError("window must be positive")
+    if hop < 1:
+        raise ValueError("hop must be positive")
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, ns, en, pk, zc = [], [], [], [], [], []
+            for did, b in zip(pdf[id_col], pdf[blob_col]):
+                b = bytes(b)
+                samples = np.frombuffer(
+                    b[:len(b) - (len(b) % 2)], dtype="<i2").astype(np.int64)
+                n = len(samples)
+                w = 0
+                start = 0
+                while start + window <= n:
+                    x = samples[start:start + window]
+                    neg = x < 0
+                    ids.append(did)
+                    widx.append(w)
+                    ns.append(window)
+                    en.append(int(np.dot(x, x)))
+                    pk.append(int(np.max(np.abs(x))))
+                    zc.append(int(np.sum(neg[1:] != neg[:-1])))
+                    w += 1
+                    start += hop
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "win_idx": pd.Series(widx, dtype="int32"),
+                "n_samples": pd.Series(ns, dtype="int32"),
+                "energy": pd.Series(en, dtype="int64"),
+                "peak": pd.Series(pk, dtype="int32"),
+                "zero_crossings": pd.Series(zc, dtype="int32"),
+            })
+
+    return df.mapInPandas(_extract, schema=PCM_FEATURE_SCHEMA)

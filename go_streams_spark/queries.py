@@ -1105,6 +1105,46 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.md5("frame").alias("frame_hash"))
 
 
+@query("audio_pcm_features", """
+WITH s AS (
+  SELECT doc_id, t.k,
+         ord(substr(text, (2 * t.k + 1)::INT, 1))
+           + 256 * ord(substr(text, (2 * t.k + 2)::INT, 1))
+           - CASE WHEN ord(substr(text, (2 * t.k + 2)::INT, 1)) >= 128
+                  THEN 65536 ELSE 0 END AS val
+  FROM documents, UNNEST(generate_series(0, length(text) // 2 - 1)) t(k)
+  WHERE length(text) >= 2
+), win AS (
+  SELECT d.doc_id, g.w
+  FROM (SELECT doc_id, length(text) // 2 AS n FROM documents) d,
+       LATERAL (SELECT unnest(generate_series(0, (d.n - 16) // 8)) AS w) g
+  WHERE d.n >= 16
+), j AS (
+  SELECT win.doc_id, win.w, s.k, s.val,
+         lag(s.val) OVER (PARTITION BY win.doc_id, win.w ORDER BY s.k)
+           AS pv
+  FROM win JOIN s ON s.doc_id = win.doc_id
+                 AND s.k >= win.w * 8 AND s.k < win.w * 8 + 16
+)
+SELECT doc_id, w::INT AS win_idx, count(*)::INT AS n_samples,
+       sum(val * val)::BIGINT AS energy,
+       max(abs(val))::INT AS peak,
+       sum(CASE WHEN pv IS NOT NULL AND ((val < 0) <> (pv < 0))
+                THEN 1 ELSE 0 END)::INT AS zero_crossings
+FROM j GROUP BY doc_id, w
+""")
+def audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio windowed features (int16 LE PCM: energy / peak / zero
+    crossings per 16-sample window, hop 8) via vectorized mapInPandas
+    — functions/multimodal.py::pcm_window_features, the audio leg of
+    the modality triad. The oracle reproduces the int16 decode by byte
+    arithmetic (ASCII corpus: char == byte, the multimodal_frame_sample
+    convention); features are integer-exact by design."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select("doc_id", F.col("text").cast("binary").alias("media"))
+    return M.pcm_window_features(media, window=16, hop=8)
+
+
 # ===========================================================================
 # Relational capabilities beyond the reference surface (ship free with
 # Spark — SURVEY §2.5: joins, analytic windows, set ops, sorts/limits,

@@ -1315,3 +1315,40 @@ def test_nb_classifier_matches_python_reference(spark):
         assert got["pred"] == ((prior + ev) > 0)
     # held-out docs classify sensibly
     assert out[5]["pred"] is True
+
+
+def test_pcm_window_features_reference(spark):
+    """pcm_window_features on synthesized int16 PCM (including negative
+    samples and an odd trailing byte) matches a direct Python
+    computation; knobs validate loudly."""
+    import struct
+
+    import pytest
+    from go_streams_spark.functions.multimodal import pcm_window_features
+
+    samples = [100, -200, 300, -32768, 32767, 0, -1, 5, 7, -9]
+    blob = b"".join(struct.pack("<h", v) for v in samples) + b"\x7f"  # odd tail
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "doc_id long, media binary")
+    rows = {r["win_idx"]: r for r in
+            pcm_window_features(df, window=4, hop=3).collect()}
+    # windows: [0:4], [3:7], [6:10]
+    assert set(rows) == {0, 1, 2}
+
+    def feats(x):
+        en = sum(v * v for v in x)
+        pk = max(abs(v) for v in x)
+        neg = [v < 0 for v in x]
+        zc = sum(1 for a, b in zip(neg, neg[1:]) if a != b)
+        return en, pk, zc
+
+    for w, lo in zip(range(3), (0, 3, 6)):
+        en, pk, zc = feats(samples[lo:lo + 4])
+        r = rows[w]
+        assert (r["energy"], r["peak"], r["zero_crossings"]) == (en, pk, zc)
+        assert r["n_samples"] == 4
+
+    with pytest.raises(ValueError, match="window must be positive"):
+        pcm_window_features(df, window=0)
+    with pytest.raises(ValueError, match="hop must be positive"):
+        pcm_window_features(df, hop=0)
