@@ -604,6 +604,10 @@ def remove_duplicate_spans(df: DataFrame, *, text_col: str = "text",
     """
     from pyspark.sql import Window
 
+    if span < 2:
+        raise ValueError("remove_duplicate_spans: span must be >= 2 "
+                         "(span=1 would cut every token that repeats "
+                         "anywhere in the corpus)")
     w = Window.partitionBy(id_col).orderBy("p0")
     toks = (df.select(F.col(id_col),
                       F.posexplode(F.split(F.col(text_col), " "))

@@ -338,8 +338,9 @@ def resize_features(df: DataFrame, *, feature_col: str = "feature",
     return df.withColumn(feature_col, _resize(F.col(feature_col)))
 
 
-PCM_FEATURE_SCHEMA = ("doc_id long, win_idx int, n_samples int, "
-                      "energy long, peak int, zero_crossings int")
+def _pcm_schema(id_col: str, id_type: str) -> str:
+    return (f"{id_col} {id_type}, win_idx int, n_samples int, "
+            "energy long, peak int, zero_crossings int")
 
 
 def pcm_window_features(df: DataFrame, *, blob_col: str = "media",
@@ -371,6 +372,10 @@ def pcm_window_features(df: DataFrame, *, blob_col: str = "media",
     if hop < 1:
         raise ValueError("hop must be positive")
 
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type is None:
+        raise ValueError(f"pcm_window_features: {id_col!r} not in input")
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, widx, ns, en, pk, zc = [], [], [], [], [], []
@@ -393,7 +398,7 @@ def pcm_window_features(df: DataFrame, *, blob_col: str = "media",
                     w += 1
                     start += hop
             yield pd.DataFrame({
-                "doc_id": pd.Series(ids, dtype="int64"),
+                id_col: pd.Series(ids),
                 "win_idx": pd.Series(widx, dtype="int32"),
                 "n_samples": pd.Series(ns, dtype="int32"),
                 "energy": pd.Series(en, dtype="int64"),
@@ -401,4 +406,4 @@ def pcm_window_features(df: DataFrame, *, blob_col: str = "media",
                 "zero_crossings": pd.Series(zc, dtype="int32"),
             })
 
-    return df.mapInPandas(_extract, schema=PCM_FEATURE_SCHEMA)
+    return df.mapInPandas(_extract, schema=_pcm_schema(id_col, id_type))

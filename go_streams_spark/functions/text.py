@@ -465,6 +465,8 @@ def nb_classifier_scores(df, *, label: Column, train: Column,
     """
     from ..plans.caching import track_persist
 
+    if buckets < 2:
+        raise ValueError("nb_classifier_scores: buckets must be >= 2")
     keep = [F.col(c) for c in keep_cols]
     db = track_persist(
         df.select(F.col(id_col), *keep, label.alias("y"),
@@ -494,9 +496,13 @@ def nb_classifier_scores(df, *, label: Column, train: Column,
                   - F.log((F.col("n_neg") + 1.0)
                           / (F.col("t_neg") + float(buckets))))
                  .alias("llr")))
+    # empty-train degrades gracefully: coalesced zero counts give a
+    # 0 prior and (with all-zero histograms) 0 evidence, never NULLs
     prior = (df.where(train)
-             .agg(F.log((F.sum(label.cast("long")) + 1.0)
-                        / (F.sum((~label).cast("long")) + 1.0))
+             .agg(F.log((F.coalesce(F.sum(label.cast("long")), F.lit(0))
+                         + 1.0)
+                        / (F.coalesce(F.sum((~label).cast("long")),
+                                      F.lit(0)) + 1.0))
                   .alias("prior")))
     scored = (db.join(F.broadcast(w), "bucket")
               .groupBy(id_col, *keep_cols)

@@ -137,6 +137,12 @@ def merge_upsert(target: DataFrame, source: DataFrame, *,
     for k in keys:
         if k not in target.columns or k not in source.columns:
             raise ValueError(f"merge_upsert: key {k!r} missing from a side")
+    if delete_col is not None and delete_col not in source.columns:
+        raise ValueError(
+            f"merge_upsert: delete_col {delete_col!r} not in source")
+    if "__is_src" in source.columns:
+        raise ValueError("merge_upsert: source may not contain the "
+                         "reserved column '__is_src'")
     t_cols = [c for c in target.columns if c not in keys]
     s_cols = [c for c in source.columns
               if c not in keys and c != delete_col]
