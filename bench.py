@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "ewma_value_by_user",
     "merge_upsert_customers",
     "audio_pcm_features",
+    "k_anonymity_audit",
+    "corpus_content_fingerprint",
     # stream_join_view_purchase stays registry/oracle-only: like every
     # stream_* query it pays multi-second fixed trigger/state-store
     # startup that swamps sf0.1 data work — the bench line measures

@@ -4018,6 +4018,63 @@ def ewma_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ewma")
 
 
+@query("k_anonymity_audit", """
+WITH g AS (
+  SELECT lang, source,
+         least(n_chars // 250, 8)::INT AS len_bucket,
+         count(*) AS k
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT lang, source, len_bucket::INT AS len_bucket, k,
+       (k < 5) AS reidentifiable
+FROM g
+""")
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-risk profile: k-anonymity over the quasi-identifier
+    tuple (lang, source, coarse length bucket) — equivalence classes
+    with k < 5 members are re-identification risks a release gate
+    should suppress or generalize (the Sweeney k-anonymity criterion,
+    the Deequ-style audit shape). One hash aggregation to
+    quasi-identifier grain; bucket count is fixed, so the output is
+    bounded regardless of corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    g = (d.groupBy("lang", "source",
+                   F.least(F.floor(F.col("n_chars") / 250), F.lit(8))
+                   .cast("int").alias("len_bucket"))
+         .agg(F.count(F.lit(1)).alias("k")))
+    return g.select("lang", "source", "len_bucket", "k",
+                    (F.col("k") < 5).alias("reidentifiable"))
+
+
+@query("corpus_content_fingerprint", """
+SELECT source,
+       count(*) AS n_docs,
+       (sum(('0x' || substr(md5(doc_id::VARCHAR || ':' || md5(text)), 1, 15))
+            ::BIGINT) % 2305843009213693951)::BIGINT AS fingerprint
+FROM documents GROUP BY source
+""")
+def corpus_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset version fingerprint: an ORDER-INDEPENDENT content digest
+    per source — sum of per-row 60-bit md5(doc_id:content-hash) values
+    (commutative, so partitioning/ingest order/engine cannot change
+    it), plus row count. Any row added, dropped, or edited flips the
+    fingerprint; two pipelines can cheaply assert they trained on the
+    same corpus snapshot. Map-side partial sums; one source-grain
+    aggregation, no shuffle of content."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                       F.md5("text"))), 1, 15), 16, 10).cast("long")
+    # the 60-bit row hashes sum in DECIMAL(38) (no int64 overflow at
+    # any corpus size; DuckDB's BIGINT sum widens to HUGEINT the same
+    # way), compacted mod the Mersenne prime 2^61-1 at the end
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.sum(h.cast("decimal(38,0)"))
+                  % F.lit(2305843009213693951).cast("decimal(38,0)"))
+                 .cast("long").alias("fingerprint")))
+
+
 @query("mixture_sample_docs", """
 WITH u AS (
   SELECT doc_id, lang, source, n_chars,
