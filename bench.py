@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     "audio_pcm_features",
     "k_anonymity_audit",
     "corpus_content_fingerprint",
+    "embedding_second_moments",
+    "embedding_mahalanobis_outliers",
     # stream_join_view_purchase stays registry/oracle-only: like every
     # stream_* query it pays multi-second fixed trigger/state-store
     # startup that swamps sf0.1 data work — the bench line measures

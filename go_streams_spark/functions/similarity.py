@@ -1134,3 +1134,109 @@ def ivf_pq_knn(df: DataFrame, *, id_col: str = "vec_id",
             .select(F.col("id_a").alias(id_col),
                     F.col("id_b").alias("neighbor_id"),
                     "sim", F.col("rank").cast("int").alias("rank")))
+
+
+# ---------------------------------------------------------------------------
+# PCA whitening / Mahalanobis scoring — the OPQ-style linear-algebra
+# pre-stage for embedding hygiene: second moments accumulate exactly
+# (integer micro-units, per-partition BLAS partials), the tiny DxD
+# eigendecomposition runs driver-side, and whitened distances flag
+# embedding-space outliers before they poison ANN/k-means stages.
+# ---------------------------------------------------------------------------
+
+
+def embedding_second_moments(df: DataFrame, *, vec_col: str = "embedding",
+                             quant: int = 1000000) -> DataFrame:
+    """Exact second-moment matrix of an embedding column: components
+    are pinned to integer micro-units q = floor(x*quant + 0.5) (the
+    embedding_quantize_int8 convention), and S[i,j] = sum_rows q_i*q_j
+    accumulates per PARTITION as one int64 numpy matmul (X^T X) in
+    mapInPandas — D^2 rows per partition, never D^2 per row — then
+    sums across partitions in DECIMAL(38) (no overflow at any corpus
+    size; DuckDB's BIGINT sum widens to HUGEINT the same way).
+
+    Returns (i, j, s) with s DECIMAL(38,0) — D^2 rows total. One
+    bounded shuffle of partition partials; the corpus is read once.
+
+    int64 partial-overflow bound: |q| <= quant * max|x|; a partition of
+    R rows needs R * (quant*max|x|)^2 < 2^63 — at quant=1e6 and unit-
+    normalized embeddings that is R < ~9e6 rows per partition, sized
+    by maxPartitionBytes long before the bound matters; raise fewer
+    micro-units (quant) for unnormalized data.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _partials(batches):
+        acc = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.floor(x * quant + 0.5).astype(np.int64)
+            s = q.T @ q
+            acc = s if acc is None else acc + s
+        if acc is not None:
+            d = acc.shape[0]
+            ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+            yield pd.DataFrame({
+                "i": ii.ravel().astype(np.int32),
+                "j": jj.ravel().astype(np.int32),
+                "s_part": acc.ravel(),
+            })
+
+    parts = df.select(vec_col).mapInPandas(
+        _partials, schema="i int, j int, s_part long")
+    return (parts.groupBy("i", "j")
+            .agg(F.sum(F.col("s_part").cast("decimal(38,0)")).alias("s")))
+
+
+def mahalanobis_scores(df: DataFrame, *, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       ridge: float = 1e-3) -> DataFrame:
+    """Embedding-space outlier scores: squared Mahalanobis distance of
+    every vector from the corpus mean under the (ridge-regularized)
+    covariance — the whitening-based hygiene gate that catches
+    degenerate/corrupt embeddings a plain L2-norm check misses.
+    Basis-independent (eigenvector sign/order cannot change it), which
+    is what makes the numpy parity test in tests/ meaningful even
+    though the eigendecomposition itself is engine-specific.
+
+    Plan: exact integer second moments + per-dim sums reduce the
+    corpus to DxD + D + 1 numbers (two bounded aggregations); the
+    driver inverts the DxD covariance (numpy, D<=a few hundred) and
+    broadcasts the whitening matrix back into one vectorized
+    mapInPandas scoring pass. Returns (id, maha2) rounded to 6dp.
+    """
+    import numpy as np
+    import pandas as pd
+
+    mom = embedding_second_moments(df, vec_col=vec_col).collect()
+    d = max(r["i"] for r in mom) + 1
+    S = np.zeros((d, d))
+    for r in mom:
+        S[r["i"], r["j"]] = float(r["s"]) / 1e12   # micro-unit^2 -> units
+    sums = (df.select(F.posexplode(as_double(vec_col)).alias("i", "x"))
+            .groupBy("i").agg(F.sum("x").alias("sx"),
+                              F.count(F.lit(1)).alias("n")).collect())
+    n = sums[0]["n"]
+    mu = np.zeros(d)
+    for r in sums:
+        mu[r["i"]] = r["sx"] / n
+    cov = S / n - np.outer(mu, mu)
+    cov += ridge * np.eye(d)
+    w = np.linalg.inv(cov)   # symmetric PD after ridge
+    bw = df.sparkSession.sparkContext.broadcast((w, mu))
+
+    def _score(batches):
+        wm, m = bw.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) - m
+            maha = np.einsum("nd,de,ne->n", x, wm, x)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "maha2": np.round(maha, 6)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        _score, schema=f"{id_col} long, maha2 double")

@@ -5164,6 +5164,51 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("t_stat")))
 
 
+@query("embedding_second_moments", """
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS qv
+  FROM embeddings
+), e AS (
+  SELECT vec_id, t.i, qv[t.i] AS qi
+  FROM q, UNNEST(generate_series(1, len(qv))) t(i)
+)
+SELECT (a.i - 1)::INT AS i, (b.i - 1)::INT AS j,
+       (sum(a.qi * b.qi) % 2305843009213693951)::BIGINT AS s_mod
+FROM e a JOIN e b ON a.vec_id = b.vec_id
+GROUP BY 1, 2
+""")
+def embedding_second_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DxD second-moment matrix of the embedding corpus —
+    functions/similarity.py::embedding_second_moments: integer
+    micro-unit quantization, ONE int64 X^T X matmul partial per
+    partition (D^2 rows per partition, never per row), DECIMAL(38)
+    cross-partition sum; compacted mod 2^61-1 for the compare. The
+    input to PCA/whitening/OPQ-style rotations. The oracle states the
+    same sums via an explicit (i, j) pair join — feasible at gate SF,
+    never the executed plan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    mom = S.embedding_second_moments(emb, vec_col="embedding")
+    return mom.select(
+        "i", "j",
+        (F.col("s") % F.lit(2305843009213693951).cast("decimal(38,0)"))
+        .cast("long").alias("s_mod"))
+
+
+@query("embedding_mahalanobis_outliers")
+def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier scores: squared Mahalanobis distance
+    under the ridge-regularized corpus covariance —
+    functions/similarity.py::mahalanobis_scores. Basis-independent, so
+    the numpy parity test pins it exactly; rows-only for the driver
+    (the DxD eigensystem/inverse is not SQL-expressible). Top-50 by
+    (rounded score desc, vec_id) for a bounded, deterministic result."""
+    emb = _t(spark, sf_dir, "embeddings")
+    scores = S.mahalanobis_scores(emb)
+    return (scores.orderBy(F.col("maha2").desc(), "vec_id").limit(50))
+
+
 @query("embedding_norm_stats", """
 SELECT label,
        count(*)                                    AS n,

@@ -1352,3 +1352,36 @@ def test_pcm_window_features_reference(spark):
         pcm_window_features(df, window=0)
     with pytest.raises(ValueError, match="hop must be positive"):
         pcm_window_features(df, hop=0)
+
+
+def test_mahalanobis_matches_numpy_reference(spark):
+    """embedding_second_moments is integer-exact vs direct numpy, and
+    mahalanobis_scores matches a from-scratch numpy computation
+    (same quantized moments, ridge, inverse) to the 6dp round."""
+    import numpy as np
+
+    from go_streams_spark.functions.similarity import (
+        embedding_second_moments, mahalanobis_scores)
+
+    rng = np.random.RandomState(7)
+    X = rng.randn(40, 5).astype(np.float32)
+    rows = [(i, [float(v) for v in X[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    q = np.floor(X.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    want_S = q.T @ q
+    got = {(r["i"], r["j"]): int(r["s"])
+           for r in embedding_second_moments(df).collect()}
+    assert got == {(i, j): int(want_S[i, j])
+                   for i in range(5) for j in range(5)}
+
+    n = len(X)
+    S = want_S.astype(np.float64) / 1e12
+    mu = X.astype(np.float64).mean(axis=0)
+    cov = S / n - np.outer(mu, mu) + 1e-3 * np.eye(5)
+    w = np.linalg.inv(cov)
+    xc = X.astype(np.float64) - mu
+    want = np.round(np.einsum("nd,de,ne->n", xc, w, xc), 6)
+    out = {r["vec_id"]: r["maha2"] for r in mahalanobis_scores(df).collect()}
+    for i in range(n):
+        assert abs(out[i] - want[i]) <= 2e-6, (i, out[i], want[i])
