@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "corpus_content_fingerprint",
     "embedding_second_moments",
     "embedding_mahalanobis_outliers",
+    "isotonic_quality_calibration",
     # stream_join_view_purchase stays registry/oracle-only: like every
     # stream_* query it pays multi-second fixed trigger/state-store
     # startup that swamps sf0.1 data work — the bench line measures

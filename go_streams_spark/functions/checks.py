@@ -79,3 +79,76 @@ def uniqueness_report(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
         F.count(F.when(F.col("c") > 1, F.lit(1))).alias("n_dup_keys"),
         F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0))
          .cast("long").alias("n_dup_rows"))
+
+
+def isotonic_calibration(df: DataFrame, *, score_col: str, label_col: str,
+                         group_cols: Sequence[str] = (),
+                         bins: int = 32, lo: float = -20.0,
+                         hi: float = 20.0) -> DataFrame:
+    """Binned isotonic (PAV) score calibration: turn raw classifier
+    scores into monotone empirical probabilities — the standard
+    post-hoc calibration stage for model-based quality filters.
+
+    Scale shape: scores bucket into a FIXED grid (``bins`` buckets over
+    [lo, hi], clamped), so the only corpus-sized operation is one
+    (group, bin) hash aggregation to (n, n_pos); the pool-adjacent-
+    violators regression then runs per group over <= ``bins`` rows in
+    applyInPandas (numpy stack algorithm, O(bins)). Returns one row
+    per non-empty bin: (group..., bin, n, n_pos, rate, calibrated)
+    with ``calibrated`` monotone non-decreasing in ``bin``.
+
+    Exactness: PAV's solution is unique and equals the minimax formula
+    max_{i<=k} min_{j>=k} (sum pos[i..j] / sum n[i..j]) — the DuckDB
+    oracle states THAT declaratively over the same integer bin
+    aggregates, so the imperative stack algorithm is hash-checked
+    against an independent formulation (rounded 6dp; the one double
+    division per pooled block is IEEE-identical in both engines).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if bins < 2:
+        raise ValueError("isotonic_calibration: bins must be >= 2")
+    if not hi > lo:
+        raise ValueError("isotonic_calibration: need hi > lo")
+    groups = list(group_cols)
+    b = F.least(F.greatest(
+        F.floor((F.col(score_col) - lo) / (hi - lo) * bins), F.lit(0)),
+        F.lit(bins - 1)).cast("int")
+    agg = (df.select(*groups, b.alias("bin"),
+                     F.col(label_col).cast("long").alias("y"))
+           .groupBy(*groups, "bin")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")))
+
+    out_schema = ", ".join(
+        [f"{g} string" for g in groups]
+        + ["bin int, n long, n_pos long, rate double, calibrated double"])
+
+    def _pav(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bin").reset_index(drop=True)
+        # pool adjacent violators over EXACT integer (pos, n) block
+        # sums, comparing means by cross-multiplication — no float
+        # enters until the one final division per pooled block, which
+        # is then bit-identical to the oracle's sum/sum
+        blocks: list[list[int]] = []   # [pos_sum, n_sum, n_bins]
+        for pi, ni in zip(pdf["n_pos"].tolist(), pdf["n"].tolist()):
+            blocks.append([int(pi), int(ni), 1])
+            while (len(blocks) > 1 and
+                   blocks[-2][0] * blocks[-1][1]
+                   >= blocks[-1][0] * blocks[-2][1]):
+                a = blocks.pop()
+                blocks[-1][0] += a[0]
+                blocks[-1][1] += a[1]
+                blocks[-1][2] += a[2]
+        cal = np.repeat([b[0] / b[1] for b in blocks],
+                        [b[2] for b in blocks])
+        out = pdf.copy()
+        out["rate"] = np.round(pdf["n_pos"] / pdf["n"], 6)
+        out["calibrated"] = np.round(cal, 6)
+        return out
+
+    if groups:
+        return agg.groupBy(*groups).applyInPandas(_pav, schema=out_schema)
+    return (agg.withColumn("__g", F.lit(1)).groupBy("__g")
+            .applyInPandas(lambda pdf: _pav(pdf.drop(columns="__g")),
+                           schema=out_schema))

@@ -4075,6 +4075,72 @@ def corpus_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("fingerprint")))
 
 
+@query("isotonic_quality_calibration", """
+WITH t AS (
+  SELECT doc_id, text, lang,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), r AS (
+  SELECT doc_id, lang,
+         len(list_filter(toks, x -> x IN
+             ('the','a','of','and','to','in','is','for','on','with')))
+           / greatest(len(toks), 1) AS sw,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
+           / greatest(length(text), 1) AS pr,
+         list_sum(list_transform(toks, x -> length(x)))
+           / greatest(len(toks), 1) AS tl
+  FROM t
+), q AS (
+  SELECT doc_id, (lang = 'en') AS y,
+         round(least(1.0, greatest(0.0,
+               0.4 * least(sw * 4, 1.0)
+             + 0.4 * (CASE WHEN tl >= 3 AND tl <= 10 THEN 1.0 ELSE 0.5 END)
+             + 0.2 * (1 - least(pr * 5, 1.0)))), 4) AS score
+  FROM r
+), agg AS (
+  SELECT least(greatest(floor(score / 1.0 * 16), 0), 15)::INT AS bin,
+         count(*) AS n, sum(y::INT) AS n_pos
+  FROM q GROUP BY 1
+), ord AS (
+  SELECT bin, n, n_pos,
+         sum(n) OVER (ORDER BY bin) AS cn,
+         sum(n_pos) OVER (ORDER BY bin) AS cp
+  FROM agg
+), iv AS (
+  SELECT a.bin AS i, b.bin AS j,
+         (b.cp - a.cp + a.n_pos) * 1.0 / (b.cn - a.cn + a.n) AS m
+  FROM ord a JOIN ord b ON a.bin <= b.bin
+), inner_min AS (
+  SELECT k.bin AS bin, iv.i, min(iv.m) AS mn
+  FROM ord k JOIN iv ON iv.i <= k.bin AND iv.j >= k.bin
+  GROUP BY 1, 2
+), cal AS (
+  SELECT bin, max(mn) AS calibrated FROM inner_min GROUP BY bin
+)
+SELECT ord.bin, ord.n, ord.n_pos,
+       round(ord.n_pos * 1.0 / ord.n, 6) AS rate,
+       round(cal.calibrated, 6)          AS calibrated
+FROM ord JOIN cal USING (bin)
+""")
+def isotonic_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration of the heuristic quality score
+    against the lang='en' label — functions/checks.py::
+    isotonic_calibration. The imperative numpy stack algorithm is
+    hash-checked against the DuckDB oracle's DECLARATIVE minimax
+    characterization (PAV's unique solution equals
+    max_{i<=k} min_{j>=k} mean(i..j)) — two independent formulations,
+    exact integer block sums, one division per pooled block. Corpus
+    cost: one (bin)-grain aggregation; PAV itself runs over <= 16
+    rows."""
+    from .functions.checks import isotonic_calibration
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.round(T.quality_score("text"), 4).alias("score"),
+        (F.col("lang") == "en").alias("y"))
+    return isotonic_calibration(scored, score_col="score", label_col="y",
+                                bins=16, lo=0.0, hi=1.0)
+
+
 @query("mixture_sample_docs", """
 WITH u AS (
   SELECT doc_id, lang, source, n_chars,

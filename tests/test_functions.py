@@ -1385,3 +1385,41 @@ def test_mahalanobis_matches_numpy_reference(spark):
     out = {r["vec_id"]: r["maha2"] for r in mahalanobis_scores(df).collect()}
     for i in range(n):
         assert abs(out[i] - want[i]) <= 2e-6, (i, out[i], want[i])
+
+
+def test_isotonic_calibration_pav_properties(spark):
+    """PAV output is monotone, group-scoped, equals a brute-force
+    minimax computation on a planted non-monotone profile, and
+    validates its knobs."""
+    import pytest
+    from go_streams_spark.functions.checks import isotonic_calibration
+
+    # bins (via score=bin/10): pos rates 0.2, 0.8, 0.4 -> middle two pool
+    rows = []
+    profile = [(0, 10, 2), (1, 10, 8), (2, 10, 4)]
+    for b, n, pos in profile:
+        for i in range(n):
+            rows.append(("g1", b / 10 + 0.01, i < pos))
+    df = spark.createDataFrame(rows, "grp string, score double, y boolean")
+    out = (isotonic_calibration(df, score_col="score", label_col="y",
+                                group_cols=("grp",), bins=10, lo=0.0, hi=1.0)
+           .orderBy("bin").collect())
+    assert [r["bin"] for r in out] == [0, 1, 2]
+    cal = [r["calibrated"] for r in out]
+    assert all(a <= b for a, b in zip(cal, cal[1:]))
+    assert cal == [0.2, 0.6, 0.6]   # blocks {0}, {1,2} pooled to 12/20
+
+    # brute-force minimax equality on the same profile
+    ns = [n for _, n, _ in profile]
+    ps = [p for _, _, p in profile]
+    def mean(i, j):
+        return sum(ps[i:j + 1]) / sum(ns[i:j + 1])
+    want = [round(max(min(mean(i, j) for j in range(k, 3))
+                      for i in range(k + 1)), 6) for k in range(3)]
+    assert cal == want
+
+    with pytest.raises(ValueError, match="bins must be >= 2"):
+        isotonic_calibration(df, score_col="score", label_col="y", bins=1)
+    with pytest.raises(ValueError, match="hi > lo"):
+        isotonic_calibration(df, score_col="score", label_col="y",
+                             lo=1.0, hi=1.0)
