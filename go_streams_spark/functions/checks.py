@@ -120,8 +120,9 @@ def isotonic_calibration(df: DataFrame, *, score_col: str, label_col: str,
            .groupBy(*groups, "bin")
            .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("n_pos")))
 
+    gtypes = dict(agg.dtypes)
     out_schema = ", ".join(
-        [f"{g} string" for g in groups]
+        [f"{g} {gtypes[g]}" for g in groups]
         + ["bin int, n long, n_pos long, rate double, calibrated double"])
 
     def _pav(pdf: pd.DataFrame) -> pd.DataFrame:

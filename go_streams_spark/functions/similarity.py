@@ -1238,5 +1238,6 @@ def mahalanobis_scores(df: DataFrame, *, id_col: str = "vec_id",
             yield pd.DataFrame({id_col: pdf[id_col],
                                 "maha2": np.round(maha, 6)})
 
+    id_type = dict(df.dtypes)[id_col]
     return df.select(id_col, vec_col).mapInPandas(
-        _score, schema=f"{id_col} long, maha2 double")
+        _score, schema=f"{id_col} {id_type}, maha2 double")
