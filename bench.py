@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "embedding_second_moments",
     "embedding_mahalanobis_outliers",
     "isotonic_quality_calibration",
+    "type_token_diversity",
     # stream_join_view_purchase stays registry/oracle-only: like every
     # stream_* query it pays multi-second fixed trigger/state-store
     # startup that swamps sf0.1 data work — the bench line measures

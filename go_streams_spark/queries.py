@@ -4141,6 +4141,65 @@ def isotonic_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 bins=16, lo=0.0, hi=1.0)
 
 
+@query("type_token_diversity", """
+WITH arrs AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS arr
+  FROM documents
+), uni AS (
+  SELECT source, count(*) AS n_tokens,
+         count(DISTINCT arr[i]) AS n_types
+  FROM arrs, UNNEST(generate_series(1, len(arr))) t(i)
+  GROUP BY source
+), quad AS (
+  SELECT source, count(*) AS n_grams,
+         count(DISTINCT array_to_string(arr[i : i + 3], ' ')) AS n_gram_types
+  FROM arrs, UNNEST(generate_series(1, len(arr) - 3)) t(i)
+  WHERE len(arr) >= 4
+  GROUP BY source
+)
+SELECT uni.source, n_tokens, n_types,
+       round(n_types * 1.0 / n_tokens, 6) AS ttr,
+       n_grams, n_gram_types,
+       round(n_gram_types * 1.0 / n_grams, 6) AS distinct_4gram_ratio
+FROM uni JOIN quad ON uni.source = quad.source
+""")
+def type_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus diversity diagnostics per source: type-token ratio and
+    the distinct-4-gram ratio — the lexical-diversity / self-repetition
+    measures (low distinct-n-gram ratios flag boilerplate-heavy or
+    synthetic-collapse sources; the Self-BLEU-style check in data-
+    mixing work). Token and 4-gram streams each reduce to source grain
+    in one aggregation (COUNT DISTINCT via Expand + partials — no
+    per-source collection); the 4-gram lead chain shares one (doc,
+    pos) sort."""
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select("source", F.col("doc_id"),
+                        F.posexplode(F.split(F.lower(F.col("text")), " "))
+                        .alias("pos", "tok"))
+            .where(F.col("tok") != ""))
+    uni = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_types"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w).alias(f"t{j}") for j in range(1, 4)]
+    grams = (toks.select("source", F.col("tok").alias("t0"), *leads)
+             .where(F.col("t3").isNotNull())
+             .select("source", F.concat_ws(" ", "t0", "t1", "t2", "t3")
+                     .alias("g")))
+    quad = grams.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("g").alias("n_gram_types"))
+    return (uni.join(quad, "source")
+            .select("source", "n_tokens", "n_types",
+                    F.round(F.col("n_types") / F.col("n_tokens"), 6)
+                    .alias("ttr"),
+                    "n_grams", "n_gram_types",
+                    F.round(F.col("n_gram_types") / F.col("n_grams"), 6)
+                    .alias("distinct_4gram_ratio")))
+
+
 @query("mixture_sample_docs", """
 WITH u AS (
   SELECT doc_id, lang, source, n_chars,

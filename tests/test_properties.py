@@ -331,3 +331,38 @@ def test_duplicate_span_stats_matches_python_model(spark, docs, span):
         dup = sum(1 for sp in spans if len(windows[sp]) > 1)
         expect[i] = (len(spans), dup)
     assert got == expect
+
+
+@given(docs=st.lists(
+    st.lists(st.sampled_from("ab"), min_size=0, max_size=12),
+    min_size=1, max_size=6),
+    span=st.integers(min_value=2, max_value=4))
+@settings(**SETTINGS)
+def test_remove_duplicate_spans_matches_python_model(spark, docs, span):
+    """remove_duplicate_spans equals a direct O(n^2) Python model on
+    random tiny corpora over a 2-letter alphabet (maximal span
+    collisions): same canonical-occurrence rule, same coverage cuts,
+    same reassembly."""
+    from go_streams_spark.functions.dedup import remove_duplicate_spans
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+           for r in remove_duplicate_spans(df, span=span).collect()}
+
+    # python model
+    occs = []  # (doc, start) per window, in doc order
+    windows = {}
+    for i, toks in enumerate(docs):
+        for s in range(len(toks) - span + 1):
+            key = tuple(toks[s:s + span])
+            windows.setdefault(key, []).append((i, s))
+    drop = {i: set() for i in range(len(docs))}
+    for key, occ in windows.items():
+        if len(occ) > 1:
+            for (i, s) in sorted(occ)[1:]:
+                drop[i].update(range(s, s + span))
+    for i, toks in enumerate(docs):
+        kept = [t for p, t in enumerate(toks) if p not in drop[i]]
+        want = (" ".join(kept), len(toks), len(toks) - len(kept))
+        assert got[i] == want, (i, got[i], want)
