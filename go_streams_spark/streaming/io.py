@@ -223,3 +223,61 @@ def idempotent_parquet_sink(path: str, *, checkpoint: str,
                 .foreachBatch(write_batch).start())
 
     return Sink(run, name=f"idempotent_parquet:{path}")
+
+
+_FP_PRIME = 2305843009213693951   # 2^61 - 1, the corpus-fingerprint modulus
+
+
+def incremental_fingerprint_sink(path: str, *, checkpoint: str,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 source_col: str = "source",
+                                 available_now: bool = False) -> Sink:
+    """Streaming maintenance of the corpus content fingerprint
+    (queries.corpus_content_fingerprint): every micro-batch reduces to
+    (source, n_docs, fp_partial) — the 60-bit per-row content hashes
+    summed mod 2^61-1 — and lands in its own ``batch_id=N`` partition
+    via dynamic overwrite, so a replayed batch overwrites itself
+    (exactly-once without a transaction log). Because the digest is
+    COMMUTATIVE, the current corpus fingerprint is just the mod-sum of
+    the partials — ``read_corpus_fingerprint`` — and always equals the
+    batch query over the same rows; incremental-view maintenance falls
+    out of the algebra. State per batch is source-grain (bounded)."""
+
+    def run(df: DataFrame):
+        def write_batch(batch_df: DataFrame, batch_id: int):
+            h = F.conv(F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                               F.md5(text_col))), 1, 15), 16, 10) \
+                .cast("long")
+            part = (batch_df
+                    .groupBy(F.col(source_col).alias("source"))
+                    .agg(F.count(F.lit(1)).alias("n_docs"),
+                         (F.sum(h.cast("decimal(38,0)"))
+                          % F.lit(_FP_PRIME).cast("decimal(38,0)"))
+                         .cast("long").alias("fp_partial")))
+            (part.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id")
+             .parquet(path))
+
+        return (_writer(df, available_now, checkpoint)
+                .outputMode("append")
+                .foreachBatch(write_batch).start())
+
+    return Sink(run, name=f"incremental_fingerprint:{path}")
+
+
+def read_corpus_fingerprint(spark, path: str) -> DataFrame:
+    """Merge the partials written by ``incremental_fingerprint_sink``
+    into the current per-source (n_docs, fingerprint) — identical to
+    running corpus_content_fingerprint's aggregation over all rows
+    ever ingested (commutative mod-sum, so batch boundaries are
+    invisible)."""
+    return (spark.read.parquet(path)
+            .groupBy("source")
+            .agg(F.sum("n_docs").alias("n_docs"),
+                 (F.sum(F.col("fp_partial").cast("decimal(38,0)"))
+                  % F.lit(_FP_PRIME).cast("decimal(38,0)"))
+                 .cast("long").alias("fingerprint")))

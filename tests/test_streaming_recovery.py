@@ -298,3 +298,59 @@ def test_tws_count_or_time_batch_flushes(spark, tmp_path):
     assert sizes == [(1, "time"), (3, "size"), (3, "size"), (3, "size")]
     flat = sorted(v for r in got for v in r["batch"])
     assert flat == [float(i) for i in range(10)]
+
+
+def test_incremental_fingerprint_matches_batch_and_replays_safely(spark, tmp_path):
+    """The streamed fingerprint equals the batch corpus fingerprint
+    over the same rows, and a simulated batch replay (same batch_id)
+    leaves it unchanged — additive partials + dynamic overwrite."""
+    import uuid as _uuid
+
+    from go_streams_spark.streaming.io import (
+        incremental_fingerprint_sink, read_corpus_fingerprint, _FP_PRIME)
+
+    src = str(tmp_path / "docs")
+    state = str(tmp_path / "fp")
+    b1 = [(1, "alpha text", "s1"), (2, "beta text", "s2")]
+    b2 = [(3, "gamma text", "s1"), (4, "delta text", "s1")]
+    for b in (b1, b2):
+        spark.createDataFrame(b, "doc_id long, text string, source string") \
+            .coalesce(1).write.mode("append").json(src)
+
+    stream = (spark.readStream.schema("doc_id long, text string, source string")
+              .option("maxFilesPerTrigger", 1).json(src))
+    sink = incremental_fingerprint_sink(
+        state, checkpoint=str(tmp_path / "cp"), available_now=True)
+    q = sink(stream)
+    q.awaitTermination(120)
+
+    got = {r["source"]: (r["n_docs"], r["fingerprint"])
+           for r in read_corpus_fingerprint(spark, state).collect()}
+
+    allrows = spark.createDataFrame(
+        b1 + b2, "doc_id long, text string, source string")
+    h = F.conv(F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                       F.md5("text"))), 1, 15), 16, 10).cast("long")
+    want = {r["source"]: (r["n_docs"], r["fingerprint"])
+            for r in allrows.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.sum(h.cast("decimal(38,0)"))
+                  % F.lit(_FP_PRIME).cast("decimal(38,0)"))
+                 .cast("long").alias("fingerprint")).collect()}
+    assert got == want and set(got) == {"s1", "s2"}
+
+    # simulated replay: rewrite batch 0's partial with the same payload
+    batch0 = spark.createDataFrame(b1, "doc_id long, text string, source string")
+    part = (batch0.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 (F.sum(h.cast("decimal(38,0)"))
+                  % F.lit(_FP_PRIME).cast("decimal(38,0)"))
+                 .cast("long").alias("fp_partial"))
+            .withColumn("batch_id", F.lit(0)))
+    (part.write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("batch_id").parquet(state))
+    again = {r["source"]: (r["n_docs"], r["fingerprint"])
+             for r in read_corpus_fingerprint(spark, state).collect()}
+    assert again == want
