@@ -625,14 +625,14 @@ def remove_duplicate_spans(df: DataFrame, *, text_col: str = "text",
                F.md5(F.concat_ws(" ", "tok",
                                  *[f"t{j}" for j in range(1, span)])))
         .alias("h")))
-    wh = Window.partitionBy("h")
+    # occurrence rank alone decides drops: rn > 1 exists ONLY for
+    # hashes with >= 2 occurrences, so a separate count-over-h window
+    # (a second sort pass on the same exchange) would be redundant
+    wh = Window.partitionBy("h").orderBy(id_col, "s")
     occ = (toks.where(F.col("h").isNotNull())
            .select(id_col, F.col("pos").alias("s"), "h")
-           .select(id_col, "s",
-                   F.count(F.lit(1)).over(wh).alias("cnt"),
-                   F.row_number().over(
-                       wh.orderBy(id_col, "s")).alias("rn")))
-    droppos = (occ.where((F.col("cnt") > 1) & (F.col("rn") > 1))
+           .select(id_col, "s", F.row_number().over(wh).alias("rn")))
+    droppos = (occ.where(F.col("rn") > 1)
                .select(id_col, F.explode(
                    F.sequence(F.col("s"), F.col("s") + (span - 1)))
                    .alias("pos"))

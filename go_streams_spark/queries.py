@@ -6876,13 +6876,12 @@ WITH toks AS (
   WHERE len(arr) >= 16
 ), rk AS (
   SELECT doc_id, s,
-         count(*) OVER (PARTITION BY h) AS cnt,
          row_number() OVER (PARTITION BY h ORDER BY doc_id, s) AS rn
   FROM win
 ), droppos AS (
   SELECT DISTINCT doc_id, s + o AS pos
   FROM rk, UNNEST(generate_series(0, 15)) AS t(o)
-  WHERE cnt > 1 AND rn > 1
+  WHERE rn > 1
 ), kept AS (
   SELECT tok.doc_id, tok.pos, tok.tok
   FROM tok ANTI JOIN droppos
