@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "embedding_mahalanobis_outliers",
     "isotonic_quality_calibration",
     "type_token_diversity",
+    "psi_drift_report",
     # stream_join_view_purchase stays registry/oracle-only: like every
     # stream_* query it pays multi-second fixed trigger/state-store
     # startup that swamps sf0.1 data work — the bench line measures

@@ -4200,6 +4200,56 @@ def type_token_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("distinct_4gram_ratio")))
 
 
+@query("psi_drift_report", """
+WITH b AS (
+  SELECT CASE WHEN doc_id % 2 = 0 THEN 'baseline' ELSE 'current' END AS snap,
+         least(n_chars // 250, 8)::INT AS bin
+  FROM documents
+), c AS (
+  SELECT bin,
+         sum(CASE WHEN snap = 'baseline' THEN 1 ELSE 0 END) AS n_base,
+         sum(CASE WHEN snap = 'current' THEN 1 ELSE 0 END) AS n_cur
+  FROM b GROUP BY bin
+), tot AS (
+  SELECT sum(n_base) AS t_base, sum(n_cur) AS t_cur FROM c
+), p AS (
+  SELECT bin, n_base, n_cur,
+         (n_base + 1.0) / (t_base + 9.0) AS pb,
+         (n_cur + 1.0) / (t_cur + 9.0) AS pc
+  FROM c CROSS JOIN tot
+)
+SELECT bin, n_base, n_cur,
+       round((pc - pb) * ln(pc / pb), 6) AS psi_term
+FROM p
+""")
+def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per bin — the standard production
+    drift monitor between a baseline and a current snapshot (proxied
+    deterministically by doc_id parity): psi_term =
+    (p_cur - p_base) * ln(p_cur / p_base) with add-1 smoothing over
+    the fixed 9-bin doc-length grid; sum of terms > 0.2 is the usual
+    retrain/alert threshold. Two bounded aggregations (bin grain, then
+    1-row totals broadcast back); corpus is read once."""
+    d = _t(spark, sf_dir, "documents")
+    b = (d.select(F.when(F.col("doc_id") % 2 == 0, "baseline")
+                  .otherwise("current").alias("snap"),
+                  F.least(F.floor(F.col("n_chars") / 250), F.lit(8))
+                  .cast("int").alias("bin")))
+    c = b.groupBy("bin").agg(
+        F.sum(F.when(F.col("snap") == "baseline", 1).otherwise(0))
+        .alias("n_base"),
+        F.sum(F.when(F.col("snap") == "current", 1).otherwise(0))
+        .alias("n_cur"))
+    tot = c.agg(F.sum("n_base").alias("t_base"),
+                F.sum("n_cur").alias("t_cur"))
+    pcb = (F.col("n_base") + 1.0) / (F.col("t_base") + 9.0)
+    pcc = (F.col("n_cur") + 1.0) / (F.col("t_cur") + 9.0)
+    return (c.crossJoin(F.broadcast(tot))  # 1-row scalar metadata
+            .select("bin", "n_base", "n_cur",
+                    F.round((pcc - pcb) * F.log(pcc / pcb), 6)
+                    .alias("psi_term")))
+
+
 @query("mixture_sample_docs", """
 WITH u AS (
   SELECT doc_id, lang, source, n_chars,
