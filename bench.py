@@ -94,6 +94,7 @@ BENCH_QUERIES = [
     "pq_adc_topk",
     "ann_pq_rerank",
     "ann_ivf_pq",
+    "ann_recall_report",
     "dsir_importance_weights",
     "nb_quality_classifier",
     "negative_sampling_pairs",

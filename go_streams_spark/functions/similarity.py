@@ -1241,3 +1241,41 @@ def mahalanobis_scores(df: DataFrame, *, id_col: str = "vec_id",
     id_type = dict(df.dtypes)[id_col]
     return df.select(id_col, vec_col).mapInPandas(
         _score, schema=f"{id_col} {id_type}, maha2 double")
+
+
+def ann_recall_against_exact(df: DataFrame, approx: DataFrame, *,
+                             id_col: str = "vec_id", k: int = 5,
+                             query_blocks: int = 8,
+                             index_shards: int = 4) -> DataFrame:
+    """In-engine ANN quality evaluation: recall@k of an approximate
+    neighbor list against exact cosine top-k — the harness a vector
+    store runs after (re)building an index. ``approx`` must carry
+    (id_col, neighbor_id). Returns ONE row: (n_queries, total_hits,
+    possible, recall_at_k, n_perfect, n_zero); hits are integer counts
+    and the single recall division is exact, so the report is
+    hash-stable.
+
+    Note the baseline honesty: on structure-free (isotropic gaussian)
+    embeddings single-probe sign-LSH recall is intrinsically poor —
+    auto-sized buckets hold ~constant occupancy, so most queries share
+    a bucket with few true neighbors. The report exists to MEASURE
+    that; the multiprobe/IVF variants recover recall (uplift pinned in
+    tests). Cost = the exact evaluator (quadratic embedding_knn class
+    — an eval pass, sampled in production) plus one join."""
+    exact = block_knn(df, k=k, query_blocks=query_blocks,
+                      index_shards=index_shards) \
+        .select(id_col, "neighbor_id")
+    a = approx.select(F.col(id_col).alias("a_vec"),
+                      F.col("neighbor_id").alias("a_nb"))
+    per = (exact.join(a, (F.col(id_col) == F.col("a_vec"))
+                      & (F.col("neighbor_id") == F.col("a_nb")), "left")
+           .groupBy(id_col)
+           .agg(F.count("a_nb").alias("hits")))
+    return (per.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum("hits").alias("total_hits"),
+        (F.count(F.lit(1)) * k).alias("possible"),
+        F.round(F.sum("hits") / (F.count(F.lit(1)) * k), 6)
+        .alias(f"recall_at_{k}"),
+        F.sum(F.when(F.col("hits") == k, 1).otherwise(0)).alias("n_perfect"),
+        F.sum(F.when(F.col("hits") == 0, 1).otherwise(0)).alias("n_zero")))

@@ -890,6 +890,72 @@ def ann_sign_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@query("ann_recall_report", """
+WITH cfg AS (
+  SELECT least(62, min(len(embedding)),
+               greatest(8, length(bin((count(*) + 7) // 8 - 1))))::INT AS nbits
+  FROM embeddings
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), ep AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS sim
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+), exact AS (
+  SELECT id_a, id_b FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_a
+                                 ORDER BY sim DESC, id_b) AS rank
+    FROM ep) WHERE rank <= 5
+), bv AS (
+  SELECT vec_id, v,
+         list_sum(list_transform(range(0, nbits),
+           i -> CASE WHEN v[i + 1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)
+         )::BIGINT AS bucket
+  FROM v CROSS JOIN cfg
+), lp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS sim
+  FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), approx AS (
+  SELECT id_a, id_b FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_a
+                                 ORDER BY sim DESC, id_b) AS rank
+    FROM lp) WHERE rank <= 5
+), per AS (
+  SELECT e.id_a,
+         count(a.id_b) AS hits
+  FROM exact e LEFT JOIN approx a
+    ON a.id_a = e.id_a AND a.id_b = e.id_b
+  GROUP BY e.id_a
+)
+SELECT count(*)                                    AS n_queries,
+       sum(hits)                                   AS total_hits,
+       count(*) * 5                                AS possible,
+       round(sum(hits) * 1.0 / (count(*) * 5), 6)  AS recall_at_5,
+       sum(CASE WHEN hits = 5 THEN 1 ELSE 0 END)   AS n_perfect,
+       sum(CASE WHEN hits = 0 THEN 1 ELSE 0 END)   AS n_zero
+FROM per
+""")
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine ANN quality evaluation: recall@5 of the sign-LSH
+    index against exact cosine top-5 over the whole corpus — the
+    recall harness a production vector store runs after (re)building an
+    index, as an engine op instead of a test. Hits are integer counts
+    and the single recall division is exact, so the report is
+    hash-stable. Cost = the exact evaluator (the quadratic
+    embedding_knn class — an EVAL pass, sampled in production) plus
+    the LSH query path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    approx = S.sign_lsh_knn(emb, k=5, nbits="auto") \
+        .select("vec_id", "neighbor_id")
+    return S.ann_recall_against_exact(emb, approx, id_col="vec_id", k=5,
+                                      query_blocks=8, index_shards=4)
+
+
 @query("embedding_near_dup", """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings

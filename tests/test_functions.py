@@ -652,6 +652,41 @@ def test_sign_lsh_multiprobe_recall(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ann_recall_evaluator_multiprobe_uplift(spark, sf_dir):
+    """The in-engine recall evaluator agrees with a hand-computed
+    recall and reports strictly higher recall@k for multi-probe than
+    single-probe sign-LSH on the same data — the after-index-rebuild
+    quality check a vector store runs, expressed as one engine op."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+
+    def report(approx):
+        row = S.ann_recall_against_exact(
+            emb, approx.select("vec_id", "neighbor_id"), k=3,
+            query_blocks=4, index_shards=2).collect()[0]
+        # internal consistency of the report row
+        assert row["possible"] == row["n_queries"] * 3
+        assert 0 <= row["total_hits"] <= row["possible"]
+        assert abs(row["recall_at_3"]
+                   - row["total_hits"] / row["possible"]) < 1e-6
+        assert row["n_perfect"] + row["n_zero"] <= row["n_queries"]
+        return row
+
+    single = report(S.sign_lsh_knn(emb, k=3, nbits=8))
+    multi = report(S.sign_lsh_knn(emb, k=3, nbits=8, multi_probe=1))
+    assert single["n_queries"] == multi["n_queries"] == 200
+    assert multi["total_hits"] > single["total_hits"]
+
+    # cross-check total_hits against an independent driver-side count
+    truth = {}
+    for r in S.brute_force_knn(emb, k=3).collect():
+        truth.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    got = {}
+    for r in S.sign_lsh_knn(emb, k=3, nbits=8).collect():
+        got.setdefault(r["vec_id"], set()).add(r["neighbor_id"])
+    hand = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    assert single["total_hits"] == hand
+
+
 def test_count_min_never_undercounts(spark, sf_dir):
     """Count-Min property: est >= true for EVERY probed item (hash
     collisions only ever inflate), and heavy items with unique buckets
