@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "ann_pq_rerank",
     "ann_ivf_pq",
     "ann_recall_report",
+    "text_normalize_docs",
     "dsir_importance_weights",
     "nb_quality_classifier",
     "negative_sampling_pairs",

@@ -513,3 +513,86 @@ def nb_classifier_scores(df, *, label: Column, train: Column,
         id_col, *keep_cols, "n_feats",
         F.round(F.col("prior") + F.col("evidence"), 4).alias("log_odds"),
         ((F.col("prior") + F.col("evidence")) > 0).alias("pred"))
+
+
+# ---------------------------------------------------------------------------
+# Unicode / text normalization -- step zero of every web-corpus pipeline
+# (C4, CCNet, RefinedWeb all NFC-normalize and strip control bytes before
+# any dedup or quality pass; mojibake repair is the ftfy idea reduced to a
+# deterministic fixed table so it stays oracle-exact).
+
+#: Most common UTF-8-read-as-cp1252 artifacts. Fixed, ordered table: the
+#: repair is a chain of exact replaces in THIS order on both engines
+#: (3-byte U+00E2-led sequences first, so the punctuation fixes never
+#: leave a dangling lead byte for the 2-byte rules to mangle).
+MOJIBAKE_TABLE: tuple[tuple[str, str], ...] = (
+    ("\u00e2\u20ac\u2122", "'"),   # \u2019 right quote seen through cp1252
+    ("\u00e2\u20ac\u201c", "-"),   # \u2013 en dash seen through cp1252
+    ("\u00e2\u20ac\u0153", '"'),   # \u201c left double quote
+    ("\u00c3\u00a9", "\u00e9"),    # e acute
+    ("\u00c3\u00a8", "\u00e8"),    # e grave
+    ("\u00c3\u00bc", "\u00fc"),    # u umlaut
+    ("\u00c3\u00b6", "\u00f6"),    # o umlaut
+    ("\u00c3\u00b1", "\u00f1"),    # n tilde
+    ("\u00c2\u00a0", " "),          # nbsp seen through cp1252
+)
+
+#: C0/C1 control characters except tab and newline; carriage returns are
+#: handled separately (CRLF -> LF) before this class strips bare CRs.
+_CONTROL_CLASS = "[\\x00-\\x08\\x0b-\\x1f\\x7f\\x80-\\x9f]"
+
+
+def repair_mojibake(text: Column | str) -> Column:
+    """Chain of exact substring replaces from MOJIBAKE_TABLE (JVM
+    ``replace``, no regex). Deterministic and order-sensitive."""
+    c = F.col(text) if isinstance(text, str) else text
+    for bad, good in MOJIBAKE_TABLE:
+        c = F.replace(c, F.lit(bad), F.lit(good))
+    return c
+
+
+def strip_controls(text: Column | str) -> Column:
+    """CRLF -> LF, then drop every other C0/C1 control char (keeps tab
+    and newline -- layout-bearing whitespace survives)."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.replace(c, F.lit("\r\n"), F.lit("\n"))
+    return F.regexp_replace(c, _CONTROL_CLASS, "")
+
+
+def collapse_whitespace(text: Column | str) -> Column:
+    """Runs of spaces/tabs -> one space; space-padded newlines tighten;
+    3+ newlines -> 2 (paragraph break survives); trim outer whitespace."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, "[ \\t]+", " ")
+    c = F.regexp_replace(c, " ?\\n ?", "\n")
+    c = F.regexp_replace(c, "\\n{3,}", "\n\n")
+    return F.trim(c)
+
+
+def nfc(text: Column | str) -> Column:
+    """Unicode NFC normalization. Spark has no built-in normalizer, so
+    this is the one Python step of the cleaning chain -- an Arrow
+    pandas_udf riding pandas' vectorized ``str.normalize`` (C-level
+    loop, never per-row Python). Agrees exactly with DuckDB's
+    ``nfc_normalize`` (both implement canonical composition;
+    agreement test-pinned)."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.str.normalize("NFC")
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _nfc(c)
+
+
+def normalize_text(text: Column | str, *, unicode_nfc: bool = True) -> Column:
+    """The full cleaning chain: mojibake repair -> NFC -> control strip
+    -> whitespace collapse. Per-row and shuffle-free; the only Python
+    hop is the NFC step (skippable via ``unicode_nfc=False`` for
+    ASCII-known corpora, making the whole chain JVM codegen)."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = repair_mojibake(c)
+    if unicode_nfc:
+        c = nfc(c)
+    return collapse_whitespace(strip_controls(c))

@@ -542,6 +542,75 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("text_normalize_docs", """
+WITH dirty AS (
+  SELECT doc_id,
+         'Cafe' || chr(769) || chr(7) || ' ' || chr(195) || chr(169)
+         || ' crowd' || chr(226) || chr(8364) || chr(8482) || 's   view,'
+         || chr(194) || chr(160) || text || ' ' || chr(9) || ' end'
+         || chr(13) || chr(10) || 'line' || repeat(chr(10), 4) || 'fin ' AS t
+  FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         replace(nfc_normalize(
+           replace(replace(replace(replace(replace(replace(replace(replace(replace(t,
+             chr(226)||chr(8364)||chr(8482), ''''),
+             chr(226)||chr(8364)||chr(8220), '-'),
+             chr(226)||chr(8364)||chr(339), '"'),
+             chr(195)||chr(169), chr(233)),
+             chr(195)||chr(168), chr(232)),
+             chr(195)||chr(188), chr(252)),
+             chr(195)||chr(182), chr(246)),
+             chr(195)||chr(177), chr(241)),
+             chr(194)||chr(160), ' ')),
+         chr(13)||chr(10), chr(10)),
+         '[\\x00-\\x08\\x0b-\\x1f\\x7f\\x80-\\x9f]', '', 'g'),
+         '[ \\t]+', ' ', 'g'),
+         ' ?\\n ?', chr(10), 'g'),
+         '\\n{3,}', chr(10)||chr(10), 'g')) AS norm_text,
+       length(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         replace(nfc_normalize(
+           replace(replace(replace(replace(replace(replace(replace(replace(replace(t,
+             chr(226)||chr(8364)||chr(8482), ''''),
+             chr(226)||chr(8364)||chr(8220), '-'),
+             chr(226)||chr(8364)||chr(339), '"'),
+             chr(195)||chr(169), chr(233)),
+             chr(195)||chr(168), chr(232)),
+             chr(195)||chr(188), chr(252)),
+             chr(195)||chr(182), chr(246)),
+             chr(195)||chr(177), chr(241)),
+             chr(194)||chr(160), ' ')),
+         chr(13)||chr(10), chr(10)),
+         '[\\x00-\\x08\\x0b-\\x1f\\x7f\\x80-\\x9f]', '', 'g'),
+         '[ \\t]+', ' ', 'g'),
+         ' ?\\n ?', chr(10), 'g'),
+         '\\n{3,}', chr(10)||chr(10), 'g')))::BIGINT AS n_chars
+FROM dirty
+""")
+def text_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode/text normalization — step zero of a web-corpus pipeline
+    (C4/CCNet/RefinedWeb all NFC-normalize and strip control bytes
+    before any dedup or quality pass). The query injects a
+    deterministic dirt prefix/suffix (combining accent, BEL control,
+    cp1252 mojibake, nbsp, CRLF, tab runs, 4-newline run) around each
+    real document and runs the full cleaning chain: mojibake repair ->
+    NFC (the one Python hop: pandas' vectorized str.normalize; agrees
+    exactly with DuckDB's nfc_normalize) -> control strip -> whitespace
+    collapse. Per-row and shuffle-free — scales as a pure map over
+    input splits."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit("Café Ã© crowdâ€™"
+              "s   view,Â "),
+        F.col("text"),
+        F.lit(" \t end\r\nline\n\n\n\nfin "))
+    return docs.select(
+        "doc_id",
+        T.normalize_text(dirty).alias("norm_text")) \
+        .withColumn("n_chars", F.length("norm_text").cast("long"))
+
+
 @query("quality_scores", """
 WITH t AS (
   SELECT doc_id, text,

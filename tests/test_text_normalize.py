@@ -1,0 +1,96 @@
+"""Unicode/text normalization chain: mojibake repair -> NFC -> control
+strip -> whitespace collapse. Pins (a) exact agreement of the pandas NFC
+step with DuckDB's nfc_normalize (the oracle's normalizer), (b) chain
+semantics on hand-built edge cases vs an independent Python reference,
+(c) the no-shuffle plan shape of the JVM-only variant."""
+
+import re
+import unicodedata
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from go_streams_spark.functions import text as T
+
+
+def _ref_chain(t: str) -> str:
+    """Independent Python reference of the full cleaning chain."""
+    for bad, good in T.MOJIBAKE_TABLE:
+        t = t.replace(bad, good)
+    t = unicodedata.normalize("NFC", t)
+    t = t.replace("\r\n", "\n")
+    t = re.sub("[\x00-\x08\x0b-\x1f\x7f\x80-\x9f]", "", t)
+    t = re.sub("[ \t]+", " ", t)
+    t = re.sub(" ?\n ?", "\n", t)
+    t = re.sub("\n{3,}", "\n\n", t)
+    return t.strip()
+
+
+EDGE_CASES = [
+    "",                                      # empty survives as empty
+    "   \t  ",                               # whitespace-only -> empty
+    "\x00\x01\x1f\x7f\x9f",                  # controls-only -> empty
+    "plain ascii text",
+    "already  spaced\ttabbed",
+    "Café composed?",                  # NFC composes e + U+0301
+    "Ã© and Ã¼",         # 2-byte mojibake
+    "itâ€™s here",            # 3-byte mojibake (U+2019)
+    "aÂ b",                        # nbsp mojibake
+    "line1\r\nline2\rline3",                 # CRLF vs bare CR
+    "p1\n\n\n\n\np2",                        # newline-run collapse
+    " lead \n trail \n\n mixed  runs ",
+    "â€™",                    # mojibake-only string
+    "unicode: İstanbul Ａwide",     # NFKC-only stuff must survive
+]
+
+
+def test_chain_matches_reference(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(EDGE_CASES)],
+                               "i int, t string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", T.normalize_text("t").alias("c")).collect()}
+    for i, s in enumerate(EDGE_CASES):
+        assert got[i] == _ref_chain(s), f"case {i}: {s!r}"
+
+
+def test_nfc_matches_duckdb(spark):
+    """The pandas NFC step must agree byte-for-byte with DuckDB's
+    nfc_normalize — this equivalence is what makes the oracle exact."""
+    cases = ["Café", "Å", "Ａ", "ĲJ", "é́",
+             "½ already-NFC", "mixed Café and café"]
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)],
+                               "i int, t string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", T.nfc("t").alias("c")).collect()}
+    for i, s in enumerate(cases):
+        db = duckdb.sql("select nfc_normalize(?)", params=[s]).fetchone()[0]
+        assert got[i] == db, f"case {i}: {s!r}"
+
+
+def test_jvm_only_variant_has_no_python_and_no_shuffle(spark):
+    """With unicode_nfc=False the whole chain is JVM Column exprs: the
+    plan shows no ArrowEvalPython / BatchEvalPython and no Exchange."""
+    from go_streams_spark.plans import explain_str
+    df = spark.range(10).select(
+        F.concat(F.lit("x  y\r\n"), F.col("id").cast("string")).alias("t"))
+    out = df.select(T.normalize_text("t", unicode_nfc=False).alias("c"))
+    plan = explain_str(out, "formatted")
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+    # and the full chain keeps exactly one Python stage (the NFC hop);
+    # simple mode prints each physical node once
+    plan_full = explain_str(
+        df.select(T.normalize_text("t").alias("c")), "simple")
+    assert plan_full.count("ArrowEvalPython") == 1
+
+
+def test_mojibake_table_roundtrips_cp1252(spark):
+    """Every table entry is the UTF-8 bytes of its repair target seen
+    through cp1252 — i.e. the repair really inverts the encoding bug
+    (quote/dash fixes map to the ASCII conventions the pipeline uses)."""
+    ascii_convention = {"’": "'", "–": "-", "“": '"',
+                        " ": " "}
+    for bad, good in T.MOJIBAKE_TABLE:
+        orig = bad.encode("cp1252").decode("utf-8")
+        assert ascii_convention.get(orig, orig) == good
