@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "ann_ivf_pq",
     "ann_recall_report",
     "text_normalize_docs",
+    "cep_funnel_pattern",
     "dsir_importance_weights",
     "nb_quality_classifier",
     "negative_sampling_pairs",

@@ -7208,6 +7208,80 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("cnt").desc(), "path").limit(20))
 
 
+_CEP_SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts))::BIGINT
+                   - floor(epoch(lag(ts) OVER w))::BIGINT > 86400
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(brk) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id)::BIGINT AS sid
+  FROM e
+), seq AS (
+  SELECT user_id, sid,
+         string_agg(CASE event_type
+                      WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                      WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                      WHEN 'error' THEN 'e' ELSE 'x' END, ''
+                    ORDER BY ts, event_id) AS seq
+  FROM s GROUP BY user_id, sid
+)
+"""
+
+#: event_type -> symbol map shared by the CEP queries (and their oracle
+#: SQL above — keep in sync).
+_CEP_SYMBOLS = {"view": "v", "click": "c", "purchase": "p",
+                "signup": "s", "error": "e"}
+
+
+@query("cep_funnel_pattern", _CEP_SESSION_SQL + """
+SELECT * FROM (
+  SELECT user_id, sid, seq,
+         len(regexp_extract_all(seq, 'v[^p]*c[^p]*p'))::BIGINT AS n_matches,
+         coalesce(regexp_extract_all(seq, 'v[^p]*c[^p]*p')[1], '') AS first_match
+  FROM seq)
+WHERE n_matches > 0
+""")
+def cep_funnel_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event processing (MATCH_RECOGNIZE / Flink-CEP class):
+    sessions whose ordered event sequence matches view -> click ->
+    purchase with no intervening purchase — expressed as a regex over
+    the per-session symbol string instead of an NFA interpreter
+    (1-day inactivity gap: the synthetic corpus is sparse per user). One
+    user-grain shuffle reused by both window passes; matching is
+    per-row regexp over session-bounded strings. Match sweep is
+    leftmost/non-overlapping/greedy in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    from .functions.cep import event_pattern_matches
+    return event_pattern_matches(
+        ev, pattern="v[^p]*c[^p]*p", symbols=_CEP_SYMBOLS,
+        gap_seconds=86400)
+
+
+@query("cep_error_burst", _CEP_SESSION_SQL + """
+SELECT * FROM (
+  SELECT user_id, sid, seq,
+         len(regexp_extract_all(seq, 'e{2,}'))::BIGINT AS n_matches,
+         coalesce(regexp_extract_all(seq, 'e{2,}')[1], '') AS first_match
+  FROM seq)
+WHERE n_matches > 0
+""")
+def cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP alarm pattern: sessions containing a run of 2+ consecutive
+    errors (each maximal run counted once — the greedy quantifier
+    consumes the whole run, so 'eee' is one match, not two). Same
+    sessionize-once, regex-per-session plan as cep_funnel_pattern."""
+    ev = _t(spark, sf_dir, "events")
+    from .functions.cep import event_pattern_matches
+    return event_pattern_matches(
+        ev, pattern="e{2,}", symbols=_CEP_SYMBOLS, gap_seconds=86400)
+
+
 @query("per_user_rate_limit", """
 WITH b AS (
   SELECT user_id, event_id, value,

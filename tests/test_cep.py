@@ -1,0 +1,116 @@
+"""CEP (MATCH_RECOGNIZE class) over sessionized symbol strings:
+hand-built sequences vs a Python `re` reference, loud validation of
+non-portable regex constructs, and the one-shuffle plan shape."""
+
+import datetime as dt
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_streams_spark.functions import cep
+
+
+def _ev(uid, minute, etype, eid):
+    return (eid, dt.datetime(2024, 1, 1, 8) + dt.timedelta(minutes=minute),
+            uid, etype)
+
+
+SCHEMA = "event_id long, ts timestamp, user_id long, event_type string"
+
+# user 1: one session  v c v p  (funnel hit, 1 match)
+# user 1: second session (2h later)  e e e  (one maximal burst run)
+# user 2: single session  p v c  (no funnel: purchase precedes)
+# user 3: v c p v c p in one session (2 non-overlapping funnel matches)
+ROWS = (
+    [_ev(1, m, t, 10 + i) for i, (m, t) in enumerate(
+        [(0, "view"), (5, "click"), (7, "view"), (9, "purchase")])]
+    + [_ev(1, 180 + m, "error", 20 + m) for m in range(3)]
+    + [_ev(2, m, t, 30 + i) for i, (m, t) in enumerate(
+        [(0, "purchase"), (3, "view"), (6, "click")])]
+    + [_ev(3, m, t, 40 + i) for i, (m, t) in enumerate(
+        [(0, "view"), (1, "click"), (2, "purchase"),
+         (3, "view"), (4, "click"), (5, "purchase")])]
+)
+
+
+@pytest.fixture()
+def events(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+SYM = {"view": "v", "click": "c", "purchase": "p", "error": "e"}
+
+
+def test_funnel_matches_reference(events):
+    got = {(r["user_id"], r["sid"]): r for r in cep.event_pattern_matches(
+        events, pattern="v[^p]*c[^p]*p", symbols=SYM,
+        gap_seconds=1800).collect()}
+    # user 1 session 1: vcvp -> one match covering the whole string
+    r = got[(1, 1)]
+    assert r["seq"] == "vcvp" and r["n_matches"] == 1
+    assert r["first_match"] == "vcvp"
+    # user 2: pvc never matches; user 1's error session neither
+    assert (2, 1) not in got and len(got) == 2
+    # user 3: two non-overlapping matches (leftmost greedy sweep)
+    r3 = got[(3, 1)]
+    assert r3["seq"] == "vcpvcp" and r3["n_matches"] == 2
+    assert r3["first_match"] == "vcp"
+    # cross-check every sequence against Python's re
+    for r in got.values():
+        assert r["n_matches"] == len(
+            re.findall("v[^p]*c[^p]*p", r["seq"]))
+
+
+def test_burst_run_counts_once(events):
+    got = {(r["user_id"], r["sid"]): r for r in cep.event_pattern_matches(
+        events, pattern="e{2,}", symbols=SYM,
+        gap_seconds=1800).collect()}
+    # the eee run is ONE maximal match, in user 1's SECOND session
+    assert list(got) == [(1, 2)]
+    r = got[(1, 2)]
+    assert r["seq"] == "eee" and r["n_matches"] == 1
+    assert r["first_match"] == "eee"
+
+
+def test_keep_unmatched_keeps_every_session(events):
+    out = cep.event_pattern_matches(
+        events, pattern="e{2,}", symbols=SYM, gap_seconds=1800,
+        keep_unmatched=True)
+    # sessions: u1 x2, u2 x1, u3 x1
+    assert out.count() == 4
+    assert out.where(F.col("n_matches") > 0).count() == 1
+
+
+def test_validation_is_loud():
+    with pytest.raises(ValueError, match="lookaround"):
+        cep.validate_pattern("v(?=c)")
+    with pytest.raises(ValueError, match="backreference"):
+        cep.validate_pattern(r"(v)\1")
+    with pytest.raises(ValueError, match="possessive"):
+        cep.validate_pattern("ve*+c")
+    with pytest.raises(ValueError, match="invalid regex"):
+        cep.validate_pattern("v[")
+    with pytest.raises(ValueError, match="single char"):
+        cep.validate_symbols({"view": "vv"})
+    with pytest.raises(ValueError, match="distinct"):
+        cep.validate_symbols({"view": "v", "visit": "v"})
+    with pytest.raises(ValueError, match="gap_seconds"):
+        cep.sessionize(None, gap_seconds=0)
+
+
+def test_plan_one_user_shuffle_no_python(events):
+    """Both window passes and the session agg ride ONE user-grain
+    exchange; the matching itself adds no Python stage and no join."""
+    from go_streams_spark.plans import explain_str
+    out = cep.event_pattern_matches(
+        events, pattern="e{2,}", symbols=SYM, gap_seconds=1800)
+    plan = explain_str(out, "formatted")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan and "Join" not in plan
+    # exchanges: the source createDataFrame scan aside, only
+    # hashpartitioning on user_id should appear
+    import re as _re
+    exchanges = _re.findall(r"Exchange (\w+)\(([^,)]+)", plan)
+    for kind, arg in exchanges:
+        assert kind == "hashpartitioning" and "user_id" in arg, exchanges
