@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "ann_recall_report",
     "text_normalize_docs",
     "cep_funnel_pattern",
+    "jl_project_embeddings",
     "dsir_importance_weights",
     "nb_quality_classifier",
     "negative_sampling_pairs",

@@ -1279,3 +1279,60 @@ def ann_recall_against_exact(df: DataFrame, approx: DataFrame, *,
         .alias(f"recall_at_{k}"),
         F.sum(F.when(F.col("hits") == k, 1).otherwise(0)).alias("n_perfect"),
         F.sum(F.when(F.col("hits") == 0, 1).otherwise(0)).alias("n_zero")))
+
+
+def rademacher_signs(dim: int, out_dim: int) -> list[list[int]]:
+    """Deterministic +-1 Johnson-Lindenstrauss projection matrix:
+    sign[j][i] = +1 iff the first hex digit of md5(f"{i}_{j}") is even.
+    md5 is bit-identical everywhere, so any engine (the DuckDB oracle
+    reproduces this in SQL) derives the same matrix from nothing but
+    (dim, out_dim) — no RNG state to ship."""
+    import hashlib
+    if dim < 1 or out_dim < 1:
+        raise ValueError(f"dim/out_dim must be >= 1, got {dim}/{out_dim}")
+    return [[1 if int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0],
+                      16) % 2 == 0 else -1
+             for i in range(dim)] for j in range(out_dim)]
+
+
+def jl_project(df: DataFrame, *, id_col: str = "vec_id",
+               vec_col: str = "embedding", dim: int, out_dim: int = 16,
+               scale: int = 1_000_000) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction via a Rademacher
+    (+-1) projection — the standard cheap preprocessing before ANN
+    indexing or pairwise-distance work (distances preserved within
+    ~1/sqrt(out_dim) distortion, test-pinned).
+
+    ENGINE-EXACT: inputs are quantized to integer micro-units
+    (floor(x*scale + 0.5), the repo's cross-engine rounding convention);
+    each output coordinate is then an int64 sum of +-micro-units —
+    exact in any engine — divided ONCE by scale at the end. No float
+    summation order to diverge on.
+
+    Scale shape: a pure per-row map, zero shuffle. The sign matrix is
+    out_dim x dim bounded index metadata baked into the plan as a
+    literal (same decision class as an IVF codebook broadcast); at
+    dim=1024, out_dim=64 that is 64k int literals — still metadata,
+    never data-sized. Returns (id_col, proj: array<double>).
+    """
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    signs = rademacher_signs(dim, out_dim)
+    rows = F.array(*[
+        F.array(*[F.lit(s) for s in row]) for row in signs])
+    v = as_double(vec_col)
+    # loud failure on width mismatch instead of silent NULL sums
+    q = F.when(
+        F.size(v) == dim,
+        F.transform(v, lambda x: F.floor(x * scale + F.lit(0.5))
+                    .cast("long"))
+    ).otherwise(F.raise_error(F.concat(
+        F.lit(f"jl_project: expected {dim}-dim vectors, got "),
+        F.size(v).cast("string"))))
+    proj = F.transform(
+        rows,
+        lambda srow: F.round(
+            F.aggregate(F.zip_with(srow, q, lambda s, x: s * x),
+                        F.lit(0).cast("long"),
+                        lambda acc, y: acc + y) / float(scale), 6))
+    return df.select(id_col, proj.alias("proj"))

@@ -1025,6 +1025,39 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       query_blocks=8, index_shards=4)
 
 
+@query("jl_project_embeddings", """
+WITH sgn AS (
+  SELECT j, list(CASE WHEN ('0x' || substr(md5(i::VARCHAR || '_' || j::VARCHAR),
+                             1, 1))::BIGINT % 2 = 0
+                      THEN 1 ELSE -1 END ORDER BY i) AS srow
+  FROM (SELECT unnest(range(16)) AS j) tj
+  CROSS JOIN (SELECT unnest(range(64)) AS i) ti
+  GROUP BY j
+), q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS qv
+  FROM embeddings
+)
+SELECT q.vec_id, s.j::INT AS j,
+       round(list_sum(list_transform(list_zip(s.srow, q.qv),
+                                     p -> p[1] * p[2])) / 1000000.0, 6)
+       AS value
+FROM q CROSS JOIN sgn s
+""")
+def jl_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss Rademacher projection 64 -> 16 dims — the
+    cheap dimensionality-reduction pass before ANN indexing. Signs are
+    md5-derived (no RNG state), inputs quantized to integer micro-units
+    so every output coordinate is an exact int64 sum divided once:
+    hash-identical across engines. Pure per-row map, zero shuffle; the
+    16x64 sign matrix is plan-literal index metadata."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = S.jl_project(emb, dim=64, out_dim=16)
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("j", "value"))
+
+
 @query("embedding_near_dup", """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings

@@ -1458,3 +1458,51 @@ def test_isotonic_calibration_pav_properties(spark):
     with pytest.raises(ValueError, match="hi > lo"):
         isotonic_calibration(df, score_col="score", label_col="y",
                              lo=1.0, hi=1.0)
+
+
+def test_jl_project_exact_vs_numpy_and_distance_preserving(spark, sf_dir):
+    """(a) The engine projection equals an independent NumPy
+    reference EXACTLY (integer micro-unit pinning — no float-order
+    slack). (b) The JL property: squared pairwise distances in the
+    projected space, normalized by out_dim/dim... concretely
+    ||Px||^2 / (out_dim * ||x||^2) concentrates near 1."""
+    import numpy as np
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    out_dim = 16
+    rows = emb.select("vec_id", "embedding").collect()
+    got = {r["vec_id"]: r["proj"] for r in
+           S.jl_project(emb, dim=64, out_dim=out_dim).collect()}
+
+    signs = np.array(S.rademacher_signs(64, out_dim), dtype=np.int64)
+    ratios = []
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        q = np.floor(v * 1_000_000 + 0.5).astype(np.int64)
+        ref = np.round(signs @ q / 1_000_000.0, 6)
+        assert list(got[r["vec_id"]]) == list(ref), r["vec_id"]
+        n2 = float(v @ v)
+        if n2 > 0:
+            p = signs @ v
+            ratios.append(float(p @ p) / (out_dim * n2))
+    # E[||Px||^2] = out_dim * ||x||^2 for Rademacher P; the mean ratio
+    # over 100 vectors concentrates (variance ~ 2/out_dim per vector)
+    m = sum(ratios) / len(ratios)
+    assert 0.8 < m < 1.2, m
+
+
+def test_jl_project_validation_and_plan(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(10)
+    with pytest.raises(ValueError, match="dim/out_dim"):
+        S.jl_project(emb, dim=0, out_dim=4)
+    with pytest.raises(ValueError, match="scale"):
+        S.jl_project(emb, dim=64, out_dim=4, scale=0)
+    # width mismatch fails loudly at runtime, never NULL-sums
+    import py4j.protocol
+    from pyspark.errors import PySparkException
+    bad = S.jl_project(emb, dim=32, out_dim=4)
+    with pytest.raises((PySparkException, py4j.protocol.Py4JJavaError)):
+        bad.collect()
+    # plan: pure per-row map — no Exchange, no Python stage
+    from go_streams_spark.plans import explain_str
+    plan = explain_str(S.jl_project(emb, dim=64, out_dim=8), "formatted")
+    assert "Exchange" not in plan and "EvalPython" not in plan
