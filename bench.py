@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "text_normalize_docs",
     "cep_funnel_pattern",
     "jl_project_embeddings",
+    "skew_advisor_user_key",
     "dsir_importance_weights",
     "nb_quality_classifier",
     "negative_sampling_pairs",

@@ -16,7 +16,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -153,3 +153,51 @@ def isotonic_calibration(df: DataFrame, *, score_col: str, label_col: str,
     return (agg.withColumn("__g", F.lit(1)).groupBy("__g")
             .applyInPandas(lambda pdf: _pav(pdf.drop(columns="__g")),
                            schema=out_schema))
+
+
+def skew_report(df: DataFrame, keys: Sequence[str], *,
+                target_factor: int = 4, top_k: int = 5) -> DataFrame:
+    """Shuffle-skew advisor: before keying a big join/agg on ``keys``,
+    measure how skewed the key distribution is and how many salt
+    buckets the heaviest key needs. At 100 TB a single hot key turns a
+    shuffle into one straggler task — this report is the measurement
+    step of the salting/AQE-skew-join decision (the fix itself is
+    `salted_agg` or AQE skew-join; see SCALE.md).
+
+    Returns ONE row: (n_rows, n_keys, mean_rows, max_rows, skew_ratio,
+    p_top{top_k}_share, top1_key, salt_buckets). salt_buckets =
+    ceil(max_rows / (target_factor * mean_rows)) — how many ways the
+    hottest key must split so its heaviest shard stays within
+    ``target_factor`` x the mean key load; 1 = no salting needed.
+
+    Cost: one shuffle on ``keys`` (the same shuffle the real job will
+    pay) + a bounded rank/agg. Every output is an integer count or a
+    single rounded division — hash-stable across engines.
+    """
+    if not keys:
+        raise ValueError("keys must name at least one column")
+    if target_factor < 1 or top_k < 1:
+        raise ValueError(
+            f"target_factor/top_k must be >= 1, got {target_factor}/{top_k}")
+    kc = (df.groupBy(*keys)
+          .agg(F.count(F.lit(1)).alias("key_rows"))
+          .withColumn("key_str", F.concat_ws(
+              "|", *[F.col(k).cast("string") for k in keys])))
+    w = Window.orderBy(F.col("key_rows").desc(), "key_str")
+    ranked = kc.withColumn("rnk", F.row_number().over(w))
+    return (ranked.agg(
+        F.sum("key_rows").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.sum("key_rows") / F.count(F.lit(1)), 4).alias("mean_rows"),
+        F.max("key_rows").alias("max_rows"),
+        F.round(F.max("key_rows") * F.count(F.lit(1)) / F.sum("key_rows"), 4)
+         .alias("skew_ratio"),
+        F.round(F.sum(F.when(F.col("rnk") <= top_k, F.col("key_rows"))
+                      .otherwise(0)) / F.sum("key_rows"), 4)
+         .alias(f"top{top_k}_share"),
+        F.max(F.when(F.col("rnk") == 1, F.col("key_str"))).alias("top1_key"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.max("key_rows") * F.count(F.lit(1))
+                   / (F.lit(target_factor) * F.sum("key_rows"))))
+         .alias("salt_buckets")))

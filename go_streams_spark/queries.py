@@ -7241,6 +7241,37 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.col("cnt").desc(), "path").limit(20))
 
 
+@query("skew_advisor_user_key", bound="user-grain", sql="""
+WITH kc AS (
+  SELECT user_id::VARCHAR AS key_str, count(*) AS key_rows
+  FROM events GROUP BY user_id
+), r AS (
+  SELECT *, row_number() OVER (ORDER BY key_rows DESC, key_str) AS rnk
+  FROM kc
+)
+SELECT sum(key_rows)::BIGINT AS n_rows,
+       count(*)::BIGINT AS n_keys,
+       round(sum(key_rows) / count(*), 4) AS mean_rows,
+       max(key_rows)::BIGINT AS max_rows,
+       round(max(key_rows) * count(*) / sum(key_rows), 4) AS skew_ratio,
+       round(sum(CASE WHEN rnk <= 5 THEN key_rows ELSE 0 END)
+             / sum(key_rows), 4) AS top5_share,
+       max(CASE WHEN rnk = 1 THEN key_str END) AS top1_key,
+       greatest(1, ceil(max(key_rows) * count(*)
+                        / (4 * sum(key_rows))))::BIGINT AS salt_buckets
+FROM r
+""")
+def skew_advisor_user_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew advisor over the user_id key: the measurement step
+    of the salting decision before any user-keyed join/agg (the fix is
+    salted_agg or AQE skew-join). One key-grain shuffle — the same
+    shuffle the real job pays — then a user-grain rank (declared bound
+    class). salt_buckets=1 means the distribution needs no salting."""
+    ev = _t(spark, sf_dir, "events")
+    from .functions.checks import skew_report
+    return skew_report(ev, ["user_id"], target_factor=4, top_k=5)
+
+
 _CEP_SESSION_SQL = """
 WITH e AS (
   SELECT user_id, ts, event_id, event_type,
