@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "cep_funnel_pattern",
     "jl_project_embeddings",
     "skew_advisor_user_key",
+    "setsim_prefix_pairs",
     "dsir_importance_weights",
     "nb_quality_classifier",
     "negative_sampling_pairs",

@@ -774,6 +774,43 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  num_hashes=12, rows_per_band=3)
 
 
+@query("setsim_prefix_pairs", """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     for i in generate_series(1, len(toks) - 2)])
+    ELSE [] END) AS s
+  FROM t
+), cnts AS (
+  SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS i
+  FROM sh sa JOIN sh sb ON sb.s = sa.s AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       round(i.i / greatest(ca.c + cb.c - i.i, 1), 4) AS jaccard
+FROM inter i
+JOIN cnts ca ON ca.doc_id = i.id_a
+JOIN cnts cb ON cb.doc_id = i.id_b
+WHERE round(i.i / greatest(ca.c + cb.c - i.i, 1), 4) >= 0.5
+""")
+def setsim_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join (PPJoin/All-Pairs class): every pair
+    with 3-gram Jaccard >= 0.5, via rare-first prefix filtering +
+    length filter + candidate-only verification — deterministic
+    completeness where MinHash-LSH is probabilistic. The oracle is
+    brute-force all-pairs, so the gate proves the prefix filter drops
+    NO qualifying pair. Candidates form only on shared rare prefix
+    shingles: bucket equi-join, no cartesian."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.prefix_filter_pairs(docs, ngram=3, threshold=0.5)
+
+
 @query("simhash_docs", """
 WITH toks AS (
   SELECT doc_id,

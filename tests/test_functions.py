@@ -1506,3 +1506,43 @@ def test_jl_project_validation_and_plan(spark, sf_dir):
     from go_streams_spark.plans import explain_str
     plan = explain_str(S.jl_project(emb, dim=64, out_dim=8), "formatted")
     assert "Exchange" not in plan and "EvalPython" not in plan
+
+
+def test_prefix_filter_pairs_complete_and_bucketed(spark, sf_dir):
+    """PPJoin completeness: against brute-force exact Jaccard the
+    prefix-filtered join must find EVERY pair >= threshold (recall 1.0
+    by construction — this is the deterministic advantage over
+    MinHash-LSH), with candidate generation an equi-join (no cartesian,
+    no corpus-side broadcast)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           D.prefix_filter_pairs(docs, ngram=3, threshold=0.5).collect()}
+
+    # brute-force reference on the same slice
+    sh = {}
+    for r in docs.select("doc_id", "text").collect():
+        toks = [t for t in r["text"].lower().split(" ") if t]
+        sh[r["doc_id"]] = {" ".join(toks[i:i + 3])
+                           for i in range(len(toks) - 2)}
+    expect = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sh[a] & sh[b])
+            if inter:
+                j = round(inter / max(len(sh[a]) + len(sh[b]) - inter, 1), 4)
+                if j >= 0.5:
+                    expect[(a, b)] = j
+    assert got == expect
+    # and the LSH pipeline on the same data may only ever find a SUBSET
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           D.ngram_jaccard_pairs(docs, ngram=3, threshold=0.5).collect()}
+    assert lsh <= set(got)
+
+    from go_streams_spark.plans import explain_str
+    plan = explain_str(
+        D.prefix_filter_pairs(docs, ngram=3, threshold=0.5), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    with pytest.raises(ValueError, match="threshold"):
+        D.prefix_filter_pairs(docs, threshold=0.0)
