@@ -411,3 +411,100 @@ def count_or_time_batch_stream_tws(df: DataFrame, *, key_cols: list[str],
                 outputStructType=output_schema,
                 outputMode="Append",
                 timeMode="ProcessingTime"))
+
+
+def cep_stream(df: DataFrame, *, pattern: str, symbols: dict[str, str],
+               user_col: str = "user_id", ts_col: str = "ts",
+               type_col: str = "event_type", tiebreak_col: str = "event_id",
+               gap_seconds: int = 1800, default_symbol: str = "x",
+               output_mode: str = "append") -> DataFrame:
+    """Streaming CEP: the event-pattern matcher of
+    ``functions.cep.event_pattern_matches`` as an incremental stateful
+    operator (batch parity test-pinned).
+
+    State per user = the OPEN session's (epoch, tiebreak, symbol)
+    buffer plus the next session id — bounded by open-session length,
+    never stream length. A session closes when (a) a newer event
+    arrives more than ``gap_seconds`` later (gap-break, possibly within
+    one micro-batch) or (b) the event-time timeout fires ``gap_seconds``
+    past the watermark with no new events. Each closed session emits at
+    most one row — (user, sid, seq, n_matches, first_match), matched
+    sessions only — exactly once in append mode, so downstream sinks
+    are replay-safe.
+
+    Late events inside the watermark re-sort into the open buffer
+    (per-key order restored before matching); events later than the
+    closed session are the watermark contract's loss, same as every
+    windowed operator here.
+    """
+    import re as _re
+
+    from ..functions.cep import validate_pattern, validate_symbols
+    validate_pattern(pattern)
+    validate_symbols(symbols)
+    if len(default_symbol) != 1:
+        raise ValueError("default_symbol must be a single char")
+    if gap_seconds < 1:
+        raise ValueError(f"gap_seconds must be >= 1, got {gap_seconds}")
+    rx = _re.compile(pattern)
+    symmap = dict(symbols)
+    ktype = dict(df.dtypes)[user_col]
+    out_schema = (f"{user_col} {ktype}, sid long, seq string, "
+                  "n_matches long, first_match string")
+    state_schema = "epochs array<double>, ties array<bigint>, syms string, sid bigint"
+
+    def _row(key, sid: int, syms: str):
+        hits = [m.group(0) for m in rx.finditer(syms)]
+        if not hits:
+            return None
+        return pd.DataFrame({user_col: [key[0]], "sid": [sid],
+                             "seq": [syms], "n_matches": [len(hits)],
+                             "first_match": [hits[0]]})
+
+    def fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            epochs, ties, syms, sid = state.get
+            state.remove()
+            out = _row(key, sid, syms)
+            if out is not None:
+                yield out
+            return
+        if state.exists:
+            epochs, ties, syms, sid = state.get
+            buf = list(zip(epochs, ties, syms))
+        else:
+            buf, sid = [], 1
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            ep = pdf[ts_col].astype("datetime64[ns]").astype("int64") / 1e9
+            for e, t, ty in zip(ep, pdf[tiebreak_col], pdf[type_col]):
+                buf.append((float(e), int(t),
+                            symmap.get(ty, default_symbol)))
+        if not buf:
+            return
+        buf.sort(key=lambda x: (x[0], x[1]))
+        cur_start = 0
+        for i in range(1, len(buf)):
+            if buf[i][0] - buf[i - 1][0] > gap_seconds:
+                out = _row(key, sid,
+                           "".join(b[2] for b in buf[cur_start:i]))
+                sid += 1
+                cur_start = i
+                if out is not None:
+                    yield out
+        open_buf = buf[cur_start:]
+        state.update(([b[0] for b in open_buf],
+                      [b[1] for b in open_buf],
+                      "".join(b[2] for b in open_buf), sid))
+        # close the open session once the watermark passes last+gap;
+        # the timeout must sit strictly beyond the current watermark
+        deadline_ms = int((open_buf[-1][0] + gap_seconds) * 1000) + 1
+        state.setTimeoutTimestamp(
+            max(deadline_ms, state.getCurrentWatermarkMs() + 1))
+
+    src = df.withWatermark(ts_col, f"{gap_seconds} seconds")
+    return (src.groupBy(user_col)
+            .applyInPandasWithState(fn, out_schema, state_schema,
+                                    output_mode,
+                                    GroupStateTimeout.EventTimeTimeout))

@@ -114,3 +114,44 @@ def test_plan_one_user_shuffle_no_python(events):
     exchanges = _re.findall(r"Exchange (\w+)\(([^,)]+)", plan)
     for kind, arg in exchanges:
         assert kind == "hashpartitioning" and "user_id" in arg, exchanges
+
+
+def test_cep_stream_matches_batch(spark, tmp_path):
+    """Streaming CEP parity: run the same events through cep_stream
+    (multi-file bounded stream, maxFilesPerTrigger=1 so state crosses
+    micro-batches) and through the batch matcher; closed sessions must
+    agree exactly. A far-future sentinel event per user closes every
+    real session via gap-break (the sentinel's own session stays open
+    and unmatched)."""
+    from go_streams_spark.streaming import file_stream_source
+    from go_streams_spark.streaming.stateful import cep_stream
+
+    sentinels = [_ev(u, 60 * 24 * 14, "noop", 900 + u) for u in (1, 2, 3)]
+    d = str(tmp_path / "cepstream")
+    # split rows across two files: early events then later ones +
+    # sentinels (keeps per-user event-time order across batches, which
+    # is the watermark contract)
+    df_all = spark.createDataFrame(ROWS + sentinels, SCHEMA)
+    early = df_all.where(F.col("event_id") < 30)
+    late = df_all.where(F.col("event_id") >= 30)
+    early.coalesce(1).write.mode("overwrite").parquet(d)
+    late.coalesce(1).write.mode("append").parquet(d)
+
+    src = file_stream_source(spark, d, fmt="parquet", schema=SCHEMA,
+                             maxFilesPerTrigger="1")
+    out = cep_stream(src, pattern="v[^p]*c[^p]*p", symbols=SYM,
+                     gap_seconds=1800)
+    q = (out.writeStream.format("memory").queryName("cep_stream_par")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["sid"]): (r["seq"], r["n_matches"],
+                                      r["first_match"])
+           for r in spark.table("cep_stream_par").collect()}
+
+    from go_streams_spark.functions import cep
+    batch = {(r["user_id"], r["sid"]): (r["seq"], r["n_matches"],
+                                        r["first_match"])
+             for r in cep.event_pattern_matches(
+                 df_all, pattern="v[^p]*c[^p]*p", symbols=SYM,
+                 gap_seconds=1800).collect()}
+    assert got == batch and len(got) == 2
