@@ -82,6 +82,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIMESTAMP(NANOS) (readable only as long via nanosAsLong) and native
     micros. Normalize ``ts`` to a timestamp column either way."""
     from .streaming import file_stream_source
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     src = file_stream_source(spark, sf_dir, fmt="parquet", schema=raw.schema,
@@ -7381,6 +7382,34 @@ def cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.cep import event_pattern_matches
     return event_pattern_matches(
         ev, pattern="e{2,}", symbols=_CEP_SYMBOLS, gap_seconds=86400)
+
+
+@query("cep_stream_funnel", _CEP_SESSION_SQL + """
+SELECT user_id, sid, seq, n_matches, first_match FROM (
+  SELECT user_id, sid, seq,
+         len(regexp_extract_all(seq, 'v[^p]*c[^p]*p'))::BIGINT AS n_matches,
+         coalesce(regexp_extract_all(seq, 'v[^p]*c[^p]*p')[1], '') AS first_match,
+         max(sid) OVER (PARTITION BY user_id) AS max_sid
+  FROM seq)
+WHERE n_matches > 0 AND sid < max_sid
+""")
+def cep_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CEP against the batch oracle: the funnel matcher as an
+    incremental stateful operator (applyInPandasWithState, per-user
+    open-session buffer), run over a bounded replay of the events
+    table. With close_on_timeout=False the emitted set is exactly
+    "every matched session except each user's last" — deterministic
+    w.r.t. watermark/timeout tie-breaking, which is what the SQL
+    oracle's max-sid exclusion expresses."""
+    import uuid as _uuid
+    from .streaming import memory_sink
+    from .streaming.stateful import cep_stream
+    src = _events_stream(spark, sf_dir)
+    out = cep_stream(src, pattern="v[^p]*c[^p]*p", symbols=_CEP_SYMBOLS,
+                     gap_seconds=86400, close_on_timeout=False)
+    name = "cepstream_" + _uuid.uuid4().hex[:10]
+    Source(out).to(memory_sink(name, output_mode="append"))
+    return spark.table(name)
 
 
 @query("per_user_rate_limit", """

@@ -417,6 +417,7 @@ def cep_stream(df: DataFrame, *, pattern: str, symbols: dict[str, str],
                user_col: str = "user_id", ts_col: str = "ts",
                type_col: str = "event_type", tiebreak_col: str = "event_id",
                gap_seconds: int = 1800, default_symbol: str = "x",
+               close_on_timeout: bool = True,
                output_mode: str = "append") -> DataFrame:
     """Streaming CEP: the event-pattern matcher of
     ``functions.cep.event_pattern_matches`` as an incremental stateful
@@ -436,6 +437,13 @@ def cep_stream(df: DataFrame, *, pattern: str, symbols: dict[str, str],
     (per-key order restored before matching); events later than the
     closed session are the watermark contract's loss, same as every
     windowed operator here.
+
+    ``close_on_timeout=False`` disables (b): sessions then close ONLY
+    on gap-breaks, so over a bounded replay the emitted set is exactly
+    "every session except each user's last" — a deterministic contract
+    independent of watermark/timeout tie-breaking, which is what the
+    oracle-checked registry query pins. Production streams keep the
+    default (state must not outlive idle users).
     """
     import re as _re
 
@@ -477,7 +485,11 @@ def cep_stream(df: DataFrame, *, pattern: str, symbols: dict[str, str],
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            ep = pdf[ts_col].astype("datetime64[ns]").astype("int64") / 1e9
+            ser = pd.to_datetime(pdf[ts_col])
+            if getattr(ser.dt, "tz", None) is not None:
+                # tz-aware arrives as UTC instants; strip to naive UTC
+                ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
+            ep = ser.astype("datetime64[ns]").astype("int64") / 1e9
             for e, t, ty in zip(ep, pdf[tiebreak_col], pdf[type_col]):
                 buf.append((float(e), int(t),
                             symmap.get(ty, default_symbol)))
@@ -497,13 +509,17 @@ def cep_stream(df: DataFrame, *, pattern: str, symbols: dict[str, str],
         state.update(([b[0] for b in open_buf],
                       [b[1] for b in open_buf],
                       "".join(b[2] for b in open_buf), sid))
-        # close the open session once the watermark passes last+gap;
-        # the timeout must sit strictly beyond the current watermark
-        deadline_ms = int((open_buf[-1][0] + gap_seconds) * 1000) + 1
-        state.setTimeoutTimestamp(
-            max(deadline_ms, state.getCurrentWatermarkMs() + 1))
+        if close_on_timeout:
+            # close the open session once the watermark passes last+gap;
+            # the timeout must sit strictly beyond the current watermark
+            deadline_ms = int((open_buf[-1][0] + gap_seconds) * 1000) + 1
+            state.setTimeoutTimestamp(
+                max(deadline_ms, state.getCurrentWatermarkMs() + 1))
 
-    src = df.withWatermark(ts_col, f"{gap_seconds} seconds")
+    # watermarks require TIMESTAMP; NTZ events cast through the session
+    # clock (queries pin it to UTC), matching the batch matcher's cast
+    src = (df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+           .withWatermark(ts_col, f"{gap_seconds} seconds"))
     return (src.groupBy(user_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     output_mode,
