@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "jl_project_embeddings",
     "skew_advisor_user_key",
     "setsim_prefix_pairs",
+    "html_strip_docs",
     "dsir_importance_weights",
     "nb_quality_classifier",
     "negative_sampling_pairs",

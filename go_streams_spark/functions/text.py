@@ -596,3 +596,36 @@ def normalize_text(text: Column | str, *, unicode_nfc: bool = True) -> Column:
     if unicode_nfc:
         c = nfc(c)
     return collapse_whitespace(strip_controls(c))
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate stripping -- the step-zero text extractor for web
+# corpora (C4 strips markup before any quality pass). Regex-chain only
+# (Java-regex / RE2 common subset: inline (?is), lazy quantifiers, NO
+# backreferences), so the DuckDB oracle is exact.
+
+#: Minimal entity table. Decode order matters: &amp; LAST, so
+#: double-escaped text ("&amp;lt;") decodes one level per pass instead
+#: of jumping straight to "<".
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def strip_html(text: Column | str) -> Column:
+    """script/style blocks (content dropped), comments, then every
+    remaining tag -> a space; entities decoded; whitespace collapsed.
+    Per-row JVM regex work, zero shuffle."""
+    c = F.col(text) if isinstance(text, str) else text
+    c = F.regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, "(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, "(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, "<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return collapse_whitespace(c)

@@ -612,6 +612,54 @@ def text_normalize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_chars", F.length("norm_text").cast("long"))
 
 
+@query("html_strip_docs", """
+WITH dirty AS (
+  SELECT doc_id,
+         '<html><head><style type="text/css">body {color: red}</style>'
+         || '<script>var x = 1 < 2;</script></head><!-- strip -- me -->'
+         || '<body><p class="a">' || text || '</p><br/>Tom &amp; Jerry '
+         || '&lt;3 &quot;q&#39; x&nbsp;end</body></html>' AS t
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+         replace(replace(replace(replace(replace(replace(
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g'),
+             '<[^>]+>', ' ', 'g'),
+           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+           '&nbsp;', ' '), '&amp;', '&') AS t
+  FROM dirty
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(replace(t, chr(13)||chr(10), chr(10)),
+              '[ \\t]+', ' ', 'g'),
+              ' ?\\n ?', chr(10), 'g'),
+              '\\n{3,}', chr(10)||chr(10), 'g'),
+              '[ \\t]+', ' ', 'g')) AS clean_text
+FROM stripped
+""")
+def html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML boilerplate stripping — the step-zero text extractor for
+    web corpora (C4 drops markup before any quality pass): script/style
+    blocks (content removed), comments, remaining tags -> space, a
+    minimal entity decode (&amp; LAST so double-escapes unwrap one
+    level), whitespace collapse. The query wraps each real document in
+    a deterministic HTML shell and strips it. Per-row JVM regex chain
+    in the Java∩RE2 subset — zero UDFs, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.lit('<html><head><style type="text/css">body {color: red}'
+              '</style><script>var x = 1 < 2;</script></head>'
+              '<!-- strip -- me --><body><p class="a">'),
+        F.col("text"),
+        F.lit("</p><br/>Tom &amp; Jerry "
+              "&lt;3 &quot;q&#39; x&nbsp;end</body></html>"))
+    return docs.select("doc_id", T.strip_html(dirty).alias("clean_text"))
+
+
 @query("quality_scores", """
 WITH t AS (
   SELECT doc_id, text,

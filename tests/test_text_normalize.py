@@ -94,3 +94,46 @@ def test_mojibake_table_roundtrips_cp1252(spark):
     for bad, good in T.MOJIBAKE_TABLE:
         orig = bad.encode("cp1252").decode("utf-8")
         assert ascii_convention.get(orig, orig) == good
+
+
+def test_strip_html_matches_reference(spark):
+    """strip_html vs an independent Python reference on edge cases:
+    script/style content dropped, comments, nested entities (&amp;
+    decoded LAST), attribute tags, and plain text pass-through."""
+    cases = [
+        "<p>hello <b>world</b></p>",
+        "<script>var a = '<p>not text</p>';</script>after",
+        "<style>.x { color: blue }</style>body",
+        "<!-- a -- tricky comment -->kept",
+        "Tom &amp; Jerry &lt;3 &quot;q&#39; &nbsp;done",
+        "&amp;lt; stays one level: &amp;amp;",
+        "no markup at all",
+        "<div class='a' data-x=\"1\">attr</div>",
+        "",
+    ]
+    import re as _re
+
+    def ref(t):
+        t = _re.sub(r"(?is)<script[^>]*>.*?</script>", " ", t)
+        t = _re.sub(r"(?is)<style[^>]*>.*?</style>", " ", t)
+        t = _re.sub(r"(?s)<!--.*?-->", " ", t)
+        t = _re.sub(r"<[^>]+>", " ", t)
+        for ent, ch in T.HTML_ENTITIES:
+            t = t.replace(ent, ch)
+        return _ref_chain_ws(t)
+
+    def _ref_chain_ws(t):
+        t = t.replace("\r\n", "\n")
+        t = _re.sub("[ \t]+", " ", t)
+        t = _re.sub(" ?\n ?", "\n", t)
+        t = _re.sub("\n{3,}", "\n\n", t)
+        return t.strip()
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(cases)],
+                               "i int, t string")
+    got = {r["i"]: r["c"] for r in
+           df.select("i", T.strip_html("t").alias("c")).collect()}
+    for i, s in enumerate(cases):
+        assert got[i] == ref(s), f"case {i}: {s!r} -> {got[i]!r}"
+    # double-escape decodes exactly one level per pass
+    assert got[5] == "&lt; stays one level: &amp;"
