@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "skew_advisor_user_key",
     "setsim_prefix_pairs",
     "html_strip_docs",
+    "compression_ratio_docs",
+    "training_shuffle_docs",
     "dsir_importance_weights",
     "nb_quality_classifier",
     "negative_sampling_pairs",

@@ -129,3 +129,34 @@ def compact_parquet(spark, src: str, dst: str, *,
     df.write.mode("overwrite").parquet(dst)
     return {"before": before, "after": parquet_size_stats(spark, dst),
             "target_files": n_files}
+
+
+def training_shuffle(df, *, id_col: str = "doc_id", shards: int = 16,
+                     seed: int = 7):
+    """Deterministic global shuffle for training export — the last pass
+    of every pretraining pipeline (examples must reach the trainer in
+    pseudo-random order, yet reproducibly). Each row gets an md5 key
+    from (id, seed); the key's prefix picks one of ``shards`` output
+    shards and orders rows WITHIN the shard.
+
+    This is the scale-correct shape: shard assignment is a hash
+    partition (one shuffle), in-shard order is a sort within the shard
+    (no global sort, no single-partition rank). At 100 TB, pick
+    ``shards`` so a shard is ~512 MB and write with
+    partitionBy/sortWithinPartitions; changing ``seed`` reshuffles the
+    whole corpus deterministically between epochs.
+
+    Returns (id_col, shard, pos) — shard in [0, shards), pos 1-based
+    within shard.
+    """
+    if shards < 1:
+        raise ValueError(f"shards must be >= 1, got {shards}")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"_{seed}")))
+    shard = (F.conv(F.substring(key, 1, 13), 16, 10).cast("long")
+             % shards).cast("int")
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return (df.select(id_col, key.alias("__key"), shard.alias("shard"))
+            .withColumn("pos", F.row_number().over(w).cast("long"))
+            .drop("__key"))

@@ -660,6 +660,40 @@ def html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.strip_html(dirty).alias("clean_text"))
 
 
+@query("training_shuffle_docs", """
+WITH k AS (
+  SELECT doc_id, md5(doc_id::VARCHAR || '_7') AS key,
+         (('0x' || substr(md5(doc_id::VARCHAR || '_7'), 1, 13))::BIGINT
+          % 16)::INT AS shard
+  FROM documents
+)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY key, doc_id)::BIGINT
+         AS pos
+FROM k
+""")
+def training_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training export: md5(id, seed)
+    picks the shard and the in-shard order — reproducible pseudo-random
+    example order without a global sort (hash partition + in-shard
+    rank; no single-partition stage). Changing the seed reshuffles the
+    corpus between epochs."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.layout import training_shuffle
+    return training_shuffle(docs, id_col="doc_id", shards=16, seed=7)
+
+
+@query("compression_ratio_docs")
+def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (Gopher/Dolma class):
+    boilerplate/templated text compresses far below prose. Rows-only
+    gate (no SQL-expressible zlib — DuckDB ships no compressor); the
+    engine output is pinned EXACT against an independent zlib call in
+    tests. One Arrow map pass, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.compression_ratio(docs, level=6)
+
+
 @query("quality_scores", """
 WITH t AS (
   SELECT doc_id, text,

@@ -1546,3 +1546,30 @@ def test_prefix_filter_pairs_complete_and_bucketed(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     with pytest.raises(ValueError, match="threshold"):
         D.prefix_filter_pairs(docs, threshold=0.0)
+
+
+def test_compression_ratio_exact_vs_zlib(spark, sf_dir):
+    """Engine compression ratios equal an independent zlib computation
+    EXACTLY for every document, and the repetitive-text signal orders
+    correctly (templated text below prose)."""
+    import zlib
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    got = {r["doc_id"]: (r["raw_len"], r["comp_len"], r["ratio"]) for r in
+           T.compression_ratio(docs, level=6).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        raw = (r["text"] or "").encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        assert got[r["doc_id"]] == (
+            len(raw), comp, round(comp / max(len(raw), 1), 4))
+    # signal sanity: heavy repetition compresses below varied prose
+    pair = spark.createDataFrame(
+        [(1, "spam ham " * 200),
+         (2, "The quick brown fox jumps over the lazy dog while "
+             "seventeen astronomers catalogue distant quasars near "
+             "Jupiter; every sentence here differs deliberately." * 4)],
+        "doc_id long, text string")
+    pr = {r["doc_id"]: r["ratio"] for r in
+          T.compression_ratio(pair).collect()}
+    assert pr[1] < pr[2]
+    with pytest.raises(ValueError, match="level"):
+        T.compression_ratio(docs, level=10)

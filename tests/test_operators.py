@@ -289,3 +289,38 @@ def test_ewma_halving_matches_pandas(spark):
     with pytest.raises(ValueError, match="overflows"):
         ewma_halving(df, key_cols=["k"], order_cols=["seq"],
                      value_col="value", lags=61)
+
+
+def test_training_shuffle_uniform_and_decorrelated(spark):
+    """Shard sizes concentrate near n/shards, sequential ids scatter
+    (adjacent ids rarely share a shard), positions are dense 1..size,
+    and a different seed produces a different permutation while the
+    same seed reproduces it exactly."""
+    from go_streams_spark.operators.layout import training_shuffle
+    import pytest as _pytest
+    n, shards = 2000, 8
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    out = training_shuffle(df, id_col="doc_id", shards=shards, seed=7)
+    rows = out.collect()
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    sizes = {s: len(v) for s, v in by_shard.items()}
+    assert set(sizes) == set(range(shards))
+    for s, sz in sizes.items():
+        assert abs(sz - n / shards) < 4 * (n / shards) ** 0.5, (s, sz)
+    for s, v in by_shard.items():
+        assert sorted(r["pos"] for r in v) == list(range(1, len(v) + 1))
+    # adjacent ids decorrelate: ~1/shards stay together, not ~1
+    shard_of = {r["doc_id"]: r["shard"] for r in rows}
+    same = sum(shard_of[i] == shard_of[i + 1] for i in range(n - 1))
+    assert same < 2 * n / shards
+    # reproducible per seed, different across seeds
+    again = {(r["doc_id"], r["shard"], r["pos"]) for r in
+             training_shuffle(df, shards=shards, seed=7).collect()}
+    assert again == {(r["doc_id"], r["shard"], r["pos"]) for r in rows}
+    other = {r["doc_id"]: r["shard"] for r in
+             training_shuffle(df, shards=shards, seed=8).collect()}
+    assert sum(other[i] != shard_of[i] for i in range(n)) > n // 2
+    with _pytest.raises(ValueError, match="shards"):
+        training_shuffle(df, shards=0)
