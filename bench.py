@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "html_strip_docs",
     "compression_ratio_docs",
     "training_shuffle_docs",
+    "fd_violation_events",
     "dsir_importance_weights",
     "nb_quality_classifier",
     "negative_sampling_pairs",

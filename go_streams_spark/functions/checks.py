@@ -201,3 +201,34 @@ def skew_report(df: DataFrame, keys: Sequence[str], *,
             F.ceil(F.max("key_rows") * F.count(F.lit(1))
                    / (F.lit(target_factor) * F.sum("key_rows"))))
          .alias("salt_buckets")))
+
+
+def fd_report(df: DataFrame, lhs: Sequence[str], rhs: str) -> DataFrame:
+    """Functional-dependency profiling: does ``lhs`` determine ``rhs``?
+    The schema-discovery primitive behind normalization audits and
+    denormalized-join sanity checks (a violated FD in a dimension feed
+    means the 'dimension' key fans out — the join-fanout bug upstream).
+
+    Returns ONE row: (n_groups, n_violating_groups, holds,
+    violation_share, example_key) — example_key names one violating
+    lhs value (min by string, deterministic) or NULL when the FD holds.
+
+    One shuffle on lhs with map-side partial distinct-count; the
+    violation scan never materializes group contents.
+    """
+    if not lhs or not rhs:
+        raise ValueError("lhs columns and rhs column are required")
+    if rhs in lhs:
+        raise ValueError(f"rhs {rhs!r} cannot be part of lhs")
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in lhs])
+    per = (df.groupBy(*lhs)
+           .agg(F.countDistinct(rhs).alias("n_rhs"))
+           .withColumn("key_str", key_str))
+    return (per.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum((F.col("n_rhs") > 1).cast("long")).alias("n_violating_groups"),
+        (F.sum((F.col("n_rhs") > 1).cast("long")) == 0).alias("holds"),
+        F.round(F.sum((F.col("n_rhs") > 1).cast("long"))
+                / F.count(F.lit(1)), 4).alias("violation_share"),
+        F.min(F.when(F.col("n_rhs") > 1, F.col("key_str")))
+         .alias("example_key")))

@@ -660,6 +660,55 @@ def html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.strip_html(dirty).alias("clean_text"))
 
 
+@query("fd_violation_events", bound="user-grain", sql="""
+WITH per AS (
+  SELECT user_id::VARCHAR AS key_str,
+         count(DISTINCT event_type) AS n_rhs
+  FROM events GROUP BY user_id
+)
+SELECT count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_violating_groups,
+       sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+       round(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS violation_share,
+       min(CASE WHEN n_rhs > 1 THEN key_str END) AS example_key
+FROM per
+""")
+def fd_violation_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling, violated case: does user_id
+    determine event_type? (No — users emit many event types; the
+    report quantifies the fan-out and names a violating key.) One
+    lhs-grain shuffle with map-side partial distinct."""
+    ev = _t(spark, sf_dir, "events")
+    from .functions.checks import fd_report
+    return fd_report(ev, ["user_id"], "event_type")
+
+
+@query("fd_holds_orders", """
+WITH per AS (
+  SELECT o_orderkey::VARCHAR AS key_str,
+         count(DISTINCT o_custkey) AS n_rhs
+  FROM orders GROUP BY o_orderkey
+)
+SELECT count(*)::BIGINT AS n_groups,
+       sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END)::BIGINT
+         AS n_violating_groups,
+       sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) = 0 AS holds,
+       round(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS violation_share,
+       min(CASE WHEN n_rhs > 1 THEN key_str END) AS example_key
+FROM per
+""")
+def fd_holds_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling, holding case: o_orderkey ->
+    o_custkey (a real key determines everything). example_key is NULL
+    and holds=true — the schema-audit green path."""
+    od = _t(spark, sf_dir, "orders")
+    from .functions.checks import fd_report
+    return fd_report(od, ["o_orderkey"], "o_custkey")
+
+
 @query("training_shuffle_docs", """
 WITH k AS (
   SELECT doc_id, md5(doc_id::VARCHAR || '_7') AS key,

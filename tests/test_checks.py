@@ -29,3 +29,25 @@ def test_skew_report_hand_computed(spark):
         skew_report(df, [])
     with _pytest.raises(ValueError, match="target_factor"):
         skew_report(df, ["k"], target_factor=0)
+
+
+def test_fd_report_hand_computed(spark):
+    from go_streams_spark.functions.checks import fd_report
+    import pytest as _pytest
+    rows = [("a", 1, "x"), ("a", 1, "x"), ("a", 2, "x"),  # a -> x ok
+            ("b", 1, "y"), ("b", 2, "z"),                 # b violates
+            ("c", 9, "w")]
+    df = spark.createDataFrame(rows, "k string, junk int, v string")
+    r = fd_report(df, ["k"], "v").collect()[0]
+    assert (r["n_groups"], r["n_violating_groups"], r["holds"]) == (3, 1, False)
+    assert r["violation_share"] == round(1 / 3, 4)
+    assert r["example_key"] == "b"
+    ok = fd_report(df.where("k <> 'b'"), ["k"], "v").collect()[0]
+    assert ok["holds"] is True and ok["example_key"] is None
+    # composite lhs
+    comp = fd_report(df, ["k", "junk"], "v").collect()[0]
+    assert comp["holds"] is True and comp["n_groups"] == 5
+    with _pytest.raises(ValueError, match="required"):
+        fd_report(df, [], "v")
+    with _pytest.raises(ValueError, match="lhs"):
+        fd_report(df, ["v"], "v")
