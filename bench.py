@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "compression_ratio_docs",
     "training_shuffle_docs",
     "fd_violation_events",
+    "cusum_changepoint_hourly",
     "dsir_importance_weights",
     "nb_quality_classifier",
     "negative_sampling_pairs",

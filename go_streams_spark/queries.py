@@ -660,6 +660,52 @@ def html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.strip_html(dirty).alias("clean_text"))
 
 
+@query("cusum_changepoint_hourly", bound="hour-grid", sql="""
+WITH grid AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS hour,
+         round(sum(value), 2) AS v
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT sum(v) AS t, count(*) AS n FROM grid
+), s AS (
+  SELECT hour,
+         round(sum(v) OVER (ORDER BY hour)
+               - (row_number() OVER (ORDER BY hour) * tot.t) / tot.n, 2)
+           AS cusum
+  FROM grid CROSS JOIN tot
+)
+SELECT hour AS cp_hour, cusum,
+       (SELECT n FROM tot)::BIGINT AS n_hours
+FROM s
+ORDER BY abs(cusum) DESC, hour
+LIMIT 1
+""")
+def cusum_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM single-changepoint estimate on the hourly value series:
+    S_t = cumsum(v) - t*mean; the hour maximizing |S_t| is the level-
+    shift point (Page's statistic in its cumulative form — declarative,
+    no recursion/clamp needed). Event volume reduces to the hour grid
+    first, so the ordered scan costs hours-count rows at any input
+    scale; the cumsum runs in hour order in both engines, making the
+    float sequence bit-identical."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    grid = (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+            .agg(F.round(F.sum("value"), 2).alias("v")))
+    tot = grid.agg(F.sum("v").alias("t"), F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, 0)
+    rn = F.row_number().over(Window.orderBy("hour"))
+    s = (grid.crossJoin(F.broadcast(tot))  # 1-row scalar metadata
+         .select("hour",
+                 F.round(F.sum("v").over(w)
+                         - (rn * F.col("t")) / F.col("n"), 2)
+                 .alias("cusum"),
+                 F.col("n").cast("long").alias("n_hours")))
+    return (s.orderBy(F.abs(F.col("cusum")).desc(), "hour").limit(1)
+            .withColumnRenamed("hour", "cp_hour")
+            .select("cp_hour", "cusum", "n_hours"))
+
+
 @query("fd_violation_events", bound="user-grain", sql="""
 WITH per AS (
   SELECT user_id::VARCHAR AS key_str,

@@ -1573,3 +1573,35 @@ def test_compression_ratio_exact_vs_zlib(spark, sf_dir):
     assert pr[1] < pr[2]
     with pytest.raises(ValueError, match="level"):
         T.compression_ratio(docs, level=10)
+
+
+def test_cusum_changepoint_finds_level_shift(spark, tmp_path):
+    """Synthetic hourly series with a known level shift at hour 24:
+    the CUSUM argmax must land exactly on the boundary hour (last hour
+    of the low regime), matching an independent NumPy computation."""
+    import datetime as dt
+    import numpy as np
+    from go_streams_spark.queries import QUERIES
+    base = dt.datetime(2024, 3, 1)
+    rows = []
+    for h in range(48):
+        level = 10.0 if h < 24 else 50.0
+        # two events per hour, deterministic jitter
+        rows.append((h * 2, base + dt.timedelta(hours=h, minutes=5),
+                     1, "view", level + (h % 3) * 0.25, "{}"))
+        rows.append((h * 2 + 1, base + dt.timedelta(hours=h, minutes=35),
+                     2, "click", level - (h % 2) * 0.5, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/events.parquet")
+    got = QUERIES["cusum_changepoint_hourly"](spark, d).collect()[0]
+    v = np.array([round(sum(r[4] for r in rows if
+                            (r[1] - base).total_seconds() // 3600 == h), 2)
+                  for h in range(48)])
+    s = np.round(np.cumsum(v) - (np.arange(1, 49) * v.sum()) / 48, 2)
+    k = int(np.argmax(np.abs(s)))
+    assert got["n_hours"] == 48
+    assert got["cusum"] == s[k]
+    assert (got["cp_hour"] - base).total_seconds() / 3600 == k == 23
