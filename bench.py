@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "training_shuffle_docs",
     "fd_violation_events",
     "cusum_changepoint_hourly",
+    "salted_join_events",
     "dsir_importance_weights",
     "nb_quality_classifier",
     "negative_sampling_pairs",

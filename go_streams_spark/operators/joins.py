@@ -167,3 +167,45 @@ def merge_upsert(target: DataFrame, source: DataFrame, *,
     out_cols += [F.when(matched, F.col(f"s.{c}"))
                  .otherwise(F.col(f"t.{c}")).alias(c) for c in t_cols]
     return joined.select(*out_cols)
+
+
+def salted_join(left: DataFrame, right: DataFrame, *, on: Sequence[str],
+                salt_buckets: int = 16, how: str = "inner") -> DataFrame:
+    """Skew-resistant equi-join — the hot-key fix when the build side is
+    too big to broadcast and a deterministic plan is wanted (AQE's
+    skew split is runtime-dependent; this shape is explicit). The LEFT
+    (fact) side gets a deterministic salt — xxhash64 of the whole row,
+    mod ``salt_buckets`` — and the RIGHT side is replicated once per
+    bucket (posexplode of a literal sequence, a metadata-sized blowup:
+    right_rows x buckets). The join then runs on (on + salt), so a hot
+    key's rows spread over ``salt_buckets`` reducers instead of one
+    straggler task.
+
+    Result == the plain join EXACTLY (each left row carries one salt and
+    the replicated right covers every salt: the pair space is
+    partitioned, never duplicated) — pinned by tests and by the
+    salted_join_events gate against a plain-SQL oracle. ``how`` is
+    restricted to inner/left: right/full would emit one no-match row per
+    REPLICA. Use the `skew_report` advisor to pick ``salt_buckets``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports inner/left, got {how!r}: right/full "
+            "would emit one unmatched row per replica")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
+    on = list(on)
+    missing = [c for c in on if c not in left.columns or c not in right.columns]
+    if missing:
+        raise ValueError(f"join columns missing from an input: {missing}")
+    clash = set(left.columns) & set(right.columns) - set(on)
+    if clash:
+        raise ValueError(f"ambiguous non-key columns on both sides: "
+                         f"{sorted(clash)}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+                  F.lit(salt_buckets)).cast("int")
+    lf = left.withColumn("__salt", salt)
+    rt = (right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
+        .withColumn("__salt", F.col("__salt").cast("int")))
+    return lf.join(rt, on + ["__salt"], how).drop("__salt")

@@ -660,6 +660,27 @@ def html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.strip_html(dirty).alias("clean_text"))
 
 
+@query("salted_join_events", """
+SELECT e.event_id, e.user_id, c.c_name,
+       round(e.value, 2) AS value
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+""")
+def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted equi-join: events (fact) enriched with the
+    customer dim via an explicit 8-bucket salt — the deterministic
+    hot-key shape when the build side exceeds broadcast budget (here it
+    would broadcast; the query pins the salted plan regardless via a
+    join on (key, salt)). Result is EXACTLY the plain join, which is
+    what the oracle checks."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.round("value", 2).alias("value"))
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name")
+    from .operators.joins import salted_join
+    out = salted_join(ev, cust, on=["user_id"], salt_buckets=8)
+    return out.select("event_id", "user_id", "c_name", "value")
+
+
 @query("cusum_changepoint_hourly", bound="hour-grid", sql="""
 WITH grid AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS hour,

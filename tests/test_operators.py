@@ -324,3 +324,39 @@ def test_training_shuffle_uniform_and_decorrelated(spark):
     assert sum(other[i] != shard_of[i] for i in range(n)) > n // 2
     with _pytest.raises(ValueError, match="shards"):
         training_shuffle(df, shards=0)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """On a pathologically skewed fact side (90% one key), the salted
+    join returns EXACTLY the plain join for inner and left, the physical
+    join keys include the salt, and invalid arguments fail loudly."""
+    from go_streams_spark.operators.joins import salted_join
+    from go_streams_spark.plans import explain_str
+    import pytest as _pytest
+    facts = ([("hot", i, float(i)) for i in range(900)]
+             + [(f"k{i}", 900 + i, 1.0) for i in range(100)])
+    left = spark.createDataFrame(facts, "k string, eid int, v double")
+    right = spark.createDataFrame(
+        [("hot", "H"), ("k1", "A"), ("k2", "B"), ("zzz", "Z")],
+        "k string, name string")
+
+    for how in ("inner", "left"):
+        got = sorted(tuple(r) for r in
+                     salted_join(left, right, on=["k"], salt_buckets=8,
+                                 how=how).collect())
+        plain = sorted(tuple(r) for r in
+                       left.join(right, ["k"], how).collect())
+        assert got == plain, how
+
+    plan = explain_str(
+        salted_join(left, right, on=["k"], salt_buckets=8), "simple")
+    assert "__salt" in plan  # the join really runs on (key, salt)
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(left, right, on=["k"], how="full")
+    with _pytest.raises(ValueError, match="salt_buckets"):
+        salted_join(left, right, on=["k"], salt_buckets=0)
+    with _pytest.raises(ValueError, match="missing"):
+        salted_join(left, right, on=["nope"])
+    with _pytest.raises(ValueError, match="ambiguous"):
+        salted_join(left.withColumn("name", F.lit("x")), right, on=["k"])
