@@ -160,3 +160,58 @@ def training_shuffle(df, *, id_col: str = "doc_id", shards: int = 16,
     return (df.select(id_col, key.alias("__key"), shard.alias("shard"))
             .withColumn("pos", F.row_number().over(w).cast("long"))
             .drop("__key"))
+
+
+def rowgroup_stats(spark, path: str, columns):
+    """Parquet row-group statistics audit — the measurement half of the
+    layout story (compact_parquet / zorder_sorted are the acting half):
+    read ONLY the file footer (pyarrow metadata, never data pages) and
+    report, per requested integer column, how prunable the layout is.
+
+    Returns one row per column: (col_name, n_rowgroups, n_constant —
+    row groups where min==max, the partition-pruning jackpot,
+    n_overlap_breaks — adjacent row-group pairs whose [min,max] ranges
+    overlap in file order: 0 means the column is range-sorted and a
+    point/range predicate touches O(1) row groups; rg-1 means footer
+    stats prune nothing, global_min, global_max).
+
+    Footer metadata is row-group-grain — bounded index metadata, the
+    same decision class as a codebook collect; no data scan happens.
+    Integer-typed columns only (loud error otherwise): cross-engine
+    stat parity for floats/strings depends on formatter quirks.
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F  # noqa: F811
+    cols = list(columns)
+    if not cols:
+        raise ValueError("columns must name at least one column")
+    md = pq.ParquetFile(path).metadata
+    name_to_idx = {}
+    for i in range(md.num_columns):
+        name_to_idx[md.row_group(0).column(i).path_in_schema] = i
+    missing = [c for c in cols if c not in name_to_idx]
+    if missing:
+        raise ValueError(f"columns not in file: {missing}")
+    rows = []
+    for c in cols:
+        idx = name_to_idx[c]
+        mins, maxs = [], []
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            if st is None or st.min is None or st.max is None:
+                raise ValueError(f"column {c!r} has no row-group stats")
+            if not isinstance(st.min, int):
+                tname = type(st.min).__name__
+                raise ValueError(
+                    f"column {c!r} is not integer-typed ({tname}); "
+                    "the audit supports integer columns")
+            mins.append(st.min)
+            maxs.append(st.max)
+        n = len(mins)
+        rows.append((c, n,
+                     sum(1 for a, b in zip(mins, maxs) if a == b),
+                     sum(1 for g in range(1, n) if mins[g] <= maxs[g - 1]),
+                     min(mins), max(maxs)))
+    return spark.createDataFrame(
+        rows, "col_name string, n_rowgroups bigint, n_constant bigint, "
+              "n_overlap_breaks bigint, global_min bigint, global_max bigint")

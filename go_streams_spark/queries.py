@@ -660,6 +660,39 @@ def html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.strip_html(dirty).alias("clean_text"))
 
 
+@query("rowgroup_pruning_audit", """
+WITH m AS (
+  SELECT row_group_id, path_in_schema AS col,
+         stats_min_value::BIGINT AS mn, stats_max_value::BIGINT AS mx
+  FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+  WHERE path_in_schema IN ('l_orderkey', 'l_partkey', 'l_suppkey')
+), adj AS (
+  SELECT col, mn, mx,
+         lag(mx) OVER (PARTITION BY col ORDER BY row_group_id) AS pmx
+  FROM m
+)
+SELECT col AS col_name, count(*)::BIGINT AS n_rowgroups,
+       sum(CASE WHEN mn = mx THEN 1 ELSE 0 END)::BIGINT AS n_constant,
+       sum(CASE WHEN pmx IS NOT NULL AND mn <= pmx THEN 1 ELSE 0 END)::BIGINT
+         AS n_overlap_breaks,
+       min(mn) AS global_min, max(mx) AS global_max
+FROM adj GROUP BY col
+""")
+def rowgroup_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet footer-statistics audit: per integer key column of
+    lineitem, how prunable is the physical layout (constant row groups,
+    range-sorted adjacencies)? Reads ONLY footer metadata — no data
+    scan; the DuckDB oracle is parquet_metadata() over the same file
+    (gate runs at sf0.01, hence the pinned oracle path). The
+    measurement half of the compact_parquet / zorder_sorted layout
+    story; multi-row-group depth is exercised in tests."""
+    import os as _os
+    from .operators.layout import rowgroup_stats
+    return rowgroup_stats(
+        spark, _os.path.join(sf_dir, "lineitem.parquet"),
+        ["l_orderkey", "l_partkey", "l_suppkey"])
+
+
 @query("salted_join_events", """
 SELECT e.event_id, e.user_id, c.c_name,
        round(e.value, 2) AS value

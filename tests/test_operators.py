@@ -360,3 +360,38 @@ def test_salted_join_equals_plain_join(spark):
         salted_join(left, right, on=["nope"])
     with _pytest.raises(ValueError, match="ambiguous"):
         salted_join(left.withColumn("name", F.lit("x")), right, on=["k"])
+
+
+def test_rowgroup_stats_sorted_vs_shuffled(spark, tmp_path):
+    """Footer-audit depth on multi-row-group files: a range-sorted
+    column shows 0 overlap breaks (point predicates touch O(1) row
+    groups), a shuffled column overlaps everywhere, and a constant
+    column is flagged constant in every row group."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+    from go_streams_spark.operators.layout import rowgroup_stats
+    n, rg = 10_000, 1_000
+    sorted_col = list(range(n))
+    shuffled = [(i * 7919) % n for i in range(n)]   # full-period scatter
+    const = [42] * n
+    t = pa.table({"s": sorted_col, "r": shuffled, "c": const,
+                  "f": [float(i) for i in range(n)]})
+    p = str(tmp_path / "audit.parquet")
+    pq.write_table(t, p, row_group_size=rg)
+
+    out = {r["col_name"]: r for r in
+           rowgroup_stats(spark, p, ["s", "r", "c"]).collect()}
+    assert all(v["n_rowgroups"] == n // rg for v in out.values())
+    assert out["s"]["n_overlap_breaks"] == 0
+    assert out["s"]["global_min"] == 0 and out["s"]["global_max"] == n - 1
+    assert out["r"]["n_overlap_breaks"] == n // rg - 1  # every adjacency
+    assert out["c"]["n_constant"] == n // rg
+    assert out["c"]["global_min"] == out["c"]["global_max"] == 42
+
+    with _pytest.raises(ValueError, match="not in file"):
+        rowgroup_stats(spark, p, ["nope"])
+    with _pytest.raises(ValueError, match="integer"):
+        rowgroup_stats(spark, p, ["f"])
+    with _pytest.raises(ValueError, match="columns"):
+        rowgroup_stats(spark, p, [])
