@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "fd_violation_events",
     "cusum_changepoint_hourly",
     "salted_join_events",
+    "url_canonical_dedup",
+    "rowgroup_pruning_audit",
     "dsir_importance_weights",
     "nb_quality_classifier",
     "negative_sampling_pairs",

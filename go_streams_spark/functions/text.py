@@ -664,3 +664,52 @@ def compression_ratio(df, *, text_col: str = "text",
             yield out
 
     return df.select(id_col, text_col).mapInPandas(_score, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization -- RefinedWeb/C4-class URL-level dedup runs BEFORE
+# content dedup; it needs a canonical form first. Pure JVM string/array
+# expressions (split, array_sort, concat) with exact SQL equivalents.
+
+#: Tracking parameters dropped during canonicalization (the standard
+#: analytics-noise set; extend per deployment).
+TRACKING_PARAMS: tuple[str, ...] = (
+    "utm_source", "utm_medium", "utm_campaign", "utm_term",
+    "utm_content", "gclid", "fbclid", "ref",
+)
+
+
+def canonical_url(url: Column | str,
+                  tracking_params: tuple[str, ...] = TRACKING_PARAMS) -> Column:
+    """Canonical URL form: lowercase scheme+host, strip a default :80/
+    :443 port, drop the #fragment, drop tracking query params, SORT the
+    surviving params (param order is presentation noise), drop a
+    trailing '/' on a bare path, and drop an empty '?'. Deterministic,
+    zero-UDF; one expression tree per row.
+
+    Not a full RFC 3986 normalizer (no percent-decoding or path-dot
+    resolution -- those need a parser); this is the dedup-key form the
+    corpus pipelines use.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    # split off fragment, then query
+    no_frag = F.split(u, "#", 2)[0]
+    parts = F.split(no_frag, "\\?", 2)
+    base, qs = parts[0], F.get(F.split(no_frag, "\\?", 2), 1)
+    # scheme://host[:port]/path  -> lowercase scheme+authority only
+    m = F.regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)(.*)$", 1)
+    rest = F.regexp_extract(base, "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)(.*)$", 2)
+    auth = F.lower(m)
+    auth = F.regexp_replace(auth, ":80$", "")
+    auth = F.regexp_replace(auth, ":443$", "")
+    # bare trailing slash on the path is noise ("/a/" == "/a", "/" == "")
+    path = F.regexp_replace(rest, "/$", "")
+    drop = F.array(*[F.lit(p) for p in tracking_params])
+    kept = F.filter(
+        F.split(F.coalesce(qs, F.lit("")), "&"),
+        lambda kv: (kv != "")
+        & ~F.array_contains(drop, F.split(kv, "=", 2)[0]))
+    query = F.array_join(F.array_sort(kept), "&")
+    return F.concat(
+        auth, path,
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")))

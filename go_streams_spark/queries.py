@@ -660,6 +660,68 @@ def html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.strip_html(dirty).alias("clean_text"))
 
 
+@query("url_canonical_dedup", """
+WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'HTTPS://Example.COM:443/a/b?utm_source=x&q='
+                       || (doc_id // 4) || '&b=2#frag'
+           WHEN 1 THEN 'https://example.com/a/b?b=2&q=' || (doc_id // 4)
+           WHEN 2 THEN 'http://Example.com:80/page/' || (doc_id // 4) || '/'
+           ELSE 'http://example.com/page/' || (doc_id // 4)
+         END AS url
+  FROM documents
+), c AS (
+  SELECT doc_id, url,
+         string_split(string_split(url, '#')[1], '?')[1] AS base,
+         string_split(string_split(url, '#')[1], '?')[2] AS qs
+  FROM u
+), p AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(
+           lower(regexp_extract(base,
+                 '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)(.*)$', 1)),
+           ':80$', ''), ':443$', '') AS auth,
+         regexp_replace(regexp_extract(base,
+                 '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)(.*)$', 2),
+                 '/$', '') AS path,
+         array_to_string(list_sort(list_filter(
+           string_split(coalesce(qs, ''), '&'),
+           kv -> kv <> '' AND NOT list_contains(
+             ['utm_source','utm_medium','utm_campaign','utm_term',
+              'utm_content','gclid','fbclid','ref'],
+             string_split(kv, '=')[1]))), '&') AS query
+  FROM c
+)
+SELECT doc_id,
+       auth || path
+       || CASE WHEN query <> '' THEN '?' || query ELSE '' END AS canon_url
+FROM p
+""")
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the key-builder for URL-level dedup
+    (RefinedWeb runs it BEFORE any content dedup): lowercase
+    scheme+host, strip default ports, drop fragments and tracking
+    params, sort surviving params, trim bare trailing slashes. The
+    query injects four deterministic URL variants per doc-id pair that
+    MUST collapse to equal canonical keys (case/port noise vs clean,
+    param-order + utm noise vs clean). Zero-UDF expression tree, zero
+    shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    nn = F.expr("doc_id div 4").cast("string")
+    v = F.col("doc_id") % 4
+    url = (F.when(v == 0, F.concat(
+               F.lit("HTTPS://Example.COM:443/a/b?utm_source=x&q="), nn,
+               F.lit("&b=2#frag")))
+           .when(v == 1, F.concat(
+               F.lit("https://example.com/a/b?b=2&q="), nn))
+           .when(v == 2, F.concat(
+               F.lit("http://Example.com:80/page/"), nn, F.lit("/")))
+           .otherwise(F.concat(F.lit("http://example.com/page/"), nn)))
+    return docs.select(
+        "doc_id", T.canonical_url(url).alias("canon_url"))
+
+
 @query("rowgroup_pruning_audit", """
 WITH m AS (
   SELECT row_group_id, path_in_schema AS col,

@@ -137,3 +137,30 @@ def test_strip_html_matches_reference(spark):
         assert got[i] == ref(s), f"case {i}: {s!r} -> {got[i]!r}"
     # double-escape decodes exactly one level per pass
     assert got[5] == "&lt; stays one level: &amp;"
+
+
+def test_canonical_url_edge_cases(spark):
+    """Canonical-form semantics on hand-built URLs: default-port strip,
+    case, fragments, tracking params, param sorting, trailing slash,
+    no-query/no-path degenerate shapes — and the dedup property (noisy
+    variants collapse to one key, distinct pages stay distinct)."""
+    cases = {
+        0: ("HTTPS://Ex.COM:443/a?b=1&a=2#x", "https://ex.com/a?a=2&b=1"),
+        1: ("https://ex.com/a?a=2&b=1", "https://ex.com/a?a=2&b=1"),
+        2: ("http://ex.com:80/", "http://ex.com"),
+        3: ("http://ex.com", "http://ex.com"),
+        4: ("http://ex.com/p?utm_source=tw&fbclid=9", "http://ex.com/p"),
+        5: ("http://ex.com/p?", "http://ex.com/p"),
+        6: ("http://ex.com:8080/p", "http://ex.com:8080/p"),  # real port kept
+        7: ("https://ex.com/a/b/", "https://ex.com/a/b"),
+        8: ("https://ex.com/other", "https://ex.com/other"),
+    }
+    df = spark.createDataFrame(
+        [(i, url) for i, (url, _) in cases.items()], "i int, url string") \
+        .select("i", T.canonical_url("url").alias("c"))
+    got = {r["i"]: r["c"] for r in df.collect()}
+    for i, (_, want) in cases.items():
+        assert got[i] == want, (i, got[i], want)
+    # dedup property
+    assert got[0] == got[1] and got[2] == got[3]
+    assert len({got[1], got[3], got[6], got[7], got[8]}) == 5
