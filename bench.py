@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "cusum_changepoint_hourly",
     "salted_join_events",
     "url_canonical_dedup",
+    "theilsen_slope_by_type",
     "rowgroup_pruning_audit",
     "dsir_importance_weights",
     "nb_quality_classifier",

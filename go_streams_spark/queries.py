@@ -660,6 +660,61 @@ def html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.strip_html(dirty).alias("clean_text"))
 
 
+@query("theilsen_slope_by_type", """
+WITH g AS (
+  SELECT event_type,
+         date_diff('day', DATE '2024-01-01', ts::DATE) AS d,
+         round(sum(value), 2) AS v
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, (b.v - a.v) / (b.d - a.d) AS slope
+  FROM g a JOIN g b ON a.event_type = b.event_type AND b.d > a.d
+), r AS (
+  SELECT event_type, slope,
+         row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS m
+  FROM pairs
+)
+SELECT event_type,
+       round(avg(slope), 4) AS slope,
+       max(m)::BIGINT AS n_pairs
+FROM r
+WHERE rn = (m + 1) // 2 OR rn = (m + 2) // 2
+GROUP BY event_type
+""")
+def theilsen_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend: the MEDIAN of all pairwise slopes of the
+    daily volume series per event type — immune to the outlier days
+    that bend the least-squares line (trend_slope_by_type is the OLS
+    sibling). Volume reduces to the (type, day) grid FIRST, so the
+    pair space is grid^2 per type — bounded by the calendar, never by
+    event volume; the per-type rank runs on those bounded pairs."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    g = (ev.groupBy("event_type",
+                    F.datediff(F.col("ts").cast("date"),
+                               F.lit("2024-01-01").cast("date")).alias("d"))
+         .agg(F.round(F.sum("value"), 2).alias("v")))
+    a = g.select("event_type", F.col("d").alias("da"), F.col("v").alias("va"))
+    b = g.select(F.col("event_type").alias("et_b"),
+                 F.col("d").alias("db"), F.col("v").alias("vb"))
+    pairs = (a.join(b, (F.col("event_type") == F.col("et_b"))
+                    & (F.col("db") > F.col("da")))
+             .select("event_type",
+                     ((F.col("vb") - F.col("va"))
+                      / (F.col("db") - F.col("da"))).alias("slope")))
+    w = Window.partitionBy("event_type")
+    r = pairs.select(
+        "event_type", "slope",
+        F.row_number().over(w.orderBy("slope")).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("m"))
+    return (r.where((F.col("rn") == F.expr("(m + 1) div 2"))
+                    | (F.col("rn") == F.expr("(m + 2) div 2")))
+            .groupBy("event_type")
+            .agg(F.round(F.avg("slope"), 4).alias("slope"),
+                 F.max("m").cast("long").alias("n_pairs")))
+
+
 @query("url_canonical_dedup", """
 WITH u AS (
   SELECT doc_id,

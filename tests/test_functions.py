@@ -1605,3 +1605,41 @@ def test_cusum_changepoint_finds_level_shift(spark, tmp_path):
     assert got["n_hours"] == 48
     assert got["cusum"] == s[k]
     assert (got["cp_hour"] - base).total_seconds() / 3600 == k == 23
+
+
+def test_theilsen_robust_to_outlier(spark, tmp_path):
+    """Theil-Sen vs OLS on a synthetic series with one massive outlier
+    day: Theil-Sen recovers the true slope exactly (median of pairwise
+    slopes, cross-checked vs NumPy); OLS on the same data is bent far
+    off. Also pins the pair-count C(n,2)."""
+    import datetime as dt
+    import numpy as np
+    from go_streams_spark.queries import QUERIES
+    base = dt.datetime(2024, 1, 1, 12)
+    days, true_slope = 21, 3.0
+    rows = []
+    eid = 0
+    for d in range(days):
+        v = 100.0 + true_slope * d + (5000.0 if d == 20 else 0.0)
+        rows.append((eid, base + dt.timedelta(days=d), 1, "view", v, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/events.parquet")
+    got = {r["event_type"]: r for r in
+           QUERIES["theilsen_slope_by_type"](spark, d).collect()}
+    r = got["view"]
+    assert r["n_pairs"] == days * (days - 1) // 2
+    # NumPy reference median of pairwise slopes
+    v = np.array([100.0 + true_slope * i + (5000.0 if i == 20 else 0.0)
+                  for i in range(days)])
+    slopes = [(v[j] - v[i]) / (j - i)
+              for i in range(days) for j in range(i + 1, days)]
+    assert r["slope"] == round(float(np.median(slopes)), 4)
+    # robust: close to truth despite the outlier; OLS is not
+    assert abs(r["slope"] - true_slope) < 0.5
+    ols = {o["event_type"]: o["slope"] for o in
+           QUERIES["trend_slope_by_type"](spark, d).collect()}
+    assert abs(ols["view"] - true_slope) > 5
