@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "salted_join_events",
     "url_canonical_dedup",
     "theilsen_slope_by_type",
+    "quantile_normalize_sources",
     "rowgroup_pruning_audit",
     "dsir_importance_weights",
     "nb_quality_classifier",

@@ -232,3 +232,39 @@ def fd_report(df: DataFrame, lhs: Sequence[str], rhs: str) -> DataFrame:
                 / F.count(F.lit(1)), 4).alias("violation_share"),
         F.min(F.when(F.col("n_rhs") > 1, F.col("key_str")))
          .alias("example_key")))
+
+
+def quantile_normalize(df: DataFrame, *, value_col: str, group_col: str,
+                       id_col: str, check_sizes: bool = True) -> DataFrame:
+    """Classic quantile normalization across groups (the batch-effect
+    corrector from bioinformatics, equally at home aligning per-source
+    score distributions before corpus mixing): rank within each group,
+    then replace each value by the MEAN of the values at its rank
+    across all groups — afterwards every group has an identical
+    distribution.
+
+    Requires equal group sizes (the classic algorithm's contract);
+    ``check_sizes`` verifies it with one group-grain aggregate (rows =
+    group count, bounded metadata) and raises loudly instead of
+    silently misaligning ranks. Integer value columns make the
+    rank-mean exact (int sum / count, one division).
+
+    Shape: one shuffle to group-partition the rank window, one
+    rank-grain aggregate (rows = group size), broadcast back. Returns
+    (id_col, group_col, value_col, qnorm).
+    """
+    from pyspark.sql import Window
+    if check_sizes:
+        sizes = (df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+                 .select("n").distinct().collect())
+        if len(sizes) > 1:
+            raise ValueError(
+                "quantile_normalize requires equal group sizes, got "
+                f"{sorted(r['n'] for r in sizes)}; resample groups first")
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = df.select(id_col, group_col, value_col,
+                       F.row_number().over(w).alias("__r"))
+    ref = (ranked.groupBy("__r")
+           .agg(F.round(F.avg(value_col), 4).alias("qnorm")))
+    return (ranked.join(F.broadcast(ref), "__r")
+            .select(id_col, group_col, value_col, "qnorm"))

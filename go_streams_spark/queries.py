@@ -660,6 +660,32 @@ def html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.strip_html(dirty).alias("clean_text"))
 
 
+@query("quantile_normalize_sources", """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars, doc_id) AS r
+  FROM documents
+), ref AS (
+  SELECT r, round(avg(n_chars), 4) AS qnorm FROM ranked GROUP BY r
+)
+SELECT ranked.doc_id, ranked.source, ranked.n_chars, ref.qnorm
+FROM ranked JOIN ref ON ref.r = ranked.r
+""")
+def quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source document-length
+    distributions (the batch-effect corrector applied to corpus
+    mixing): after it, every source has an IDENTICAL n_chars
+    distribution — rank within source, replace by the cross-source
+    rank mean. One group shuffle + a rank-grain aggregate (rows =
+    group size) broadcast back; integer values keep the rank means
+    exact."""
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.checks import quantile_normalize
+    return quantile_normalize(docs, value_col="n_chars",
+                              group_col="source", id_col="doc_id")
+
+
 @query("theilsen_slope_by_type", """
 WITH g AS (
   SELECT event_type,

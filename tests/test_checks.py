@@ -51,3 +51,34 @@ def test_fd_report_hand_computed(spark):
         fd_report(df, [], "v")
     with _pytest.raises(ValueError, match="lhs"):
         fd_report(df, ["v"], "v")
+
+
+def test_quantile_normalize_aligns_distributions(spark):
+    """After QN every group has the identical value multiset; rank
+    order within groups is preserved; unequal group sizes fail loudly;
+    integer rank-means match a NumPy reference exactly."""
+    from go_streams_spark.functions.checks import quantile_normalize
+    import numpy as np
+    import pytest as _pytest
+    ga = [3, 1, 4, 1, 5, 9, 2, 6]          # skewed-ish
+    gb = [100, 80, 60, 40, 20, 10, 5, 1]   # different scale entirely
+    rows = ([(i, "a", v) for i, v in enumerate(ga)]
+            + [(100 + i, "b", v) for i, v in enumerate(gb)])
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = quantile_normalize(df, value_col="v", group_col="g",
+                             id_col="id").collect()
+    qa = sorted(r["qnorm"] for r in out if r["g"] == "a")
+    qb = sorted(r["qnorm"] for r in out if r["g"] == "b")
+    assert qa == qb  # identical distribution after QN
+    ref = np.round((np.sort(ga) + np.sort(gb)) / 2, 4)
+    assert qa == list(ref)
+    # within-group monotonicity: higher raw value -> higher qnorm
+    for g, vals in (("a", ga), ("b", gb)):
+        got = {r["id"]: r["qnorm"] for r in out if r["g"] == g}
+        base = 0 if g == "a" else 100
+        order = sorted(range(len(vals)), key=lambda i: (vals[i], base + i))
+        q = [got[base + i] for i in order]
+        assert q == sorted(q)
+    bad = spark.createDataFrame(rows + [(999, "a", 7)], "id long, g string, v long")
+    with _pytest.raises(ValueError, match="equal group sizes"):
+        quantile_normalize(bad, value_col="v", group_col="g", id_col="id")
