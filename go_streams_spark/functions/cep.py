@@ -33,7 +33,9 @@ _NON_RE2 = (
     (re.compile(r"\(\?=|\(\?!|\(\?<=|\(\?<!"), "lookaround"),
     (re.compile(r"\\[1-9]"), "backreference"),
     (re.compile(r"\(\?>"), "atomic group"),
-    (re.compile(r"[*+}?]\+"), "possessive quantifier"),
+    # (?<!\\) so an ESCAPED quantifier char before '+' (e.g. r"\++",
+    # a repeated literal plus) is not misread as possessive
+    (re.compile(r"(?<!\\)[*+}?]\+"), "possessive quantifier"),
 )
 
 
