@@ -693,10 +693,14 @@ def prefix_filter_pairs(df: DataFrame, *, text_col: str = "text",
     ranked = (sh.join(freq.hint("shuffle_hash"), "s")
               .withColumn("rnk", F.row_number().over(
                   Window.partitionBy(id_col).orderBy("sf", "s"))))
-    pref = (ranked.join(cnts.hint("shuffle_hash"), id_col)
-            .where(F.col("rnk")
-                   <= F.col("c") - F.ceil(F.lit(threshold) * F.col("c")) + 1)
-            .select(F.col(id_col), F.col("s"), F.col("c")))
+    # pa and pb below are TWO consumers of this subtree; without a pin
+    # Catalyst re-runs the freq join + rank window once per side (plan
+    # audit: 10 cache scans -> 5). Prefix rows are doc-grain-bounded.
+    pref = track_persist(
+        ranked.join(cnts.hint("shuffle_hash"), id_col)
+        .where(F.col("rnk")
+               <= F.col("c") - F.ceil(F.lit(threshold) * F.col("c")) + 1)
+        .select(F.col(id_col), F.col("s"), F.col("c")))
     pa = pref.select(F.col(id_col).alias("id_a"), "s",
                      F.col("c").alias("ca"))
     pb = pref.select(F.col(id_col).alias("id_b"),
