@@ -86,6 +86,10 @@ def main():
           F.sum("n_tokens").alias("tokens"))
      .orderBy("split").show())
 
+    # the composed round-5 chains (each stage registry-gated on its own)
+    curation_round5(spark, sf_dir)
+    web_corpus_round5c(spark, sf_dir)
+
 
 def curation_round5(spark, sf_dir="/root/testdata/sf0.001"):
     """The round-5 curation chain, end to end: exact-substring span
@@ -126,6 +130,50 @@ def curation_round5(spark, sf_dir="/root/testdata/sf0.001"):
     kept = scored.where(F.col("pred"))
     print(f"docs={docs.count()} after_span_removal={base.count()} "
           f"quality_kept={kept.count()}")
+
+
+def web_corpus_round5c(spark, sf_dir="/root/testdata/sf0.001"):
+    """The round-5 web-corpus front half, end to end: HTML strip ->
+    unicode normalization -> compression-ratio + heuristic quality
+    filter -> canonical-URL dedup (keep lowest doc id per canonical
+    key) -> deterministic training-shuffle export. Every stage is
+    oracle-checked individually in the registry; this shows them
+    composed the way a crawl-ingest job would run them."""
+    from pyspark.sql import Window
+    from go_streams_spark.functions import text as T2
+    from go_streams_spark.operators.layout import training_shuffle
+    from go_streams_spark.queries import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    # crawl shape: html-wrapped text + a URL with tracking noise
+    crawl = docs.select(
+        "doc_id",
+        F.concat(F.lit("<html><body><p>"), "text",
+                 F.lit("</p></body></html>")).alias("html"),
+        F.concat(F.lit("https://Example.com/doc/"),
+                 (F.col("doc_id") % 400).cast("string"),
+                 F.lit("?utm_source=crawl")).alias("url"))
+
+    # 1-2. extract + normalize text
+    clean = crawl.select(
+        "doc_id", "url",
+        T2.normalize_text(T2.strip_html("html")).alias("text"))
+    # 3. quality: drop highly-compressible (templated) or low-score docs
+    ratio = T2.compression_ratio(clean, level=6).select("doc_id", "ratio")
+    kept = (clean.join(ratio, "doc_id")
+            .where((F.col("ratio") > 0.3)
+                   & (T2.quality_score("text") > 0.2)))
+    # 4. URL-level dedup on the canonical key (doc_id % 400 collides by
+    #    construction -> ~20% drop), keep the lowest doc id
+    canon = kept.withColumn("canon", T2.canonical_url("url"))
+    w = Window.partitionBy("canon").orderBy("doc_id")
+    deduped = (canon.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") == 1).drop("__rn"))
+    # 5. reproducible pseudo-random epoch order, no global sort
+    sharded = training_shuffle(deduped, id_col="doc_id", shards=4, seed=1)
+    n_in, n_kept, n_out = crawl.count(), kept.count(), sharded.count()
+    print(f"crawl={n_in} quality_kept={n_kept} url_deduped={n_out}")
+    assert n_out <= n_kept <= n_in
 
 
 if __name__ == "__main__":
