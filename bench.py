@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "url_canonical_dedup",
     "theilsen_slope_by_type",
     "quantile_normalize_sources",
+    "benford_price_audit",
     "rowgroup_pruning_audit",
     "dsir_importance_weights",
     "nb_quality_classifier",

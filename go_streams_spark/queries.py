@@ -660,6 +660,56 @@ def html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.strip_html(dirty).alias("clean_text"))
 
 
+@query("benford_price_audit", """
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(l_extendedprice * 100 AS BIGINT) AS VARCHAR),
+              1, 1) AS INT) AS digit
+  FROM lineitem WHERE l_extendedprice > 0
+), c AS (
+  SELECT digit, count(*) AS n FROM d GROUP BY digit
+), tot AS (SELECT sum(n) AS t FROM c),
+b(digit, benford_share) AS (VALUES
+  (1, 0.30103), (2, 0.176091), (3, 0.124939), (4, 0.09691),
+  (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+  (9, 0.045757))
+SELECT b.digit, coalesce(c.n, 0)::BIGINT AS n,
+       round(coalesce(c.n, 0) / tot.t, 6) AS share,
+       b.benford_share,
+       round(coalesce(c.n, 0) / tot.t - b.benford_share, 6) AS excess
+FROM b LEFT JOIN c ON c.digit = b.digit CROSS JOIN tot
+""")
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on prices — the classic
+    fabricated-numbers detector for financial columns: observed
+    first-digit shares vs the Benford expectation log10(1+1/d)
+    (hardcoded 6-dp constants in BOTH engines: no cross-libm log
+    drift). Prices are read at exact cent grain (x100 -> BIGINT)
+    before digit extraction so float formatting never leaks in.
+    One digit-grain aggregate; the 9-row report joins a literal
+    table."""
+    li = _t(spark, sf_dir, "lineitem")
+    benford = spark.createDataFrame(
+        [(1, 0.30103), (2, 0.176091), (3, 0.124939), (4, 0.09691),
+         (5, 0.079181), (6, 0.066947), (7, 0.057992), (8, 0.051153),
+         (9, 0.045757)], "digit int, benford_share double")
+    digits = (li.where(F.col("l_extendedprice") > 0)
+              .select(F.substring(
+                  (F.col("l_extendedprice") * 100).cast("long")
+                  .cast("string"), 1, 1).cast("int").alias("digit")))
+    c = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("t"))
+    return (F.broadcast(benford)
+            .join(c, "digit", "left")
+            .crossJoin(F.broadcast(tot))  # 1-row scalar metadata
+            .select("digit",
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+                    F.round(F.coalesce("n", F.lit(0)) / F.col("t"), 6)
+                    .alias("share"),
+                    "benford_share",
+                    F.round(F.coalesce("n", F.lit(0)) / F.col("t")
+                            - F.col("benford_share"), 6).alias("excess")))
+
+
 @query("quantile_normalize_sources", """
 WITH ranked AS (
   SELECT doc_id, source, n_chars,

@@ -1643,3 +1643,36 @@ def test_theilsen_robust_to_outlier(spark, tmp_path):
     ols = {o["event_type"]: o["slope"] for o in
            QUERIES["trend_slope_by_type"](spark, d).collect()}
     assert abs(ols["view"] - true_slope) > 5
+
+
+def test_benford_audit_math_and_detection(spark, tmp_path):
+    """Benford report on hand-built prices: exact cent-grain digit
+    extraction (9.99 -> '999' -> digit 9), shares sum to 1, excess =
+    share - constant, and a fabricated uniform-digit column shows the
+    signature deviation (digit 1 under-represented vs 0.30103)."""
+    rows = []
+    # 180 uniform-first-digit prices: 20 per digit (fabricated-looking)
+    pid = 0
+    for d in range(1, 10):
+        for k in range(20):
+            rows.append((pid, float(d) + k / 100.0))  # d.00..d.19
+            pid += 1
+    df = spark.createDataFrame(rows, "l_linenumber long, l_extendedprice double")
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(d + "/lineitem.parquet")
+    from go_streams_spark.queries import QUERIES
+    got = {r["digit"]: r for r in QUERIES["benford_price_audit"](spark, d).collect()}
+    assert set(got) == set(range(1, 10))
+    assert all(g["n"] == 20 for g in got.values())
+    assert abs(sum(g["share"] for g in got.values()) - 1.0) < 1e-5
+    for g in got.values():
+        assert g["excess"] == round(g["share"] - g["benford_share"], 6)
+    # uniform digits: digit 1 falls far below Benford expectation
+    assert got[1]["excess"] < -0.15 and got[9]["excess"] > 0.05
+    # cent-grain exactness: 9.99 must NOT become digit 1 via float fuzz
+    one = spark.createDataFrame([(0, 9.99)],
+                                "l_linenumber long, l_extendedprice double")
+    one.coalesce(1).write.mode("overwrite").parquet(d + "/lineitem.parquet")
+    got9 = {r["digit"]: r["n"] for r in
+            QUERIES["benford_price_audit"](spark, d).collect()}
+    assert got9[9] == 1 and got9[1] == 0
