@@ -366,3 +366,50 @@ def test_remove_duplicate_spans_matches_python_model(spark, docs, span):
         kept = [t for p, t in enumerate(toks) if p not in drop[i]]
         want = (" ".join(kept), len(toks), len(toks) - len(kept))
         assert got[i] == want, (i, got[i], want)
+
+
+# ---- round-5 text-op algebra ------------------------------------------------
+
+texts = st.lists(
+    st.text(alphabet=st.characters(min_codepoint=1, max_codepoint=0x2122),
+            max_size=60),
+    min_size=1, max_size=12)
+
+
+@given(ts=texts)
+@settings(**SETTINGS)
+def test_normalize_text_idempotent(spark, ts):
+    """normalize_text is a projection: applying it twice equals once
+    (repairs produce no mojibake, NFC is idempotent, collapsed
+    whitespace has no runs left to collapse)."""
+    from go_streams_spark.functions.text import normalize_text
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(ts)],
+                               "i int, t string")
+    out = df.select(
+        "i", normalize_text("t").alias("once")).select(
+        "i", "once", normalize_text("once").alias("twice"))
+    for r in out.collect():
+        assert r["once"] == r["twice"], repr(r["once"])
+
+
+@given(host=st.text(alphabet="abcDEF09.-", min_size=1, max_size=12),
+       path=st.text(alphabet="abc/1.-_", max_size=12),
+       params=st.lists(st.sampled_from(
+           ["q=1", "b=2", "a=x", "utm_source=t", "fbclid=9", "z="]),
+           max_size=5),
+       frag=st.sampled_from(["", "#f", "#a/b"]))
+@settings(**SETTINGS)
+def test_canonical_url_idempotent(spark, host, path, params, frag):
+    """canonical_url is a projection onto canonical space: its outputs
+    are fixed points (second application changes nothing)."""
+    from go_streams_spark.functions.text import canonical_url
+    url = "http://" + host + "/" + path
+    if params:
+        url += "?" + "&".join(params)
+    url += frag
+    df = spark.createDataFrame([(url,)], "u string")
+    out = df.select(
+        canonical_url("u").alias("once")).select(
+        "once", canonical_url("once").alias("twice"))
+    r = out.collect()[0]
+    assert r["once"] == r["twice"], (url, r["once"], r["twice"])
