@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "theilsen_slope_by_type",
     "quantile_normalize_sources",
     "benford_price_audit",
+    "observed_ingest_metrics",
     "rowgroup_pruning_audit",
     "dsir_importance_weights",
     "nb_quality_classifier",

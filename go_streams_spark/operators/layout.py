@@ -173,7 +173,11 @@ def rowgroup_stats(spark, path: str, columns):
     n_overlap_breaks — adjacent row-group pairs whose [min,max] ranges
     overlap in file order: 0 means the column is range-sorted and a
     point/range predicate touches O(1) row groups; rg-1 means footer
-    stats prune nothing, global_min, global_max).
+    stats prune nothing, sum_range — the sum of per-row-group
+    (max - min) widths: the prunability metric for MULTI-dimensional
+    clustering (z-order shrinks every group's range on every key even
+    though file-order adjacencies still overlap; a point predicate
+    touches ~sum_range/domain of the groups), global_min, global_max).
 
     Footer metadata is row-group-grain — bounded index metadata, the
     same decision class as a codebook collect; no data scan happens.
@@ -211,7 +215,9 @@ def rowgroup_stats(spark, path: str, columns):
         rows.append((c, n,
                      sum(1 for a, b in zip(mins, maxs) if a == b),
                      sum(1 for g in range(1, n) if mins[g] <= maxs[g - 1]),
+                     sum(b - a for a, b in zip(mins, maxs)),
                      min(mins), max(maxs)))
     return spark.createDataFrame(
         rows, "col_name string, n_rowgroups bigint, n_constant bigint, "
-              "n_overlap_breaks bigint, global_min bigint, global_max bigint")
+              "n_overlap_breaks bigint, sum_range bigint, "
+              "global_min bigint, global_max bigint")

@@ -660,6 +660,43 @@ def html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.strip_html(dirty).alias("clean_text"))
 
 
+@query("observed_ingest_metrics", """
+SELECT count(*)::BIGINT AS n_rows,
+       sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_shipdates,
+       sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END)::BIGINT AS nonpositive_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+""")
+def observed_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass side-channel telemetry via Spark's Observation API: the
+    data-quality counters (row count, null ship dates, non-positive
+    quantities) ride the SAME scan as the business aggregate (revenue)
+    — `observe()` attaches accumulator-backed metrics to the plan, so
+    ingest monitoring costs zero extra passes at 100 TB (the naive
+    shape is one extra full scan per counter). The observed values are
+    returned as the result row; the oracle recomputes them
+    declaratively."""
+    from pyspark.sql import Observation
+    li = _t(spark, sf_dir, "lineitem")
+    obs = Observation("ingest")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_shipdate").isNull().cast("long"))
+         .alias("null_shipdates"),
+        F.sum((F.col("l_quantity") <= 0).cast("long"))
+         .alias("nonpositive_qty"))
+    revenue = (observed.agg(
+        F.round(F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .collect()[0]["revenue"])  # the action that populates obs.get
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["null_shipdates"], m["nonpositive_qty"], revenue)],
+        "n_rows bigint, null_shipdates bigint, nonpositive_qty bigint, "
+        "revenue double")
+
+
 @query("benford_price_audit", """
 WITH d AS (
   SELECT CAST(substr(CAST(CAST(l_extendedprice * 100 AS BIGINT) AS VARCHAR),
@@ -868,6 +905,7 @@ SELECT col AS col_name, count(*)::BIGINT AS n_rowgroups,
        sum(CASE WHEN mn = mx THEN 1 ELSE 0 END)::BIGINT AS n_constant,
        sum(CASE WHEN pmx IS NOT NULL AND mn <= pmx THEN 1 ELSE 0 END)::BIGINT
          AS n_overlap_breaks,
+       sum(mx - mn)::BIGINT AS sum_range,
        min(mn) AS global_min, max(mx) AS global_max
 FROM adj GROUP BY col
 """)

@@ -395,3 +395,40 @@ def test_rowgroup_stats_sorted_vs_shuffled(spark, tmp_path):
         rowgroup_stats(spark, p, ["f"])
     with _pytest.raises(ValueError, match="columns"):
         rowgroup_stats(spark, p, [])
+
+
+def test_zorder_improves_rowgroup_prunability(spark, tmp_path):
+    """Close the layout loop: write the SAME skewed-scatter data
+    unclustered and z-order-clustered (small row groups), then measure
+    both with rowgroup_stats — the z-ordered file must show strictly
+    fewer overlapping adjacencies on BOTH key columns (footer stats
+    become useful for pruning), while the audit's global min/max agree."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from go_streams_spark.operators.layout import (rowgroup_stats,
+                                                   zorder_sorted)
+    n = 8_000
+    rows = [( (i * 7919) % 200, (i * 104729) % 200, i) for i in range(n)]
+    df = spark.createDataFrame(rows, "x long, y long, rid long")
+
+    def write_and_audit(frame, name):
+        pdf = frame.toPandas()  # keep the frame's row order
+        p = str(tmp_path / name)
+        pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False),
+                       p, row_group_size=500)
+        return {r["col_name"]: r for r in
+                rowgroup_stats(spark, p, ["x", "y"]).collect()}
+
+    plain = write_and_audit(df, "plain.parquet")
+    zed = write_and_audit(
+        zorder_sorted(df, ["x", "y"], num_partitions=1), "zed.parquet")
+    for c in ("x", "y"):
+        # the multi-dim prunability metric: z-order shrinks every row
+        # group's per-key range (file-order adjacencies still overlap)
+        assert zed[c]["sum_range"] < plain[c]["sum_range"] / 2, c
+        assert zed[c]["global_min"] == plain[c]["global_min"] == 0
+        assert zed[c]["global_max"] == plain[c]["global_max"] == 199
+    # scattered layout: every group spans ~the full domain and every
+    # adjacency overlaps
+    assert plain["x"]["n_overlap_breaks"] >= 14  # 16 row groups -> 15 adj
+    assert plain["x"]["sum_range"] >= 16 * 190
