@@ -354,3 +354,77 @@ def test_incremental_fingerprint_matches_batch_and_replays_safely(spark, tmp_pat
     again = {r["source"]: (r["n_docs"], r["fingerprint"])
              for r in read_corpus_fingerprint(spark, state).collect()}
     assert again == want
+
+
+def test_cep_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """cep_stream across a crash/redeploy: run bounded, add a later
+    event file, restart a NEW query object on the SAME checkpoint. The
+    open-session buffer must survive the restart (the pre-crash session
+    closes by gap-break against post-crash events and emits with its
+    full pre-crash sequence), and no closed session is ever emitted
+    twice (append-mode exactly-once over the union of both runs)."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    from go_streams_spark.streaming import file_stream_source
+    from go_streams_spark.streaming.stateful import cep_stream
+
+    SCHEMA = ("event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    base = dt.datetime(2024, 1, 1, 8)
+
+    def ev(uid, minute, etype, eid):
+        return (eid, base + dt.timedelta(minutes=minute), uid, etype)
+
+    src = str(tmp_path / "src")
+    cp = str(tmp_path / "cp")
+    out = str(tmp_path / "out")
+    seen = []
+
+    def run_once(batch):
+        spark.createDataFrame(batch, SCHEMA).coalesce(1) \
+            .write.mode("append").parquet(src)
+        stream = file_stream_source(spark, src, fmt="parquet",
+                                    schema=SCHEMA)
+        # memory sinks cannot recover from a checkpoint; a parquet sink
+        # is the real exactly-once surface anyway
+        q = (cep_stream(stream, pattern="v[^p]*c[^p]*p",
+                        symbols={"view": "v", "click": "c",
+                                 "purchase": "p"},
+                        gap_seconds=1800, close_on_timeout=False)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", cp)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        new = {(r["user_id"], r["sid"]): (r["seq"], r["n_matches"])
+               for r in rows}
+        delta = {k: v for k, v in new.items() if k not in seen}
+        # exactly-once: nothing already emitted may appear again with
+        # different content, and totals only grow by the delta
+        assert len(new) == len(seen) + len(delta)
+        seen.extend(delta)
+        return delta
+
+    # run 1: one OPEN session per user (funnel-shaped for user 1,
+    # non-matching for user 2) — nothing closes, nothing emits
+    first = run_once([ev(1, 0, "view", 1), ev(1, 2, "click", 2),
+                      ev(1, 4, "purchase", 3),
+                      ev(2, 0, "purchase", 10), ev(2, 2, "view", 11)])
+    assert first == {}
+
+    # crash/redeploy: new files push both users past the gap; the
+    # recovered state must close the PRE-CRASH sessions intact
+    second = run_once([ev(1, 600, "view", 20),
+                       ev(2, 600, "click", 21)])
+    assert second == {(1, 1): ("vcp", 1)}  # user 2's 'pv' never matches
+
+    # third run with no new input: zero new batches, zero re-emission
+    stream = file_stream_source(spark, src, fmt="parquet", schema=SCHEMA)
+    q = (cep_stream(stream, pattern="v[^p]*c[^p]*p",
+                    symbols={"view": "v", "click": "c", "purchase": "p"},
+                    gap_seconds=1800, close_on_timeout=False)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", cp)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == len(seen) == 1
