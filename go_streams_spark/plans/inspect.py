@@ -199,3 +199,48 @@ def nested_loop_build_rows(df) -> list[int]:
 
     walk(df._jdf.queryExecution().executedPlan())
     return out
+
+
+def exchange_report(df: DataFrame) -> list[dict]:
+    """One entry per shuffle Exchange in the physical plan: the
+    partitioning kind (hash / range / single / round-robin), the key
+    expressions, and the declared partition count — the "where does
+    this job shuffle, and on what" explainer behind every shuffle-
+    minimization decision in SCALE.md. BroadcastExchange is excluded
+    (it moves only the small side).
+
+    Parsed from the simple plan text (stable across Spark 3.x/4.x:
+    `Exchange <kind>(<args>)`); cached-subtree ECHOES inside
+    InMemoryRelation definitions are skipped, so entries reflect work
+    the query itself schedules, not the cache's build recipe.
+    """
+    plan = explain_str(df, "simple")
+    out = []
+    in_cache_echo = False
+    for line in plan.splitlines():
+        # InMemoryRelation prints its build plan indented beneath it;
+        # everything until the next top-level node is an echo
+        if "InMemoryRelation" in line:
+            in_cache_echo = True
+            cache_indent = len(line) - len(line.lstrip())
+            continue
+        if in_cache_echo:
+            indent = len(line) - len(line.lstrip())
+            if line.strip() and indent <= cache_indent:
+                in_cache_echo = False
+            else:
+                continue
+        m = re.search(
+            r"(?<!Broadcast)Exchange (\w+)\((.*?)\)(?:,|\s|$)", line)
+        if not m:
+            continue
+        kind, args = m.group(1), m.group(2)
+        nparts = None
+        tail = re.search(r"(\d+)\s*$", args)
+        if tail:
+            nparts = int(tail.group(1))
+        keys = [k.split("#")[0].strip()
+                for k in re.findall(r"(\w+)#\d+", args)]
+        out.append({"kind": kind, "keys": keys, "partitions": nparts,
+                    "raw": args})
+    return out

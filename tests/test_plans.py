@@ -298,3 +298,38 @@ def test_pin_scope_releases_only_its_own_pins(spark, sf_dir):
             track_persist(spark.range(5)).count()
             assert len(p2) == 1
         assert persisted_ids() - baseline == set()
+
+
+def test_exchange_report_kinds_keys_and_cache_echo_skip(spark, sf_dir):
+    """exchange_report names each shuffle's kind/keys/partitions, skips
+    BroadcastExchange, and does NOT count the exchanges echoed inside a
+    cached subtree's InMemoryRelation definition."""
+    from pyspark.sql import functions as F
+    from go_streams_spark.plans.inspect import exchange_report
+    from go_streams_spark.plans.caching import track_persist
+
+    df = spark.range(200).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v"))
+    agg = df.groupBy("k").agg(F.sum("v").alias("s"))
+    rep = exchange_report(agg.orderBy("s"))
+    kinds = [e["kind"] for e in rep]
+    assert kinds.count("hashpartitioning") == 1
+    assert kinds.count("rangepartitioning") == 1
+    hashed = next(e for e in rep if e["kind"] == "hashpartitioning")
+    assert hashed["keys"] == ["k"]
+    assert hashed["partitions"] == int(
+        spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # broadcast join contributes NO entry
+    small = spark.range(5).select(F.col("id").alias("k"),
+                                  F.lit("d").alias("dim"))
+    joined = df.join(F.broadcast(small), "k")
+    assert exchange_report(joined) == []
+
+    # cached subtree: its build-plan echo must not inflate the report
+    cached = track_persist(agg)
+    downstream = cached.groupBy().agg(F.sum("s").alias("t"))
+    rep2 = exchange_report(downstream)
+    # only the scalar-agg single partition move remains visible
+    assert all(e["kind"] != "hashpartitioning" or e["keys"] != ["k"]
+               for e in rep2), rep2
