@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "quantile_normalize_sources",
     "benford_price_audit",
     "observed_ingest_metrics",
+    "measure_correlation_matrix",
     "rowgroup_pruning_audit",
     "dsir_importance_weights",
     "nb_quality_classifier",

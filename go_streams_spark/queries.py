@@ -660,6 +660,57 @@ def html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.strip_html(dirty).alias("clean_text"))
 
 
+@query("measure_correlation_matrix", """
+WITH c AS (
+  SELECT round(corr(l_quantity, l_extendedprice), 4) AS qty_price,
+         round(corr(l_quantity, l_discount), 4)      AS qty_disc,
+         round(corr(l_quantity, l_tax), 4)           AS qty_tax,
+         round(corr(l_extendedprice, l_discount), 4) AS price_disc,
+         round(corr(l_extendedprice, l_tax), 4)      AS price_tax,
+         round(corr(l_discount, l_tax), 4)           AS disc_tax,
+         count(*)::BIGINT AS n
+  FROM lineitem
+)
+SELECT p.col_a, p.col_b,
+       CASE p.col_a || '|' || p.col_b
+         WHEN 'l_quantity|l_extendedprice' THEN c.qty_price
+         WHEN 'l_quantity|l_discount' THEN c.qty_disc
+         WHEN 'l_quantity|l_tax' THEN c.qty_tax
+         WHEN 'l_extendedprice|l_discount' THEN c.price_disc
+         WHEN 'l_extendedprice|l_tax' THEN c.price_tax
+         ELSE c.disc_tax END AS corr,
+       c.n
+FROM c CROSS JOIN (VALUES
+  ('l_quantity', 'l_extendedprice'), ('l_quantity', 'l_discount'),
+  ('l_quantity', 'l_tax'), ('l_extendedprice', 'l_discount'),
+  ('l_extendedprice', 'l_tax'), ('l_discount', 'l_tax')) p(col_a, col_b)
+""")
+def measure_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over the lineitem measures
+    in ONE aggregate pass — all k(k-1)/2 corr() moments are algebraic,
+    so the whole matrix costs a single scan with map-side partials
+    (the naive per-pair loop is 6 scans). The feature-redundancy
+    profiling step before model training. Unpivoted to (col_a, col_b,
+    corr) rows via a literal pair table."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    wide = li.agg(
+        *[F.round(F.corr(a, b), 4).alias(f"c_{i}")
+          for i, (a, b) in enumerate(pairs)],
+        F.count(F.lit(1)).alias("n"))
+    pair_lit = F.array(*[
+        F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                 F.lit(i).alias("i")) for i, (a, b) in enumerate(pairs)])
+    corr_arr = F.array(*[F.col(f"c_{i}") for i in range(len(pairs))])
+    return (wide.select(F.explode(pair_lit).alias("p"), corr_arr.alias("cs"),
+                        "n")
+            .select(F.col("p.col_a").alias("col_a"),
+                    F.col("p.col_b").alias("col_b"),
+                    F.element_at("cs", F.col("p.i") + 1).alias("corr"),
+                    "n"))
+
+
 @query("observed_ingest_metrics", """
 SELECT count(*)::BIGINT AS n_rows,
        sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT AS null_shipdates,

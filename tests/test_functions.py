@@ -1676,3 +1676,26 @@ def test_benford_audit_math_and_detection(spark, tmp_path):
     got9 = {r["digit"]: r["n"] for r in
             QUERIES["benford_price_audit"](spark, d).collect()}
     assert got9[9] == 1 and got9[1] == 0
+
+
+def test_correlation_matrix_single_pass_and_values(spark, sf_dir):
+    """One-pass matrix: the plan contains exactly ONE lineitem scan;
+    values match NumPy's corrcoef to the rounded precision; and the
+    pair table covers all k(k-1)/2 combinations exactly once."""
+    import numpy as np
+    from go_streams_spark.queries import QUERIES
+    from go_streams_spark.plans import explain_str
+    df = QUERIES["measure_correlation_matrix"](spark, sf_dir)
+    assert explain_str(df, "simple").count("FileScan") == 1
+    rows = df.collect()
+    assert len(rows) == 6
+    pairs = {(r["col_a"], r["col_b"]) for r in rows}
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    assert pairs == {(a, b) for i, a in enumerate(cols)
+                     for b in cols[i + 1:]}
+    pdf = spark.read.parquet(f"{sf_dir}/lineitem.parquet") \
+        .select(*cols).toPandas()
+    for r in rows:
+        ref = np.corrcoef(pdf[r["col_a"]], pdf[r["col_b"]])[0, 1]
+        assert abs(r["corr"] - ref) < 2e-4, (r["col_a"], r["col_b"])
+        assert r["n"] == len(pdf)
