@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "benford_price_audit",
     "observed_ingest_metrics",
     "measure_correlation_matrix",
+    "corpus_dataset_card",
     "rowgroup_pruning_audit",
     "dsir_importance_weights",
     "nb_quality_classifier",

@@ -660,6 +660,68 @@ def html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.strip_html(dirty).alias("clean_text"))
 
 
+@query("corpus_dataset_card", """
+WITH t AS (
+  SELECT doc_id, lang, source, n_chars,
+         len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tokens,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS dup_key
+  FROM documents
+), langs AS (
+  SELECT lang, count(*) AS n FROM t GROUP BY lang
+), top_lang AS (
+  SELECT lang, n FROM langs ORDER BY n DESC, lang LIMIT 1
+), dups AS (
+  SELECT count(*) - count(DISTINCT dup_key) AS n_dup FROM t
+)
+SELECT count(*)::BIGINT                          AS n_docs,
+       sum(t.n_tokens)::BIGINT                   AS n_tokens,
+       sum(t.n_chars)::BIGINT                    AS n_chars,
+       count(DISTINCT t.lang)::BIGINT            AS n_langs,
+       count(DISTINCT t.source)::BIGINT          AS n_sources,
+       max(top_lang.lang)                        AS top_lang,
+       round(max(top_lang.n) * 1.0 / count(*), 4) AS top_lang_share,
+       max(dups.n_dup)::BIGINT                   AS n_exact_dups,
+       round(max(dups.n_dup) * 1.0 / count(*), 4) AS dup_rate,
+       round(avg(t.n_tokens), 2)                 AS mean_tokens
+FROM t CROSS JOIN top_lang CROSS JOIN dups
+""")
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the one-row manifest every corpus release ships —
+    doc/token/char counts, language and source diversity, dominant
+    language share, exact-duplicate rate, mean length. Three bounded
+    aggregates (doc-grain stats, lang-grain top-1, dup-key distinct)
+    joined as 1-row scalar metadata; nothing beyond group-grain rows
+    shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", "source", "n_chars",
+        T.token_count("text").alias("n_tokens"),
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))),
+                               "\\s+", " ")).alias("dup_key"))
+    top = (t.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+           .orderBy(F.col("n").desc(), "lang").limit(1)
+           .select(F.col("lang").alias("tl"), F.col("n").alias("tn")))
+    dups = t.agg((F.count(F.lit(1))
+                  - F.countDistinct("dup_key")).alias("n_dup"))
+    return (t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_tokens"), 2).alias("mean_tokens"))
+        .crossJoin(F.broadcast(top))    # 1-row scalar metadata
+        .crossJoin(F.broadcast(dups))   # 1-row scalar metadata
+        .select("n_docs", "n_tokens", "n_chars", "n_langs", "n_sources",
+                F.col("tl").alias("top_lang"),
+                F.round(F.col("tn") / F.col("n_docs"), 4)
+                 .alias("top_lang_share"),
+                F.col("n_dup").cast("long").alias("n_exact_dups"),
+                F.round(F.col("n_dup") / F.col("n_docs"), 4)
+                 .alias("dup_rate"),
+                "mean_tokens"))
+
+
 @query("measure_correlation_matrix", """
 WITH c AS (
   SELECT round(corr(l_quantity, l_extendedprice), 4) AS qty_price,
