@@ -195,6 +195,11 @@ def salted_join(left: DataFrame, right: DataFrame, *, on: Sequence[str],
     if salt_buckets < 1:
         raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     on = list(on)
+    if not on:
+        raise ValueError("salted_join requires at least one join column "
+                         "(an empty key would salt-replicate a cross join)")
+    if "__salt" in left.columns or "__salt" in right.columns:
+        raise ValueError("inputs already carry a __salt column")
     missing = [c for c in on if c not in left.columns or c not in right.columns]
     if missing:
         raise ValueError(f"join columns missing from an input: {missing}")

@@ -360,6 +360,10 @@ def test_salted_join_equals_plain_join(spark):
         salted_join(left, right, on=["nope"])
     with _pytest.raises(ValueError, match="ambiguous"):
         salted_join(left.withColumn("name", F.lit("x")), right, on=["k"])
+    with _pytest.raises(ValueError, match="at least one join column"):
+        salted_join(left, right, on=[])
+    with _pytest.raises(ValueError, match="__salt"):
+        salted_join(left.withColumn("__salt", F.lit(1)), right, on=["k"])
 
 
 def test_rowgroup_stats_sorted_vs_shuffled(spark, tmp_path):
