@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "observed_ingest_metrics",
     "measure_correlation_matrix",
     "corpus_dataset_card",
+    "token_bucket_admissions",
     "rowgroup_pruning_audit",
     "dsir_importance_weights",
     "nb_quality_classifier",

@@ -85,3 +85,64 @@ def discard_over_quota(quota: int, ts: str | Column, period: str,
                 .drop("__tb", "__rn"))
 
     return Flow(_apply, name="throttler_discard")
+
+
+def token_bucket_admit(df: DataFrame, *, rate_micro_per_sec: int,
+                       burst_micro: int, cost_micro: int = 1_000_000,
+                       key_col: str = "user_id", ts_col: str = "ts",
+                       tiebreak_col: str = "event_id") -> DataFrame:
+    """Token-bucket admission control — the burst-tolerant rate limiter
+    the fixed-window Discard throttler cannot express (a client may
+    burst up to ``burst_micro`` at once, then sustain
+    ``rate_micro_per_sec``; fixed windows allow 2x bursts at window
+    boundaries). Semantics are the textbook bucket: tokens start full,
+    refill linearly with event-time seconds, cap at burst; an event is
+    admitted iff >= ``cost_micro`` tokens remain, and only admission
+    spends.
+
+    ENGINE-EXACT: all arithmetic is INTEGER micro-tokens (refill =
+    whole-second delta x rate), so the sequential fold is
+    bit-reproducible in any engine — the DuckDB oracle replays it as a
+    recursive CTE. The fold is inherently sequential per key, so it
+    runs as one Arrow applyInPandas pass per key partition (key-grain
+    bounded, the isotonic/PAV decision class); everything before and
+    after stays relational. Returns the input rows plus
+    (admitted: boolean, tokens_after_micro: long).
+    """
+    if rate_micro_per_sec < 0 or burst_micro < 1 or cost_micro < 1:
+        raise ValueError(
+            "need rate_micro_per_sec >= 0, burst_micro >= 1, "
+            f"cost_micro >= 1; got {rate_micro_per_sec}/{burst_micro}/"
+            f"{cost_micro}")
+    import pandas as pd
+
+    cols = df.columns
+    out_schema = ", ".join(
+        f"{n} {t}" for n, t in df.dtypes) + ", admitted boolean, " \
+        "tokens_after_micro bigint"
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([ts_col, tiebreak_col]).copy()
+        ser = pd.to_datetime(pdf[ts_col])
+        if getattr(ser.dt, "tz", None) is not None:
+            ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
+        secs = (ser.astype("datetime64[ns]").astype("int64")
+                // 1_000_000_000).tolist()
+        tokens, prev = burst_micro, None
+        admitted, after = [], []
+        for s in secs:
+            if prev is not None:
+                tokens = min(burst_micro,
+                             tokens + (s - prev) * rate_micro_per_sec)
+            prev = s
+            if tokens >= cost_micro:
+                tokens -= cost_micro
+                admitted.append(True)
+            else:
+                admitted.append(False)
+            after.append(tokens)
+        pdf["admitted"] = admitted
+        pdf["tokens_after_micro"] = after
+        return pdf[cols + ["admitted", "tokens_after_micro"]]
+
+    return df.groupBy(key_col).applyInPandas(_fold, schema=out_schema)

@@ -660,6 +660,49 @@ def html_strip_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.strip_html(dirty).alias("clean_text"))
 
 
+@query("token_bucket_admissions", """
+WITH RECURSIVE e AS (
+  SELECT user_id, event_id,
+         floor(epoch(ts))::BIGINT AS sec,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, event_id, sec, rn,
+         true AS admitted,
+         (3000000 - 1000000)::BIGINT AS tok
+  FROM e WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_id, e.sec, e.rn,
+         least(3000000, r.tok + (e.sec - r.sec) * 20000) >= 1000000,
+         (CASE WHEN least(3000000, r.tok + (e.sec - r.sec) * 20000)
+                    >= 1000000
+               THEN least(3000000, r.tok + (e.sec - r.sec) * 20000)
+                    - 1000000
+               ELSE least(3000000, r.tok + (e.sec - r.sec) * 20000)
+          END)::BIGINT
+  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+)
+SELECT user_id, event_id, admitted,
+       tok AS tokens_after_micro
+FROM r
+""")
+def token_bucket_admissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate limiting per user (burst 3 tokens, refill 0.02
+    tokens/s, cost 1/event): the burst-tolerant admission semantics a
+    fixed-window throttler cannot express. Integer micro-token
+    arithmetic makes the sequential fold bit-identical to the DuckDB
+    recursive-CTE replay; the fold itself is one Arrow pass per
+    user partition (key-grain bounded)."""
+    ev = _t(spark, sf_dir, "events")
+    from .operators.throttle import token_bucket_admit
+    out = token_bucket_admit(
+        ev.select("user_id", "event_id", "ts"),
+        rate_micro_per_sec=20_000, burst_micro=3_000_000)
+    return out.select("user_id", "event_id", "admitted",
+                      "tokens_after_micro")
+
+
 @query("corpus_dataset_card", """
 WITH t AS (
   SELECT doc_id, lang, source, n_chars,

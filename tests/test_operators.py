@@ -436,3 +436,38 @@ def test_zorder_improves_rowgroup_prunability(spark, tmp_path):
     # adjacency overlaps
     assert plain["x"]["n_overlap_breaks"] >= 14  # 16 row groups -> 15 adj
     assert plain["x"]["sum_range"] >= 16 * 190
+
+
+def test_token_bucket_burst_and_refill(spark):
+    """Textbook bucket semantics on a hand-built timeline (burst 3,
+    refill 1 token / 50 s, cost 1): a 5-event burst admits exactly 3;
+    one refill period later exactly 1 more; a long idle refills only
+    to the cap (never beyond burst); rejection does not spend."""
+    import datetime as dt
+    import pytest as _pytest
+    from go_streams_spark.operators.throttle import token_bucket_admit
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # burst of 5 at t=0..4s (refill during burst: 4s * 20000 = 80000 < cost)
+    for i in range(5):
+        rows.append((1, i, base + dt.timedelta(seconds=i)))
+    rows.append((1, 10, base + dt.timedelta(seconds=60)))   # ~1 token back
+    rows.append((1, 11, base + dt.timedelta(seconds=61)))   # spent again
+    rows.append((1, 20, base + dt.timedelta(hours=2)))      # idle -> full cap
+    rows.append((1, 21, base + dt.timedelta(hours=2, seconds=1)))
+    rows.append((1, 22, base + dt.timedelta(hours=2, seconds=2)))
+    rows.append((1, 23, base + dt.timedelta(hours=2, seconds=3)))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    out = {r["event_id"]: (r["admitted"], r["tokens_after_micro"])
+           for r in token_bucket_admit(
+               df, rate_micro_per_sec=20_000,
+               burst_micro=3_000_000).collect()}
+    # burst: first 3 admitted, 4th/5th rejected (partial refill kept)
+    assert [out[i][0] for i in range(5)] == [True, True, True, False, False]
+    assert out[2][1] < 1_000_000            # nearly drained
+    assert out[10][0] is True               # one refill period -> admit
+    assert out[11][0] is False              # immediately broke again
+    # long idle refills to the CAP, so exactly 3 more admits, not 100+
+    assert [out[i][0] for i in (20, 21, 22, 23)] == [True, True, True, False]
+    with _pytest.raises(ValueError, match="burst_micro"):
+        token_bucket_admit(df, rate_micro_per_sec=1, burst_micro=0)
