@@ -524,3 +524,67 @@ def cep_stream(df: DataFrame, *, pattern: str, symbols: dict[str, str],
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     output_mode,
                                     GroupStateTimeout.EventTimeTimeout))
+
+
+def token_bucket_stream(df: DataFrame, *, rate_micro_per_sec: int,
+                        burst_micro: int, cost_micro: int = 1_000_000,
+                        key_col: str = "user_id", ts_col: str = "ts",
+                        tiebreak_col: str = "event_id",
+                        output_mode: str = "append") -> DataFrame:
+    """Streaming twin of ``operators.throttle.token_bucket_admit``:
+    the per-key bucket (integer micro-tokens, last-seen second)
+    persists in the state store across micro-batches, so the admission
+    decisions over a stream equal the batch fold over the same rows
+    (parity test-pinned). State is two longs per key — bounded forever.
+
+    Ordering contract: rows sort by (ts, tiebreak) WITHIN a micro-batch;
+    cross-batch order is the source's (the usual per-key micro-batch
+    contract, same as running_fold_stream). Emits every input row plus
+    (admitted, tokens_after_micro).
+    """
+    if rate_micro_per_sec < 0 or burst_micro < 1 or cost_micro < 1:
+        raise ValueError(
+            "need rate_micro_per_sec >= 0, burst_micro >= 1, "
+            f"cost_micro >= 1; got {rate_micro_per_sec}/{burst_micro}/"
+            f"{cost_micro}")
+    cols = df.columns
+    out_schema = ", ".join(
+        f"{n} {t}" for n, t in df.dtypes) + ", admitted boolean, " \
+        "tokens_after_micro bigint"
+    state_schema = "tokens bigint, last_sec bigint"
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        tokens, last = (state.get if state.exists
+                        else (burst_micro, None))
+        if last is not None and last < 0:
+            last = None  # sentinel for "no event seen yet"
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values([ts_col, tiebreak_col]).copy()
+            ser = pd.to_datetime(pdf[ts_col])
+            if getattr(ser.dt, "tz", None) is not None:
+                ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
+            secs = (ser.astype("datetime64[ns]").astype("int64")
+                    // 1_000_000_000).tolist()
+            admitted, after = [], []
+            for s in secs:
+                if last is not None:
+                    tokens = min(burst_micro,
+                                 tokens + (s - last) * rate_micro_per_sec)
+                last = s
+                if tokens >= cost_micro:
+                    tokens -= cost_micro
+                    admitted.append(True)
+                else:
+                    admitted.append(False)
+                after.append(tokens)
+            pdf["admitted"] = admitted
+            pdf["tokens_after_micro"] = after
+            yield pdf[cols + ["admitted", "tokens_after_micro"]]
+        state.update((tokens, -1 if last is None else last))
+
+    return (df.groupBy(key_col)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    output_mode,
+                                    GroupStateTimeout.NoTimeout))

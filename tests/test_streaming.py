@@ -794,3 +794,43 @@ def test_stream_stream_interval_join_cross_batch(spark, tmp_path):
     q.stop()
     got = [(r["user_id"], r["value"]) for r in spark.table(name).collect()]
     assert got == [(1, 5.0)]  # cross-batch match; out-of-range excluded
+
+
+def test_token_bucket_stream_matches_batch(spark, tmp_path):
+    """Streaming token bucket == batch fold over the same rows: split
+    the events across two files (maxFilesPerTrigger=1 so the bucket
+    state crosses a micro-batch boundary) and compare every admission
+    decision and token balance against token_bucket_admit."""
+    import datetime as dt
+    from go_streams_spark.operators.throttle import token_bucket_admit
+    from go_streams_spark.streaming.stateful import token_bucket_stream
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in (1, 2):
+        for s in (0, 1, 2, 3, 60, 61, 7200, 7201, 7202, 7203):
+            rows.append((u, eid, base + dt.timedelta(seconds=s + u)))
+            eid += 1
+    schema = "user_id long, event_id long, ts timestamp"
+    df = spark.createDataFrame(rows, schema)
+    d = str(tmp_path / "tb")
+    # split each USER's timeline across the two files, so the bucket
+    # balance genuinely carries across a micro-batch boundary per key
+    df.where("event_id % 10 < 4").coalesce(1).write.mode("append").parquet(d)
+    df.where("event_id % 10 >= 4").coalesce(1).write.mode("append").parquet(d)
+
+    src = file_stream_source(spark, d, fmt="parquet", schema=schema,
+                             maxFilesPerTrigger="1")
+    out = token_bucket_stream(src, rate_micro_per_sec=20_000,
+                              burst_micro=3_000_000)
+    q = (out.writeStream.format("memory").queryName("tb_par")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["event_id"]: (r["admitted"], r["tokens_after_micro"])
+           for r in spark.table("tb_par").collect()}
+    want = {r["event_id"]: (r["admitted"], r["tokens_after_micro"])
+            for r in token_bucket_admit(
+                df, rate_micro_per_sec=20_000,
+                burst_micro=3_000_000).collect()}
+    assert got == want and len(got) == len(rows)
