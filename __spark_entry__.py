@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from go_streams_spark.queries import QUERIES, ORACLE  # noqa: E402
+from go_streams_spark.queries import QUERIES, oracle_for  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,5 +28,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
 
-def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE)
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """Oracle SQL per query. The driver calls this with no argument and
+    gets SQL valid at its sf0.01 gate; multi-SF sweeps pass the sweep
+    dir so path-bearing oracles (``{SF_DIR}`` placeholder, e.g.
+    parquet_metadata()) follow the data."""
+    from go_streams_spark.queries import GATE_SF_DIR
+    return oracle_for(sf_dir or GATE_SF_DIR)

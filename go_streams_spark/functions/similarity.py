@@ -13,7 +13,14 @@ Two tiers, per the standard ANN playbook:
 
 Dot products use ``F.zip_with`` + ``F.aggregate`` (JVM-side, sequential
 left fold in doubles — bit-identical to the DuckDB oracle's list_sum of
-per-element products).
+per-element products). The EXACT-kNN family (``brute_force_knn``,
+``brute_force_knn_matmul``, ``block_knn``) goes one step further:
+micro-unit int64 quantization (``quantized_vec`` /
+``quantized_cosine`` / ``_np_quantized_cosine``) makes the similarity
+bit-identical across the JVM, numpy/BLAS (any thread count), and
+DuckDB — float left-folds match DuckDB but NOT BLAS accumulation
+order, which once flipped a 0.5e-6 rounding midpoint and with it a
+recall report's value hash.
 """
 
 from __future__ import annotations
@@ -41,19 +48,79 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def quantized_vec(vec: Column | str, scale: int = 1_000_000) -> Column:
+    """Micro-unit quantization (the repo's cross-engine exactness
+    convention, shared with ``jl_project``): each component becomes the
+    int64 ``floor(x*scale + 0.5)``. Sums/dots of these are exact
+    integers in every engine — no accumulation order to diverge on."""
+    return F.transform(as_double(vec),
+                       lambda x: F.floor(x * scale + F.lit(0.5)))
+
+
+def quantized_cosine(qa: Column, qb: Column,
+                     scale: int = 1_000_000) -> Column:
+    """ENGINE-EXACT 6-dp cosine over micro-unit int64 vectors: the dot
+    product and both squared norms are exact int64 folds; the only
+    float ops left are one sqrt/multiply/divide chain (IEEE, correctly
+    rounded, identical in the JVM, numpy, and DuckDB) and the repo's
+    ``floor(s*1e6+0.5)/1e6`` half-up rounding. Any engine computing
+    this formula on the same vectors produces bit-identical doubles —
+    unlike float left-folds vs BLAS, whose accumulation orders can
+    round a 0.5e-6 midpoint differently."""
+    zero = F.lit(0).cast("long")
+    d = F.aggregate(F.zip_with(qa, qb, lambda x, y: x * y), zero,
+                    lambda acc, x: acc + x)
+    na = F.aggregate(F.transform(qa, lambda x: x * x), zero,
+                     lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform(qb, lambda x: x * x), zero,
+                     lambda acc, x: acc + x)
+    return (F.floor(d / (F.sqrt(na) * F.sqrt(nb)) * scale + F.lit(0.5))
+            / float(scale))
+
+
+def _np_quantized_cosine(qmat_a, qmat_b, scale: int = 1_000_000):
+    """numpy twin of ``quantized_cosine``: (n,d) x (m,d) integer-valued
+    float64 micro-unit matrices -> (n,m) 6-dp sims, bit-identical to
+    the JVM/DuckDB formula. The float64 matmul is EXACT (hence
+    order-independent, BLAS-safe) whenever every partial sum stays
+    below 2^53; the guard falls back to int64 matmul otherwise."""
+    import numpy as np
+    d = qmat_a.shape[1]
+    maxa = float(np.max(np.abs(qmat_a), initial=0.0))
+    maxb = float(np.max(np.abs(qmat_b), initial=0.0))
+    lim = float(2 ** 53)
+    if d * maxa * maxb < lim and d * maxa * maxa < lim \
+            and d * maxb * maxb < lim:
+        dots = qmat_a @ qmat_b.T
+        na = (qmat_a * qmat_a).sum(axis=1)
+        nb = (qmat_b * qmat_b).sum(axis=1)
+    else:  # exact regardless of magnitude, no BLAS
+        ia, ib = qmat_a.astype(np.int64), qmat_b.astype(np.int64)
+        dots = (ia @ ib.T).astype(np.float64)
+        na = (ia * ia).sum(axis=1).astype(np.float64)
+        nb = (ib * ib).sum(axis=1).astype(np.float64)
+    s = dots / (np.sqrt(na)[:, None] * np.sqrt(nb)[None, :])
+    return np.floor(s * scale + 0.5) / float(scale)
+
+
 def brute_force_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
                     k: int = 5, round_dp: int = 6) -> DataFrame:
     """Exact top-k cosine neighbors for every vector (cross join).
 
-    Ranking uses the ROUNDED similarity with id tie-break so results are
-    stable across engines and accumulation orders.
+    Ranking uses the quantized ENGINE-EXACT similarity
+    (``quantized_cosine``: micro-unit int64 dot/norms, one float
+    division, half-up 6-dp round) with id tie-break, so results are
+    bit-stable across engines, thread counts, and accumulation orders.
     """
-    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    scale = 10 ** round_dp
+    base = df.select(F.col(id_col),
+                     quantized_vec(vec_col, scale).alias("v"))
     a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
     b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
     pairs = (a.join(b, F.col("id_a") != F.col("id_b"))
              .select("id_a", "id_b",
-                     F.round(cosine(F.col("va"), F.col("vb")), round_dp).alias("sim")))
+                     quantized_cosine(F.col("va"), F.col("vb"),
+                                      scale).alias("sim")))
     w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
     return (pairs.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -301,6 +368,15 @@ def block_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddin
     Size blocks/shards so two sub-matrices fit an executor's memory at
     the target scale.
 
+    ENGINE-EXACT similarities: vectors are quantized to micro-unit
+    int64 (``quantized_vec``) and sims computed by
+    ``_np_quantized_cosine`` — exact integer dot/norms, so the result
+    is bit-identical to the JVM ``quantized_cosine`` and to a DuckDB
+    oracle using the same integer formula, independent of BLAS thread
+    count or accumulation order (a float-BLAS rounding flip at a
+    0.5e-6 midpoint once flipped a rank-5 tie-break and with it a
+    recall report's hash).
+
     ``exclude_match_col``: when set (e.g. ``"label"``), candidates whose
     value in that column EQUALS the query's are excluded — per-class
     HARD-NEGATIVE MINING for contrastive training (nearest vectors that
@@ -321,7 +397,9 @@ def block_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddin
     if exclude_match_col:
         df = df.where(F.col(exclude_match_col).isNotNull())
     xcols = [F.col(exclude_match_col)] if exclude_match_col else []
-    base = df.select(F.col(id_col), as_double(vec_col).alias("v"), *xcols)
+    scale = 10 ** round_dp
+    base = df.select(F.col(id_col),
+                     quantized_vec(vec_col, scale).alias("v"), *xcols)
     la = [F.col(exclude_match_col).alias("la")] if exclude_match_col else []
     lb = [F.col(exclude_match_col).alias("lb")] if exclude_match_col else []
     q = base.select(F.pmod(F.col(id_col), F.lit(Q)).cast("int").alias("qb"),
@@ -340,12 +418,9 @@ def block_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddin
         ib = np.array(list(ipdf["vb"]), dtype=np.float64)
         qids = qpdf["id_a"].to_numpy(dtype=np.int64)
         iids = ipdf["id_b"].to_numpy(dtype=np.int64)
-        # exact oracle formula: raw dot / (norm * norm), rounded
-        sims = np.round(
-            (qa @ ib.T)
-            / (np.linalg.norm(qa, axis=1)[:, None]
-               * np.linalg.norm(ib, axis=1)[None, :]),
-            round_dp)
+        # inputs arrive micro-unit quantized; sims are bit-exact in
+        # every engine (integer dot/norms + one IEEE division)
+        sims = _np_quantized_cosine(qa, ib, scale)
         qlabels = (qpdf["la"].to_numpy() if exclude_match_col else None)
         ilabels = (ipdf["lb"].to_numpy() if exclude_match_col else None)
         out_a, out_b, out_s = [], [], []
@@ -384,28 +459,29 @@ def brute_force_knn_matmul(df: DataFrame, *, id_col: str = "vec_id",
     distributed, nothing ever collected); for approximate use
     ``sign_lsh_knn``/``ivf_knn``.
 
-    Same result contract as ``brute_force_knn`` (rounded sim, id
-    tie-break) but one BLAS call per Arrow batch instead of an
+    Same result contract as ``brute_force_knn`` (ENGINE-EXACT quantized
+    sim, id tie-break) but one BLAS call per Arrow batch instead of an
     interpreted expression per pair — no shuffle; the cross product
     never materializes.
     """
     import numpy as np
     import pandas as pd
 
+    scale = 10 ** round_dp
     rows = df.select(id_col, vec_col).collect()  # index build: small side
     ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    mat = np.floor(np.array([r[1] for r in rows], dtype=np.float64)
+                   * scale + 0.5)
     spark = df.sparkSession
     b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat_n)
+    b_mat = spark.sparkContext.broadcast(mat)
 
     def _knn(batches):
         for pdf in batches:
             q_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q = np.array(list(pdf[vec_col]), dtype=np.float64)
-            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = np.round(qn @ b_mat.value.T, round_dp)
+            q = np.floor(np.array(list(pdf[vec_col]), dtype=np.float64)
+                         * scale + 0.5)
+            sims = _np_quantized_cosine(q, b_mat.value, scale)
             out_id, out_nb, out_sim, out_rank = [], [], [], []
             for qi, row in zip(q_ids, sims):
                 mask = b_ids.value != qi
@@ -1265,12 +1341,15 @@ def ann_recall_against_exact(df: DataFrame, approx: DataFrame, *,
     exact = block_knn(df, k=k, query_blocks=query_blocks,
                       index_shards=index_shards) \
         .select(id_col, "neighbor_id")
+    # distinct + clamp: duplicate (id, neighbor) rows in a sloppy approx
+    # list (or lists longer than k) must not inflate hits past k, else
+    # recall_at_k could exceed 1.0
     a = approx.select(F.col(id_col).alias("a_vec"),
-                      F.col("neighbor_id").alias("a_nb"))
+                      F.col("neighbor_id").alias("a_nb")).distinct()
     per = (exact.join(a, (F.col(id_col) == F.col("a_vec"))
                       & (F.col("neighbor_id") == F.col("a_nb")), "left")
            .groupBy(id_col)
-           .agg(F.count("a_nb").alias("hits")))
+           .agg(F.least(F.count("a_nb"), F.lit(k)).alias("hits")))
     return (per.agg(
         F.count(F.lit(1)).alias("n_queries"),
         F.sum("hits").alias("total_hits"),

@@ -29,6 +29,22 @@ from .operators import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE: dict[str, str] = {}
 
+#: The driver's correctness gate runs at this SF; ``{SF_DIR}``
+#: placeholders in oracle SQL (used by the few oracles that must name a
+#: parquet path directly, e.g. parquet_metadata()) resolve here by
+#: default so the driver's plain ``oracle_sql()`` stays valid, while
+#: multi-SF sweeps (tools/check_oracle.py) resolve them to the sweep
+#: dir — un-pinning the oracle from one SF.
+GATE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def oracle_for(sf_dir: str = GATE_SF_DIR) -> dict[str, str]:
+    """The oracle registry with ``{SF_DIR}`` placeholders resolved to
+    ``sf_dir`` (plain string substitution — oracle SQL contains no
+    other brace tokens)."""
+    return {name: sql.replace("{SF_DIR}", sf_dir)
+            for name, sql in ORACLE.items()}
+
 #: SinglePartition exemption classes a query may declare at registration
 #: time (``@query(..., bound="customer-grain")``). The scale sweep
 #: (tests/test_scale_patterns.py::test_single_partition_exchange_inputs_bounded)
@@ -1050,7 +1066,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH m AS (
   SELECT row_group_id, path_in_schema AS col,
          stats_min_value::BIGINT AS mn, stats_max_value::BIGINT AS mx
-  FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+  FROM parquet_metadata('{SF_DIR}/lineitem.parquet')
   WHERE path_in_schema IN ('l_orderkey', 'l_partkey', 'l_suppkey')
 ), adj AS (
   SELECT col, mn, mx,
@@ -1070,7 +1086,8 @@ def rowgroup_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem, how prunable is the physical layout (constant row groups,
     range-sorted adjacencies)? Reads ONLY footer metadata — no data
     scan; the DuckDB oracle is parquet_metadata() over the same file
-    (gate runs at sf0.01, hence the pinned oracle path). The
+    (``{SF_DIR}`` placeholder — resolves to the gate dir for the
+    driver, to the sweep dir in multi-SF sweeps). The
     measurement half of the compact_parquet / zorder_sorted layout
     story; multi-row-group depth is exercised in tests."""
     import os as _os
@@ -1553,12 +1570,19 @@ def simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("embedding_knn", """
 WITH v AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS qv,
+         list_sum(list_transform(embedding,
+             x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT
+                  * floor(x::DOUBLE * 1000000 + 0.5)::BIGINT))::BIGINT AS nrm
+  FROM embeddings
 ), pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
-               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS sim
+         floor(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                       p -> p[1] * p[2]))::BIGINT
+               / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000 + 0.5)
+           / 1000000.0 AS sim
   FROM v a JOIN v b ON a.vec_id <> b.vec_id
 )
 SELECT id_a AS vec_id, id_b AS neighbor_id, sim, rank::INT AS rank
@@ -1622,12 +1646,21 @@ WITH cfg AS (
   FROM embeddings
 ), v AS (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), vq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS qv,
+         list_sum(list_transform(embedding,
+             x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT
+                  * floor(x::DOUBLE * 1000000 + 0.5)::BIGINT))::BIGINT AS nrm
+  FROM embeddings
 ), ep AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
-               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS sim
-  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+         floor(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                       p -> p[1] * p[2]))::BIGINT
+               / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000 + 0.5)
+           / 1000000.0 AS sim
+  FROM vq a JOIN vq b ON a.vec_id <> b.vec_id
 ), exact AS (
   SELECT id_a, id_b FROM (
     SELECT *, row_number() OVER (PARTITION BY id_a
@@ -5301,13 +5334,20 @@ def rrf_fused_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("hard_negatives_by_label", """
 WITH v AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v, label
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS qv,
+         list_sum(list_transform(embedding,
+             x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT
+                  * floor(x::DOUBLE * 1000000 + 0.5)::BIGINT))::BIGINT AS nrm
   FROM embeddings
+  WHERE label IS NOT NULL
 ), pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
-               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
-                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS sim
+         floor(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                       p -> p[1] * p[2]))::BIGINT
+               / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000 + 0.5)
+           / 1000000.0 AS sim
   FROM v a JOIN v b ON a.vec_id <> b.vec_id AND a.label <> b.label
 )
 SELECT id_a AS vec_id, id_b AS neighbor_id, sim, rank::INT AS rank

@@ -459,7 +459,12 @@ def cep_stream(df: DataFrame, *, pattern: str, symbols: dict[str, str],
     ktype = dict(df.dtypes)[user_col]
     out_schema = (f"{user_col} {ktype}, sid long, seq string, "
                   "n_matches long, first_match string")
-    state_schema = "epochs array<double>, ties array<bigint>, syms string, sid bigint"
+    # epochs = int64 NANOSECONDS: ordering uses full resolution (the
+    # batch matcher's orderBy(ts, tiebreak)), while gap-breaks compare
+    # FLOOR-SECOND deltas (ns // 1e9 — the batch sessionize's
+    # cast(timestamp as long)); float fractional seconds here once
+    # broke batch/stream parity for sub-second timestamps
+    state_schema = "epochs array<bigint>, ties array<bigint>, syms string, sid bigint"
 
     def _row(key, sid: int, syms: str):
         hits = [m.group(0) for m in rx.finditer(syms)]
@@ -489,16 +494,17 @@ def cep_stream(df: DataFrame, *, pattern: str, symbols: dict[str, str],
             if getattr(ser.dt, "tz", None) is not None:
                 # tz-aware arrives as UTC instants; strip to naive UTC
                 ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
-            ep = ser.astype("datetime64[ns]").astype("int64") / 1e9
+            ep = ser.astype("datetime64[ns]").astype("int64")
             for e, t, ty in zip(ep, pdf[tiebreak_col], pdf[type_col]):
-                buf.append((float(e), int(t),
+                buf.append((int(e), int(t),
                             symmap.get(ty, default_symbol)))
         if not buf:
             return
         buf.sort(key=lambda x: (x[0], x[1]))
         cur_start = 0
         for i in range(1, len(buf)):
-            if buf[i][0] - buf[i - 1][0] > gap_seconds:
+            if (buf[i][0] // 1_000_000_000
+                    - buf[i - 1][0] // 1_000_000_000) > gap_seconds:
                 out = _row(key, sid,
                            "".join(b[2] for b in buf[cur_start:i]))
                 sid += 1
@@ -512,7 +518,8 @@ def cep_stream(df: DataFrame, *, pattern: str, symbols: dict[str, str],
         if close_on_timeout:
             # close the open session once the watermark passes last+gap;
             # the timeout must sit strictly beyond the current watermark
-            deadline_ms = int((open_buf[-1][0] + gap_seconds) * 1000) + 1
+            deadline_ms = (open_buf[-1][0] // 1_000_000_000
+                           + gap_seconds) * 1000 + 1
             state.setTimeoutTimestamp(
                 max(deadline_ms, state.getCurrentWatermarkMs() + 1))
 

@@ -155,3 +155,55 @@ def test_cep_stream_matches_batch(spark, tmp_path):
                  df_all, pattern="v[^p]*c[^p]*p", symbols=SYM,
                  gap_seconds=1800).collect()}
     assert got == batch and len(got) == 2
+
+
+def test_cep_stream_subsecond_gap_parity(spark, tmp_path):
+    """Gap-breaks must compare FLOOR-SECOND deltas (the batch
+    sessionize's cast(timestamp as long)), not fractional seconds:
+    t=0.0 vs t=1800.9 with gap=1800 is ONE session in batch (floor
+    delta exactly 1800, not >), and the stream must agree. A second
+    pair 0.4 vs 1801.2 (floor delta 1801 > 1800) must break in BOTH.
+    Regression: float epochs (ns/1e9) split the first pair in the
+    stream only."""
+    from go_streams_spark.streaming import file_stream_source
+    from go_streams_spark.streaming.stateful import cep_stream
+
+    base = dt.datetime(2024, 1, 1, 8)
+
+    def ev(uid, sec_float, etype, eid):
+        return (eid, base + dt.timedelta(seconds=sec_float), uid, etype)
+
+    rows = [
+        # user 7: v at 0.0s, c at 1800.9s, p at 1801.0s -> ONE batch
+        # session (floor deltas 1800, 1), full funnel match
+        ev(7, 0.0, "view", 1), ev(7, 1800.9, "click", 2),
+        ev(7, 1801.0, "purchase", 3),
+        # user 8: v at 0.4s then c at 1801.2s -> floor delta 1801 >
+        # 1800: TWO sessions in both engines (neither matches alone)
+        ev(8, 0.4, "view", 4), ev(8, 1801.2, "click", 5),
+        # sentinels close every real session via gap-break
+        ev(7, 10 ** 6, "noop", 901), ev(8, 10 ** 6, "noop", 902),
+    ]
+    df_all = spark.createDataFrame(rows, SCHEMA)
+    d = str(tmp_path / "cepsub")
+    df_all.where(F.col("event_id") < 5).coalesce(1) \
+        .write.mode("overwrite").parquet(d)
+    df_all.where(F.col("event_id") >= 5).coalesce(1) \
+        .write.mode("append").parquet(d)
+
+    src = file_stream_source(spark, d, fmt="parquet", schema=SCHEMA,
+                             maxFilesPerTrigger="1")
+    out = cep_stream(src, pattern="v[^p]*c[^p]*p", symbols=SYM,
+                     gap_seconds=1800)
+    q = (out.writeStream.format("memory").queryName("cep_sub_par")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["sid"]): (r["seq"], r["n_matches"])
+           for r in spark.table("cep_sub_par").collect()}
+
+    batch = {(r["user_id"], r["sid"]): (r["seq"], r["n_matches"])
+             for r in cep.event_pattern_matches(
+                 df_all, pattern="v[^p]*c[^p]*p", symbols=SYM,
+                 gap_seconds=1800).collect()}
+    assert got == batch
+    assert got == {(7, 1): ("vcp", 1)}

@@ -960,15 +960,23 @@ def test_block_knn_hard_negative_exclusion(spark):
                                 exclude_match_col="label").collect()}
     labels = {i: lb for i, _, lb in vecs}
     assert all(labels[q] != labels[n] for (q, _), (n, _) in got.items())
-    # independent reference: exact cosine, same tie-break, label filter
+    # independent reference: the engine-exact quantized cosine (micro-
+    # unit int64 dot/norms, floor half-up 6-dp round), same tie-break,
+    # label filter. float32 storage: quantize the float32-rounded value.
+    import numpy as np
+
+    def q32(v):
+        return [math.floor(float(np.float32(x)) * 1e6 + 0.5) for x in v]
     sims = {}
     for (i, va, la), (j, vb, lb) in itertools.permutations(vecs, 2):
         if la == lb:
             continue
-        d = sum(x * y for x, y in zip(va, vb))
-        na = math.sqrt(sum(x * x for x in va))
-        nb = math.sqrt(sum(x * x for x in vb))
-        sims.setdefault(i, []).append((round(d / (na * nb), 6), j))
+        qa, qb = q32(va), q32(vb)
+        d = sum(x * y for x, y in zip(qa, qb))
+        na = math.sqrt(sum(x * x for x in qa))
+        nb = math.sqrt(sum(x * x for x in qb))
+        s = math.floor(d / (na * nb) * 1e6 + 0.5) / 1e6
+        sims.setdefault(i, []).append((s, j))
     expect = {}
     for i, cands in sims.items():
         for rank, (s, j) in enumerate(

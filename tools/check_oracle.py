@@ -41,7 +41,7 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     queries = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    oracles = entry_mod.oracle_sql(sf_dir)
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
