@@ -35,3 +35,23 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     parquet_metadata()) follow the data."""
     from go_streams_spark.queries import GATE_SF_DIR
     return oracle_for(sf_dir or GATE_SF_DIR)
+
+
+def rows_only() -> dict[str, str]:
+    """The (deliberately tiny) set of ``queries()`` entries with NO
+    ``oracle_sql()`` twin, each mapped to the independent parity test
+    that pins its exactness instead. A sampled ``no_oracle`` row in
+    the gate is one of these, by design:
+
+    - ``approx_distinct_users``: HyperLogLog register layouts differ
+      across engines, so no cross-engine value equality exists; the
+      oracle-checked exact sibling is ``kmv_distinct_users``.
+    - ``compression_ratio_docs``: DuckDB has no zlib, so the ratio is
+      not SQL-computable; pinned against CPython's zlib directly.
+    """
+    return {
+        "approx_distinct_users":
+            "tests/test_functions.py::test_approx_distinct_within_tolerance",
+        "compression_ratio_docs":
+            "tests/test_functions.py::test_compression_ratio_exact_vs_zlib",
+    }

@@ -252,18 +252,21 @@ def main() -> None:
         best_pipe = min(best_pipe, time.perf_counter() - t0)
     events_per_sec = int(n_events / best_pipe) if best_pipe > 0 else 0
 
-    # Two passes per query, keep the min: the first execution of a novel
-    # plan pays Janino + JIT compilation of its generated code (measured
-    # 2-10x inflation, nondeterministic in a long-lived session); the
-    # second run hits the codegen cache and measures the actual
-    # pipeline. Steady-state is what a cluster doing repeated/streaming
-    # work observes.
+    # Min-of-N per query (default 3, override SPARK_GRAFT_BENCH_RUNS):
+    # run 1 pays Janino + JIT compilation of the generated code
+    # (measured 2-10x inflation, nondeterministic in a long-lived
+    # session); later runs hit the codegen cache and measure the actual
+    # pipeline. The MIN is the right statistic on a shared host — host
+    # load only ever adds time, and round-over-round per-query ratios
+    # at min-of-2 still swung 1.2-1.3x on unchanged plans, at the edge
+    # of hiding a real regression.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         if name not in QUERIES:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(runs):
             t0 = time.perf_counter()
             force(QUERIES[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
@@ -284,6 +287,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf_val,
                 "n_queries": len(timings),
+                "runs_per_query": runs,
                 "pipeline_events_per_sec": events_per_sec,
                 "n_events": n_events,
                 "queries": timings,
@@ -304,6 +308,7 @@ def main() -> None:
         "queries": slowest,
         "sf": sf_val,
         "n_queries": len(timings),
+        "runs_per_query": runs,
         "pipeline_events_per_sec": events_per_sec,
         "detail_file": "BENCH_DETAIL.json",
     }))

@@ -170,9 +170,13 @@ def skew_report(df: DataFrame, keys: Sequence[str], *,
     hottest key must split so its heaviest shard stays within
     ``target_factor`` x the mean key load; 1 = no salting needed.
 
-    Cost: one shuffle on ``keys`` (the same shuffle the real job will
-    pay) + a bounded rank/agg. Every output is an integer count or a
-    single rounded division — hash-stable across engines.
+    Cost: two aggregation passes over the keyed counts (a global-stats
+    hash agg and a distributed top-k sort-limit) — NO global window:
+    ranking every distinct key through one task would itself be the
+    straggler this report hunts, since n_keys is data-sized. The only
+    single-partition stage is the rank over the <= ``top_k`` surviving
+    rows. Every output is an integer count or a single rounded
+    division — hash-stable across engines.
     """
     if not keys:
         raise ValueError("keys must name at least one column")
@@ -183,24 +187,32 @@ def skew_report(df: DataFrame, keys: Sequence[str], *,
           .agg(F.count(F.lit(1)).alias("key_rows"))
           .withColumn("key_str", F.concat_ws(
               "|", *[F.col(k).cast("string") for k in keys])))
-    w = Window.orderBy(F.col("key_rows").desc(), "key_str")
-    ranked = kc.withColumn("rnk", F.row_number().over(w))
-    return (ranked.agg(
+    base = kc.agg(
         F.sum("key_rows").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
         F.round(F.sum("key_rows") / F.count(F.lit(1)), 4).alias("mean_rows"),
         F.max("key_rows").alias("max_rows"),
         F.round(F.max("key_rows") * F.count(F.lit(1)) / F.sum("key_rows"), 4)
          .alias("skew_ratio"),
-        F.round(F.sum(F.when(F.col("rnk") <= top_k, F.col("key_rows"))
-                      .otherwise(0)) / F.sum("key_rows"), 4)
-         .alias(f"top{top_k}_share"),
-        F.max(F.when(F.col("rnk") == 1, F.col("key_str"))).alias("top1_key"),
         F.greatest(
             F.lit(1).cast("long"),
             F.ceil(F.max("key_rows") * F.count(F.lit(1))
                    / (F.lit(target_factor) * F.sum("key_rows"))))
-         .alias("salt_buckets")))
+         .alias("salt_buckets"))
+    # TakeOrderedAndProject: per-partition top-k then a top_k-bounded
+    # merge — the distributed replacement for the global rank
+    topk = kc.orderBy(F.col("key_rows").desc(), "key_str").limit(top_k)
+    w = Window.orderBy(F.col("key_rows").desc(), "key_str")  # <= top_k rows
+    tkagg = (topk.withColumn("rnk", F.row_number().over(w))
+             .agg(F.sum("key_rows").alias("__tk_rows"),
+                  F.max(F.when(F.col("rnk") == 1, F.col("key_str")))
+                  .alias("top1_key")))
+    return (base.crossJoin(F.broadcast(tkagg))
+            .select("n_rows", "n_keys", "mean_rows", "max_rows",
+                    "skew_ratio",
+                    F.round(F.col("__tk_rows") / F.col("n_rows"), 4)
+                    .alias(f"top{top_k}_share"),
+                    "top1_key", "salt_buckets"))
 
 
 def fd_report(df: DataFrame, lhs: Sequence[str], rhs: str) -> DataFrame:

@@ -103,6 +103,16 @@ def _np_quantized_cosine(qmat_a, qmat_b, scale: int = 1_000_000):
     return np.floor(s * scale + 0.5) / float(scale)
 
 
+def _np_quantized_cosine_micro(qmat_a, qmat_b, scale: int = 1_000_000):
+    """``_np_quantized_cosine`` before the final division: the (n,m)
+    int64 MICRO-unit similarities (floor(s*scale+0.5)) — compare these
+    against integer thresholds for engine-exact cuts with no float
+    literal in sight."""
+    import numpy as np
+    return np.rint(_np_quantized_cosine(qmat_a, qmat_b, scale)
+                   * scale).astype(np.int64)
+
+
 def brute_force_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
                     k: int = 5, round_dp: int = 6) -> DataFrame:
     """Exact top-k cosine neighbors for every vector (cross join).
@@ -775,6 +785,211 @@ def semdedup_prune(df: DataFrame, *, id_col: str = "vec_id",
                     F.coalesce(~F.col("__d"), F.lit(True)).alias("kept")))
 
 
+def _trunc_div(s: int, n: int) -> int:
+    """Integer division truncating toward zero — the cross-engine
+    centroid-normalization convention (DuckDB's native ``//``; Python's
+    ``//`` floors, hence this helper)."""
+    q = abs(s) // n
+    return q if s >= 0 else -q
+
+
+def train_codebook_exact(df: DataFrame, *, id_col: str = "vec_id",
+                         vec_col: str = "embedding", k: int = 8,
+                         iterations: int = 2,
+                         scale: int = 1_000_000) -> list[list[int]]:
+    """Lloyd's k-means codebook trained ENTIRELY in integer arithmetic —
+    the trained-codebook path a SQL oracle can replay step for step.
+
+    Cosine is scale-invariant, so spherical k-means never needs the
+    mean itself — only a representative ray of the cluster sum. Each
+    iteration therefore reduces to exact integer ops:
+      1. assign every micro-unit vector to the centroid maximizing the
+         6-dp quantized cosine (``_np_quantized_cosine``; ties -> the
+         lowest cid, numpy argmax first-max == SQL row_number);
+      2. per-cluster per-dimension int64 sums (posexplode + hash agg —
+         order-independent by construction, one shuffle of
+         (cid, dim, x) with map-side partials);
+      3. new centroid component = sum // count, TRUNCATED toward zero
+         (DuckDB's ``//``) — re-bounds component magnitude to the input
+         range so norms never overflow at any N. Empty clusters keep
+         their previous centroid.
+    Init = the k lowest-id vectors (cid = rank in id order — no dense-id
+    requirement). Returns the k x d codebook as Python int lists;
+    driver-resident index metadata, same class as ``train_codebook``.
+    Unrolled chained CTEs reproduce this exactly
+    (``semdedup_exact_oracle_sql``)."""
+    import numpy as np
+    import pandas as pd
+
+    if k < 1 or iterations < 0:
+        raise ValueError(f"need k >= 1, iterations >= 0; got {k}/{iterations}")
+    base = df.select(F.col(id_col), quantized_vec(vec_col, scale).alias("qv"))
+    init = base.orderBy(id_col).limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"corpus has {len(init)} rows < k={k}")
+    codebook = [[int(x) for x in r["qv"]] for r in init]
+
+    for _ in range(iterations):
+        assigned = _assign_exact(base, codebook, id_col=id_col, scale=scale)
+        sums = (assigned.select("cid", F.posexplode("qv").alias("dim", "x"))
+                .groupBy("cid", "dim").agg(F.sum("x").alias("s"))
+                .collect())
+        counts = {r["cid"]: r["n"] for r in
+                  assigned.groupBy("cid").agg(
+                      F.count(F.lit(1)).alias("n")).collect()}
+        new = [list(c) for c in codebook]  # empty clusters keep previous
+        for r in sums:
+            new[r["cid"]][r["dim"]] = _trunc_div(int(r["s"]),
+                                                 counts[r["cid"]])
+        codebook = new
+    return codebook
+
+
+def _assign_exact(base: DataFrame, codebook: list[list[int]], *,
+                  id_col: str, scale: int) -> DataFrame:
+    """One vectorized nearest-centroid pass over (id, qv) micro-unit
+    rows: cid = argmax of the 6-dp quantized cosine, first-max (lowest
+    cid) on ties. Codebook rides in the closure — k x d ints."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.array(codebook, dtype=np.float64)
+
+    def _assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.array(list(pdf["qv"]), dtype=np.float64)
+            sims = _np_quantized_cosine(q, cb, scale)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "cid": np.argmax(sims, axis=1)
+                                .astype("int64"),
+                                "qv": pdf["qv"]})
+
+    return base.mapInPandas(_assign,
+                            schema=f"{id_col} long, cid long, qv array<long>")
+
+
+def semdedup_prune_exact(df: DataFrame, *, id_col: str = "vec_id",
+                         vec_col: str = "embedding",
+                         threshold_micro: int = 400_000,
+                         nlist: int = 8, iterations: int = 2,
+                         scale: int = 1_000_000) -> DataFrame:
+    """SemDeDup keep/drop verdicts with a TRAINED codebook and a SQL
+    oracle: ``train_codebook_exact`` integer k-means, one exact
+    assignment pass, per-cluster quantized-cosine pair scan with an
+    integer micro-unit threshold, drop-vs-lower-id. Every arithmetic
+    step is exact in int64, so the whole pipeline — training included —
+    hash-matches the generated chained-CTE oracle
+    (``semdedup_exact_oracle_sql``). Same scale shape as
+    ``semdedup_prune``: codebook = driver metadata, one cid-keyed
+    shuffle for the pair scan, cluster population bounded by nlist."""
+    import numpy as np
+    import pandas as pd
+
+    codebook = train_codebook_exact(df, id_col=id_col, vec_col=vec_col,
+                                    k=nlist, iterations=iterations,
+                                    scale=scale)
+    base = df.select(F.col(id_col), quantized_vec(vec_col, scale).alias("qv"))
+    assigned = _assign_exact(base, codebook, id_col=id_col, scale=scale)
+
+    def _scan(key, pdf):
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        v = np.array(list(pdf["qv"]), dtype=np.float64)
+        m = _np_quantized_cosine_micro(v, v, scale)
+        ia, ib = np.triu_indices(len(ids), 1)
+        keep = m[ia, ib] >= threshold_micro
+        return pd.DataFrame({"id_a": ids[ia[keep]].astype("int64"),
+                             "id_b": ids[ib[keep]].astype("int64")})
+
+    pairs = (assigned.groupBy("cid")
+             .applyInPandas(_scan, schema="id_a long, id_b long"))
+    dropped = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return (assigned.select(id_col, "cid")
+            .join(dropped.withColumn("__d", F.lit(True)), id_col, "left")
+            .select(id_col, "cid",
+                    F.coalesce(~F.col("__d"), F.lit(True)).alias("kept")))
+
+
+def semdedup_exact_oracle_sql(*, table: str = "embeddings",
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding", dim: int = 64,
+                              k: int = 8, iterations: int = 2,
+                              threshold_micro: int = 400_000,
+                              scale: int = 1_000_000) -> str:
+    """Generate the DuckDB oracle replaying ``semdedup_prune_exact``
+    bit for bit: quantize -> k lowest-id init -> ``iterations`` unrolled
+    assign/sum/truncdiv rounds -> final assignment -> within-cluster
+    micro-threshold pair scan -> drop-vs-lower-id. Same generated-
+    chained-CTE class as the k-core oracle; every value is int64 (or
+    one IEEE sqrt/divide chain identical across engines)."""
+    if iterations < 0 or k < 1 or dim < 1:
+        raise ValueError("need iterations >= 0, k >= 1, dim >= 1")
+
+    def micro(va, na, vb, nb):
+        return (f"floor(list_sum(list_transform(list_zip({va}, {vb}), "
+                f"p -> p[1] * p[2]))::BIGINT "
+                f"/ (sqrt({na}) * sqrt({nb})) * {scale} + 0.5)")
+
+    parts = [f"""WITH q AS (
+  SELECT {id_col},
+         list_transform({vec_col},
+                        x -> floor(x::DOUBLE * {scale} + 0.5)::BIGINT) AS qv,
+         list_sum(list_transform({vec_col},
+             x -> floor(x::DOUBLE * {scale} + 0.5)::BIGINT
+                  * floor(x::DOUBLE * {scale} + 0.5)::BIGINT))::BIGINT AS nrm
+  FROM {table}
+), dims AS (
+  SELECT unnest(range(1, {dim + 1})) AS i
+), c0 AS (
+  SELECT row_number() OVER (ORDER BY {id_col}) - 1 AS cid, qv AS cv,
+         nrm AS cnrm
+  FROM (SELECT * FROM q ORDER BY {id_col} LIMIT {k})
+)"""]
+    for it in range(1, iterations + 1):
+        prev = f"c{it - 1}"
+        parts.append(f""", a{it} AS (
+  SELECT {id_col}, cid, qv FROM (
+    SELECT q.{id_col}, c.cid, q.qv,
+           row_number() OVER (PARTITION BY q.{id_col} ORDER BY
+             {micro('q.qv', 'q.nrm', 'c.cv', 'c.cnrm')} DESC, c.cid) AS rn
+    FROM q CROSS JOIN {prev} c)
+  WHERE rn = 1
+), s{it} AS (
+  SELECT a.cid, d.i, sum(a.qv[d.i])::BIGINT AS s, count(*)::BIGINT AS n
+  FROM a{it} a CROSS JOIN dims d GROUP BY a.cid, d.i
+), c{it} AS (
+  SELECT p.cid, coalesce(u.cv, p.cv) AS cv,
+         list_sum(list_transform(coalesce(u.cv, p.cv),
+                                 x -> x * x))::BIGINT AS cnrm
+  FROM {prev} p LEFT JOIN (
+    SELECT cid, list(s // n ORDER BY i) AS cv FROM s{it} GROUP BY cid
+  ) u USING (cid)
+)""")
+    last = f"c{iterations}"
+    parts.append(f""", afin AS (
+  SELECT {id_col}, cid, qv, nrm FROM (
+    SELECT q.{id_col}, c.cid, q.qv, q.nrm,
+           row_number() OVER (PARTITION BY q.{id_col} ORDER BY
+             {micro('q.qv', 'q.nrm', 'c.cv', 'c.cnrm')} DESC, c.cid) AS rn
+    FROM q CROSS JOIN {last} c)
+  WHERE rn = 1
+), pairs AS (
+  SELECT a.{id_col} AS id_a, b.{id_col} AS id_b
+  FROM afin a JOIN afin b USING (cid)
+  WHERE a.{id_col} < b.{id_col}
+    AND {micro(f'a.qv', 'a.nrm', 'b.qv', 'b.nrm')} >= {threshold_micro}
+)
+SELECT {id_col}, cid,
+       {id_col} NOT IN (SELECT id_b FROM pairs) AS kept
+FROM afin""")
+    return "".join(parts)
+
+
 #: RRF reciprocal mass in integer micro-units (order-independent sums)
 RRF_SCALE = 1_000_000_000_000
 
@@ -1317,6 +1532,167 @@ def mahalanobis_scores(df: DataFrame, *, id_col: str = "vec_id",
     id_type = dict(df.dtypes)[id_col]
     return df.select(id_col, vec_col).mapInPandas(
         _score, schema=f"{id_col} {id_type}, maha2 double")
+
+
+def _maha_exact_params(s_mat, colsum, n: int, *, ridge: float,
+                       scale: int, wscale: int):
+    """Shared driver-side derivation for the ENGINE-EXACT Mahalanobis
+    path: from the EXACT integer second moments ``s_mat`` (DxD int
+    micro-unit^2), integer column sums ``colsum`` (D), and row count
+    ``n``, derive (mu_q, w_q, den):
+      * mu_q[i] = half-up-rounded integer micro-unit mean
+        floor((2*colsum[i] + n) / (2n)) — exact integer arithmetic;
+      * w_q = the ridge-regularized covariance inverse quantized to
+        ``wscale`` units (floor(w*wscale + 0.5), symmetric) — the DxD
+        int literal a SQL oracle can carry;
+      * den = wscale * scale^2, the one divisor of the final score.
+    Both the engine and the oracle GENERATOR call this with the same
+    exact integers, so the derived literals are bit-identical even
+    though the inversion itself is float LAPACK."""
+    import numpy as np
+    d = len(colsum)
+    mu_q = [(2 * int(colsum[i]) + n) // (2 * n) for i in range(d)]
+    mu = np.array([int(c) for c in colsum], dtype=np.float64) / (n * scale)
+    cov = (np.array(s_mat, dtype=np.float64) / float(scale) ** 2) / n \
+        - np.outer(mu, mu)
+    cov += ridge * np.eye(d)
+    w = np.linalg.inv(cov)
+    w_q = np.floor(w * wscale + 0.5).astype(np.int64)
+    return mu_q, w_q, wscale * scale * scale
+
+
+def mahalanobis_scores_exact(df: DataFrame, *, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             ridge: float = 1e-3, scale: int = 1_000_000,
+                             wscale: int = 1_000_000) -> DataFrame:
+    """``mahalanobis_scores`` made ENGINE-EXACT so a generated SQL
+    oracle can hash-match it: scores are computed entirely on integers
+    — y = micro-unit vector minus the half-up integer mean, z = W_q @ y
+    with the quantized inverse, score = y . z (exact big-int), and ONE
+    trunc-div produces the 6-dp micro result. No float accumulation
+    anywhere, so BLAS order / einsum order cannot flip a hash.
+
+    Plan shape (same as the float sibling): exact integer second
+    moments + integer column sums reduce the corpus to DxD + D + 1
+    numbers; the driver derives (mu_q, W_q) via ``_maha_exact_params``
+    and broadcasts them into one vectorized scoring pass. The y.z fold
+    runs per row over D Python ints (products exceed int64; D*N bounded
+    ops, Arrow-batched)."""
+    import numpy as np
+    import pandas as pd
+
+    mom = embedding_second_moments(df, vec_col=vec_col,
+                                   quant=scale).collect()
+    d = max(r["i"] for r in mom) + 1
+    s_mat = [[0] * d for _ in range(d)]
+    for r in mom:
+        s_mat[r["i"]][r["j"]] = int(r["s"])
+    qsums = (df.select(F.posexplode(quantized_vec(vec_col, scale))
+                       .alias("i", "qx"))
+             .groupBy("i").agg(F.sum("qx").alias("sq"),
+                               F.count(F.lit(1)).alias("n")).collect())
+    n = qsums[0]["n"]
+    colsum = [0] * d
+    for r in qsums:
+        colsum[r["i"]] = int(r["sq"])
+    mu_q, w_q, den = _maha_exact_params(s_mat, colsum, n, ridge=ridge,
+                                        scale=scale, wscale=wscale)
+    # int64 matmul overflow guard for z = W_q @ y (loud, not wrapped)
+    muq_arr = np.array(mu_q, dtype=np.int64)
+    wmax = int(np.abs(w_q).max())
+    ymax_bound = int(np.abs(muq_arr).max()) + 64 * scale  # |x| <= 64 units
+    if d * wmax * ymax_bound >= 2 ** 63:
+        raise OverflowError(
+            f"w_q @ y may overflow int64 (d={d}, |W_q|max={wmax}); "
+            f"lower wscale")
+    bw = df.sparkSession.sparkContext.broadcast((muq_arr, w_q))
+
+    def _score(batches):
+        muq, wq = bw.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            y = (np.floor(x * scale + 0.5).astype(np.int64)
+                 - muq[None, :])
+            if int(np.abs(y).max(initial=0)) > ymax_bound:
+                raise OverflowError(
+                    "vector magnitude exceeds the int64 matmul bound "
+                    "assumed at driver time; lower scale/wscale")
+            z = y @ wq.T  # exact int64 (guarded above)
+            micro = np.empty(len(y), dtype=np.float64)
+            for r in range(len(y)):
+                sc = sum(int(a) * int(b) for a, b in zip(y[r], z[r]))
+                micro[r] = float(_trunc_div(2 * sc * 1_000_000 + den,
+                                            2 * den))
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "maha2": micro / 1e6})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        _score, schema=f"{id_col} {id_type}, maha2 double")
+
+
+def mahalanobis_exact_oracle_sql(sf_dir: str, *, table: str = "embeddings",
+                                 id_col: str = "vec_id",
+                                 vec_col: str = "embedding",
+                                 ridge: float = 1e-3,
+                                 scale: int = 1_000_000,
+                                 wscale: int = 1_000_000,
+                                 top: int = 50) -> str:
+    """Generate the DuckDB oracle for ``mahalanobis_scores_exact`` at a
+    given SF: read the parquet directly (pyarrow — independent of the
+    Spark moment accumulation), rebuild the SAME exact integer moments,
+    derive (mu_q, W_q) via the shared ``_maha_exact_params``, and bake
+    them into the SQL as literals. The query then replays the integer
+    scoring bit for bit (HUGEINT y.z fold, one trunc-div). Registered
+    as a PER-SF generator callable — resolved by ``oracle_for`` with
+    the sweep/gate dir, since the literals are data-dependent."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    arr = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
+                        columns=[vec_col])[vec_col]
+    x = np.array(arr.to_pylist(), dtype=np.float64)
+    q = np.floor(x * scale + 0.5).astype(np.int64)
+    n, d = q.shape
+    s_mat = (q.astype(object).T @ q.astype(object))  # exact big-int
+    colsum = q.astype(object).sum(axis=0)
+    mu_q, w_q, den = _maha_exact_params(s_mat.tolist(), colsum.tolist(),
+                                        n, ridge=ridge, scale=scale,
+                                        wscale=wscale)
+    mu_lit = "[" + ", ".join(str(v) for v in mu_q) + "]"
+    w_lit = "[" + ",\n   ".join(
+        "[" + ", ".join(str(v) for v in row) + "]"
+        for row in w_q.tolist()) + "]"
+    return f"""WITH y AS (
+  SELECT {id_col},
+         list_transform(
+           list_zip(list_transform({vec_col},
+                      x -> floor(x::DOUBLE * {scale} + 0.5)::BIGINT),
+                    {mu_lit}::BIGINT[]),
+           p -> p[1] - p[2]) AS y
+  FROM {table}
+), z AS (
+  SELECT {id_col}, y,
+         list_transform({w_lit}::BIGINT[][],
+           wrow -> list_sum(list_transform(list_zip(wrow, y),
+                                           p -> p[1] * p[2]))::BIGINT) AS z
+  FROM y
+), s AS (
+  SELECT {id_col},
+         list_sum(list_transform(list_zip(y, z),
+                                 p -> p[1]::HUGEINT * p[2]))::HUGEINT AS sc
+  FROM z
+)
+SELECT {id_col},
+       ((2 * sc * 1000000 + {den}) // (2 * {den}))::DOUBLE
+         / 1000000.0 AS maha2
+FROM s
+ORDER BY maha2 DESC, {id_col}
+LIMIT {top}"""
 
 
 def ann_recall_against_exact(df: DataFrame, approx: DataFrame, *,

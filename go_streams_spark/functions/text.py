@@ -349,6 +349,95 @@ def bpe_encode(df, *, merges, text_col: str = "text",
     return df.withColumn(out_col, _enc(F.col(text_col)))
 
 
+def bpe_pipeline_oracle_sql(*, rounds: int, table: str = "documents",
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            head: int = 8,
+                            emit: str = "encode") -> str:
+    """Generate the DuckDB oracle replaying the FULL BPE loop —
+    ``bpe_train_merges(rounds=N)`` then ``bpe_encode`` — as one chained
+    query: vocabulary build, N unrolled (pair-count -> argmax ->
+    greedy rewrite) training rounds, then encode-by-vocab-join.
+
+    The greedy left-to-right merge fold becomes a plain string
+    ``replace``: symbol arrays are serialized with DOUBLE chr(1)
+    sentinels (``..|a||b|..``) and merge (a, b) rewrites
+    ``|a||b|`` -> ``|ab|``. Because each symbol keeps one sentinel on
+    each side, consecutive matches never share consumed characters, so
+    non-overlapping leftmost replace == the trainer's F.aggregate fold
+    (edge cases incl. a == b runs pinned in
+    tests/test_functions.py::test_bpe_oracle_replace_fold). chr(1)
+    never occurs in the corpus (asserted cheaply by the gate query's
+    engine side being sentinel-free — only the oracle serializes).
+
+    Fixed ``rounds`` means the oracle assumes training never hits the
+    min_count early stop at gate SFs (it does not: pair counts are
+    corpus-sized). ``emit="encode"`` (default) returns SQL producing
+    (id, n_bpe, head_preview) ordered by id; ``emit="merges"`` stops
+    after training and returns the merge table itself
+    (round, pair, a, b, cnt) — the ``bpe_train_merge_table`` oracle."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if emit not in ("encode", "merges"):
+        raise ValueError(f"emit must be 'encode' or 'merges', got {emit!r}")
+    cc = "chr(1) || chr(1)"
+    sql = [f"""WITH w0 AS (
+  SELECT tok, count(*)::BIGINT AS tok_cnt,
+         {cc} || array_to_string(string_split(tok, ''), {cc}) || {cc} AS s
+  FROM (
+    SELECT unnest(list_filter(string_split(lower({text_col}), ' '),
+                              x -> x <> '')) AS tok
+    FROM {table}
+  )
+  GROUP BY tok
+)"""]
+    for r in range(1, rounds + 1):
+        p = f"w{r - 1}"
+        sql.append(f""", b{r} AS (
+  SELECT a, b, cnt FROM (
+    SELECT syms[i] AS a, syms[i + 1] AS b, sum(tok_cnt) AS cnt
+    FROM (SELECT list_filter(string_split(s, {cc}), x -> x <> '') AS syms,
+                 tok_cnt
+          FROM {p}),
+         LATERAL (SELECT unnest(range(1, len(syms))) AS i) g
+    GROUP BY 1, 2
+  ) ORDER BY cnt DESC, a, b LIMIT 1
+), w{r} AS (
+  SELECT w.tok, w.tok_cnt,
+         replace(w.s, chr(1) || b.a || {cc} || b.b || chr(1),
+                      chr(1) || b.a || b.b || chr(1)) AS s
+  FROM {p} w CROSS JOIN b{r} b
+)""")
+    if emit == "merges":
+        union = "\nUNION ALL\n".join(
+            f"SELECT {r - 1}::INT AS round, a || b AS pair, a, b, "
+            f"cnt::BIGINT AS cnt FROM b{r}" for r in range(1, rounds + 1))
+        sql.append(f"\n{union}\nORDER BY round")
+        return "".join(sql)
+    sql.append(f""", enc AS (
+  SELECT d.{id_col}, d.wi,
+         list_filter(string_split(v.s, {cc}), x -> x <> '') AS syms
+  FROM (
+    SELECT {id_col}, g.i AS wi, toks[g.i] AS tok
+    FROM (SELECT {id_col},
+                 list_filter(string_split(lower({text_col}), ' '),
+                             x -> x <> '') AS toks
+          FROM {table}),
+         LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i) g
+  ) d JOIN w{rounds} v USING (tok)
+), te AS (
+  SELECT {id_col}, wi, g.i AS si, syms[g.i] AS sym
+  FROM enc, LATERAL (SELECT unnest(range(1, len(syms) + 1)) AS i) g
+)
+SELECT {id_col}, count(*)::BIGINT AS n_bpe,
+       array_to_string(list(sym ORDER BY wi, si)[1:{head}],
+                       '|') AS head_preview
+FROM te
+GROUP BY {id_col}
+ORDER BY {id_col}""")
+    return "".join(sql)
+
+
 # ---------------------------------------------------------------------------
 # DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
 # arXiv:2302.03169): score every raw document by how much more likely

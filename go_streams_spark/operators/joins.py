@@ -207,7 +207,16 @@ def salted_join(left: DataFrame, right: DataFrame, *, on: Sequence[str],
     if clash:
         raise ValueError(f"ambiguous non-key columns on both sides: "
                          f"{sorted(clash)}")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]),
+    # salt = hash of the whole row MIXED with a per-row disambiguator
+    # (monotonically_increasing_id = partition id + within-partition
+    # offset): fully identical duplicate rows of a hot key would
+    # otherwise all hash into ONE salt bucket — recreating the
+    # straggler exactly when duplication causes the skew. The
+    # disambiguator varies with input partitioning, which is safe: the
+    # salt only picks a reducer, and the joined RESULT (salt dropped)
+    # is partitioning-independent.
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns],
+                             F.monotonically_increasing_id()),
                   F.lit(salt_buckets)).cast("int")
     lf = left.withColumn("__salt", salt)
     rt = (right.withColumn(

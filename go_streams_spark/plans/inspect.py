@@ -230,11 +230,13 @@ def exchange_report(df: DataFrame) -> list[dict]:
                 in_cache_echo = False
             else:
                 continue
+        # paren group optional: 'Exchange SinglePartition, ...' has no
+        # argument list and must still report kind="SinglePartition"
         m = re.search(
-            r"(?<!Broadcast)Exchange (\w+)\((.*?)\)(?:,|\s|$)", line)
+            r"(?<!Broadcast)Exchange (\w+)(?:\((.*?)\))?(?:,|\s|$)", line)
         if not m:
             continue
-        kind, args = m.group(1), m.group(2)
+        kind, args = m.group(1), m.group(2) or ""
         nparts = None
         tail = re.search(r"(\d+)\s*$", args)
         if tail:

@@ -39,10 +39,13 @@ GATE_SF_DIR = "/root/testdata/sf0.01"
 
 
 def oracle_for(sf_dir: str = GATE_SF_DIR) -> dict[str, str]:
-    """The oracle registry with ``{SF_DIR}`` placeholders resolved to
-    ``sf_dir`` (plain string substitution — oracle SQL contains no
-    other brace tokens)."""
-    return {name: sql.replace("{SF_DIR}", sf_dir)
+    """The oracle registry resolved for one SF: ``{SF_DIR}``
+    placeholders substituted (plain string replace — oracle SQL
+    contains no other brace tokens), and PER-SF GENERATOR callables
+    (oracles whose literals are data-dependent, e.g. the Mahalanobis
+    ridge-inverse) invoked with ``sf_dir``."""
+    return {name: (sql(sf_dir) if callable(sql)
+                   else sql.replace("{SF_DIR}", sf_dir))
             for name, sql in ORACLE.items()}
 
 #: SinglePartition exemption classes a query may declare at registration
@@ -5477,22 +5480,27 @@ def k_core_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_core(edges, src="part_a", dst="part_b", k=3, max_iterations=12)
 
 
-@query("bpe_encode_corpus")  # rows-only: iterative train + fold encode
+@query("bpe_encode_corpus", T.bpe_pipeline_oracle_sql(rounds=6))
 def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full BPE loop: train a merge table on the corpus
     (text.bpe_train_merges, 6 rounds) and ENCODE the corpus with it
     (text.bpe_encode — per-word greedy merge folds, pure JVM
     higher-order functions, zero Python in the encode hot path).
-    Rows-only in the driver gate (iterative training is not one SQL
-    query); exactness is pinned against an independent Python
-    encoder AND the Arrow-vectorized twin in
+    Hash-checked against a generated chained-CTE oracle
+    (text.bpe_pipeline_oracle_sql) that unrolls all 6 training rounds
+    and replays the greedy fold as sentinel-string replaces — training
+    AND encoding are SQL-verified. Assumes gate corpora where training
+    never hits the min_count early stop and every doc has >= 1 token
+    (both asserted true for the testdata). Independent Python-reference
+    parity additionally pinned by
     tests/test_functions.py::test_bpe_encode_paths_agree."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     table = T.bpe_train_merges(docs, rounds=6).collect()
     merges = [(r["a"], r["b"]) for r in sorted(table, key=lambda r: r["round"])]
     enc = T.bpe_encode(docs, merges=merges)
     return (enc.select("doc_id", F.size("bpe_tokens").alias("n_bpe"),
-                       F.slice("bpe_tokens", 1, 8).alias("head_tokens"))
+                       F.concat_ws("|", F.slice("bpe_tokens", 1, 8))
+                       .alias("head_preview"))
             .orderBy("doc_id"))
 
 
@@ -6235,16 +6243,22 @@ def embedding_second_moments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("s_mod"))
 
 
-@query("embedding_mahalanobis_outliers")
+@query("embedding_mahalanobis_outliers", S.mahalanobis_exact_oracle_sql)
 def embedding_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space outlier scores: squared Mahalanobis distance
-    under the ridge-regularized corpus covariance —
-    functions/similarity.py::mahalanobis_scores. Basis-independent, so
-    the numpy parity test pins it exactly; rows-only for the driver
-    (the DxD eigensystem/inverse is not SQL-expressible). Top-50 by
-    (rounded score desc, vec_id) for a bounded, deterministic result."""
+    under the ridge-regularized corpus covariance, ENGINE-EXACT
+    (functions/similarity.py::mahalanobis_scores_exact — integer
+    micro-unit y, quantized-inverse W_q, big-int y.z fold, one
+    trunc-div). Hash-checked against a PER-SF GENERATED oracle
+    (mahalanobis_exact_oracle_sql): the generator reads the parquet
+    independently, rebuilds the same exact integer moments, and bakes
+    (mu_q, W_q) into the SQL as literals — the DxD inversion is driver
+    metadata, exactly like a codebook. Top-50 by (maha2 desc, vec_id)
+    for a bounded result. The float sibling ``mahalanobis_scores``
+    stays numpy-parity-pinned for callers without the quantized
+    contract."""
     emb = _t(spark, sf_dir, "embeddings")
-    scores = S.mahalanobis_scores(emb)
+    scores = S.mahalanobis_scores_exact(emb)
     return (scores.orderBy(F.col("maha2").desc(), "vec_id").limit(50))
 
 
@@ -7547,27 +7561,36 @@ def token_window_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  size=32, stride=24)
 
 
-@query("semdedup_prune")
+@query("semdedup_prune",
+       S.semdedup_exact_oracle_sql(dim=64, k=8, iterations=2,
+                                   threshold_micro=400_000))
 def semdedup_prune_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (arXiv:2303.09540) keep/drop verdicts over the
-    embeddings table: distributed k-means codebook -> one vectorized
-    cluster-assignment pass -> per-cluster BLAS pair scan -> drop any
-    vector cosine-similar (>= 0.4) to a lower-id cluster-mate. No SQL
-    oracle by design (iterative Lloyd's is not expressible in one
-    DuckDB query — the driver records the rows-only check); exactness
-    against an independent NumPy reimplementation is pinned by
+    embeddings table, TRAINING INCLUDED, hash-checked against a
+    generated chained-CTE oracle: integer k-means codebook
+    (``train_codebook_exact`` — cosine is scale-invariant, so spherical
+    Lloyd's reduces to exact int64 cluster sums + truncated division;
+    2 unrolled iterations in the SQL) -> one exact assignment pass ->
+    per-cluster quantized-cosine pair scan (micro threshold 400000 =
+    0.4) -> drop any vector similar to a lower-id cluster-mate. The
+    float-mean sibling ``S.semdedup_prune`` remains for codebooks
+    trained elsewhere; its NumPy parity is pinned by
     tests/test_functions.py::test_semdedup_matches_numpy_reference."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.semdedup_prune(emb, threshold=0.4, nlist=8, iterations=2)
+    return S.semdedup_prune_exact(emb, threshold_micro=400_000,
+                                  nlist=8, iterations=2)
 
 
-@query("bpe_train_merge_table")
+@query("bpe_train_merge_table",
+       T.bpe_pipeline_oracle_sql(rounds=8, emit="merges"))
 def bpe_train_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative BPE tokenizer training over the documents corpus: 8
     merge rounds, each = vocabulary-grain pair count + driver argmax +
-    JVM fold rewrite + localCheckpoint (lineage truncation). Rows-only
-    gate entry (iterative argmax is not one SQL query); exactness vs an
-    independent Python BPE trainer is pinned by
+    JVM fold rewrite + localCheckpoint (lineage truncation).
+    Hash-checked against the generated unrolled-training oracle
+    (text.bpe_pipeline_oracle_sql emit="merges" — sentinel-string
+    replaces replay the greedy fold); independent Python-trainer parity
+    additionally pinned by
     tests/test_functions.py::test_bpe_train_matches_python_reference."""
     return T.bpe_train_merges(_t(spark, sf_dir, "documents"), rounds=8)
 
@@ -7961,8 +7984,10 @@ def skew_advisor_user_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-skew advisor over the user_id key: the measurement step
     of the salting decision before any user-keyed join/agg (the fix is
     salted_agg or AQE skew-join). One key-grain shuffle — the same
-    shuffle the real job pays — then a user-grain rank (declared bound
-    class). salt_buckets=1 means the distribution needs no salting."""
+    shuffle the real job pays — then a distributed top-k sort-limit;
+    the only rank runs over the <= top_k survivors (the user-grain
+    bound class declared here is now a loose upper bound).
+    salt_buckets=1 means the distribution needs no salting."""
     ev = _t(spark, sf_dir, "events")
     from .functions.checks import skew_report
     return skew_report(ev, ["user_id"], target_factor=4, top_k=5)

@@ -333,3 +333,17 @@ def test_exchange_report_kinds_keys_and_cache_echo_skip(spark, sf_dir):
     # only the scalar-agg single partition move remains visible
     assert all(e["kind"] != "hashpartitioning" or e["keys"] != ["k"]
                for e in rep2), rep2
+
+
+def test_exchange_report_single_partition(spark):
+    """'Exchange SinglePartition' prints with NO argument parens; the
+    report must still surface it (kind=SinglePartition, no keys) —
+    regression for a regex that silently skipped the paren-less form."""
+    from pyspark.sql import functions as F
+    from go_streams_spark.plans.inspect import exchange_report
+
+    df = spark.range(100).select(F.col("id").alias("v"))
+    one = df.agg(F.sum("v").alias("s"))
+    rep = exchange_report(one)
+    assert any(e["kind"] == "SinglePartition" and e["keys"] == []
+               for e in rep), rep

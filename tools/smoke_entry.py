@@ -24,6 +24,10 @@ def main():
     print(f"entry_rows={len(rows)} queries={len(q)} oracles={len(o)} "
           f"rows_only={sorted(set(q) - set(o))}")
     assert rows and not extra_oracles
+    # every rows-only query must be declared in the manifest (and name
+    # the parity test that pins it), and vice versa
+    assert set(m.rows_only()) == set(q) - set(o), (
+        sorted(set(m.rows_only()) ^ (set(q) - set(o))))
     for name in sys.argv[1:] or ["q1_pricing_summary"]:
         n = q[name](spark, "/root/testdata/sf0.001").count()
         print(f"sample {name}: {n} rows")
