@@ -487,31 +487,17 @@ def cep_stream(df: DataFrame, *, pattern: str, symbols: dict[str, str],
             buf = list(zip(epochs, ties, syms))
         else:
             buf, sid = [], 1
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            ser = pd.to_datetime(pdf[ts_col])
-            if getattr(ser.dt, "tz", None) is not None:
-                # tz-aware arrives as UTC instants; strip to naive UTC
-                ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
-            ep = ser.astype("datetime64[ns]").astype("int64")
-            for e, t, ty in zip(ep, pdf[tiebreak_col], pdf[type_col]):
-                buf.append((int(e), int(t),
-                            symmap.get(ty, default_symbol)))
+        buf = _cep_ingest(buf, pdfs, ts_col=ts_col,
+                          tiebreak_col=tiebreak_col, type_col=type_col,
+                          symmap=symmap, default_symbol=default_symbol)
         if not buf:
             return
-        buf.sort(key=lambda x: (x[0], x[1]))
-        cur_start = 0
-        for i in range(1, len(buf)):
-            if (buf[i][0] // 1_000_000_000
-                    - buf[i - 1][0] // 1_000_000_000) > gap_seconds:
-                out = _row(key, sid,
-                           "".join(b[2] for b in buf[cur_start:i]))
-                sid += 1
-                cur_start = i
-                if out is not None:
-                    yield out
-        open_buf = buf[cur_start:]
+        closed, open_buf = _cep_gap_close(buf, gap_seconds)
+        for syms_closed in closed:
+            out = _row(key, sid, syms_closed)
+            sid += 1
+            if out is not None:
+                yield out
         state.update(([b[0] for b in open_buf],
                       [b[1] for b in open_buf],
                       "".join(b[2] for b in open_buf), sid))
@@ -523,14 +509,154 @@ def cep_stream(df: DataFrame, *, pattern: str, symbols: dict[str, str],
             state.setTimeoutTimestamp(
                 max(deadline_ms, state.getCurrentWatermarkMs() + 1))
 
-    # watermarks require TIMESTAMP; NTZ events cast through the session
-    # clock (queries pin it to UTC), matching the batch matcher's cast
-    src = (df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-           .withWatermark(ts_col, f"{gap_seconds} seconds"))
+    src = _cep_source(df, ts_col, gap_seconds)
     return (src.groupBy(user_col)
             .applyInPandasWithState(fn, out_schema, state_schema,
                                     output_mode,
                                     GroupStateTimeout.EventTimeTimeout))
+
+
+def _cep_source(df: DataFrame, ts_col: str, gap_seconds: int) -> DataFrame:
+    # watermarks require TIMESTAMP; NTZ events cast through the session
+    # clock (queries pin it to UTC), matching the batch matcher's cast
+    return (df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+            .withWatermark(ts_col, f"{gap_seconds} seconds"))
+
+
+def _cep_ingest(buf: list, pdfs, *, ts_col: str, tiebreak_col: str,
+                type_col: str, symmap: dict, default_symbol: str) -> list:
+    """Append (int64-ns epoch, tiebreak, symbol) triples from a
+    micro-batch to the open-session buffer — shared verbatim by the
+    legacy and transformWithState CEP operators."""
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        ser = pd.to_datetime(pdf[ts_col])
+        if getattr(ser.dt, "tz", None) is not None:
+            # tz-aware arrives as UTC instants; strip to naive UTC
+            ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
+        ep = ser.astype("datetime64[ns]").astype("int64")
+        for e, t, ty in zip(ep, pdf[tiebreak_col], pdf[type_col]):
+            buf.append((int(e), int(t), symmap.get(ty, default_symbol)))
+    return buf
+
+
+def _cep_gap_close(buf: list, gap_seconds: int) -> tuple[list, list]:
+    """Sort the buffer by (ns, tiebreak) and split on FLOOR-SECOND gap
+    breaks (the batch sessionize convention): returns (closed session
+    symbol strings in order, open buffer). Shared CEP kernel."""
+    buf.sort(key=lambda x: (x[0], x[1]))
+    closed, cur_start = [], 0
+    for i in range(1, len(buf)):
+        if (buf[i][0] // 1_000_000_000
+                - buf[i - 1][0] // 1_000_000_000) > gap_seconds:
+            closed.append("".join(b[2] for b in buf[cur_start:i]))
+            cur_start = i
+    return closed, buf[cur_start:]
+
+
+def cep_stream_tws(df: DataFrame, *, pattern: str, symbols: dict[str, str],
+                   user_col: str = "user_id", ts_col: str = "ts",
+                   type_col: str = "event_type",
+                   tiebreak_col: str = "event_id",
+                   gap_seconds: int = 1800, default_symbol: str = "x",
+                   close_on_timeout: bool = True) -> DataFrame:
+    """``cep_stream`` on the ``transformWithStateInPandas`` API (Spark
+    4's arbitrary-state processor, successor to applyInPandasWithState):
+    the same shared kernels (``_cep_ingest`` / ``_cep_gap_close`` /
+    match row), so emissions are bit-identical to the legacy operator —
+    different state protocol only. The legacy event-time timeout
+    becomes a REAL event-time timer: every input invocation deletes the
+    pending timer and re-arms it at (last_event_floor_sec + gap) + 1ms,
+    clamped past the current watermark; ``handleExpiredTimer`` closes
+    the idle open session exactly like the legacy hasTimedOut branch.
+
+    Requires the RocksDB state store provider and google.protobuf in
+    the Python worker (the parity test import-skips where absent —
+    standard cluster images carry both). Append output, EventTime
+    mode."""
+    import re as _re
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    from ..functions.cep import validate_pattern, validate_symbols
+    validate_pattern(pattern)
+    validate_symbols(symbols)
+    if len(default_symbol) != 1:
+        raise ValueError("default_symbol must be a single char")
+    if gap_seconds < 1:
+        raise ValueError(f"gap_seconds must be >= 1, got {gap_seconds}")
+    rx = _re.compile(pattern)
+    symmap = dict(symbols)
+    ktype = dict(df.dtypes)[user_col]
+    out_schema = (f"{user_col} {ktype}, sid long, seq string, "
+                  "n_matches long, first_match string")
+
+    def _row(key, sid: int, syms: str):
+        hits = [m.group(0) for m in rx.finditer(syms)]
+        if not hits:
+            return None
+        return pd.DataFrame({user_col: [key[0]], "sid": [sid],
+                             "seq": [syms], "n_matches": [len(hits)],
+                             "first_match": [hits[0]]})
+
+    class Cep(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._st = handle.getValueState(
+                "sess", "epochs array<bigint>, ties array<bigint>, "
+                        "syms string, sid bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._st.exists():
+                epochs, ties, syms, sid = self._st.get()
+                buf = list(zip(epochs, ties, syms))
+            else:
+                buf, sid = [], 1
+            buf = _cep_ingest(buf, rows, ts_col=ts_col,
+                              tiebreak_col=tiebreak_col,
+                              type_col=type_col, symmap=symmap,
+                              default_symbol=default_symbol)
+            if not buf:
+                return
+            closed, open_buf = _cep_gap_close(buf, gap_seconds)
+            for syms_closed in closed:
+                out = _row(key, sid, syms_closed)
+                sid += 1
+                if out is not None:
+                    yield out
+            self._st.update(([b[0] for b in open_buf],
+                             [b[1] for b in open_buf],
+                             "".join(b[2] for b in open_buf), sid))
+            if close_on_timeout:
+                for t in self._handle.listTimers():
+                    self._handle.deleteTimer(t)
+                deadline_ms = (open_buf[-1][0] // 1_000_000_000
+                               + gap_seconds) * 1000 + 1
+                self._handle.registerTimer(
+                    max(deadline_ms,
+                        timerValues.getCurrentWatermarkInMs() + 1))
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            if not self._st.exists():
+                return
+            epochs, ties, syms, sid = self._st.get()
+            self._st.clear()
+            out = _row(key, sid, syms)
+            if out is not None:
+                yield out
+
+        def close(self) -> None:
+            pass
+
+    src = _cep_source(df, ts_col, gap_seconds)
+    return (src.groupBy(user_col)
+            .transformWithStateInPandas(
+                statefulProcessor=Cep(),
+                outputStructType=out_schema,
+                outputMode="Append",
+                timeMode="EventTime"))
 
 
 def token_bucket_stream(df: DataFrame, *, rate_micro_per_sec: int,
@@ -568,30 +694,100 @@ def token_bucket_stream(df: DataFrame, *, rate_micro_per_sec: int,
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            pdf = pdf.sort_values([ts_col, tiebreak_col]).copy()
-            ser = pd.to_datetime(pdf[ts_col])
-            if getattr(ser.dt, "tz", None) is not None:
-                ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
-            secs = (ser.astype("datetime64[ns]").astype("int64")
-                    // 1_000_000_000).tolist()
-            admitted, after = [], []
-            for s in secs:
-                if last is not None:
-                    tokens = min(burst_micro,
-                                 tokens + (s - last) * rate_micro_per_sec)
-                last = s
-                if tokens >= cost_micro:
-                    tokens -= cost_micro
-                    admitted.append(True)
-                else:
-                    admitted.append(False)
-                after.append(tokens)
-            pdf["admitted"] = admitted
-            pdf["tokens_after_micro"] = after
-            yield pdf[cols + ["admitted", "tokens_after_micro"]]
+            out, tokens, last = _token_bucket_apply(
+                pdf, cols, ts_col=ts_col, tiebreak_col=tiebreak_col,
+                tokens=tokens, last=last,
+                rate_micro_per_sec=rate_micro_per_sec,
+                burst_micro=burst_micro, cost_micro=cost_micro)
+            yield out
         state.update((tokens, -1 if last is None else last))
 
     return (df.groupBy(key_col)
             .applyInPandasWithState(fold, out_schema, state_schema,
                                     output_mode,
                                     GroupStateTimeout.NoTimeout))
+
+
+def _token_bucket_apply(pdf, cols, *, ts_col: str, tiebreak_col: str,
+                        tokens: int, last, rate_micro_per_sec: int,
+                        burst_micro: int, cost_micro: int):
+    """One micro-batch of the integer token-bucket fold — shared
+    verbatim by the legacy and transformWithState operators so their
+    admissions are bit-identical. Returns (out_pdf, tokens, last)."""
+    pdf = pdf.sort_values([ts_col, tiebreak_col]).copy()
+    ser = pd.to_datetime(pdf[ts_col])
+    if getattr(ser.dt, "tz", None) is not None:
+        ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
+    secs = (ser.astype("datetime64[ns]").astype("int64")
+            // 1_000_000_000).tolist()
+    admitted, after = [], []
+    for s in secs:
+        if last is not None:
+            tokens = min(burst_micro,
+                         tokens + (s - last) * rate_micro_per_sec)
+        last = s
+        if tokens >= cost_micro:
+            tokens -= cost_micro
+            admitted.append(True)
+        else:
+            admitted.append(False)
+        after.append(tokens)
+    pdf["admitted"] = admitted
+    pdf["tokens_after_micro"] = after
+    return pdf[cols + ["admitted", "tokens_after_micro"]], tokens, last
+
+
+def token_bucket_stream_tws(df: DataFrame, *, rate_micro_per_sec: int,
+                            burst_micro: int, cost_micro: int = 1_000_000,
+                            key_col: str = "user_id", ts_col: str = "ts",
+                            tiebreak_col: str = "event_id") -> DataFrame:
+    """``token_bucket_stream`` on the ``transformWithStateInPandas``
+    API: the same shared integer fold (``_token_bucket_apply``), state
+    = one named ValueState of two longs per key, no timers — emissions
+    bit-identical to the legacy operator by construction. Requires the
+    RocksDB state store provider and google.protobuf in the Python
+    worker (parity test import-skips where absent)."""
+    if rate_micro_per_sec < 0 or burst_micro < 1 or cost_micro < 1:
+        raise ValueError(
+            "need rate_micro_per_sec >= 0, burst_micro >= 1, "
+            f"cost_micro >= 1; got {rate_micro_per_sec}/{burst_micro}/"
+            f"{cost_micro}")
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    cols = df.columns
+    out_schema = ", ".join(
+        f"{n} {t}" for n, t in df.dtypes) + ", admitted boolean, " \
+        "tokens_after_micro bigint"
+
+    class Bucket(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "bucket", "tokens bigint, last_sec bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._st.exists():
+                tokens, last = self._st.get()
+                last = None if last < 0 else last
+            else:
+                tokens, last = burst_micro, None
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                out, tokens, last = _token_bucket_apply(
+                    pdf, cols, ts_col=ts_col, tiebreak_col=tiebreak_col,
+                    tokens=tokens, last=last,
+                    rate_micro_per_sec=rate_micro_per_sec,
+                    burst_micro=burst_micro, cost_micro=cost_micro)
+                yield out
+            self._st.update((tokens, -1 if last is None else last))
+
+        def close(self) -> None:
+            pass
+
+    return (df.groupBy(key_col)
+            .transformWithStateInPandas(
+                statefulProcessor=Bucket(),
+                outputStructType=out_schema,
+                outputMode="Append",
+                timeMode="None"))

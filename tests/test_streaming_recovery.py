@@ -428,3 +428,103 @@ def test_cep_stream_checkpoint_recovery_exactly_once(spark, tmp_path):
          .outputMode("append").trigger(availableNow=True).start())
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == len(seen) == 1
+
+
+def test_tws_cep_stream_parity(spark, tmp_path):
+    """cep_stream_tws (transformWithStateInPandas, event-time timers)
+    must emit sessions BIT-IDENTICAL to the legacy
+    applyInPandasWithState cep_stream on the same multi-batch stream —
+    shared ingest/gap-close/match kernels, different state protocol.
+    Skipped where google.protobuf (the tws state-server dependency) is
+    absent."""
+    pytest.importorskip("google.protobuf.descriptor")
+    import datetime as dt
+    from go_streams_spark.streaming import file_stream_source
+    from go_streams_spark.streaming.stateful import (cep_stream,
+                                                     cep_stream_tws)
+
+    SCHEMA = ("event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    base = dt.datetime(2024, 1, 1, 8)
+
+    def ev(uid, minute, etype, eid):
+        return (eid, base + dt.timedelta(minutes=minute), uid, etype)
+
+    rows = ([ev(1, m, t, 10 + i) for i, (m, t) in enumerate(
+                [(0, "view"), (5, "click"), (9, "purchase")])]
+            + [ev(2, m, t, 30 + i) for i, (m, t) in enumerate(
+                [(0, "purchase"), (3, "view"), (6, "click")])]
+            + [ev(1, 600, "view", 40), ev(2, 600, "click", 41)]
+            + [ev(1, 10 ** 5, "noop", 901), ev(2, 10 ** 5, "noop", 902)])
+    src = str(tmp_path / "src")
+    df_all = spark.createDataFrame(rows, SCHEMA)
+    df_all.where(F.col("event_id") < 40).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    df_all.where(F.col("event_id") >= 40).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    def run(op, cp):
+        stream = file_stream_source(spark, src, fmt="parquet",
+                                    schema=SCHEMA,
+                                    maxFilesPerTrigger="1")
+        out = op(stream, pattern="v[^p]*c[^p]*p",
+                 symbols={"view": "v", "click": "c", "purchase": "p"},
+                 gap_seconds=1800)
+        name = _mem()
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {(r["user_id"], r["sid"]): (r["seq"], r["n_matches"],
+                                           r["first_match"])
+                for r in spark.table(name).collect()}
+
+    legacy = run(cep_stream, str(tmp_path / "cp_legacy"))
+    with _rocksdb(spark):
+        tws = run(cep_stream_tws, str(tmp_path / "cp_tws"))
+    assert tws == legacy
+    assert len(tws) > 0
+
+
+def test_tws_token_bucket_parity(spark, tmp_path):
+    """token_bucket_stream_tws must admit BIT-IDENTICALLY to the legacy
+    operator (shared integer fold, different state protocol). Skipped
+    where google.protobuf is absent."""
+    pytest.importorskip("google.protobuf.descriptor")
+    import datetime as dt
+    from go_streams_spark.streaming import file_stream_source
+    from go_streams_spark.streaming.stateful import (
+        token_bucket_stream, token_bucket_stream_tws)
+
+    SCHEMA = "event_id long, ts timestamp, user_id long"
+    base = dt.datetime(2024, 1, 1, 8)
+    rows = [(i, base + dt.timedelta(seconds=s), i % 3)
+            for i, s in enumerate([0, 0, 1, 2, 5, 5, 6, 9, 30, 31, 60])]
+    src = str(tmp_path / "src")
+    df_all = spark.createDataFrame(rows, SCHEMA)
+    df_all.where(F.col("event_id") < 6).coalesce(1) \
+        .write.mode("overwrite").parquet(src)
+    df_all.where(F.col("event_id") >= 6).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    def run(op, cp):
+        stream = file_stream_source(spark, src, fmt="parquet",
+                                    schema=SCHEMA,
+                                    maxFilesPerTrigger="1")
+        out = op(stream, rate_micro_per_sec=500_000,
+                 burst_micro=2_000_000)
+        name = _mem()
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append")
+             .option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {r["event_id"]: (r["admitted"], r["tokens_after_micro"])
+                for r in spark.table(name).collect()}
+
+    legacy = run(token_bucket_stream, str(tmp_path / "cp_legacy"))
+    with _rocksdb(spark):
+        tws = run(token_bucket_stream_tws, str(tmp_path / "cp_tws"))
+    assert tws == legacy
+    assert len(tws) == len(rows)
