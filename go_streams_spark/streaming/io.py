@@ -143,13 +143,20 @@ def with_bounded_retry(fn: Callable[[DataFrame, int], None], *,
 
 
 def kafka_source(spark: SparkSession, bootstrap_servers: str, subscribe: str,
-                 starting_offsets: str = "earliest", **options) -> DataFrame:
+                 starting_offsets: str = "earliest", *,
+                 format: str = "kafka", **options) -> DataFrame:
     """Kafka consumer source (kafka/kafka_sarama.go:26,57-136): offsets
     ride in the checkpoint (the MarkMessage analogue); output columns
     key/value/topic/partition/offset/timestamp mirror the reference's
     ConsumerMessage envelope. Requires the spark-sql-kafka package on
-    the cluster."""
-    reader = (spark.readStream.format("kafka")
+    the cluster.
+
+    ``format`` is the one test seam: Spark reserves the provider name
+    "kafka" even when the package is absent, so the file-backed fake
+    (testing/fake_kafka.py, same envelope/offset surface) registers
+    under its own name and the end-to-end test injects it here — every
+    other line of this wrapper executes unchanged."""
+    reader = (spark.readStream.format(format)
               .option("kafka.bootstrap.servers", bootstrap_servers)
               .option("subscribe", subscribe)
               .option("startingOffsets", starting_offsets))
@@ -159,13 +166,15 @@ def kafka_source(spark: SparkSession, bootstrap_servers: str, subscribe: str,
 
 
 def kafka_sink(bootstrap_servers: str, topic: str, *, checkpoint: str,
-               available_now: bool = False, **options) -> Sink:
+               available_now: bool = False, format: str = "kafka",
+               **options) -> Sink:
     """Kafka producer sink (kafka/kafka_sarama.go:151,174-209): expects
-    key/value columns."""
+    key/value columns. ``format`` is the same test seam as
+    ``kafka_source``'s."""
 
     def run(df: DataFrame):
         w = (_writer(df, available_now, checkpoint)
-             .format("kafka")
+             .format(format)
              .option("kafka.bootstrap.servers", bootstrap_servers)
              .option("topic", topic))
         for k, v in options.items():

@@ -553,3 +553,83 @@ def test_pulsar_checkpoint_recovery_no_dup_no_loss(spark, fake_path, tmp_path):
         time.sleep(0.5)
     q2.stop()
     assert landed() == sorted(f"p{i}" for i in range(8))
+
+
+# ---------------------------------------------------------------- Kafka
+
+
+def test_kafka_wrapper_end_to_end_fake_datasource(spark, tmp_path):
+    """The REAL kafka_source/kafka_sink wrapper code end to end — format
+    resolution, option plumbing, envelope schema, offset ranges, and
+    checkpoint-restart exactly-once — against a file-backed Python Data
+    Source injected through the wrappers' format= seam (Spark reserves
+    the provider name "kafka"; this container has no
+    broker and no spark-sql-kafka package; on a real cluster the
+    built-in JVM connector serves the same surface, smoke-tested by
+    test_kafka_roundtrip_real_broker). MarkMessage semantics
+    (kafka/kafka_sarama.go:128): the consumed position is the
+    checkpoint, so a restarted query resumes past everything already
+    delivered."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from go_streams_spark.streaming.io import kafka_sink, kafka_source
+    from go_streams_spark.testing.fake_kafka import register_fake_kafka
+
+    fmt = register_fake_kafka(spark)
+    broker = str(tmp_path / "broker")
+    topic = "orders"
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+
+    # produce 3 records through the connector's write surface (batch)
+    df = spark.createDataFrame(
+        [("k1", "v1"), ("k2", "v2"), ("k3", "v3")], "key string, value string")
+    (df.selectExpr("CAST(key AS BINARY) key", "CAST(value AS BINARY) value")
+     .coalesce(1).write.format(fmt).mode("append")
+     .option("kafka.bootstrap.servers", broker)
+     .option("topic", topic).save())
+
+    def consume():
+        q = (kafka_source(spark, broker, topic, format=fmt)
+             .selectExpr("CAST(key AS STRING) key",
+                         "CAST(value AS STRING) value",
+                         "topic", "partition", "offset")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", cp)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {r["offset"]: (r["key"], r["value"], r["topic"],
+                              r["partition"])
+                for r in spark.read.parquet(out).collect()}
+
+    got = consume()
+    assert got == {0: ("k1", "v1", topic, 0), 1: ("k2", "v2", topic, 0),
+                   2: ("k3", "v3", topic, 0)}
+
+    # the wrapper's options must have reached the source verbatim
+    opts = json.load(open(os.path.join(broker, topic,
+                                       "reader_options.json")))
+    assert opts["kafka.bootstrap.servers"] == broker
+    assert opts["subscribe"] == topic
+    assert opts["startingoffsets"] == "earliest"
+
+    # produce 2 more through kafka_sink's STREAMING write surface
+    src = str(tmp_path / "src")
+    spark.createDataFrame([("k4", "v4"), ("k5", "v5")],
+                          "key string, value string") \
+        .coalesce(1).write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema("key string, value string")
+              .parquet(src)
+              .select(F.col("key").cast("binary").alias("key"),
+                      F.col("value").cast("binary").alias("value")))
+    sink = kafka_sink(broker, topic, checkpoint=str(tmp_path / "cp_sink"),
+                      available_now=True, format=fmt)
+    sink(stream).awaitTermination(120)
+
+    # restart on the SAME checkpoint: exactly the 2 new offsets arrive
+    again = consume()
+    assert set(again) == {0, 1, 2, 3, 4}
+    assert again[3][1] == "v4" and again[4][1] == "v5"
