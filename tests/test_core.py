@@ -146,3 +146,49 @@ def test_registry_integrity():
     assert not missing, f"bench names not in registry: {missing}"
     assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
     assert all(n and n == n.strip() for n in QUERIES)
+
+
+def test_oracle_for_resolution():
+    """oracle_for resolves {SF_DIR} placeholders and invokes per-SF
+    generator callables with the requested dir; the default is the
+    driver's gate dir, so a plain oracle_sql() stays valid SQL."""
+    from go_streams_spark.queries import GATE_SF_DIR, ORACLE, oracle_for
+
+    # the path-bearing oracle follows the sweep dir
+    raw = ORACLE["rowgroup_pruning_audit"]
+    assert "{SF_DIR}" in raw
+    assert "/root/testdata/sf0.001/lineitem.parquet" in \
+        oracle_for("/root/testdata/sf0.001")["rowgroup_pruning_audit"]
+    assert f"{GATE_SF_DIR}/lineitem.parquet" in \
+        oracle_for()["rowgroup_pruning_audit"]
+
+    # the generator oracle is a callable in the raw registry and plain
+    # SQL after resolution, with data-dependent literals inside
+    assert callable(ORACLE["embedding_mahalanobis_outliers"])
+    sql = oracle_for("/root/testdata/sf0.001")[
+        "embedding_mahalanobis_outliers"]
+    assert isinstance(sql, str) and "BIGINT[][]" in sql
+
+    # no unresolved placeholders or callables leak to the driver
+    resolved = oracle_for()
+    assert all(isinstance(s, str) and "{SF_DIR}" not in s
+               for s in resolved.values())
+
+
+def test_rows_only_manifest_matches_registry():
+    """__spark_entry__.rows_only() must name exactly the queries with
+    no oracle, and each named parity test must exist."""
+    import subprocess
+    import sys
+
+    import __spark_entry__ as m
+    from go_streams_spark.queries import ORACLE, QUERIES
+
+    manifest = m.rows_only()
+    assert set(manifest) == set(QUERIES) - set(ORACLE)
+    for test_id in manifest.values():
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", test_id,
+             "--collect-only", "-q"],
+            capture_output=True, text=True, timeout=120)
+        assert "1 test collected" in r.stdout, (test_id, r.stdout[-400:])
