@@ -791,8 +791,10 @@ def canonical_url(url: Column | str,
     auth = F.lower(m)
     auth = F.regexp_replace(auth, ":80$", "")
     auth = F.regexp_replace(auth, ":443$", "")
-    # bare trailing slash on the path is noise ("/a/" == "/a", "/" == "")
-    path = F.regexp_replace(rest, "/$", "")
+    # bare trailing slash(es) on the path are noise ("/a/" == "/a",
+    # "/" == ""); strip the whole run — stripping only one made
+    # "//" -> "/" -> "" non-idempotent (hypothesis-found)
+    path = F.regexp_replace(rest, "/+$", "")
     drop = F.array(*[F.lit(p) for p in tracking_params])
     kept = F.filter(
         F.split(F.coalesce(qs, F.lit("")), "&"),

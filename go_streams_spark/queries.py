@@ -1027,7 +1027,7 @@ WITH u AS (
            ':80$', ''), ':443$', '') AS auth,
          regexp_replace(regexp_extract(base,
                  '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]*)(.*)$', 2),
-                 '/$', '') AS path,
+                 '/+$', '') AS path,
          array_to_string(list_sort(list_filter(
            string_split(coalesce(qs, ''), '&'),
            kv -> kv <> '' AND NOT list_contains(
