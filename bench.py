@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "corpus_content_fingerprint",
     "embedding_second_moments",
     "embedding_mahalanobis_outliers",
+    "pca_whiten_embeddings",
     "isotonic_quality_calibration",
     "type_token_diversity",
     "psi_drift_report",

@@ -1695,6 +1695,172 @@ ORDER BY maha2 DESC, {id_col}
 LIMIT {top}"""
 
 
+def _pca_whiten_params(s_mat, colsum, n: int, *, out_dim: int,
+                       ridge: float, scale: int, pscale: int):
+    """Shared driver-side derivation for the ENGINE-EXACT PCA-whitening
+    path: from exact integer second moments, derive (mu_q, p_q, den):
+      * mu_q — half-up integer micro-unit mean (as Mahalanobis);
+      * p_q — the top-``out_dim`` whitening rows diag(1/sqrt(l+ridge))
+        V^T, eigenvectors sign-canonicalized (largest-|entry| positive)
+        and quantized to ``pscale`` units — out_dim x D int literals;
+      * den — pscale * scale, the single divisor of each coordinate.
+    Engine and oracle generator both call this on the same exact
+    integers, so the literals agree bit for bit."""
+    import numpy as np
+    d = len(colsum)
+    if not 1 <= out_dim <= d:
+        raise ValueError(f"out_dim must be in [1, {d}], got {out_dim}")
+    mu_q = [(2 * int(c) + n) // (2 * n) for c in colsum]
+    mu = np.array([int(c) for c in colsum], dtype=np.float64) / (n * scale)
+    cov = (np.array(s_mat, dtype=np.float64) / float(scale) ** 2) / n \
+        - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:out_dim]
+    lam, v = evals[order], evecs[:, order]
+    # canonical signs: the largest-|entry| of each eigenvector positive
+    for j in range(v.shape[1]):
+        i = int(np.argmax(np.abs(v[:, j])))
+        if v[i, j] < 0:
+            v[:, j] = -v[:, j]
+    w = v.T / np.sqrt(np.maximum(lam, 0.0) + ridge)[:, None]
+    p_q = np.floor(w * pscale + 0.5).astype(np.int64)
+    return mu_q, p_q, pscale * scale
+
+
+def pca_whiten_embeddings(df: DataFrame, *, id_col: str = "vec_id",
+                          vec_col: str = "embedding", out_dim: int = 8,
+                          ridge: float = 1e-3, scale: int = 1_000_000,
+                          pscale: int = 1_000_000) -> DataFrame:
+    """PCA whitening of the embedding corpus — the OPQ/ZCA-style linear
+    pre-stage before PQ codebooks, k-means, or Mahalanobis-flavored
+    scoring: project each vector onto the top-``out_dim`` principal
+    axes and rescale each axis to unit variance (+``ridge``).
+
+    ENGINE-EXACT: exact integer second moments + column sums reduce the
+    corpus to DxD + D + 1 numbers; the driver derives the quantized
+    whitening rows (``_pca_whiten_params``) and broadcasts them into
+    one vectorized projection pass computing int64 dots
+    z = P_q @ (q - mu_q) — exact, order-independent — then ONE float
+    division + half-up 6-dp round per coordinate. A per-SF generated
+    oracle (``pca_whiten_oracle_sql``) replays it bit for bit from the
+    baked literals. Returns (id, j, coord): out_dim rows per vector.
+
+    Scale shape: two bounded aggregations (D^2 + D rows of partials)
+    and one mapInPandas projection — no shuffle of vector data, P_q is
+    out_dim x D driver metadata (the codebook-broadcast class)."""
+    import numpy as np
+    import pandas as pd
+
+    mom = embedding_second_moments(df, vec_col=vec_col,
+                                   quant=scale).collect()
+    d = max(r["i"] for r in mom) + 1
+    s_mat = [[0] * d for _ in range(d)]
+    for r in mom:
+        s_mat[r["i"]][r["j"]] = int(r["s"])
+    qsums = (df.select(F.posexplode(quantized_vec(vec_col, scale))
+                       .alias("i", "qx"))
+             .groupBy("i").agg(F.sum("qx").alias("sq"),
+                               F.count(F.lit(1)).alias("n")).collect())
+    n = qsums[0]["n"]
+    colsum = [0] * d
+    for r in qsums:
+        colsum[r["i"]] = int(r["sq"])
+    mu_q, p_q, den = _pca_whiten_params(s_mat, colsum, n, out_dim=out_dim,
+                                        ridge=ridge, scale=scale,
+                                        pscale=pscale)
+    muq_arr = np.array(mu_q, dtype=np.int64)
+    # |z| must stay below 2^53 so the int64 -> float64 conversion (and
+    # the float64 matmul) is exact; bound from the corpus's ACTUAL max
+    # component (one cheap max agg), not a guessed range
+    pmax = int(np.abs(p_q).max())
+    qmax = int(df.select(
+        F.max(F.array_max(
+            F.transform(quantized_vec(vec_col, scale),
+                        lambda v: F.abs(v))))).collect()[0][0])
+    ymax_bound = qmax + int(np.abs(muq_arr).max())
+    if d * pmax * ymax_bound >= 2 ** 53:
+        raise OverflowError(
+            f"whitening dot may exceed 2^53 (d={d}, |P_q|max={pmax}, "
+            f"|y|max={ymax_bound}); lower pscale")
+    bw = df.sparkSession.sparkContext.broadcast((muq_arr, p_q))
+    fden = float(den)
+
+    def _project(batches):
+        muq, pq = bw.value
+        pqf = pq.astype(np.float64)
+        k = len(pq)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            y = np.floor(x * scale + 0.5) - muq[None, :]
+            if float(np.abs(y).max(initial=0.0)) > ymax_bound:
+                raise OverflowError(
+                    "vector magnitude exceeds the exactness bound "
+                    "assumed at driver time; lower scale/pscale")
+            z = y @ pqf.T  # exact: every partial sum < 2^53 (guarded)
+            coord = np.floor(z / fden * 1e6 + 0.5) / 1e6
+            ids = np.repeat(pdf[id_col].to_numpy(), k)
+            yield pd.DataFrame({
+                id_col: ids,
+                "j": np.tile(np.arange(k, dtype=np.int32), len(pdf)),
+                "coord": coord.ravel()})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        _project, schema=f"{id_col} {id_type}, j int, coord double")
+
+
+def pca_whiten_oracle_sql(sf_dir: str, *, table: str = "embeddings",
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding", out_dim: int = 8,
+                          ridge: float = 1e-3, scale: int = 1_000_000,
+                          pscale: int = 1_000_000) -> str:
+    """Generate the DuckDB oracle for ``pca_whiten_embeddings`` at one
+    SF: independent parquet read -> same exact integer moments -> same
+    ``_pca_whiten_params`` -> (mu_q, P_q) baked as literals -> the SQL
+    replays the integer projection and the one float division bit for
+    bit. Registered as a per-SF generator callable (the literals are
+    data-dependent), like the Mahalanobis oracle."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    arr = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
+                        columns=[vec_col])[vec_col]
+    x = np.array(arr.to_pylist(), dtype=np.float64)
+    q = np.floor(x * scale + 0.5).astype(np.int64)
+    n, d = q.shape
+    s_mat = (q.astype(object).T @ q.astype(object)).tolist()
+    colsum = q.astype(object).sum(axis=0).tolist()
+    mu_q, p_q, den = _pca_whiten_params(s_mat, colsum, n, out_dim=out_dim,
+                                        ridge=ridge, scale=scale,
+                                        pscale=pscale)
+    mu_lit = "[" + ", ".join(str(v) for v in mu_q) + "]"
+    rows_lit = "[" + ",\n   ".join(
+        "[" + ", ".join(str(v) for v in row) + "]"
+        for row in p_q.tolist()) + "]"
+    return f"""WITH y AS (
+  SELECT {id_col},
+         list_transform(
+           list_zip(list_transform({vec_col},
+                      x -> floor(x::DOUBLE * {scale} + 0.5)::BIGINT),
+                    {mu_lit}::BIGINT[]),
+           p -> p[1] - p[2]) AS y
+  FROM {table}
+), proj AS (
+  SELECT {id_col}, (r.j - 1)::INT AS j,
+         list_sum(list_transform(
+           list_zip(({rows_lit}::BIGINT[][])[r.j], y),
+           p -> p[1] * p[2]))::BIGINT AS z
+  FROM y CROSS JOIN (SELECT unnest(range(1, {out_dim + 1})) AS j) r
+)
+SELECT {id_col}, j,
+       floor(z / {float(den)} * 1000000 + 0.5) / 1000000.0 AS coord
+FROM proj"""
+
+
 def ann_recall_against_exact(df: DataFrame, approx: DataFrame, *,
                              id_col: str = "vec_id", k: int = 5,
                              query_blocks: int = 8,

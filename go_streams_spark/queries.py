@@ -6211,6 +6211,21 @@ def ab_test_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("t_stat")))
 
 
+@query("pca_whiten_embeddings", S.pca_whiten_oracle_sql)
+def pca_whiten_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA whitening of the embedding corpus onto the top-8 principal
+    axes (unit variance + ridge) — the OPQ/ZCA linear pre-stage before
+    PQ codebooks / k-means / Mahalanobis scoring.
+    functions/similarity.py::pca_whiten_embeddings: exact integer
+    moments -> driver eigh -> quantized whitening rows broadcast into
+    one int64 projection pass (order-independent dots, one float
+    division per coordinate). Hash-checked against a PER-SF GENERATED
+    oracle with (mu_q, P_q) baked as literals from an independent
+    parquet read — same machinery as the Mahalanobis gate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.pca_whiten_embeddings(emb, out_dim=8)
+
+
 @query("embedding_second_moments", """
 WITH q AS (
   SELECT vec_id,

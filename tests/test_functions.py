@@ -1818,3 +1818,26 @@ def test_mahalanobis_exact_invariants(spark, sf_dir):
            for r in mahalanobis_scores(emb).collect()}
     for i, v in got.items():
         assert abs(v - ref[i]) < 1e-2, (i, v, ref[i])
+
+
+def test_pca_whitening_statistics(spark, sf_dir):
+    """Whitened coordinates must actually be white: each of the top
+    axes has ~unit variance (ridge shrinks it slightly below 1), means
+    ~0, and distinct axes are ~uncorrelated. Exactness vs the SQL
+    oracle is the gate query; this pins the LINEAR-ALGEBRA semantics."""
+    import numpy as np
+    from go_streams_spark.functions.similarity import pca_whiten_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = pca_whiten_embeddings(emb, out_dim=4).collect()
+    by_axis = {}
+    for r in rows:
+        by_axis.setdefault(r["j"], []).append(r["coord"])
+    assert set(by_axis) == {0, 1, 2, 3}
+    mats = np.array([by_axis[j] for j in range(4)])
+    var = mats.var(axis=1)
+    assert np.all(var > 0.7) and np.all(var < 1.1), var
+    assert np.all(np.abs(mats.mean(axis=1)) < 0.1)
+    corr = np.corrcoef(mats)
+    off = corr[~np.eye(4, dtype=bool)]
+    assert np.all(np.abs(off) < 0.15), corr
