@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "html_strip_docs",
     "compression_ratio_docs",
     "training_shuffle_docs",
+    "bootstrap_ci_tokens",
     "fd_violation_events",
     "cusum_changepoint_hourly",
     "salted_join_events",

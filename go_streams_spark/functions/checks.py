@@ -280,3 +280,83 @@ def quantile_normalize(df: DataFrame, *, value_col: str, group_col: str,
            .agg(F.round(F.avg(value_col), 4).alias("qnorm")))
     return (ranked.join(F.broadcast(ref), "__r")
             .select(id_col, group_col, value_col, "qnorm"))
+
+
+#: cumulative CDF of Poisson(1) at k = 0..5 — the inverse-CDF table for
+#: deterministic hash-derived bootstrap weights (tail mass beyond 6 is
+#: ~1e-4 of one count unit; capped). Literal doubles, identical in SQL.
+POISSON1_CDF = (0.36787944117144233, 0.7357588823428847,
+                0.9196986029286058, 0.9810118431238462,
+                0.9963401531726563, 0.9994058151824183)
+
+
+def poisson_bootstrap_weight(key: Column, rep: Column) -> Column:
+    """Deterministic Poisson(1) bootstrap weight for (row key,
+    replicate): u = first 8 md5 hex digits of "key_rep" as a uniform in
+    [0, 1), pushed through the Poisson(1) inverse CDF. md5 is
+    bit-identical in every engine and the comparisons are literal
+    doubles, so any engine derives the same integer weight — the
+    Poisson bootstrap (Chamandy et al., Google) replicates WEIGHTS, not
+    rows, which is what makes bootstrapping 100 TB one scan instead of
+    B copies."""
+    u = (F.conv(F.substring(F.md5(F.concat_ws("_", key, rep)), 1, 8),
+                16, 10).cast("long") / F.lit(4294967296.0))
+    w = F.lit(6)
+    for k in range(len(POISSON1_CDF) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CDF[k]), F.lit(k)).otherwise(w)
+    return w.cast("long")
+
+
+def bootstrap_mean_ci(df: DataFrame, *, key_col: str, value_col: str,
+                      replicates: int = 200,
+                      alpha: float = 0.05) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the MEAN of an
+    integer-valued metric — the uncertainty line every corpus quality
+    report should carry ("mean tokens/doc: 512.3 [508.1, 516.9]").
+
+    ENGINE-EXACT Poisson bootstrap: each row contributes a
+    hash-derived Poisson(1) weight per replicate
+    (``poisson_bootstrap_weight``); replicate means are exact int64
+    (sum w*x / sum w, ONE float division rounded half-up to 6 dp); the
+    CI bounds are order statistics over the B replicate means
+    (row_number with replicate-id tie-break — no interpolation, so the
+    whole report hash-matches a SQL oracle).
+
+    Scale shape: the replicate fan-out explodes B weights per row but
+    aggregates in the SAME stage (map-side partial to B-grain), so the
+    shuffle carries B rows per partition; everything after is
+    B-bounded. One scan of the data regardless of B.
+
+    Returns ONE row: (n_rows, point_mean, ci_low, ci_high,
+    n_replicates). ``value_col`` must be integral (cast yourself —
+    quantize floats to micro-units first, the repo convention)."""
+    if replicates < 4:
+        raise ValueError(f"replicates must be >= 4, got {replicates}")
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    b = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("b")
+    x = F.col(value_col).cast("long")
+    w = poisson_bootstrap_weight(F.col(key_col).cast("string"),
+                                 F.col("b").cast("string"))
+    per_rep = (df.select(F.col(key_col), x.alias("x"), b)
+               .select("b", (w * F.col("x")).alias("wx"), w.alias("w"))
+               .groupBy("b")
+               .agg(F.sum("wx").alias("s"), F.sum("w").alias("n")))
+    rep_mean = per_rep.select(
+        "b", (F.floor(F.col("s") / F.col("n") * 1_000_000 + F.lit(0.5))
+              / 1_000_000.0).alias("m"))
+    lo_rank = int(alpha / 2 * replicates) + 1        # floor + 1
+    hi_rank = -(-int((1 - alpha / 2) * replicates))  # == ceil for int
+    ww = Window.orderBy("m", "b")  # over exactly `replicates` rows
+    ranked = rep_mean.withColumn("r", F.row_number().over(ww))
+    ci = ranked.agg(
+        F.max(F.when(F.col("r") == lo_rank, F.col("m"))).alias("ci_low"),
+        F.max(F.when(F.col("r") == hi_rank, F.col("m"))).alias("ci_high"),
+        F.count(F.lit(1)).alias("n_replicates"))
+    base = df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.floor(F.sum(x) / F.count(F.lit(1)) * 1_000_000 + F.lit(0.5))
+         / 1_000_000.0).alias("point_mean"))
+    return (base.crossJoin(F.broadcast(ci))
+            .select("n_rows", "point_mean", "ci_low", "ci_high",
+                    "n_replicates"))

@@ -71,6 +71,9 @@ BOUND_CLASSES: dict[str, str] = {
     # volume (1e9+ docs: replace the global rank with a weight-threshold
     # filter or a per-shard top-k merge)
     "doc-grain": "rows in documents",
+    # one row per bootstrap replicate — a CONSTANT chosen at call time
+    # (B=200 here), volume-independent by construction
+    "replicate-grid": "bootstrap replicate count (constant 200)",
 }
 BOUNDS: dict[str, str] = {}
 
@@ -1165,6 +1168,67 @@ def cusum_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (s.orderBy(F.abs(F.col("cusum")).desc(), "hour").limit(1)
             .withColumnRenamed("hour", "cp_hour")
             .select("cp_hour", "cusum", "n_hours"))
+
+
+@query("bootstrap_ci_tokens", bound="replicate-grid", sql="""
+WITH base AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '),
+                         x -> x <> ''))::BIGINT AS x
+  FROM documents
+), reps AS (
+  SELECT unnest(range(0, 200)) AS b
+), wtab AS (
+  SELECT r.b, base.x,
+         CASE
+           WHEN u < 0.36787944117144233 THEN 0
+           WHEN u < 0.7357588823428847  THEN 1
+           WHEN u < 0.9196986029286058  THEN 2
+           WHEN u < 0.9810118431238462  THEN 3
+           WHEN u < 0.9963401531726563  THEN 4
+           WHEN u < 0.9994058151824183  THEN 5
+           ELSE 6
+         END::BIGINT AS w
+  FROM base CROSS JOIN reps r,
+       LATERAL (SELECT ('0x' || substr(md5(base.doc_id::VARCHAR || '_'
+                                           || r.b::VARCHAR), 1, 8))::BIGINT
+                       / 4294967296.0 AS u) t
+), per_rep AS (
+  SELECT b, sum(w * x)::BIGINT AS s, sum(w)::BIGINT AS n
+  FROM wtab GROUP BY b
+), means AS (
+  SELECT b, floor(s / n * 1000000 + 0.5) / 1000000.0 AS m,
+         row_number() OVER (ORDER BY floor(s / n * 1000000 + 0.5)
+                                       / 1000000.0, b) AS r
+  FROM per_rep
+), ci AS (
+  SELECT max(CASE WHEN r = 6   THEN m END) AS ci_low,
+         max(CASE WHEN r = 195 THEN m END) AS ci_high,
+         count(*)::BIGINT AS n_replicates
+  FROM means
+)
+SELECT (SELECT count(*) FROM base)::BIGINT AS n_rows,
+       (SELECT floor(sum(x) / count(*) * 1000000 + 0.5) / 1000000.0
+        FROM base) AS point_mean,
+       ci_low, ci_high, n_replicates
+FROM ci
+""")
+def bootstrap_ci_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean tokens/doc — the uncertainty
+    line a corpus quality report carries. checks.bootstrap_mean_ci:
+    per-(doc, replicate) md5-derived Poisson(1) weights (Chamandy et
+    al.'s resample-weights-not-rows trick — one scan for any B),
+    exact int64 weighted sums per replicate, ONE rounded division per
+    replicate mean, percentile bounds as order statistics over the
+    B=200 means. Every step hash-matches the oracle. The only
+    SinglePartition stage ranks the 200 replicate means
+    (replicate-grid bound class)."""
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.checks import bootstrap_mean_ci
+    from .functions.text import token_count
+    base = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    return bootstrap_mean_ci(base, key_col="doc_id",
+                             value_col="n_tokens", replicates=200)
 
 
 @query("fd_violation_events", bound="user-grain", sql="""

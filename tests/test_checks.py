@@ -82,3 +82,31 @@ def test_quantile_normalize_aligns_distributions(spark):
     bad = spark.createDataFrame(rows + [(999, "a", 7)], "id long, g string, v long")
     with _pytest.raises(ValueError, match="equal group sizes"):
         quantile_normalize(bad, value_col="v", group_col="g", id_col="id")
+
+
+def test_bootstrap_mean_ci_semantics(spark):
+    """Poisson-bootstrap CI sanity: weights average ~1 (so replicate
+    means are unbiased), the interval brackets the point mean, is
+    ordered, and narrows roughly as 1/sqrt(n) when the sample grows."""
+    from pyspark.sql import functions as F
+    from go_streams_spark.functions.checks import (bootstrap_mean_ci,
+                                                   poisson_bootstrap_weight)
+
+    # weight distribution: mean ~ Poisson(1) mean = 1
+    ids = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    wbar = ids.select(poisson_bootstrap_weight(
+        F.col("k"), F.lit("0")).alias("w")).agg(F.avg("w")).collect()[0][0]
+    assert 0.9 < wbar < 1.1, wbar
+
+    def ci(n):
+        df = spark.range(n).select(
+            F.col("id").alias("k"), (F.col("id") % 100).alias("x"))
+        r = bootstrap_mean_ci(df, key_col="k", value_col="x",
+                              replicates=100).collect()[0]
+        assert r["n_replicates"] == 100
+        assert r["ci_low"] <= r["point_mean"] <= r["ci_high"]
+        return r["ci_high"] - r["ci_low"]
+
+    w_small, w_big = ci(400), ci(6400)
+    # 16x the data -> ~4x narrower; allow generous slack
+    assert w_big < w_small / 2, (w_small, w_big)

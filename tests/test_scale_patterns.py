@@ -470,6 +470,7 @@ def test_single_partition_exchange_inputs_bounded(spark, sf_dir):
         "customer-grain": _t(spark, sf_dir, "customer").count(),
         "user-grain": ev.select("user_id").distinct().count(),
         "doc-grain": _t(spark, sf_dir, "documents").count(),
+        "replicate-grid": 200,  # constant B, volume-independent
     }
     assert set(class_bounds) == set(BOUND_CLASSES), (
         "sweep prices a different class set than queries.BOUND_CLASSES "
