@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "compression_ratio_docs",
     "training_shuffle_docs",
     "bootstrap_ci_tokens",
+    "bootstrap_ci_tokens_by_source",
     "fd_violation_events",
     "cusum_changepoint_hourly",
     "salted_join_events",

@@ -360,3 +360,52 @@ def bootstrap_mean_ci(df: DataFrame, *, key_col: str, value_col: str,
     return (base.crossJoin(F.broadcast(ci))
             .select("n_rows", "point_mean", "ci_low", "ci_high",
                     "n_replicates"))
+
+
+def bootstrap_mean_ci_grouped(df: DataFrame, *, key_col: str,
+                              value_col: str, group_cols: Sequence[str],
+                              replicates: int = 200,
+                              alpha: float = 0.05) -> DataFrame:
+    """``bootstrap_mean_ci`` per group (per source / language / shard):
+    the same engine-exact Poisson bootstrap, with replicate means at
+    (group, b) grain and percentile ranks windowed PER GROUP — the
+    global stage is gone entirely, so the op is group-parallel at any
+    scale (each window partition holds exactly B rows). Returns one row
+    per group: (group..., n_rows, point_mean, ci_low, ci_high,
+    n_replicates)."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty — use "
+                         "bootstrap_mean_ci for the global interval")
+    if replicates < 4:
+        raise ValueError(f"replicates must be >= 4, got {replicates}")
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    groups = list(group_cols)
+    b = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("b")
+    x = F.col(value_col).cast("long")
+    w = poisson_bootstrap_weight(F.col(key_col).cast("string"),
+                                 F.col("b").cast("string"))
+    per_rep = (df.select(*groups, F.col(key_col), x.alias("x"), b)
+               .select(*groups, "b", (w * F.col("x")).alias("wx"),
+                       w.alias("w"))
+               .groupBy(*groups, "b")
+               .agg(F.sum("wx").alias("s"), F.sum("w").alias("n")))
+    rep_mean = per_rep.select(
+        *groups, "b",
+        (F.floor(F.col("s") / F.col("n") * 1_000_000 + F.lit(0.5))
+         / 1_000_000.0).alias("m"))
+    lo_rank = int(alpha / 2 * replicates) + 1
+    hi_rank = -(-int((1 - alpha / 2) * replicates))
+    ww = Window.partitionBy(*groups).orderBy("m", "b")  # B rows/group
+    ranked = rep_mean.withColumn("r", F.row_number().over(ww))
+    ci = ranked.groupBy(*groups).agg(
+        F.max(F.when(F.col("r") == lo_rank, F.col("m"))).alias("ci_low"),
+        F.max(F.when(F.col("r") == hi_rank, F.col("m"))).alias("ci_high"),
+        F.count(F.lit(1)).alias("n_replicates"))
+    base = df.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.floor(F.sum(x) / F.count(F.lit(1)) * 1_000_000 + F.lit(0.5))
+         / 1_000_000.0).alias("point_mean"))
+    return (base.join(ci, groups)
+            .select(*groups, "n_rows", "point_mean", "ci_low", "ci_high",
+                    "n_replicates"))

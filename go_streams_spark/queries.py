@@ -1231,6 +1231,71 @@ def bootstrap_ci_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                              value_col="n_tokens", replicates=200)
 
 
+@query("bootstrap_ci_tokens_by_source", sql="""
+WITH base AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(lower(text), ' '),
+                         x -> x <> ''))::BIGINT AS x
+  FROM documents
+), reps AS (
+  SELECT unnest(range(0, 200)) AS b
+), wtab AS (
+  SELECT base.source, r.b, base.x,
+         CASE
+           WHEN u < 0.36787944117144233 THEN 0
+           WHEN u < 0.7357588823428847  THEN 1
+           WHEN u < 0.9196986029286058  THEN 2
+           WHEN u < 0.9810118431238462  THEN 3
+           WHEN u < 0.9963401531726563  THEN 4
+           WHEN u < 0.9994058151824183  THEN 5
+           ELSE 6
+         END::BIGINT AS w
+  FROM base CROSS JOIN reps r,
+       LATERAL (SELECT ('0x' || substr(md5(base.doc_id::VARCHAR || '_'
+                                           || r.b::VARCHAR), 1, 8))::BIGINT
+                       / 4294967296.0 AS u) t
+), per_rep AS (
+  SELECT source, b, sum(w * x)::BIGINT AS s, sum(w)::BIGINT AS n
+  FROM wtab GROUP BY source, b
+), means AS (
+  SELECT source, b, floor(s / n * 1000000 + 0.5) / 1000000.0 AS m,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY floor(s / n * 1000000 + 0.5)
+                                       / 1000000.0, b) AS r
+  FROM per_rep
+), ci AS (
+  SELECT source,
+         max(CASE WHEN r = 6   THEN m END) AS ci_low,
+         max(CASE WHEN r = 195 THEN m END) AS ci_high,
+         count(*)::BIGINT AS n_replicates
+  FROM means GROUP BY source
+), pt AS (
+  SELECT source, count(*)::BIGINT AS n_rows,
+         floor(sum(x) / count(*) * 1000000 + 0.5) / 1000000.0
+           AS point_mean
+  FROM base GROUP BY source
+)
+SELECT pt.source, n_rows, point_mean, ci_low, ci_high, n_replicates
+FROM pt JOIN ci USING (source)
+""")
+def bootstrap_ci_tokens_by_source(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Per-source Poisson-bootstrap CIs for mean tokens/doc — the
+    per-shard uncertainty table a mixing decision reads (is source A
+    really longer-form than B, or within noise?). Fully group-parallel:
+    replicate means at (source, b) grain, percentile ranks windowed per
+    source over exactly B rows — NO global stage at all."""
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.checks import bootstrap_mean_ci_grouped
+    from .functions.text import token_count
+    base = docs.select("doc_id", "source",
+                       token_count("text").alias("n_tokens"))
+    return bootstrap_mean_ci_grouped(base, key_col="doc_id",
+                                     value_col="n_tokens",
+                                     group_cols=["source"],
+                                     replicates=200)
+
+
 @query("fd_violation_events", bound="user-grain", sql="""
 WITH per AS (
   SELECT user_id::VARCHAR AS key_str,

@@ -110,3 +110,23 @@ def test_bootstrap_mean_ci_semantics(spark):
     w_small, w_big = ci(400), ci(6400)
     # 16x the data -> ~4x narrower; allow generous slack
     assert w_big < w_small / 2, (w_small, w_big)
+
+
+def test_bootstrap_grouped_matches_global_on_single_group(spark):
+    """With one group the grouped CI must equal the global one exactly
+    (same weights, same ranks) — pins that grouping changes the
+    parallel structure, not the statistics."""
+    from pyspark.sql import functions as F
+    from go_streams_spark.functions.checks import (
+        bootstrap_mean_ci, bootstrap_mean_ci_grouped)
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"), (F.col("id") % 37).alias("x"),
+        F.lit("g").alias("grp"))
+    a = bootstrap_mean_ci(df, key_col="k", value_col="x",
+                          replicates=60).collect()[0]
+    b = bootstrap_mean_ci_grouped(df, key_col="k", value_col="x",
+                                  group_cols=["grp"],
+                                  replicates=60).collect()[0]
+    assert (a["point_mean"], a["ci_low"], a["ci_high"]) == \
+        (b["point_mean"], b["ci_low"], b["ci_high"])

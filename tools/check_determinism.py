@@ -1,0 +1,88 @@
+"""Cross-run determinism audit: run every registry query TWICE under
+different ``spark.sql.shuffle.partitions`` (different partitioning =>
+different task boundaries, Arrow batch shapes, accumulation orders,
+BLAS call shapes) and compare order-insensitive value hashes.
+
+This is the harness for the bug class the correctness gate can only
+catch by luck: a query whose values depend on partitioning (float
+accumulation order, first()-without-order, per-partition counters
+leaking into output) is green against its oracle on one run and red on
+another — e.g. the round-5 ``ann_recall_report`` flake, where a
+float-BLAS rounding flip at a 0.5e-6 midpoint moved a rank-5 tie-break
+only under some thread counts. Every query here is REQUIRED to be a
+pure function of its input tables.
+
+Usage: python tools/check_determinism.py [sf_dir] [query ...]
+(default sf_dir /root/testdata/sf0.001 — shapes, not volume, are what
+vary with partitioning). Exits 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+PARTS_A = "32"
+PARTS_B = "7"   # coprime-ish, not a divisor: every boundary moves
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return hashlib.md5(
+        df.to_csv(index=False, float_format="%.9g").encode()).hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from go_streams_spark.session import get_spark
+    from go_streams_spark.plans import release_tracked
+    from go_streams_spark.queries import QUERIES
+
+    spark = get_spark("determinism-check")
+    failures, errors = [], []
+    names = [n for n in QUERIES if not only or n in only]
+    for name in names:
+        hashes = []
+        for parts in (PARTS_A, PARTS_B):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            try:
+                pdf = QUERIES[name](spark, sf_dir).toPandas()
+                hashes.append((value_hash(pdf), len(pdf)))
+            except Exception as e:
+                errors.append(name)
+                print(f"ERROR {name} @parts={parts}: "
+                      f"{type(e).__name__}: {e}")
+                hashes = None
+                break
+            finally:
+                release_tracked()
+        if hashes is None:
+            continue
+        (ha, na), (hb, nb) = hashes
+        if ha != hb:
+            failures.append(name)
+            print(f"NONDET {name}: parts={PARTS_A} hash={ha[:12]} "
+                  f"rows={na} vs parts={PARTS_B} hash={hb[:12]} rows={nb}")
+        else:
+            print(f"OK    {name}: {na} rows, hash stable across "
+                  f"partitionings")
+    spark.conf.set("spark.sql.shuffle.partitions", PARTS_A)
+    print(f"\n{len(failures)} nondeterministic, {len(errors)} errors "
+          f"of {len(names)} queries"
+          + (f": {failures}" if failures else ""))
+    sys.exit(1 if failures or errors else 0)
+
+
+if __name__ == "__main__":
+    main()
