@@ -413,3 +413,50 @@ def test_canonical_url_idempotent(spark, host, path, params, frag):
         "once", canonical_url("once").alias("twice"))
     r = out.collect()[0]
     assert r["once"] == r["twice"], (url, r["once"], r["twice"])
+
+
+@settings(**SETTINGS)
+@given(vecs=st.lists(
+    st.lists(st.floats(min_value=-8.0, max_value=8.0,
+                       allow_nan=False, allow_infinity=False,
+                       width=32),
+             min_size=3, max_size=3),
+    min_size=2, max_size=6).filter(
+        lambda vs: all(any(abs(x) > 1e-3 for x in v) for v in vs)))
+def test_quantized_cosine_three_engines_agree(spark, vecs):
+    """The engine-exact cosine convention must be BIT-IDENTICAL across
+    its three implementations on arbitrary float32 vectors: the JVM
+    fold (quantized_cosine), the numpy kernel (_np_quantized_cosine),
+    and a pure-Python big-int reference. This is the invariant the
+    whole exact-kNN/oracle machinery rests on."""
+    import math
+
+    import numpy as np
+    from go_streams_spark.functions.similarity import (
+        _np_quantized_cosine, quantized_cosine, quantized_vec)
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "i long, v array<float>")
+    a = df.select(F.col("i").alias("ia"),
+                  quantized_vec("v").alias("qa"))
+    b = df.select(F.col("i").alias("ib"),
+                  quantized_vec("v").alias("qb"))
+    jvm = {(r["ia"], r["ib"]): r["sim"]
+           for r in a.crossJoin(b).select(
+               "ia", "ib",
+               quantized_cosine(F.col("qa"), F.col("qb"))
+               .alias("sim")).collect()}
+
+    q32 = [[math.floor(float(np.float32(x)) * 1e6 + 0.5) for x in v]
+           for v in vecs]
+    npy = _np_quantized_cosine(np.array(q32, dtype=np.float64),
+                               np.array(q32, dtype=np.float64))
+
+    for i, qa in enumerate(q32):
+        for j, qb in enumerate(q32):
+            d = sum(x * y for x, y in zip(qa, qb))     # exact big int
+            na = math.sqrt(sum(x * x for x in qa))
+            nb = math.sqrt(sum(x * x for x in qb))
+            ref = math.floor(d / (na * nb) * 1e6 + 0.5) / 1e6
+            assert jvm[(i, j)] == ref, ("jvm", i, j, jvm[(i, j)], ref)
+            assert npy[i, j] == ref, ("np", i, j, npy[i, j], ref)
