@@ -14,6 +14,7 @@ EXAMPLES = [
     "multimodal_pipeline",
     "training_data_pipeline",
     "connector_pipeline",
+    "embedding_pipeline",
 ]
 
 
