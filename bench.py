@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "skew_advisor_user_key",
     "setsim_prefix_pairs",
     "html_strip_docs",
+    "pii_scrub_docs",
     "compression_ratio_docs",
     "training_shuffle_docs",
     "bootstrap_ci_tokens",

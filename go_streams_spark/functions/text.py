@@ -804,3 +804,43 @@ def canonical_url(url: Column | str,
     return F.concat(
         auth, path,
         F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")))
+
+
+#: (marker, regex) in application order — longest/most-specific first so
+#: a credit-card number is never half-eaten by the phone pattern. Every
+#: pattern is RE2-safe (no lookaround, no backreferences) AND
+#: Java-regex-identical, so the DuckDB oracle replays the chain exactly
+#: (cross-engine parity pinned per pattern in tests).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("CCNUM", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b"),
+    ("IPV4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("PHONE", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"),
+    ("SSN", r"\b\d{3}-\d{2}-\d{4}\b"),
+)
+
+
+def pii_scrub(text: Column | str,
+              patterns: tuple[tuple[str, str], ...] = PII_PATTERNS
+              ) -> tuple[Column, list[Column]]:
+    """PII detection + redaction — the scrub stage every training-data
+    pipeline runs before release (emails, card-shaped numbers, IPv4
+    addresses, phone-shaped and SSN-shaped digit groups; regex-shape
+    detection, the standard first line — NER-grade detection is a
+    model stage out of scope).
+
+    Returns ``(redacted, counts)``: the text with each match replaced
+    by its ``<MARKER>``, plus one int Column per pattern counting the
+    matches. Counting happens on the PROGRESSIVELY redacted text (type
+    k counts after types 1..k-1 redacted) so overlapping shapes are
+    attributed once, deterministically, and the DuckDB oracle can
+    replay the exact chain. Pure per-row JVM regexp chain — zero UDF,
+    zero shuffle."""
+    cur = F.col(text) if isinstance(text, str) else text
+    counts = []
+    for marker, rx in patterns:
+        counts.append(
+            F.size(F.regexp_extract_all(cur, F.lit(rx), F.lit(0)))
+            .alias(f"n_{marker.lower()}"))
+        cur = F.regexp_replace(cur, rx, f"<{marker}>")
+    return cur, counts

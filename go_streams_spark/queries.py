@@ -1068,6 +1068,94 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", T.canonical_url(url).alias("canon_url"))
 
 
+@query("pii_scrub_docs", """
+WITH seeded AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'mail user' || (doc_id // 4)
+                       || '@example.com soon '
+           WHEN 1 THEN 'server 10.0.' || (doc_id % 200) || '.7 down '
+           WHEN 2 THEN 'call 555-123-' || lpad((doc_id % 9000
+                                                + 1000)::VARCHAR, 4, '0')
+                       || ' now '
+           ELSE 'ref 123-45-' || lpad((doc_id % 9000
+                                       + 1000)::VARCHAR, 4, '0') || ' '
+         END || substr(text, 1, 40) AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT
+           AS n_email,
+         regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g') AS t
+  FROM seeded
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t,
+             '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b'))::INT
+           AS n_ccnum,
+         regexp_replace(t, '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b',
+                        '<CCNUM>', 'g') AS t
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ccnum,
+         len(regexp_extract_all(t,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::INT
+           AS n_ipv4,
+         regexp_replace(t,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+             '<IPV4>', 'g') AS t
+  FROM s2
+), s4 AS (
+  SELECT doc_id, n_email, n_ccnum, n_ipv4,
+         len(regexp_extract_all(t,
+             '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))::INT AS n_phone,
+         regexp_replace(t, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b',
+                        '<PHONE>', 'g') AS t
+  FROM s3
+), s5 AS (
+  SELECT doc_id, n_email, n_ccnum, n_ipv4, n_phone,
+         len(regexp_extract_all(t,
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b'))::INT AS n_ssn,
+         regexp_replace(t, '\\b\\d{3}-\\d{2}-\\d{4}\\b',
+                        '<SSN>', 'g') AS t
+  FROM s4
+)
+SELECT doc_id, n_email, n_ccnum, n_ipv4, n_phone, n_ssn,
+       md5(t) AS redacted_md5
+FROM s5
+""")
+def pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (functions/text.py::pii_scrub) — the
+    scrub stage before any corpus release. The synthetic corpus carries
+    no PII, so the query SEEDS four deterministic variants per doc-id
+    class (email / IPv4 / phone-shaped / SSN-shaped, prepended to a
+    slice of the real text — the url_canonical_dedup injection
+    precedent) and the oracle replays the exact progressive
+    count-then-redact chain; parity of every pattern between Java
+    regex and DuckDB RE2 is pinned by tests. Zero-UDF per-row regexp
+    chain, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    nn = F.expr("doc_id div 4").cast("string")
+    v = F.col("doc_id") % 4
+    pad4 = F.lpad((F.col("doc_id") % 9000 + 1000).cast("string"), 4, "0")
+    seeded = (F.when(v == 0, F.concat(
+                  F.lit("mail user"), nn, F.lit("@example.com soon ")))
+              .when(v == 1, F.concat(
+                  F.lit("server 10.0."),
+                  (F.col("doc_id") % 200).cast("string"), F.lit(".7 down ")))
+              .when(v == 2, F.concat(
+                  F.lit("call 555-123-"), pad4, F.lit(" now ")))
+              .otherwise(F.concat(
+                  F.lit("ref 123-45-"), pad4, F.lit(" "))))
+    t = F.concat(seeded, F.substring("text", 1, 40))
+    redacted, counts = T.pii_scrub(t)  # F.size counts are already int
+    return docs.select(
+        "doc_id", *counts, F.md5(redacted).alias("redacted_md5"))
+
+
 @query("rowgroup_pruning_audit", """
 WITH m AS (
   SELECT row_group_id, path_in_schema AS col,

@@ -164,3 +164,46 @@ def test_canonical_url_edge_cases(spark):
     # dedup property
     assert got[0] == got[1] and got[2] == got[3]
     assert len({got[1], got[3], got[6], got[7], got[8]}) == 5
+
+
+def test_pii_scrub_patterns_cross_engine_and_semantics(spark):
+    """Every PII pattern must (a) behave identically under Java regex
+    and DuckDB RE2 (the oracle's engine) on tricky inputs — partial
+    shapes, boundaries, adjacent PII — and (b) attribute overlapping
+    shapes deterministically via the progressive count-then-redact
+    chain."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from go_streams_spark.functions.text import PII_PATTERNS, pii_scrub
+
+    texts = [
+        "contact bob.smith+x@ex-ample.co.uk or a@b.io now",
+        "card 4111-1111 1111-1111 and 1234 5678 9012 3456 ok",
+        "from 10.0.0.1 to 192.168.255.255, not 1.2.3",
+        "call 555-123-4567 or 555.987.6543 x",
+        "ssn 123-45-6789 end; mixed a@b.c.de 1.2.3.4 999-88-7777",
+        "edge .@x.yy 1234-5678-9012-3456x 12.34.56.789 123-45-67890",
+        "",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    red, counts = pii_scrub("t")
+    got = df.select(F.col("t"), red.alias("red"), *counts).collect()
+
+    con = duckdb.connect()
+    for r in got:
+        cur = r["t"]
+        for marker, rx in PII_PATTERNS:
+            n = con.execute(
+                "SELECT len(regexp_extract_all($1, $2))",
+                [cur, rx]).fetchone()[0]
+            cur = con.execute(
+                "SELECT regexp_replace($1, $2, $3, 'g')",
+                [cur, rx, f"<{marker}>"]).fetchone()[0]
+            assert r[f"n_{marker.lower()}"] == n, (r["t"], marker)
+        assert r["red"] == cur, (r["t"], r["red"], cur)
+
+    by_text = {r["t"]: r for r in got}
+    r0 = by_text[texts[0]]
+    assert r0["n_email"] == 2 and "<EMAIL>" in r0["red"]
+    r4 = by_text[texts[4]]
+    assert (r4["n_email"], r4["n_ipv4"], r4["n_ssn"]) == (1, 1, 2)
