@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "resample_fill_forward",
     "feature_moments",
     "decontaminate_ngram_overlap",
+    "decontaminate_containment",
     "decontaminate_bloom",
     "bm25_search_topk",
     "duplicate_span_profile",

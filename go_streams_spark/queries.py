@@ -4159,6 +4159,75 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_hits")))
 
 
+@query("decontaminate_containment", """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+  FROM documents
+), pos AS (
+  SELECT doc_id, source, generate_subscripts(ts, 1) AS p, unnest(ts) AS tok
+  FROM toks
+), grams AS (
+  SELECT doc_id, source,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS g
+  FROM pos
+  WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+  QUALIFY lead(tok, 4) OVER w IS NOT NULL
+), eval_grams AS (
+  SELECT DISTINCT doc_id, g FROM grams WHERE source = 'src0'
+), train_set AS (
+  SELECT DISTINCT g FROM grams WHERE source <> 'src0'
+), leaked AS (
+  SELECT e.doc_id, count(t.g)::BIGINT AS n_leaked
+  FROM eval_grams e LEFT JOIN train_set t USING (g)
+  GROUP BY e.doc_id
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams
+  FROM eval_grams GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_grams, l.n_leaked,
+       floor(l.n_leaked / s.n_grams * 1000000 + 0.5) / 1000000.0
+         AS containment
+FROM sizes s JOIN leaked l USING (doc_id)
+""")
+def decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT-scored decontamination, the asymmetric complement of
+    the overlap flagger: for every EVAL doc (source='src0'), what
+    fraction of its distinct word 5-grams appears ANYWHERE in the
+    training split — |eval_grams(doc) INTERSECT train_grams| /
+    |eval_grams(doc)|. This is the metric you rank to decide which
+    benchmark items are burned (resemblance-Jaccard under-scores a
+    short eval doc fully contained in a long train doc — the exact
+    failure containment exists to catch). Integer counts + one rounded
+    division, hash-exact. Plan: gram-keyed left join of the eval grams
+    against the distinct train-gram set — no cross product, stop-gram
+    skew thinned by DISTINCT on both sides."""
+    from pyspark.sql import Window
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+    pos = d.select("doc_id", "source", F.posexplode(toks).alias("p", "tok"))
+    w = Window.partitionBy("doc_id").orderBy("p")
+    leads = [F.lead("tok", i).over(w) for i in range(1, 5)]
+    grams = (pos.select("doc_id", "source",
+                        F.concat_ws(" ", F.col("tok"), *leads).alias("g"),
+                        leads[-1].alias("_t4"))
+             .where(F.col("_t4").isNotNull()))
+    eval_g = (grams.where(F.col("source") == "src0")
+              .select("doc_id", "g").distinct())
+    train_set = (grams.where(F.col("source") != "src0")
+                 .select("g").distinct())
+    leaked = (eval_g.join(train_set.hint("shuffle_hash")
+                          .withColumn("__hit", F.lit(1)), "g", "left")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_grams"),
+                   F.count("__hit").alias("n_leaked")))
+    return leaked.select(
+        "doc_id", "n_grams", "n_leaked",
+        (F.floor(F.col("n_leaked") / F.col("n_grams") * 1_000_000
+                 + F.lit(0.5)) / 1_000_000.0).alias("containment"))
+
+
 @query("label_centroids", """
 WITH dims AS (
   SELECT label, generate_subscripts(embedding, 1) AS dim,
