@@ -221,3 +221,46 @@ def test_stream_interval_join_invalid(spark):
     with pytest.raises(ValueError, match="collision"):
         stream_interval_join(l, r, key="user_id", left_ts="v_ts",
                              right_ts="p_ts")  # 'value' on both sides
+
+
+def test_round6_constructor_validation(spark):
+    """Round-6 additions fail FAST on bad knobs: bootstrap replicate /
+    alpha bounds, grouped variant requiring groups, integer-k-means
+    k/iterations, exact-semdedup thresholds implicit via k-means, and
+    the BPE/whitening oracle generators' parameter checks."""
+    from pyspark.sql import functions as F
+
+    from go_streams_spark.functions.checks import (
+        bootstrap_mean_ci, bootstrap_mean_ci_grouped)
+    from go_streams_spark.functions.similarity import (
+        _pca_whiten_params, semdedup_exact_oracle_sql,
+        train_codebook_exact)
+    from go_streams_spark.functions.text import bpe_pipeline_oracle_sql
+
+    df = spark.range(10).select(F.col("id").alias("k"),
+                                F.col("id").alias("x"))
+    with pytest.raises(ValueError, match="replicates"):
+        bootstrap_mean_ci(df, key_col="k", value_col="x", replicates=3)
+    with pytest.raises(ValueError, match="alpha"):
+        bootstrap_mean_ci(df, key_col="k", value_col="x", alpha=1.5)
+    with pytest.raises(ValueError, match="group_cols"):
+        bootstrap_mean_ci_grouped(df, key_col="k", value_col="x",
+                                  group_cols=[])
+
+    emb = spark.range(3).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"))
+    with pytest.raises(ValueError, match="k >= 1"):
+        train_codebook_exact(emb, k=0)
+    with pytest.raises(ValueError, match="rows < k"):
+        train_codebook_exact(emb, k=5)
+
+    with pytest.raises(ValueError, match="iterations"):
+        semdedup_exact_oracle_sql(iterations=-1)
+    with pytest.raises(ValueError, match="rounds"):
+        bpe_pipeline_oracle_sql(rounds=0)
+    with pytest.raises(ValueError, match="emit"):
+        bpe_pipeline_oracle_sql(rounds=2, emit="both")
+    with pytest.raises(ValueError, match="out_dim"):
+        _pca_whiten_params([[4, 0], [0, 4]], [0, 0], 2, out_dim=3,
+                           ridge=1e-3, scale=10, pscale=10)
