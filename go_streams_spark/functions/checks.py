@@ -187,13 +187,20 @@ def skew_report(df: DataFrame, keys: Sequence[str], *,
           .agg(F.count(F.lit(1)).alias("key_rows"))
           .withColumn("key_str", F.concat_ws(
               "|", *[F.col(k).cast("string") for k in keys])))
+    # half-up via floor(x*1e4+0.5): F.round/round() disagree across
+    # engines when a ratio lands on a representation midpoint (465/1e5
+    # at sf0.1 rounded 0.0047 in Spark and 0.0046 in DuckDB); the
+    # floor form is bit-identical IEEE in both
+    def r4(col):
+        return F.floor(col * 10_000 + F.lit(0.5)) / 10_000.0
+
     base = kc.agg(
         F.sum("key_rows").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),
-        F.round(F.sum("key_rows") / F.count(F.lit(1)), 4).alias("mean_rows"),
+        r4(F.sum("key_rows") / F.count(F.lit(1))).alias("mean_rows"),
         F.max("key_rows").alias("max_rows"),
-        F.round(F.max("key_rows") * F.count(F.lit(1)) / F.sum("key_rows"), 4)
-         .alias("skew_ratio"),
+        r4(F.max("key_rows") * F.count(F.lit(1)) / F.sum("key_rows"))
+        .alias("skew_ratio"),
         F.greatest(
             F.lit(1).cast("long"),
             F.ceil(F.max("key_rows") * F.count(F.lit(1))
@@ -210,7 +217,7 @@ def skew_report(df: DataFrame, keys: Sequence[str], *,
     return (base.crossJoin(F.broadcast(tkagg))
             .select("n_rows", "n_keys", "mean_rows", "max_rows",
                     "skew_ratio",
-                    F.round(F.col("__tk_rows") / F.col("n_rows"), 4)
+                    r4(F.col("__tk_rows") / F.col("n_rows"))
                     .alias(f"top{top_k}_share"),
                     "top1_key", "salt_buckets"))
 

@@ -8271,11 +8271,13 @@ WITH kc AS (
 )
 SELECT sum(key_rows)::BIGINT AS n_rows,
        count(*)::BIGINT AS n_keys,
-       round(sum(key_rows) / count(*), 4) AS mean_rows,
+       floor(sum(key_rows) / count(*) * 10000 + 0.5) / 10000.0
+         AS mean_rows,
        max(key_rows)::BIGINT AS max_rows,
-       round(max(key_rows) * count(*) / sum(key_rows), 4) AS skew_ratio,
-       round(sum(CASE WHEN rnk <= 5 THEN key_rows ELSE 0 END)
-             / sum(key_rows), 4) AS top5_share,
+       floor(max(key_rows) * count(*) / sum(key_rows) * 10000 + 0.5)
+         / 10000.0 AS skew_ratio,
+       floor(sum(CASE WHEN rnk <= 5 THEN key_rows ELSE 0 END)
+             / sum(key_rows) * 10000 + 0.5) / 10000.0 AS top5_share,
        max(CASE WHEN rnk = 1 THEN key_str END) AS top1_key,
        greatest(1, ceil(max(key_rows) * count(*)
                         / (4 * sum(key_rows))))::BIGINT AS salt_buckets
