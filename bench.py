@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "pii_scrub_docs",
     "compression_ratio_docs",
     "training_shuffle_docs",
+    "token_budget_selection",
     "bootstrap_ci_tokens",
     "bootstrap_ci_tokens_by_source",
     "fd_violation_events",

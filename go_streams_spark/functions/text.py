@@ -844,3 +844,72 @@ def pii_scrub(text: Column | str,
             .alias(f"n_{marker.lower()}"))
         cur = F.regexp_replace(cur, rx, f"<{marker}>")
     return cur, counts
+
+
+def token_budget_select(df, *, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        budget_frac_micro: int = 300_000,
+                        bins: int = 256):
+    """Quality-ranked corpus cut to a TOKEN BUDGET — "keep the best
+    documents until ~30% of corpus tokens" — the selection step of a
+    budgeted pretraining mix, done the reduce-first way:
+
+      1. per doc: token count + micro-quantized quality score, bucketed
+         into a fixed ``bins``-cell quality grid (integer arithmetic —
+         cross-engine exact);
+      2. grid-grain cumulative token sums from the top bucket down pick
+         the BOUNDARY bucket (volume-independent: <= ``bins`` rows);
+      3. buckets above the boundary are taken whole; within the
+         boundary bucket, docs are admitted in deterministic
+         md5(doc_id) order until the residual budget is spent.
+
+    The only data-sized ordered stage is the boundary-bucket scan —
+    bounded by one bucket's population (doc-grain worst case; raise
+    ``bins`` to shrink it). Everything is integer counts, so the
+    verdict table (id, n_tokens, qbin, selected) hash-matches a SQL
+    oracle. Budget = floor(total_tokens * budget_frac_micro / 1e6).
+    """
+    from pyspark.sql import Window
+
+    if not 0 < budget_frac_micro <= 1_000_000:
+        raise ValueError("budget_frac_micro must be in (0, 1e6], got "
+                         f"{budget_frac_micro}")
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    qm = F.floor(quality_score(text_col) * 1_000_000 + F.lit(0.5))
+    qbin = F.least(F.floor(qm * bins / F.lit(1_000_000.0)),
+                   F.lit(bins - 1)).cast("int")
+    base = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"),
+                     qbin.alias("qbin"))
+    tot = base.agg(
+        F.floor(F.sum("n_tokens") * budget_frac_micro
+                / F.lit(1_000_000.0)).alias("budget"))
+    binsum = (base.groupBy("qbin").agg(F.sum("n_tokens").alias("bt")))
+    wc = Window.orderBy(F.col("qbin").desc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)  # <= bins rows
+    cum = (binsum.withColumn("cum", F.sum("bt").over(wc))
+           .crossJoin(F.broadcast(tot))
+           .select("qbin", "bt", "cum", "budget",
+                   (F.col("cum") <= F.col("budget")).alias("full_sel"),
+                   ((F.col("cum") > F.col("budget"))
+                    & (F.col("cum") - F.col("bt") <= F.col("budget")))
+                   .alias("is_boundary"),
+                   (F.col("budget") - (F.col("cum") - F.col("bt")))
+                   .alias("residual")))
+    joined = base.join(F.broadcast(cum), "qbin")
+    # partition key: ONE partition for the boundary bucket, singleton
+    # partitions elsewhere — the ordered scan touches exactly the
+    # boundary bucket's docs, never the full corpus
+    wkey = F.when(F.col("is_boundary"), F.lit("b")) \
+        .otherwise(F.concat(F.lit("d"), F.col(id_col).cast("string")))
+    wb = Window.partitionBy(wkey) \
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    running = F.when(F.col("is_boundary"),
+                     F.sum("n_tokens").over(wb)).otherwise(F.lit(None))
+    return (joined.withColumn("__run", running)
+            .select(id_col, "n_tokens", "qbin",
+                    (F.col("full_sel")
+                     | (F.col("is_boundary")
+                        & (F.col("__run") <= F.col("residual"))))
+                    .alias("selected")))

@@ -1467,6 +1467,71 @@ def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.compression_ratio(docs, level=6)
 
 
+@query("token_budget_selection", bound="doc-grain", sql="""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+), r AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','for','on','with')))
+           / greatest(len(toks), 1) AS sw,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
+           / greatest(length(text), 1) AS pr,
+         list_sum(list_transform(toks, x -> length(x)))
+           / greatest(len(toks), 1) AS tl
+  FROM t
+), q AS (
+  SELECT doc_id, n_tokens,
+         floor(least(1.0, greatest(0.0,
+               0.4 * least(sw * 4, 1.0)
+             + 0.4 * (CASE WHEN tl >= 3 AND tl <= 10
+                           THEN 1.0 ELSE 0.5 END)
+             + 0.2 * (1 - least(pr * 5, 1.0)))) * 1000000 + 0.5) AS qm
+  FROM r
+), d AS (
+  SELECT doc_id, n_tokens,
+         least(floor(qm * 256 / 1000000.0), 255)::INT AS qbin
+  FROM q
+), tot AS (
+  SELECT floor(sum(n_tokens) * 300000 / 1000000.0) AS budget FROM d
+), c AS (
+  SELECT qbin, sum(n_tokens)::BIGINT AS bt,
+         sum(sum(n_tokens)::BIGINT)
+           OVER (ORDER BY qbin DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d GROUP BY qbin
+), marked AS (
+  SELECT c.qbin, c.bt, c.cum, tot.budget,
+         c.cum <= tot.budget AS full_sel,
+         c.cum > tot.budget AND c.cum - c.bt <= tot.budget AS is_boundary,
+         tot.budget - (c.cum - c.bt) AS residual
+  FROM c CROSS JOIN tot
+), j AS (
+  SELECT d.doc_id, d.n_tokens, d.qbin, m.full_sel, m.is_boundary,
+         m.residual,
+         sum(d.n_tokens) OVER (
+           PARTITION BY m.is_boundary
+           ORDER BY md5(d.doc_id::VARCHAR), d.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+  FROM d JOIN marked m USING (qbin)
+)
+SELECT doc_id, n_tokens, qbin,
+       (full_sel OR (is_boundary AND run <= residual)) AS selected
+FROM j
+""")
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked corpus cut to a token budget (30% of corpus
+    tokens) — functions/text.py::token_budget_select: fixed 256-cell
+    quality grid, grid-grain cumulative sums pick the boundary bucket,
+    boundary docs admitted in deterministic md5 order until the
+    residual budget spends. All integer counts -> hash-exact; the only
+    data-sized ordered stage is the one boundary bucket (doc-grain
+    bound, shrink with more bins at scale)."""
+    return T.token_budget_select(_t(spark, sf_dir, "documents"),
+                                 budget_frac_micro=300_000, bins=256)
+
+
 @query("quality_scores", """
 WITH t AS (
   SELECT doc_id, text,

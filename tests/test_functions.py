@@ -1841,3 +1841,53 @@ def test_pca_whitening_statistics(spark, sf_dir):
     corr = np.corrcoef(mats)
     off = corr[~np.eye(4, dtype=bool)]
     assert np.all(np.abs(off) < 0.15), corr
+
+
+def test_token_budget_select_semantics(spark, sf_dir):
+    """Budget-cut invariants: selected token mass is within one
+    boundary-doc of the budget (never over), every selected doc's
+    quality bucket >= every rejected doc's bucket except inside the
+    boundary bucket, and the verdict covers every doc exactly once."""
+    from go_streams_spark.functions.text import token_budget_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = token_budget_select(docs, budget_frac_micro=300_000,
+                              bins=64).collect()
+    assert len(out) == docs.count()
+    total = sum(r["n_tokens"] for r in out)
+    budget = total * 300_000 // 1_000_000
+    sel = [r for r in out if r["selected"]]
+    sel_tokens = sum(r["n_tokens"] for r in sel)
+    assert sel_tokens <= budget and sel_tokens > 0
+    # exact contract: full buckets above the boundary, then prefix
+    # admission in md5(doc_id) order within the boundary bucket —
+    # reconstruct in pure Python and compare verdict sets
+    import hashlib
+
+    by_bin: dict[int, list] = {}
+    for r in out:
+        by_bin.setdefault(r["qbin"], []).append(r)
+    expect_sel = set()
+    remaining = budget
+    boundary_done = False
+    for qb in sorted(by_bin, reverse=True):
+        bt = sum(r["n_tokens"] for r in by_bin[qb])
+        if not boundary_done and bt <= remaining:
+            expect_sel |= {r["doc_id"] for r in by_bin[qb]}
+            remaining -= bt
+        elif not boundary_done:
+            run = 0
+            for r in sorted(by_bin[qb], key=lambda r: (
+                    hashlib.md5(str(r["doc_id"]).encode()).hexdigest(),
+                    r["doc_id"])):
+                run += r["n_tokens"]
+                if run <= remaining:
+                    expect_sel.add(r["doc_id"])
+            boundary_done = True
+    assert {r["doc_id"] for r in sel} == expect_sel
+    # invalid knobs fail fast
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="budget_frac_micro"):
+        token_budget_select(docs, budget_frac_micro=0)
+    with _pytest.raises(ValueError, match="bins"):
+        token_budget_select(docs, bins=1)
