@@ -46,12 +46,13 @@ def rows_only() -> dict[str, str]:
     - ``approx_distinct_users``: HyperLogLog register layouts differ
       across engines, so no cross-engine value equality exists; the
       oracle-checked exact sibling is ``kmv_distinct_users``.
-    - ``compression_ratio_docs``: DuckDB has no zlib, so the ratio is
-      not SQL-computable; pinned against CPython's zlib directly.
+
+    (``compression_ratio_docs`` left this set in round 7: it now has a
+    PER-SF GENERATED oracle — the generator bakes independent
+    CPython-zlib literals into a VALUES table, since DuckDB ships no
+    compressor.)
     """
     return {
         "approx_distinct_users":
             "tests/test_functions.py::test_approx_distinct_within_tolerance",
-        "compression_ratio_docs":
-            "tests/test_functions.py::test_compression_ratio_exact_vs_zlib",
     }

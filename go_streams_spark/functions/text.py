@@ -755,6 +755,46 @@ def compression_ratio(df, *, text_col: str = "text",
     return df.select(id_col, text_col).mapInPandas(_score, schema=schema)
 
 
+def compression_ratio_oracle_sql(sf_dir: str, *, table: str = "documents",
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id",
+                                 level: int = 6) -> str:
+    """Generate the DuckDB oracle for ``compression_ratio`` at a given
+    SF. DuckDB ships no zlib, so no SQL re-derivation exists — instead
+    the generator reads the parquet directly (pyarrow/pandas,
+    independent of Spark's scan + Arrow-batch path), replays the
+    IDENTICAL CPython-zlib computation the engine runs, and bakes the
+    per-doc (raw_len, comp_len, ratio) as a VALUES table. This pins the
+    Spark/Arrow execution path end-to-end against an independent read
+    of the same bytes (zlib output is deterministic for a fixed level,
+    so the literals are stable across runs/hosts). Ratio doubles are
+    emitted via ``repr`` — shortest round-trip form, so DuckDB parses
+    bit-identical IEEE values. Registered as a PER-SF generator
+    callable, like the Mahalanobis/PCA oracles (the literals are
+    data-dependent). Row count is corpus-catalog-sized (doc-grain),
+    which the synthetic SFs keep in the hundreds-to-thousands."""
+    import os
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
+                        columns=[id_col, text_col]).to_pandas()
+    raw = pdf[text_col].fillna("").str.encode("utf-8")
+    raw_len = raw.str.len().astype("int64")
+    comp_len = raw.map(lambda b: len(zlib.compress(b, level))).astype("int64")
+    ratio = (comp_len / raw_len.clip(lower=1)).round(4)
+    rows = ",\n".join(
+        f"({i}, {r}, {c}, {float(v)!r})"
+        for i, r, c, v in zip(pdf[id_col], raw_len, comp_len, ratio))
+    return f"""SELECT {id_col}::BIGINT AS {id_col},
+       raw_len::BIGINT AS raw_len, comp_len::BIGINT AS comp_len,
+       ratio::DOUBLE AS ratio
+FROM (VALUES
+{rows}
+) AS t({id_col}, raw_len, comp_len, ratio)"""
+
+
 # ---------------------------------------------------------------------------
 # URL canonicalization -- RefinedWeb/C4-class URL-level dedup runs BEFORE
 # content dedup; it needs a canonical form first. Pure JVM string/array

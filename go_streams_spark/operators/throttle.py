@@ -103,10 +103,18 @@ def token_bucket_admit(df: DataFrame, *, rate_micro_per_sec: int,
     ENGINE-EXACT: all arithmetic is INTEGER micro-tokens (refill =
     whole-second delta x rate), so the sequential fold is
     bit-reproducible in any engine — the DuckDB oracle replays it as a
-    recursive CTE. The fold is inherently sequential per key, so it
-    runs as one Arrow applyInPandas pass per key partition (key-grain
-    bounded, the isotonic/PAV decision class); everything before and
-    after stays relational. Returns the input rows plus
+    recursive CTE. The fold is inherently sequential per key AND
+    data-dependent (a rejection spends nothing, so the admitted set
+    feeds back into the state — the GCRA recursion; no associative
+    prefix form exists, hence no JVM window-fold path like
+    ``ewma_halving``'s linear recurrence). What IS free is the grouping
+    overhead: instead of one applyInPandas call per key (one pandas
+    frame + sort + datetime conversion per key — dominated by per-group
+    fixed cost when keys are small), hash-repartition on the key, sort
+    within partitions, and run ONE mapInPandas pass per partition with
+    the (key, tokens, prev_sec) state carried across Arrow batches —
+    same shuffle count, same exact fold, ~key-count-times fewer Python
+    crossings. Returns the input rows plus
     (admitted: boolean, tokens_after_micro: long).
     """
     if rate_micro_per_sec < 0 or burst_micro < 1 or cost_micro < 1:
@@ -120,29 +128,40 @@ def token_bucket_admit(df: DataFrame, *, rate_micro_per_sec: int,
     out_schema = ", ".join(
         f"{n} {t}" for n, t in df.dtypes) + ", admitted boolean, " \
         "tokens_after_micro bigint"
+    rate, burst, cost = rate_micro_per_sec, burst_micro, cost_micro
 
-    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values([ts_col, tiebreak_col]).copy()
-        ser = pd.to_datetime(pdf[ts_col])
-        if getattr(ser.dt, "tz", None) is not None:
-            ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
-        secs = (ser.astype("datetime64[ns]").astype("int64")
-                // 1_000_000_000).tolist()
-        tokens, prev = burst_micro, None
-        admitted, after = [], []
-        for s in secs:
-            if prev is not None:
-                tokens = min(burst_micro,
-                             tokens + (s - prev) * rate_micro_per_sec)
-            prev = s
-            if tokens >= cost_micro:
-                tokens -= cost_micro
-                admitted.append(True)
-            else:
-                admitted.append(False)
-            after.append(tokens)
-        pdf["admitted"] = admitted
-        pdf["tokens_after_micro"] = after
-        return pdf[cols + ["admitted", "tokens_after_micro"]]
+    def _fold(batches):
+        # Partition is hash-partitioned by key and sorted by
+        # (key, ts, tiebreak); a key's rows may SPAN Arrow batches, so
+        # the bucket state must carry across the batch iterator.
+        state_key, tokens, prev = object(), 0, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ser = pd.to_datetime(pdf[ts_col])
+            if getattr(ser.dt, "tz", None) is not None:
+                ser = ser.dt.tz_convert("UTC").dt.tz_localize(None)
+            secs = (ser.astype("datetime64[ns]").astype("int64")
+                    // 1_000_000_000).tolist()
+            keys = pdf[key_col].tolist()
+            admitted, after = [], []
+            for k, s in zip(keys, secs):
+                if k != state_key:
+                    state_key, tokens, prev = k, burst, None
+                if prev is not None:
+                    tokens = min(burst, tokens + (s - prev) * rate)
+                prev = s
+                if tokens >= cost:
+                    tokens -= cost
+                    admitted.append(True)
+                else:
+                    admitted.append(False)
+                after.append(tokens)
+            out = pdf.copy()
+            out["admitted"] = admitted
+            out["tokens_after_micro"] = after
+            yield out[cols + ["admitted", "tokens_after_micro"]]
 
-    return df.groupBy(key_col).applyInPandas(_fold, schema=out_schema)
+    part = (df.repartition(key_col)
+            .sortWithinPartitions(key_col, ts_col, tiebreak_col))
+    return part.mapInPandas(_fold, schema=out_schema)

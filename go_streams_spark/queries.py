@@ -1456,13 +1456,18 @@ def training_shuffle_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return training_shuffle(docs, id_col="doc_id", shards=16, seed=7)
 
 
-@query("compression_ratio_docs")
+@query("compression_ratio_docs", T.compression_ratio_oracle_sql)
 def compression_ratio_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal (Gopher/Dolma class):
-    boilerplate/templated text compresses far below prose. Rows-only
-    gate (no SQL-expressible zlib — DuckDB ships no compressor); the
-    engine output is pinned EXACT against an independent zlib call in
-    tests. One Arrow map pass, zero shuffle."""
+    boilerplate/templated text compresses far below prose. Hash-checked
+    against a PER-SF GENERATED oracle (no SQL-expressible zlib — DuckDB
+    ships no compressor): the generator reads the parquet independently
+    and bakes each doc's CPython-zlib (raw_len, comp_len, ratio) as a
+    VALUES table (text.py::compression_ratio_oracle_sql), pinning the
+    Spark/Arrow path end-to-end; the in-process parity test
+    (tests/test_functions.py::test_compression_ratio_exact_vs_zlib)
+    stays as the second, engine-internal pin. One Arrow map pass, zero
+    shuffle."""
     docs = _t(spark, sf_dir, "documents")
     return T.compression_ratio(docs, level=6)
 

@@ -633,3 +633,94 @@ def test_kafka_wrapper_end_to_end_fake_datasource(spark, tmp_path):
     again = consume()
     assert set(again) == {0, 1, 2, 3, 4}
     assert again[3][1] == "v4" and again[4][1] == "v5"
+
+
+def test_kafka_fake_multipartition_kill_restart(spark, tmp_path):
+    """N-partition topic semantics through the REAL wrapper (the
+    reference consumes all partitions of a topic via a consumer group,
+    kafka/kafka_sarama.go:57-136): keyed records stick to one partition,
+    per-partition offsets are independent and contiguous, produce order
+    is preserved WITHIN a partition (Kafka's actual ordering contract —
+    there is no cross-partition order), and a consumer killed mid-stream
+    resumes from its per-partition checkpoint positions exactly-once."""
+    import zlib as _zlib
+
+    from go_streams_spark.streaming.io import kafka_source
+    from go_streams_spark.testing.fake_kafka import register_fake_kafka
+
+    fmt = register_fake_kafka(spark)
+    broker = str(tmp_path / "broker")
+    topic = "clicks"
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+
+    def produce(pairs):
+        df = spark.createDataFrame(pairs, "key string, value string")
+        (df.selectExpr("CAST(key AS BINARY) key", "CAST(value AS BINARY) value")
+         .coalesce(1).write.format(fmt).mode("append")
+         .option("kafka.bootstrap.servers", broker)
+         .option("topic", topic).option("num.partitions", "3").save())
+
+    first = [(f"k{i % 7}", f"v{i}") for i in range(30)]
+    produce(first)
+
+    def landed():
+        try:
+            return {(r["partition"], r["offset"]): (r["key"], r["value"])
+                    for r in (spark.read.parquet(out)
+                              .selectExpr("CAST(key AS STRING) key",
+                                          "CAST(value AS STRING) value",
+                                          "partition", "offset").collect())}
+        except Exception:
+            return {}
+
+    def consume_all():
+        q = (kafka_source(spark, broker, topic, format=fmt)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", cp)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return landed()
+
+    got = consume_all()
+    assert len(got) == 30
+    parts = {p for p, _ in got}
+    assert parts == {0, 1, 2}  # k0..k6 keys spread over all 3
+    # per-partition offsets contiguous from 0
+    for p in parts:
+        offs = sorted(o for q, o in got if q == p)
+        assert offs == list(range(len(offs)))
+    # keyed stickiness: every key lives on exactly one partition, and it
+    # is the crc32 % 3 partition the fake's partitioner contract names
+    key_parts = {}
+    for (p, _), (k, _v) in got.items():
+        key_parts.setdefault(k, set()).add(p)
+    assert all(len(ps) == 1 for ps in key_parts.values())
+    assert all(ps == {_zlib.crc32(k.encode()) % 3}
+               for k, ps in key_parts.items())
+    # produce order preserved within each partition
+    for p in parts:
+        vals = [got[(p, o)][1] for o in sorted(o for q, o in got if q == p)]
+        expect = [v for k, v in first
+                  if _zlib.crc32(k.encode()) % 3 == p]
+        assert vals == expect
+
+    # ---- kill mid-stream, produce during downtime, restart exactly-once
+    q = (kafka_source(spark, broker, topic, format=fmt)
+         .writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", cp)
+         .outputMode("append").trigger(processingTime="300 milliseconds")
+         .start())
+    produce([(f"k{i % 7}", f"mid{i}") for i in range(10)])
+    deadline = time.time() + 60
+    while time.time() < deadline and len(landed()) < 40:
+        time.sleep(0.3)
+    q.stop()  # the kill: partial consumption checkpointed per-partition
+    assert len(landed()) == 40
+    produce([(f"k{i % 7}", f"down{i}") for i in range(20)])
+
+    final = consume_all()
+    assert len(final) == 60  # no dupes (exactly-once), no gaps
+    for p in {0, 1, 2}:
+        offs = sorted(o for q2, o in final if q2 == p)
+        assert offs == list(range(len(offs)))

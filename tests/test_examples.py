@@ -15,6 +15,7 @@ EXAMPLES = [
     "training_data_pipeline",
     "connector_pipeline",
     "embedding_pipeline",
+    "release_pipeline",
 ]
 
 
