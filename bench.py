@@ -105,6 +105,10 @@ BENCH_QUERIES = [
     "compression_ratio_docs",
     "training_shuffle_docs",
     "token_budget_selection",
+    "blocklist_filter_docs",
+    "winnowing_fingerprints",
+    "minhash_quality_report",
+    "mrl_truncation_eval",
     "bootstrap_ci_tokens",
     "bootstrap_ci_tokens_by_source",
     "fd_violation_events",

@@ -715,3 +715,68 @@ def prefix_filter_pairs(df: DataFrame, *, text_col: str = "text",
              .select("id_a", "id_b").distinct())
     return jaccard_verify(df, cands, text_col=text_col, id_col=id_col,
                           ngram=ngram, threshold=threshold, shingles=sh)
+
+
+def minhash_quality_report(df: DataFrame, *, text_col: str = "text",
+                           id_col: str = "doc_id", ngram: int = 3,
+                           num_hashes: int = 12,
+                           rows_per_band: int = 3) -> DataFrame:
+    """MinHash ESTIMATOR quality on the live corpus: for every LSH
+    candidate pair, the signature-agreement estimate (matching
+    minhashes / num_hashes — the unbiased Jaccard estimator) next to
+    the EXACT shingle Jaccard, plus the absolute error. This is the
+    measurement that answers "is 12 hashes enough for this corpus?"
+    before committing a 100 TB dedup run to a signature width — run it
+    on a sample, read the error distribution, size the signature.
+
+    Same bucketed plan class as the dedup pipeline itself (band
+    equi-join candidates only, never all pairs); integer micro-unit
+    outputs so the report hash-matches the SQL replay exactly.
+    """
+    from ..plans.caching import track_persist
+
+    sh = track_persist(shingle_rows(df, text_col=text_col, id_col=id_col,
+                                    ngram=ngram))
+    wide = minhash_wide(sh, id_col=id_col, num_hashes=num_hashes)
+    cands = minhash_lsh_candidates(df, text_col=text_col, id_col=id_col,
+                                   ngram=ngram, num_hashes=num_hashes,
+                                   rows_per_band=rows_per_band, shingles=sh)
+    mh_cols = [c for c in wide.columns if c.startswith("mh")]
+    a = wide.select(F.col(id_col).alias("id_a"),
+                    *[F.col(c).alias(f"a_{c}") for c in mh_cols])
+    b = wide.select(F.col(id_col).alias("id_b"),
+                    *[F.col(c).alias(f"b_{c}") for c in mh_cols])
+    eq = sum(F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
+             for c in mh_cols)
+    est = (cands.join(a.hint("shuffle_hash"), "id_a")
+           .join(b.hint("shuffle_hash"), "id_b")
+           .select("id_a", "id_b",
+                   F.floor(eq * 1_000_000 / F.lit(num_hashes) + F.lit(0.5))
+                   .cast("long").alias("est_micro")))
+    cnts = sh.groupBy(F.col(id_col).alias("cid")) \
+        .agg(F.count(F.lit(1)).alias("c"))
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col(id_col).alias("__idb"), F.col("s").alias("s_b"))
+    inter = (cands.join(sa.hint("shuffle_hash"), "id_a")
+             .join(sb.hint("shuffle_hash"),
+                   (F.col("id_b") == F.col("__idb"))
+                   & (F.col("s_a") == F.col("s_b")))
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("i")))
+    exact = (cands.join(inter, ["id_a", "id_b"], "left")
+             .na.fill({"i": 0})
+             .join(cnts.withColumnRenamed("cid", "id_a")
+                   .withColumnRenamed("c", "ca").hint("shuffle_hash"),
+                   "id_a")
+             .join(cnts.withColumnRenamed("cid", "id_b")
+                   .withColumnRenamed("c", "cb").hint("shuffle_hash"),
+                   "id_b")
+             .select("id_a", "id_b",
+                     F.floor(F.col("i") * 1_000_000
+                             / F.greatest(F.col("ca") + F.col("cb")
+                                          - F.col("i"), F.lit(1))
+                             + F.lit(0.5)).cast("long")
+                     .alias("exact_micro")))
+    return (est.join(exact, ["id_a", "id_b"])
+            .select("id_a", "id_b", "est_micro", "exact_micro",
+                    F.abs(F.col("est_micro") - F.col("exact_micro"))
+                    .alias("abs_err_micro")))

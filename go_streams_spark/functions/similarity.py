@@ -1957,3 +1957,83 @@ def jl_project(df: DataFrame, *, id_col: str = "vec_id",
                         F.lit(0).cast("long"),
                         lambda acc, y: acc + y) / float(scale), 6))
     return df.select(id_col, proj.alias("proj"))
+
+
+def mrl_truncation_eval(df: DataFrame, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        dims: tuple[int, ...] = (8, 16, 32),
+                        k: int = 5, probe_mod: int = 25,
+                        round_dp: int = 6) -> DataFrame:
+    """Matryoshka (MRL) truncation quality eval: for a deterministic
+    probe subset (``id % probe_mod == 0``), how much of each probe's
+    exact full-dimension top-k survives when similarities use only the
+    first ``d`` components — the measurement behind "can we store/search
+    the 64-dim prefix instead of the full vector?". Reports
+    (probe, trunc_dim, overlap_at_k, recall_micro) per probe per d.
+
+    EVAL-BY-CONTRACT (the ann_recall_report class): probes x corpus is
+    quadratic in the probe fraction, bounded by ``probe_mod`` — the
+    production search path stays IVF/LSH; this query only grades
+    truncation loss. ENGINE-EXACT: similarities are the repo's
+    quantized-cosine convention computed over the SLICED micro-unit
+    int64 vectors (slice-then-dot is exact integer work; one IEEE
+    division; half-up 6 dp), so ranks and overlaps hash-match a DuckDB
+    replay bit for bit. Norm guard: sqrt(greatest(n, 1)) on both
+    engines so an all-zero prefix cannot divide by zero.
+    """
+    if k < 1 or probe_mod < 1:
+        raise ValueError(f"need k >= 1, probe_mod >= 1; got {k}/{probe_mod}")
+    scale = 10 ** round_dp
+    base = df.select(F.col(id_col),
+                     quantized_vec(vec_col, scale).alias("v"))
+    probes = (base.where(F.pmod(F.col(id_col), F.lit(probe_mod)) == 0)
+              .select(F.col(id_col).alias("id_a"), F.col("v").alias("va")))
+    cands = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    # probe x corpus as a BUCKETED EQUI-JOIN (block_knn's grid trick),
+    # not a broadcast nested loop: candidates key on id % B, probes
+    # explode over all B buckets — every pair meets exactly once, the
+    # join shuffles on the bucket key, and no data-sized build side
+    # exists (the registry audit bans nested-loop builds > scalar)
+    blocks = 32
+    probes_x = probes.withColumn(
+        "qb", F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))))
+    cands_k = cands.withColumn(
+        "qb", F.pmod(F.col("id_b"), F.lit(blocks)).cast("int"))
+    pairs = (cands_k.join(probes_x.hint("shuffle_hash"), "qb")
+             .where(F.col("id_a") != F.col("id_b"))
+             .withColumn("d", F.explode(F.array(*[F.lit(int(x))
+                                                  for x in dims]))))
+
+    def _sim(a, b):
+        zero = F.lit(0).cast("long")
+        dd = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), zero,
+                         lambda acc, x: acc + x)
+        na = F.aggregate(F.transform(a, lambda x: x * x), zero,
+                         lambda acc, x: acc + x)
+        nb = F.aggregate(F.transform(b, lambda x: x * x), zero,
+                         lambda acc, x: acc + x)
+        return (F.floor(dd / (F.sqrt(F.greatest(na, F.lit(1)))
+                              * F.sqrt(F.greatest(nb, F.lit(1))))
+                        * scale + F.lit(0.5)) / float(scale))
+
+    scored = pairs.select(
+        "id_a", "id_b", "d",
+        _sim(F.slice("va", 1, F.col("d")),
+             F.slice("vb", 1, F.col("d"))).alias("sim_t"),
+        _sim(F.col("va"), F.col("vb")).alias("sim_f"))
+    from pyspark.sql import Window as W
+    wt = W.partitionBy("id_a", "d").orderBy(F.col("sim_t").desc(), "id_b")
+    wf = W.partitionBy("id_a", "d").orderBy(F.col("sim_f").desc(), "id_b")
+    ranked = scored.select(
+        "id_a", "d",
+        F.row_number().over(wt).alias("rt"),
+        F.row_number().over(wf).alias("rf"))
+    return (ranked.groupBy("id_a", "d")
+            .agg(F.sum(F.when((F.col("rt") <= k) & (F.col("rf") <= k), 1)
+                       .otherwise(0)).cast("long").alias("overlap_at_k"))
+            .select(F.col("id_a").alias(id_col),
+                    F.col("d").alias("trunc_dim"),
+                    "overlap_at_k",
+                    F.floor(F.col("overlap_at_k") * 1_000_000 / F.lit(k)
+                            + F.lit(0.5)).cast("long")
+                    .alias("recall_micro")))

@@ -886,6 +886,113 @@ def pii_scrub(text: Column | str,
     return cur, counts
 
 
+#: Default blocklist (C4's "List of Dirty, Naughty ... Words" stands in
+#: for whatever per-deployment list applies; these are corpus words so
+#: the gate query exercises non-trivial hits).
+BLOCKLIST: tuple[str, ...] = ("slow", "error", "spam")
+
+
+def blocklist_scrub(df, *, text_col: str = "text", id_col: str = "doc_id",
+                    blocklist: tuple[str, ...] = BLOCKLIST,
+                    max_ratio_micro: int = 0):
+    """Blocklist token filter — the C4-style "remove any page containing
+    a word on the blocklist" gate (C4 dropped pages on ANY hit;
+    ``max_ratio_micro`` generalizes to a rate threshold, 0 = C4's
+    semantics). Counts OCCURRENCES (not distinct hits) of blocklisted
+    whitespace tokens, case-insensitive, exact-token match (substring
+    policies belong in a regex pass like ``pii_scrub``'s).
+
+    Pure per-row JVM array lambdas — zero UDF, zero shuffle, trivially
+    linear; the SQL twin is a ``list_filter .. IN`` replay. Returns
+    (id, n_tokens, n_blocked, blocked_ratio_micro, keep).
+    """
+    if not blocklist:
+        raise ValueError("blocklist must be non-empty")
+    if not 0 <= max_ratio_micro <= 1_000_000:
+        raise ValueError("max_ratio_micro must be in [0, 1e6], got "
+                         f"{max_ratio_micro}")
+    toks = tokens(F.lower(F.col(text_col)))
+    bl = F.array(*[F.lit(w) for w in blocklist])
+    n_tok = F.size(toks).cast("long")
+    n_blk = F.size(F.filter(toks, lambda x: F.array_contains(bl, x))) \
+        .cast("long")
+    ratio = F.floor(n_blk * 1_000_000 / F.greatest(n_tok, F.lit(1))) \
+        .cast("long")
+    return df.select(
+        F.col(id_col), n_tok.alias("n_tokens"), n_blk.alias("n_blocked"),
+        ratio.alias("blocked_ratio_micro"),
+        (ratio <= max_ratio_micro).alias("keep"))
+
+
+def winnow_fingerprints(df, *, text_col: str = "text",
+                        id_col: str = "doc_id", ngram: int = 3,
+                        window: int = 4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every word ``ngram``-gram, slide a
+    ``window``-gram window over the hash sequence, keep each window's
+    MINIMUM — guaranteeing any shared run of ``window + ngram - 1``
+    tokens between two documents shares at least one selected
+    fingerprint (the local-sampling property a plain "every k-th hash"
+    scheme lacks). The classic plagiarism/citation-detection
+    fingerprint, complementary to MinHash (which samples globally and
+    carries no position).
+
+    ENGINE-EXACT selection: the windowed min runs over the single
+    int64 ``h * 2^20 + pos`` (40-bit gram hash from the md5 prefix,
+    20-bit position), so min-of-combined picks min-hash with
+    leftmost-position tie-break identically in any engine — no
+    unspecified arg-min tie rule. Caps: docs up to 2^20 grams
+    (enforced by a per-row assert_true; shard longer docs upstream).
+    Plan: posexplode ->
+    lead-stitched grams (one shuffle on the doc id) -> two window
+    passes -> distinct; fingerprint volume is ~2/(window+1) of gram
+    volume by the winnowing density bound.
+
+    Returns (id, fp_hash, fp_pos) — distinct selected fingerprints
+    with the position of their first selection.
+    """
+    from pyspark.sql import Window as W
+
+    if ngram < 1 or window < 1:
+        raise ValueError(f"need ngram >= 1 and window >= 1, got "
+                         f"{ngram}/{window}")
+    toks = (df.select(F.col(id_col),
+                      F.posexplode(tokens(F.lower(F.col(text_col))))
+                      .alias("p", "tok")))
+    w = W.partitionBy(id_col).orderBy("p")
+    leads = [F.lead("tok", j).over(w).alias(f"t{j}")
+             for j in range(1, ngram)]
+    grams = toks.select(F.col(id_col), F.col("p"),
+                        F.col("tok").alias("t0"), *leads)
+    gcol = F.concat_ws(" ", *[F.col(f"t{j}") for j in range(ngram)])
+    # gram position == its first token's position: every token index
+    # 0..L-ngram yields exactly one gram, so p is already dense
+    g = (grams.where(F.col(f"t{ngram - 1}").isNotNull())
+         .select(F.col(id_col), F.col("p").alias("pos"),
+                 (F.conv(F.substring(F.md5(gcol), 1, 10), 16, 10)
+                  .cast("long") * F.lit(1_048_576)
+                  + F.col("p")).alias("c")))
+    g = g.where(F.assert_true(F.col("pos") < F.lit(1_048_576),
+                              "winnow_fingerprints: doc exceeds 2^20 "
+                              "grams — shard upstream").isNull())
+    wg = W.partitionBy(id_col).orderBy("pos")
+    fwd = wg.rowsBetween(0, window - 1)
+    sel = (g.withColumn("n_grams", F.count(F.lit(1)).over(
+               W.partitionBy(id_col)))
+           .withColumn("wmin", F.min("c").over(fwd))
+           # valid window starts only: 0..G-window (short docs: the one
+           # window at pos 0 covers every gram)
+           .where(F.col("pos")
+                  <= F.greatest(F.col("n_grams") - window, F.lit(0))))
+    out = sel.select(
+        F.col(id_col),
+        F.floor(F.col("wmin") / F.lit(1_048_576)).cast("long")
+        .alias("fp_hash"),
+        (F.col("wmin") % F.lit(1_048_576)).cast("int").alias("fp_pos"))
+    return out.groupBy(id_col, "fp_hash").agg(
+        F.min("fp_pos").alias("fp_pos"))
+
+
 def token_budget_select(df, *, text_col: str = "text",
                         id_col: str = "doc_id",
                         budget_frac_micro: int = 300_000,

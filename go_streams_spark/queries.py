@@ -9363,3 +9363,182 @@ def next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "pos",
                     F.concat_ws(">", "c1", "c2", "c3").alias("context"),
                     "label"))
+
+
+# ---------------------------------------------------------------------------
+# Round 7: corpus-release + fingerprinting + estimator-quality additions
+# ---------------------------------------------------------------------------
+
+@query("blocklist_filter_docs", """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         len(list_filter(toks,
+             x -> x IN ('slow', 'error', 'spam')))::BIGINT AS n_blocked
+  FROM t
+)
+SELECT doc_id, n_tokens, n_blocked,
+       floor(n_blocked * 1000000 / greatest(n_tokens, 1))::BIGINT
+         AS blocked_ratio_micro,
+       floor(n_blocked * 1000000 / greatest(n_tokens, 1)) <= 0 AS keep
+FROM c
+""")
+def blocklist_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist gate: drop any page containing a blocklisted
+    token (C4's any-hit rule; max_ratio_micro generalizes to a rate).
+    Exact-token, case-insensitive occurrence counts — per-row JVM array
+    lambdas, zero UDF, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.blocklist_scrub(docs)
+
+
+@query("winnowing_fingerprints", """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 3 THEN
+      [('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' '
+                           || toks[i+2]), 1, 10))::BIGINT
+         * 1048576 + (i - 1)
+       for i in generate_series(1, len(toks) - 2)]
+    ELSE [] END) AS c
+  FROM t
+), w AS (
+  SELECT doc_id, c % 1048576 AS pos,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams,
+         min(c) OVER (PARTITION BY doc_id ORDER BY c % 1048576
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM g
+)
+SELECT doc_id, (wmin // 1048576)::BIGINT AS fp_hash,
+       min(wmin % 1048576)::INT AS fp_pos
+FROM w
+WHERE pos <= greatest(n_grams - 4, 0)
+GROUP BY doc_id, wmin // 1048576
+""")
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) document fingerprints: min-hash per sliding
+    window over the word-3-gram hash sequence — any shared run of
+    window+ngram-1 tokens between two docs shares a fingerprint (the
+    positional guarantee MinHash doesn't give). Engine-exact via the
+    single-int64 hash*2^20+pos packing (min-of-combined = min-hash with
+    leftmost tie-break in every engine)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.winnow_fingerprints(docs, ngram=3, window=4)
+
+
+@query("minhash_quality_report", """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     for i in generate_series(1, len(toks) - 2)])
+    ELSE [] END) AS s
+  FROM t
+), mh AS (
+  SELECT sh.doc_id, seeds.seed,
+         min(('0x' || substr(md5(sh.s), 1, 15))::BIGINT
+             + seeds.seed * (('0x' || substr(md5(sh.s), 16, 15))::BIGINT % 1000000007)) AS m
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+  GROUP BY sh.doc_id, seeds.seed
+), bands AS (
+  SELECT doc_id, seed // 3 AS band,
+         md5(string_agg(m::VARCHAR, '|' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, seed // 3
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), est AS (
+  SELECT c.id_a, c.id_b,
+         floor(count(*) FILTER (ma.m = mb.m) * 1000000 / 12 + 0.5)::BIGINT
+           AS est_micro
+  FROM cand c
+  JOIN mh ma ON ma.doc_id = c.id_a
+  JOIN mh mb ON mb.doc_id = c.id_b AND mb.seed = ma.seed
+  GROUP BY c.id_a, c.id_b
+), cnts AS (
+  SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(sb.s)::BIGINT AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  LEFT JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+  GROUP BY c.id_a, c.id_b
+), ex AS (
+  SELECT i.id_a, i.id_b,
+         floor(i.i * 1000000 / greatest(ca.c + cb.c - i.i, 1) + 0.5)::BIGINT
+           AS exact_micro
+  FROM inter i
+  JOIN cnts ca ON ca.doc_id = i.id_a
+  JOIN cnts cb ON cb.doc_id = i.id_b
+)
+SELECT e.id_a, e.id_b, e.est_micro, x.exact_micro,
+       abs(e.est_micro - x.exact_micro)::BIGINT AS abs_err_micro
+FROM est e JOIN ex x ON x.id_a = e.id_a AND x.id_b = e.id_b
+""")
+def minhash_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator-quality report over LSH candidates: signature
+    agreement (the Jaccard estimate) vs exact shingle Jaccard per
+    candidate pair, with absolute error — the pre-flight that sizes the
+    signature width before a 100 TB dedup commit. Bucketed candidates
+    only, never all pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.minhash_quality_report(docs)
+
+
+@query("mrl_truncation_eval", """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding,
+           x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS qv
+  FROM embeddings
+), p AS (
+  SELECT vec_id AS id_a, qv AS va FROM v WHERE vec_id % 25 = 0
+), pairs AS (
+  SELECT p.id_a, c.vec_id AS id_b, d.d, p.va, c.qv AS vb
+  FROM p JOIN v c ON c.vec_id <> p.id_a
+  CROSS JOIN (VALUES (8), (16), (32)) d(d)
+), s AS (
+  SELECT id_a, id_b, d,
+    floor(list_sum(list_transform(list_zip(va[1:d], vb[1:d]),
+                                  q -> q[1] * q[2]))::BIGINT
+          / (sqrt(greatest(list_sum(list_transform(va[1:d], x -> x*x))::BIGINT, 1))
+             * sqrt(greatest(list_sum(list_transform(vb[1:d], x -> x*x))::BIGINT, 1)))
+          * 1000000 + 0.5) / 1000000.0 AS sim_t,
+    floor(list_sum(list_transform(list_zip(va, vb), q -> q[1] * q[2]))::BIGINT
+          / (sqrt(greatest(list_sum(list_transform(va, x -> x*x))::BIGINT, 1))
+             * sqrt(greatest(list_sum(list_transform(vb, x -> x*x))::BIGINT, 1)))
+          * 1000000 + 0.5) / 1000000.0 AS sim_f
+  FROM pairs
+), r AS (
+  SELECT id_a, d,
+         row_number() OVER (PARTITION BY id_a, d
+                            ORDER BY sim_t DESC, id_b) AS rt,
+         row_number() OVER (PARTITION BY id_a, d
+                            ORDER BY sim_f DESC, id_b) AS rf
+  FROM s
+)
+SELECT id_a AS vec_id, d::INT AS trunc_dim,
+       sum(CASE WHEN rt <= 5 AND rf <= 5 THEN 1 ELSE 0 END)::BIGINT
+         AS overlap_at_k,
+       floor(sum(CASE WHEN rt <= 5 AND rf <= 5 THEN 1 ELSE 0 END)
+             * 1000000 / 5 + 0.5)::BIGINT AS recall_micro
+FROM r GROUP BY 1, 2
+""")
+def mrl_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval: per probe vector, how much of the
+    exact full-dim top-5 survives when cosine uses only the first
+    8/16/32 components — grades prefix-dim storage/search before
+    adopting it. Eval-by-contract probe subset (ann_recall class);
+    engine-exact quantized sims over sliced int64 vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.mrl_truncation_eval(emb, dims=(8, 16, 32), k=5, probe_mod=25)

@@ -1891,3 +1891,79 @@ def test_token_budget_select_semantics(spark, sf_dir):
         token_budget_select(docs, budget_frac_micro=0)
     with _pytest.raises(ValueError, match="bins"):
         token_budget_select(docs, bins=1)
+
+
+# ---------------------------------------------------------------- round 7
+
+
+def test_blocklist_scrub_semantics(spark):
+    from go_streams_spark.functions.text import blocklist_scrub
+    df = spark.createDataFrame(
+        [(1, "Slow spam slow words here"),   # 3 hits of 5 tokens
+         (2, "clean text only"),
+         (3, "slowly sloping")],             # substrings must NOT match
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in blocklist_scrub(df).collect()}
+    assert got[1]["n_blocked"] == 3 and got[1]["n_tokens"] == 5
+    assert not got[1]["keep"]
+    assert got[2]["n_blocked"] == 0 and got[2]["keep"]
+    assert got[3]["n_blocked"] == 0 and got[3]["keep"]  # exact-token only
+    assert got[1]["blocked_ratio_micro"] == 600_000
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        blocklist_scrub(df, blocklist=())
+    with _pt.raises(ValueError):
+        blocklist_scrub(df, max_ratio_micro=2_000_000)
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """The winnowing property: any shared token run of length
+    window + ngram - 1 (= 6 here) must produce at least one shared
+    fingerprint — and the selected set is a small fraction of grams."""
+    from go_streams_spark.functions.text import winnow_fingerprints
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    df = spark.createDataFrame(
+        [(1, f"one two three {shared} four five six"),
+         (2, f"nine eight {shared} seven ten")],
+        "doc_id bigint, text string")
+    fps = winnow_fingerprints(df, ngram=3, window=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[1] & by_doc[2], "shared 6-token run must share a fp"
+    # density: winnowing selects ~2/(w+1) of grams, never all of them
+    n_grams_doc1 = len(f"one two three {shared} four five six".split()) - 2
+    assert len(by_doc[1]) < n_grams_doc1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        winnow_fingerprints(df, window=0)
+
+
+def test_minhash_quality_report_exact_duplicates(spark):
+    """Identical docs are an LSH candidate with estimate == exact ==
+    1.0 and zero error; a disjoint doc pairs with nothing."""
+    from go_streams_spark.functions.dedup import minhash_quality_report
+    t = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, t), (2, t), (3, "completely different words everywhere now")],
+        "doc_id bigint, text string")
+    rows = minhash_quality_report(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["est_micro"] == 1_000_000 and r["exact_micro"] == 1_000_000
+    assert r["abs_err_micro"] == 0
+
+
+def test_mrl_truncation_full_dim_is_identity(spark):
+    """Truncating at the FULL dimension must reproduce the exact top-k
+    (overlap_at_k == k for every probe); a 1-dim prefix of adversarial
+    vectors must lose neighbors."""
+    import random
+    from go_streams_spark.functions.similarity import mrl_truncation_eval
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = mrl_truncation_eval(df, dims=(8,), k=3, probe_mod=4).collect()
+    assert out and all(r["overlap_at_k"] == 3 for r in out)
+    assert all(r["recall_micro"] == 1_000_000 for r in out)
