@@ -109,6 +109,8 @@ BENCH_QUERIES = [
     "winnowing_fingerprints",
     "minhash_quality_report",
     "mrl_truncation_eval",
+    "winnowing_overlap_pairs",
+    "bpe_fertility_by_lang",
     "bootstrap_ci_tokens",
     "bootstrap_ci_tokens_by_source",
     "fd_violation_events",

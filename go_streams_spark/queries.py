@@ -9542,3 +9542,137 @@ def mrl_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-exact quantized sims over sliced int64 vectors."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.mrl_truncation_eval(emb, dims=(8, 16, 32), k=5, probe_mod=25)
+
+
+@query("winnowing_overlap_pairs", """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 3 THEN
+      [('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' '
+                           || toks[i+2]), 1, 10))::BIGINT
+         * 1048576 + (i - 1)
+       for i in generate_series(1, len(toks) - 2)]
+    ELSE [] END) AS c
+  FROM t
+), w AS (
+  SELECT doc_id, c % 1048576 AS pos,
+         count(*) OVER (PARTITION BY doc_id) AS n_grams,
+         min(c) OVER (PARTITION BY doc_id ORDER BY c % 1048576
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM g
+), fp AS (
+  SELECT DISTINCT doc_id, (wmin // 1048576)::BIGINT AS fp_hash
+  FROM w WHERE pos <= greatest(n_grams - 4, 0)
+), rare AS (
+  SELECT fp_hash FROM fp GROUP BY fp_hash
+  HAVING count(*) <= 20
+), f2 AS (
+  SELECT fp.doc_id, fp.fp_hash FROM fp JOIN rare USING (fp_hash)
+), sizes AS (
+  SELECT doc_id, count(*) AS nf FROM f2 GROUP BY doc_id
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+  FROM f2 a JOIN f2 b ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT p.id_a, p.id_b, p.n_shared,
+       floor(p.n_shared * 1000000
+             / greatest(least(sa.nf, sb.nf), 1) + 0.5)::BIGINT
+         AS overlap_micro
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.id_a
+JOIN sizes sb ON sb.doc_id = p.id_b
+WHERE p.n_shared >= 2
+""")
+def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional near-dup pairs from WINNOWING fingerprints (the MOSS
+    pipeline's second half): docs sharing >= 2 selected fingerprints,
+    scored by containment of the smaller fingerprint set — catches
+    copied PASSAGES that whole-doc MinHash dilutes away. Fingerprints
+    present in > 20 docs are dropped before pairing (the MOSS
+    common-code exclusion), which is also the skew guard: bucket
+    fan-out is bounded by the doc-frequency cap, so the equi-join never
+    degenerates on boilerplate grams. Integer counts + one rounded
+    division — hash-exact."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = T.winnow_fingerprints(docs, ngram=3, window=4) \
+        .select("doc_id", "fp_hash")
+    df_cap = (fp.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("df"))
+              .where(F.col("df") <= 20).select("fp_hash"))
+    f2 = fp.join(df_cap.hint("shuffle_hash"), "fp_hash")
+    sizes = f2.groupBy(F.col("doc_id").alias("sid")) \
+        .agg(F.count(F.lit(1)).alias("nf"))
+    a = f2.select(F.col("doc_id").alias("id_a"), "fp_hash")
+    b = f2.select(F.col("doc_id").alias("id_b"), "fp_hash")
+    pairs = (a.join(b.hint("shuffle_hash"), "fp_hash")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .where(F.col("n_shared") >= 2))
+    return (pairs
+            .join(sizes.withColumnRenamed("sid", "id_a")
+                  .withColumnRenamed("nf", "na").hint("shuffle_hash"),
+                  "id_a")
+            .join(sizes.withColumnRenamed("sid", "id_b")
+                  .withColumnRenamed("nf", "nb").hint("shuffle_hash"),
+                  "id_b")
+            .select("id_a", "id_b", "n_shared",
+                    F.floor(F.col("n_shared") * 1_000_000
+                            / F.greatest(F.least("na", "nb"), F.lit(1))
+                            + F.lit(0.5)).cast("long")
+                    .alias("overlap_micro")))
+
+
+def _bpe_fertility_oracle(sf_dir: str) -> str:
+    """Per-SF generated oracle for bpe_fertility_by_lang: wraps the
+    full BPE train+encode chained-CTE replay (bpe_pipeline_oracle_sql)
+    in a per-lang fertility rollup."""
+    inner = T.bpe_pipeline_oracle_sql(rounds=6)
+    return f"""WITH enc AS ({inner}),
+t AS (
+  SELECT doc_id, lang,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+           AS n_ws
+  FROM documents
+)
+SELECT t.lang, count(*)::BIGINT AS n_docs,
+       sum(enc.n_bpe)::BIGINT AS n_bpe,
+       sum(t.n_ws)::BIGINT AS n_ws,
+       floor(sum(enc.n_bpe) * 1000000
+             / greatest(sum(t.n_ws), 1) + 0.5)::BIGINT AS fertility_micro
+FROM enc JOIN t USING (doc_id)
+GROUP BY t.lang"""
+
+
+@query("bpe_fertility_by_lang", _bpe_fertility_oracle)
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language under the corpus-trained BPE:
+    encoded tokens per whitespace word — the standard multilingual
+    tokenizer-equity report (high fertility = that language pays more
+    sequence length per word; re-balance the merge training mix). Runs
+    the real train(6 rounds)+encode loop and rolls up at lang grain;
+    oracle = the BPE chained-CTE replay wrapped in the same rollup
+    (integer sums, one rounded division)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    table = T.bpe_train_merges(docs.select("doc_id", "text"),
+                               rounds=6).collect()
+    merges = [(r["a"], r["b"])
+              for r in sorted(table, key=lambda r: r["round"])]
+    enc = T.bpe_encode(docs, merges=merges)
+    return (enc.select(
+        "lang", F.size("bpe_tokens").alias("n_bpe"),
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .alias("n_ws"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_bpe").alias("n_bpe"),
+             F.sum("n_ws").alias("n_ws"))
+        .select("lang", "n_docs", "n_bpe", "n_ws",
+                F.floor(F.col("n_bpe") * 1_000_000
+                        / F.greatest(F.col("n_ws"), F.lit(1))
+                        + F.lit(0.5)).cast("long")
+                .alias("fertility_micro")))

@@ -1967,3 +1967,32 @@ def test_mrl_truncation_full_dim_is_identity(spark):
     out = mrl_truncation_eval(df, dims=(8,), k=3, probe_mod=4).collect()
     assert out and all(r["overlap_at_k"] == 3 for r in out)
     assert all(r["recall_micro"] == 1_000_000 for r in out)
+
+
+def test_winnowing_overlap_detects_copied_passage(spark):
+    """A passage copied between two otherwise-different docs must
+    surface as an overlap pair; full duplicates score containment 1.0;
+    unrelated docs pair with nothing."""
+    import go_streams_spark.queries as Q
+    from go_streams_spark.functions.text import winnow_fingerprints
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(1, f"intro words here {passage} closing remarks now"),
+         (2, f"other opening {passage} different ending text"),
+         (3, "totally unrelated content about nothing shared at all"),
+         (4, f"intro words here {passage} closing remarks now")],  # dup of 1
+        "doc_id bigint, text string")
+    fp = winnow_fingerprints(docs, ngram=3, window=4) \
+        .select("doc_id", "fp_hash")
+    # replicate the query's pairing (cap high enough for 4 docs)
+    from pyspark.sql import functions as F
+    a = fp.select(F.col("doc_id").alias("id_a"), "fp_hash")
+    b = fp.select(F.col("doc_id").alias("id_b"), "fp_hash")
+    pairs = {(r["id_a"], r["id_b"]): r["n"] for r in
+             (a.join(b, "fp_hash").where(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("n"))
+              .collect())}
+    assert (1, 2) in pairs, "copied passage must share fingerprints"
+    assert (1, 4) in pairs and pairs[(1, 4)] >= pairs[(1, 2)]
+    assert not any(3 in p for p in pairs), "unrelated doc must not pair"

@@ -460,3 +460,49 @@ def test_quantized_cosine_three_engines_agree(spark, vecs):
             ref = math.floor(d / (na * nb) * 1e6 + 0.5) / 1e6
             assert jvm[(i, j)] == ref, ("jvm", i, j, jvm[(i, j)], ref)
             assert npy[i, j] == ref, ("np", i, j, npy[i, j], ref)
+
+
+@given(
+    events=st.lists(st.tuples(st.integers(0, 2), st.integers(0, 400)),
+                    min_size=1, max_size=40),
+    rate=st.integers(0, 2_000_000),
+    burst=st.integers(1, 4_000_000),
+)
+@settings(**SETTINGS)
+def test_token_bucket_matches_reference_model(spark, events, rate, burst):
+    """The round-7 mapInPandas rewrite (cross-batch key-carry state)
+    against a plain-Python GCRA simulation: every (admitted,
+    tokens_after) must match, for arbitrary users/timestamps/params —
+    including same-second bursts and rate=0 (no refill ever)."""
+    from datetime import datetime, timezone
+
+    from go_streams_spark.operators.throttle import token_bucket_admit
+
+    rows = [(u, i, datetime.fromtimestamp(t, tz=timezone.utc))
+            for i, (u, t) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts timestamp")
+    got = {(r["user_id"], r["event_id"]):
+           (r["admitted"], r["tokens_after_micro"])
+           for r in token_bucket_admit(
+               df, rate_micro_per_sec=rate, burst_micro=burst,
+               cost_micro=1_000_000).collect()}
+
+    # reference simulation: per user, sort by (ts, event_id), fold
+    expect = {}
+    by_user = {}
+    for i, (u, t) in enumerate(events):
+        by_user.setdefault(u, []).append((t, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        tokens, prev = burst, None
+        for t, i in evs:
+            if prev is not None:
+                tokens = min(burst, tokens + (t - prev) * rate)
+            prev = t
+            if tokens >= 1_000_000:
+                tokens -= 1_000_000
+                expect[(u, i)] = (True, tokens)
+            else:
+                expect[(u, i)] = (False, tokens)
+    assert got == expect
