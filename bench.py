@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "mrl_truncation_eval",
     "winnowing_overlap_pairs",
     "bpe_fertility_by_lang",
+    "image_bmp_decode_features",
+    "image_dhash_neardup_pairs",
     "bootstrap_ci_tokens",
     "bootstrap_ci_tokens_by_source",
     "fd_violation_events",

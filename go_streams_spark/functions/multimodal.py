@@ -407,3 +407,173 @@ def pcm_window_features(df: DataFrame, *, blob_col: str = "media",
             })
 
     return df.mapInPandas(_extract, schema=_pcm_schema(id_col, id_type))
+
+
+# ---------------------------------------------------------------------------
+# Real BMP codec path (round 7): unlike the codec-gated pillow/PyAV
+# kernels above, this is an ACTUAL image decode that needs no external
+# library — BMP (BITMAPINFOHEADER, 24bpp, bottom-up, 4-byte row padding)
+# is simple enough to parse with struct. The corpus gets a deterministic
+# synthetic BMP per doc (pixels derived from md5(text)), the decoder
+# parses those real bytes back, and the DuckDB oracle re-derives the
+# PIXEL MATH independently — so a decode bug (padding, bottom-up order,
+# BGR layout, header offsets) breaks the hash gate. dHash features on
+# top give image-level near-dup.
+
+BMP_W, BMP_H = 18, 16  # 18*3 = 54 bytes/row -> 2 pad bytes: padding is exercised
+
+
+def _bmp_pixel_rows(text: str) -> list[list[int]]:
+    """Deterministic base-value pixel grid (top-down, row-major) for
+    the synthetic image — "render the document head": the hash base is
+    the doc's first 8 lowercase whitespace tokens (so documents sharing
+    a head render IDENTICAL images and the dHash near-dup stage has
+    non-degenerate pairs at every SF); row r's 18 values are bytes
+    0..15 of md5(head:r) plus bytes 0..1 of md5(head:r:x)."""
+    import hashlib
+
+    head = " ".join([t for t in text.lower().split(" ") if t][:8])
+    rows = []
+    for r in range(BMP_H):
+        h1 = hashlib.md5(f"{head}:{r}".encode()).digest()
+        h2 = hashlib.md5(f"{head}:{r}:x".encode()).digest()
+        rows.append(list(h1[:16]) + list(h2[:2]))
+    return rows
+
+
+def synth_bmp(df: DataFrame, *, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Build a REAL 18x16 24bpp BMP file per document (base value v per
+    pixel from ``_bmp_pixel_rows``; channels R=v, G=2v%256, B=3v%256 so
+    channel-order bugs change luminance). The writer
+    honors the actual format: 14-byte file header, 40-byte
+    BITMAPINFOHEADER, BGR byte order, rows bottom-up, each row padded
+    to a 4-byte boundary. One Arrow map pass, zero shuffle."""
+    import struct
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        row_bytes = (BMP_W * 3 + 3) // 4 * 4
+        img_size = row_bytes * BMP_H
+        header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+        info = struct.pack("<IiiHHIIiiII", 40, BMP_W, BMP_H, 1, 24, 0,
+                           img_size, 2835, 2835, 0, 0)
+        for pdf in batches:
+            blobs = []
+            for text in pdf[text_col].fillna(""):
+                v = np.array(_bmp_pixel_rows(text), dtype=np.int64)[::-1]
+                # channels DIFFER (R=v, G=2v%256, B=3v%256) so a BGR/RGB
+                # order bug in any decoder is visible in the luminance
+                # the oracle re-derives; rows bottom-up, BGR on disk
+                body = np.zeros((BMP_H, row_bytes), dtype=np.uint8)
+                body[:, 0:BMP_W * 3:3] = (3 * v) % 256
+                body[:, 1:BMP_W * 3:3] = (2 * v) % 256
+                body[:, 2:BMP_W * 3:3] = v
+                blobs.append(header + info + body.tobytes())
+            yield pd.DataFrame({id_col: pdf[id_col], "image": blobs})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        _make, schema=f"{id_col} {id_type}, image binary")
+
+
+def decode_bmp_dhash(df: DataFrame, *, image_col: str = "image",
+                     id_col: str = "doc_id") -> DataFrame:
+    """REAL BMP decode + perceptual dHash: parse the file header
+    (magic, pixel offset), BITMAPINFOHEADER (dims, 24bpp, BI_RGB),
+    un-pad and re-flip the bottom-up rows, integer-luminance
+    ((299R + 587G + 114B) // 1000), block-average to a 9x8 grid
+    (floor boundaries — exact integers), then dHash: bit = left > right
+    per adjacent column pair, packed into four 16-bit bands
+    (b0..b3, two grid rows each, bit (row%2)*8+col from the MSB) so
+    hamming distance is bit_count(xor) per band and pigeonhole banding
+    (hamming <= 3 => some band equal) gives the near-dup join key.
+    Returns (id, width, height, bpp, b0..b3)."""
+    import struct
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_rows: dict[str, list] = {c: [] for c in
+                                     (id_col, "width", "height", "bpp",
+                                      "b0", "b1", "b2", "b3")}
+        for pdf in batches:
+            for did, blob in zip(pdf[id_col], pdf[image_col]):
+                b = bytes(blob)
+                magic, _fsize, _r1, _r2, offset = struct.unpack_from(
+                    "<2sIHHI", b, 0)
+                if magic != b"BM":
+                    raise ValueError(f"doc {did}: not a BMP")
+                (hsz, w, h, _planes, bpp, comp, _isz, _xp, _yp, _cu,
+                 _ci) = struct.unpack_from("<IiiHHIIiiII", b, 14)
+                if hsz != 40 or bpp != 24 or comp != 0 or h <= 0:
+                    raise ValueError(f"doc {did}: unsupported BMP variant")
+                row_bytes = (w * 3 + 3) // 4 * 4
+                rows = np.frombuffer(
+                    b, dtype=np.uint8, count=h * row_bytes,
+                    offset=offset).reshape(h, row_bytes)
+                px = rows[::-1, :w * 3].reshape(  # un-flip bottom-up
+                    h, w, 3).astype(np.int64)
+                grid = (299 * px[:, :, 2] + 587 * px[:, :, 1]
+                        + 114 * px[:, :, 0]) // 1000
+                # integer block-average to 9x8 (vectorized reshape when
+                # dims divide evenly — the synth shape; generic floor-
+                # boundary loop otherwise, e.g. foreign BMPs)
+                R, C = 8, 9
+                if h % R == 0 and w % C == 0:
+                    avg = grid.reshape(R, h // R, C, w // C) \
+                        .sum(axis=(1, 3)) // ((h // R) * (w // C))
+                else:
+                    avg = np.zeros((R, C), dtype=np.int64)
+                    for r in range(R):
+                        y0, y1 = r * h // R, (r + 1) * h // R
+                        for c in range(C):
+                            x0, x1 = c * w // C, (c + 1) * w // C
+                            avg[r, c] = (grid[y0:y1, x0:x1].sum()
+                                         // ((y1 - y0) * (x1 - x0)))
+                bits = (avg[:, :-1] > avg[:, 1:]).astype(np.int64)  # (8,8)
+                weights = 1 << (15 - (np.arange(2)[:, None] * 8
+                                      + np.arange(C - 1)[None, :]))
+                bands = [int((bits[2 * k:2 * k + 2] * weights).sum())
+                         for k in range(4)]
+                out_rows[id_col].append(did)
+                out_rows["width"].append(w)
+                out_rows["height"].append(h)
+                out_rows["bpp"].append(bpp)
+                for k in range(4):
+                    out_rows[f"b{k}"].append(bands[k])
+            yield pd.DataFrame(out_rows)
+            out_rows = {c: [] for c in out_rows}
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, image_col).mapInPandas(
+        _decode, schema=(f"{id_col} {id_type}, width int, height int, "
+                         "bpp int, b0 int, b1 int, b2 int, b3 int"))
+
+
+def dhash_neardup_pairs(feat: DataFrame, *, id_col: str = "doc_id",
+                        max_hamming: int = 3) -> DataFrame:
+    """Image near-dup pairs from dHash bands: pigeonhole over the 4
+    16-bit bands (hamming <= 3 across 64 bits => at least one band is
+    EQUAL), candidates from per-band equi-joins, exact hamming =
+    sum of bit_count(xor) verified on candidates only — the SimHash
+    banding plan shape, never all-pairs."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(f"pigeonhole over 4 bands covers hamming <= 3, "
+                         f"got {max_hamming}")
+    bands = feat.select(
+        F.col(id_col), "b0", "b1", "b2", "b3",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias("k", "bv"))
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("b0").alias("a0"),
+                     F.col("b1").alias("a1"), F.col("b2").alias("a2"),
+                     F.col("b3").alias("a3"), "k", "bv")
+    b = bands.select(F.col(id_col).alias("id_b"), F.col("b0").alias("c0"),
+                     F.col("b1").alias("c1"), F.col("b2").alias("c2"),
+                     F.col("b3").alias("c3"), "k", "bv")
+    cand = (a.join(b.hint("shuffle_hash"), ["k", "bv"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "a0", "a1", "a2", "a3",
+                    "c0", "c1", "c2", "c3")
+            .distinct())
+    ham = sum(F.bit_count(F.col(f"a{i}").bitwiseXOR(F.col(f"c{i}")))
+              for i in range(4))
+    return (cand.select("id_a", "id_b",
+                        ham.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming))

@@ -9676,3 +9676,105 @@ def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                         / F.greatest(F.col("n_ws"), F.lit(1))
                         + F.lit(0.5)).cast("long")
                 .alias("fertility_micro")))
+
+
+#: Shared oracle CTE deriving each doc's dHash bands from the PIXEL
+#: MATH alone (md5-derived base values -> channel formula -> integer
+#: luminance -> 9x8 block means -> adjacent-column bits -> 16-bit
+#: bands) — independently of the BMP bytes. The engine path builds a
+#: real BMP file and PARSES it back (functions/multimodal.py), so any
+#: decode bug (header offsets, 4-byte row padding, bottom-up flip,
+#: BGR order) lands here as a hash mismatch.
+_BMP_BANDS_CTE = """
+heads AS (
+  SELECT doc_id,
+         array_to_string(list_filter(string_split(lower(text), ' '),
+                                     x -> x <> '')[1:8], ' ') AS head
+  FROM documents
+), rows AS (
+  SELECT doc_id, r,
+         md5(head || ':' || r::VARCHAR) AS h1,
+         md5(head || ':' || r::VARCHAR || ':x') AS h2
+  FROM heads CROSS JOIN generate_series(0, 15) s(r)
+), px AS (
+  SELECT doc_id, r, c,
+         CASE WHEN c < 16 THEN ('0x' || substr(h1, 2*c + 1, 2))::INT
+              ELSE ('0x' || substr(h2, 2*(c - 16) + 1, 2))::INT
+         END AS v
+  FROM rows CROSS JOIN generate_series(0, 17) s2(c)
+), lum AS (
+  SELECT doc_id, r, c,
+         (299 * v + 587 * ((2 * v) % 256) + 114 * ((3 * v) % 256)) // 1000
+           AS g
+  FROM px
+), avg9x8 AS (
+  SELECT doc_id, r // 2 AS rr, c // 2 AS cc, sum(g) // 4 AS a
+  FROM lum GROUP BY 1, 2, 3
+), bits AS (
+  SELECT l.doc_id, l.rr, l.cc AS j,
+         CASE WHEN l.a > rt.a THEN 1 ELSE 0 END AS bit
+  FROM avg9x8 l JOIN avg9x8 rt
+    ON rt.doc_id = l.doc_id AND rt.rr = l.rr AND rt.cc = l.cc + 1
+), bands AS (
+  SELECT doc_id, (rr // 2)::INT AS k,
+         sum(bit << (15 - ((rr % 2) * 8 + j)))::INT AS bv
+  FROM bits GROUP BY 1, 2
+), feat AS (
+  SELECT doc_id,
+         max(CASE WHEN k = 0 THEN bv END)::INT AS b0,
+         max(CASE WHEN k = 1 THEN bv END)::INT AS b1,
+         max(CASE WHEN k = 2 THEN bv END)::INT AS b2,
+         max(CASE WHEN k = 3 THEN bv END)::INT AS b3
+  FROM bands GROUP BY doc_id
+)"""
+
+
+@query("image_bmp_decode_features", f"""
+WITH {_BMP_BANDS_CTE}
+SELECT doc_id, 18::INT AS width, 16::INT AS height, 24::INT AS bpp,
+       b0, b1, b2, b3
+FROM feat
+""")
+def image_bmp_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode gate: synthesize an actual 18x16 24bpp BMP per
+    doc, parse it back with the pure-Python BMP decoder (struct — no
+    pillow), and emit header fields + dHash bands. The oracle
+    re-derives the expected values from the pixel MATH alone, so the
+    round-trip (encode -> real parse) must be the identity for the
+    hash to match — padding, bottom-up flip, BGR order, and header
+    offsets are all under test. Two Arrow map passes, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.multimodal import decode_bmp_dhash, synth_bmp
+    return decode_bmp_dhash(synth_bmp(docs))
+
+
+@query("image_dhash_neardup_pairs", f"""
+WITH {_BMP_BANDS_CTE}, e AS (
+  SELECT doc_id, k, bv FROM bands
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM e a JOIN e b ON a.k = b.k AND a.bv = b.bv
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       (bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+        + bit_count(xor(fa.b2, fb.b2))
+        + bit_count(xor(fa.b3, fb.b3)))::INT AS hamming
+FROM cand c
+JOIN feat fa ON fa.doc_id = c.id_a
+JOIN feat fb ON fb.doc_id = c.id_b
+WHERE bit_count(xor(fa.b0, fb.b0)) + bit_count(xor(fa.b1, fb.b1))
+      + bit_count(xor(fa.b2, fb.b2)) + bit_count(xor(fa.b3, fb.b3)) <= 3
+""")
+def image_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-level near-dup via dHash banding: pigeonhole over the four
+    16-bit bands (hamming <= 3 across 64 bits forces >= 1 equal band),
+    per-band equi-join candidates, exact hamming (bit_count of xor)
+    verified on candidates only — the SimHash plan shape applied to a
+    REAL image decode path. Exact-duplicate docs produce hamming-0
+    pairs; the near-dup tail is the perceptual margin."""
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.multimodal import (decode_bmp_dhash,
+                                       dhash_neardup_pairs, synth_bmp)
+    feat = decode_bmp_dhash(synth_bmp(docs))
+    return dhash_neardup_pairs(feat, max_hamming=3)

@@ -1996,3 +1996,37 @@ def test_winnowing_overlap_detects_copied_passage(spark):
     assert (1, 2) in pairs, "copied passage must share fingerprints"
     assert (1, 4) in pairs and pairs[(1, 4)] >= pairs[(1, 2)]
     assert not any(3 in p for p in pairs), "unrelated doc must not pair"
+
+
+def test_bmp_codec_roundtrip_and_validation(spark):
+    """The BMP path decodes REAL bytes: a known 2x2 image built by the
+    writer parses back to correct header fields; corrupt magic raises;
+    identical heads give identical dHash bands and hamming-0 pairs."""
+    import pytest as _pt
+
+    from go_streams_spark.functions.multimodal import (
+        decode_bmp_dhash, dhash_neardup_pairs, synth_bmp)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta e f g h tail one"),
+         (2, "alpha beta gamma delta e f g h other tail"),  # same head-8
+         (3, "completely different words in every position here")],
+        "doc_id bigint, text string")
+    feat = decode_bmp_dhash(synth_bmp(docs))
+    rows = {r["doc_id"]: r for r in feat.collect()}
+    assert all(r["width"] == 18 and r["height"] == 16 and r["bpp"] == 24
+               for r in rows.values())
+    assert [rows[1][f"b{k}"] for k in range(4)] == \
+        [rows[2][f"b{k}"] for k in range(4)], "same head -> same dHash"
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dhash_neardup_pairs(feat).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert not any(3 in p for p in pairs)
+
+    # corrupt magic must be a loud decode error, not silent garbage
+    bad = spark.createDataFrame([(9, bytearray(b"XX" + b"\x00" * 60))],
+                                "doc_id bigint, image binary")
+    with _pt.raises(Exception, match="not a BMP"):
+        decode_bmp_dhash(bad).collect()
+    with _pt.raises(ValueError):
+        dhash_neardup_pairs(feat, max_hamming=9)
