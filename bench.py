@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "bpe_fertility_by_lang",
     "image_bmp_decode_features",
     "image_dhash_neardup_pairs",
+    "audio_wav_decode_features",
     "bootstrap_ci_tokens",
     "bootstrap_ci_tokens_by_source",
     "fd_violation_events",

@@ -577,3 +577,106 @@ def dhash_neardup_pairs(feat: DataFrame, *, id_col: str = "doc_id",
     return (cand.select("id_a", "id_b",
                         ham.cast("int").alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
+
+
+# ---------------------------------------------------------------------------
+# Real WAV (RIFF) codec path (round 7): the audio sibling of the BMP
+# gate above. ``pcm_window_features`` deliberately consumes bare s16le
+# payloads; real audio arrives in containers, so this pair writes an
+# ACTUAL RIFF/WAVE file per doc (canonical fmt chunk + a deliberately
+# ODD-SIZED junk chunk to exercise the RIFF even-byte padding rule) and
+# parses it back by walking chunks — unknown chunks skipped, PCM
+# format/mono/16-bit validated, data payload extracted. The DuckDB
+# oracle re-derives the SAMPLES from md5 math alone, so any chunk-walk
+# bug (padding, offsets, fmt parsing) breaks the hash gate.
+
+WAV_BLOCKS = 8  # 8 md5 blocks x 8 samples = 64 samples per doc
+WAV_RATE = 16_000
+
+
+def _wav_samples(text: str) -> "np.ndarray":
+    """Deterministic int16 sample vector for the synthetic clip: block
+    k contributes the 16 bytes of md5(head:w:k) as 8 little-endian
+    int16 samples; head = the doc's first 8 lowercase tokens (same
+    base as the BMP path)."""
+    import hashlib
+
+    head = " ".join([t for t in text.lower().split(" ") if t][:8])
+    raw = b"".join(hashlib.md5(f"{head}:w:{k}".encode()).digest()
+                   for k in range(WAV_BLOCKS))
+    return np.frombuffer(raw, dtype="<i2")
+
+
+def synth_wav(df: DataFrame, *, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Build a REAL mono 16-bit PCM WAV file per document: RIFF header,
+    canonical ``fmt `` chunk (PCM, 1 channel, 16 kHz, 16-bit), an
+    odd-sized ``junk`` chunk (3 bytes + the RIFF pad byte — parsers
+    that forget even-padding desync here), then the ``data`` chunk.
+    One Arrow map pass, zero shuffle."""
+    import struct
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, WAV_RATE,
+                          WAV_RATE * 2, 2, 16)
+        junk = struct.pack("<4sI", b"junk", 3) + b"odd" + b"\x00"  # pad
+        for pdf in batches:
+            blobs = []
+            for text in pdf[text_col].fillna(""):
+                payload = _wav_samples(text).tobytes()
+                data = struct.pack("<4sI", b"data", len(payload)) + payload
+                body = b"WAVE" + fmt + junk + data
+                blobs.append(struct.pack("<4sI", b"RIFF", len(body)) + body)
+            yield pd.DataFrame({id_col: pdf[id_col], "audio": blobs})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        _make, schema=f"{id_col} {id_type}, audio binary")
+
+
+def decode_wav_pcm(df: DataFrame, *, audio_col: str = "audio",
+                   id_col: str = "doc_id") -> DataFrame:
+    """REAL RIFF/WAVE parse: validate the RIFF magic + WAVE form type,
+    WALK the chunk list (even-byte padding honored, unknown chunks
+    skipped), require a PCM/mono/16-bit ``fmt `` chunk, and return the
+    ``data`` payload as a bare s16le binary column ready for
+    ``pcm_window_features`` — plus the parsed sample_rate and
+    n_samples. Malformed input raises loudly."""
+    import struct
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rates, ns, pcms = [], [], [], []
+            for did, blob in zip(pdf[id_col], pdf[audio_col]):
+                b = bytes(blob)
+                magic, _size, form = struct.unpack_from("<4sI4s", b, 0)
+                if magic != b"RIFF" or form != b"WAVE":
+                    raise ValueError(f"doc {did}: not a RIFF/WAVE file")
+                pos, fmt_seen, rate, payload = 12, False, None, None
+                while pos + 8 <= len(b):
+                    cid, csz = struct.unpack_from("<4sI", b, pos)
+                    body = b[pos + 8: pos + 8 + csz]
+                    if cid == b"fmt ":
+                        (audio_fmt, chans, rate, _br, _ba,
+                         bits) = struct.unpack_from("<HHIIHH", body, 0)
+                        if audio_fmt != 1 or chans != 1 or bits != 16:
+                            raise ValueError(
+                                f"doc {did}: unsupported WAV "
+                                f"(fmt={audio_fmt} ch={chans} bits={bits})")
+                        fmt_seen = True
+                    elif cid == b"data":
+                        payload = body
+                    pos += 8 + csz + (csz % 2)  # RIFF pads to even
+                if not fmt_seen or payload is None:
+                    raise ValueError(f"doc {did}: missing fmt/data chunk")
+                ids.append(did)
+                rates.append(rate)
+                ns.append(len(payload) // 2)
+                pcms.append(payload)
+            yield pd.DataFrame({id_col: ids, "sample_rate": rates,
+                                "n_total": ns, "pcm": pcms})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, audio_col).mapInPandas(
+        _decode, schema=(f"{id_col} {id_type}, sample_rate int, "
+                         "n_total int, pcm binary"))

@@ -9778,3 +9778,56 @@ def image_dhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        dhash_neardup_pairs, synth_bmp)
     feat = decode_bmp_dhash(synth_bmp(docs))
     return dhash_neardup_pairs(feat, max_hamming=3)
+
+
+@query("audio_wav_decode_features", """
+WITH heads AS (
+  SELECT doc_id,
+         array_to_string(list_filter(string_split(lower(text), ' '),
+                                     x -> x <> '')[1:8], ' ') AS head
+  FROM documents
+), blk AS (
+  SELECT doc_id, k, md5(head || ':w:' || k::VARCHAR) AS h
+  FROM heads CROSS JOIN generate_series(0, 7) s(k)
+), smp AS (
+  SELECT doc_id, k * 8 + j AS i,
+         ('0x' || substr(h, 4*j + 1, 2))::INT
+           + 256 * ('0x' || substr(h, 4*j + 3, 2))::INT AS u
+  FROM blk CROSS JOIN generate_series(0, 7) s2(j)
+), v AS (
+  SELECT doc_id, i,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+  FROM smp
+), win AS (
+  SELECT d.doc_id, w.wi
+  FROM (SELECT DISTINCT doc_id FROM v) d
+  CROSS JOIN generate_series(0, 6) w(wi)
+), jw AS (
+  SELECT w.doc_id, w.wi, v.i, v.v,
+         lag(v.v) OVER (PARTITION BY w.doc_id, w.wi ORDER BY v.i) AS pv
+  FROM win w
+  JOIN v ON v.doc_id = w.doc_id
+        AND v.i >= w.wi * 8 AND v.i < w.wi * 8 + 16
+)
+SELECT doc_id, wi::INT AS win_idx, 16::INT AS n_samples,
+       sum(v * v)::BIGINT AS energy,
+       max(abs(v))::INT AS peak,
+       sum(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0))
+                THEN 1 ELSE 0 END)::INT AS zero_crossings
+FROM jw GROUP BY doc_id, wi
+""")
+def audio_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container gate, the WAV sibling of the BMP round-trip:
+    synthesize an actual RIFF/WAVE file per doc (canonical fmt chunk,
+    an odd-sized junk chunk exercising the RIFF even-padding rule, then
+    data), parse it back by WALKING CHUNKS (functions/multimodal.py::
+    decode_wav_pcm — unknown chunks skipped, PCM/mono/16-bit
+    validated), and run the integer windowed-PCM features over the
+    extracted payload. The oracle re-derives the samples from md5 math
+    alone, so a chunk-walk bug (padding, offsets, fmt fields) breaks
+    the hash. Three Arrow map passes, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.multimodal import (decode_wav_pcm, pcm_window_features,
+                                       synth_wav)
+    pcm = decode_wav_pcm(synth_wav(docs))
+    return pcm_window_features(pcm, blob_col="pcm", window=16, hop=8)

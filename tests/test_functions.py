@@ -2030,3 +2030,40 @@ def test_bmp_codec_roundtrip_and_validation(spark):
         decode_bmp_dhash(bad).collect()
     with _pt.raises(ValueError):
         dhash_neardup_pairs(feat, max_hamming=9)
+
+
+def test_wav_codec_chunk_walk_and_validation(spark):
+    """The RIFF parser walks REAL chunks: parsed rate/count match the
+    writer; stereo/float variants and corrupt magic raise loudly; the
+    odd-sized junk chunk (with its pad byte) must not desync the walk
+    (it sits BEFORE data — a padding bug would corrupt every sample)."""
+    import struct
+
+    import pytest as _pt
+
+    from go_streams_spark.functions.multimodal import (
+        _wav_samples, decode_wav_pcm, synth_wav)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "other words here now")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in decode_wav_pcm(synth_wav(docs)).collect()}
+    assert all(r["sample_rate"] == 16_000 and r["n_total"] == 64
+               for r in out.values())
+    import numpy as np
+    got = np.frombuffer(bytes(out[1]["pcm"]), dtype="<i2")
+    assert (got == _wav_samples("alpha beta gamma delta")).all()
+
+    bad = spark.createDataFrame([(9, bytearray(b"RIFX" + b"\x00" * 40))],
+                                "doc_id bigint, audio binary")
+    with _pt.raises(Exception, match="not a RIFF"):
+        decode_wav_pcm(bad).collect()
+    # stereo fmt chunk must be rejected, not silently mis-decoded
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 2, 16000, 64000, 4, 16)
+    data = struct.pack("<4sI", b"data", 4) + b"\x00" * 4
+    body = b"WAVE" + fmt + data
+    stereo = struct.pack("<4sI", b"RIFF", len(body)) + body
+    sdf = spark.createDataFrame([(8, bytearray(stereo))],
+                                "doc_id bigint, audio binary")
+    with _pt.raises(Exception, match="unsupported WAV"):
+        decode_wav_pcm(sdf).collect()
