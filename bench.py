@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "image_bmp_decode_features",
     "image_dhash_neardup_pairs",
     "audio_wav_decode_features",
+    "video_avi_frame_sample",
     "bootstrap_ci_tokens",
     "bootstrap_ci_tokens_by_source",
     "fd_violation_events",

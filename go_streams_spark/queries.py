@@ -9831,3 +9831,46 @@ def audio_wav_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        synth_wav)
     pcm = decode_wav_pcm(synth_wav(docs))
     return pcm_window_features(pcm, blob_col="pcm", window=16, hop=8)
+
+
+@query("video_avi_frame_sample", """
+WITH heads AS (
+  SELECT doc_id,
+         array_to_string(list_filter(string_split(lower(text), ' '),
+                                     x -> x <> '')[1:8], ' ') AS head
+  FROM documents
+), fr AS (
+  SELECT doc_id, f, r,
+         md5(head || ':v:' || f::VARCHAR || ':' || r::VARCHAR)
+           || substr(md5(head || ':v:' || f::VARCHAR || ':'
+                         || r::VARCHAR || ':x'), 1, 4) AS hx
+  FROM heads
+  CROSS JOIN (VALUES (0), (2), (4)) fs(f)
+  CROSS JOIN generate_series(0, 15) rs(r)
+), lum AS (
+  SELECT doc_id, f,
+         sum(('0x' || substr(hx, 2*c + 1, 2))::INT)::BIGINT AS tot
+  FROM fr CROSS JOIN generate_series(0, 17) cs(c)
+  GROUP BY doc_id, f
+), hexstr AS (
+  SELECT doc_id, f, string_agg(hx, '' ORDER BY r) AS hs
+  FROM fr GROUP BY doc_id, f
+)
+SELECT l.doc_id, l.f::INT AS frame_idx, 18::INT AS width,
+       16::INT AS height, (l.tot // 288)::INT AS mean_lum,
+       md5(h.hs) AS frame_md5
+FROM lum l JOIN hexstr h ON h.doc_id = l.doc_id AND h.f = l.f
+""")
+def video_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container gate completing the triad (BMP image,
+    RIFF/WAVE audio): synthesize an actual minimal AVI per doc (nested
+    RIFF LISTs — hdrl/avih/strl headers, movi of '00db' raw frames,
+    a padded JUNK chunk mid-stream), parse it back by walking the
+    NESTED list structure (functions/multimodal.py::decode_avi_frames —
+    declared-vs-present frame count enforced), and sample every 2nd
+    frame's integer mean luminance + hex-payload md5 fingerprint. The
+    oracle re-derives frames from md5 math alone — a nesting/padding/
+    offset bug in the walker breaks the hash. Zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.multimodal import decode_avi_frames, synth_avi
+    return decode_avi_frames(synth_avi(docs), every_k=2)

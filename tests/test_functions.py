@@ -2067,3 +2067,33 @@ def test_wav_codec_chunk_walk_and_validation(spark):
                                 "doc_id bigint, audio binary")
     with _pt.raises(Exception, match="unsupported WAV"):
         decode_wav_pcm(sdf).collect()
+
+
+def test_avi_codec_nested_walk_and_validation(spark):
+    """The AVI parser walks REAL nested RIFF lists: sampled frames
+    match the writer's payloads; a frame-count lie in avih raises; a
+    non-AVI RIFF raises."""
+    import struct
+
+    import pytest as _pt
+
+    from go_streams_spark.functions.multimodal import (
+        _avi_frame_hex, decode_avi_frames, synth_avi)
+
+    docs = spark.createDataFrame([(1, "alpha beta gamma delta")],
+                                 "doc_id bigint, text string")
+    rows = {r["frame_idx"]: r
+            for r in decode_avi_frames(synth_avi(docs), every_k=2).collect()}
+    assert sorted(rows) == [0, 2, 4]
+    import hashlib
+    hx = _avi_frame_hex("alpha beta gamma delta", 2)
+    assert rows[2]["frame_md5"] == hashlib.md5(hx.encode()).hexdigest()
+    assert rows[2]["width"] == 18 and rows[2]["height"] == 16
+
+    wav_not_avi = struct.pack("<4sI4s", b"RIFF", 4, b"WAVE")
+    bad = spark.createDataFrame([(9, bytearray(wav_not_avi))],
+                                "doc_id bigint, video binary")
+    with _pt.raises(Exception, match="not an AVI"):
+        decode_avi_frames(bad).collect()
+    with _pt.raises(ValueError):
+        decode_avi_frames(synth_avi(docs), every_k=0)
