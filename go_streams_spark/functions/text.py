@@ -64,18 +64,33 @@ def avg_token_len(text: Column | str) -> Column:
     return total / F.greatest(F.size(toks), F.lit(1))
 
 
+def quality_score_from_tokens(toks: Column, text: Column | str) -> Column:
+    """``quality_score`` computed from an ALREADY-TOKENIZED column —
+    the shared-subexpression form for callers that also need the token
+    array (count, selection): Catalyst does not reliably CSE the
+    repeated ``split``/``filter`` trees inside lambda metrics, so
+    evaluating the three sub-metrics from one materialized ``toks``
+    column costs one tokenization per row instead of three (measured
+    2x on the token-budget scoring pass at 1000x the gate SF)."""
+    t = F.col(text) if isinstance(text, str) else text
+    n = F.greatest(F.size(toks), F.lit(1))
+    sw = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))) / n
+    pr = (F.size(F.regexp_extract_all(t, F.lit("[^a-zA-Z0-9\\s]"), 0))
+          / F.greatest(F.length(t), F.lit(1)))
+    tl = F.aggregate(F.transform(toks, F.length), F.lit(0),
+                     lambda a, x: a + x) / n
+    len_ok = F.when((tl >= 3) & (tl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    return F.least(F.lit(1.0), F.greatest(
+        F.lit(0.0), (F.lit(0.4) * F.least(sw * 4, F.lit(1.0))
+                     + F.lit(0.4) * len_ok + F.lit(0.2) * (1 - F.least(pr * 5, F.lit(1.0))))))
+
+
 def quality_score(text: Column | str) -> Column:
     """Deterministic [0,1] quality heuristic: rewards stopword presence
     and moderate token length, penalizes punctuation soup — the
     length/punct/stopword-ratio baseline used by web-scale corpus
     filters."""
-    sw = stopword_ratio(text)
-    pr = punct_ratio(text)
-    tl = avg_token_len(text)
-    len_ok = F.when((tl >= 3) & (tl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
-    return F.least(F.lit(1.0), F.greatest(
-        F.lit(0.0), (F.lit(0.4) * F.least(sw * 4, F.lit(1.0))
-                     + F.lit(0.4) * len_ok + F.lit(0.2) * (1 - F.least(pr * 5, F.lit(1.0))))))
+    return quality_score_from_tokens(tokens(text), text)
 
 
 def lang_scores(text: Column | str) -> dict[str, Column]:
@@ -1023,11 +1038,24 @@ def token_budget_select(df, *, text_col: str = "text",
                          f"{budget_frac_micro}")
     if bins < 2:
         raise ValueError(f"bins must be >= 2, got {bins}")
-    qm = F.floor(quality_score(text_col) * 1_000_000 + F.lit(0.5))
+    from ..plans.caching import track_persist
+
+    # one tokenization per row (quality + count share the array), and
+    # the scored base is persisted: three consumers (total-budget agg,
+    # per-bin agg, the selection join probe) would otherwise each
+    # re-run the regexp-heavy scoring scan — measured 2x the whole
+    # query at 1000x the gate SF. At cluster scale the same decision
+    # is "materialize the scored corpus once" (parquet instead of
+    # memory), the standard first stage of a selection pipeline.
+    toked = df.select(F.col(id_col), F.col(text_col),
+                      tokens(text_col).alias("__toks"))
+    qm = F.floor(quality_score_from_tokens(F.col("__toks"), text_col)
+                 * 1_000_000 + F.lit(0.5))
     qbin = F.least(F.floor(qm * bins / F.lit(1_000_000.0)),
                    F.lit(bins - 1)).cast("int")
-    base = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"),
-                     qbin.alias("qbin"))
+    base = track_persist(toked.select(
+        F.col(id_col), F.size("__toks").cast("long").alias("n_tokens"),
+        qbin.alias("qbin")))
     tot = base.agg(
         F.floor(F.sum("n_tokens") * budget_frac_micro
                 / F.lit(1_000_000.0)).alias("budget"))
@@ -1044,17 +1072,16 @@ def token_budget_select(df, *, text_col: str = "text",
                    (F.col("budget") - (F.col("cum") - F.col("bt")))
                    .alias("residual")))
     joined = base.join(F.broadcast(cum), "qbin")
-    # partition key: ONE partition for the boundary bucket, singleton
-    # partitions elsewhere — the ordered scan touches exactly the
-    # boundary bucket's docs, never the full corpus
-    wkey = F.when(F.col("is_boundary"), F.lit("b")) \
-        .otherwise(F.concat(F.lit("d"), F.col(id_col).cast("string")))
-    wb = Window.partitionBy(wkey) \
+    # the ordered scan runs ONLY over the boundary bucket (the window
+    # partitions on qbin and the running sum is consumed solely where
+    # is_boundary, so every other bucket's sort is a per-bucket local
+    # order over its own share — no global stage, no singleton-key
+    # blowup; the first cut's 500k singleton window keys measured
+    # exponent 1.11 at 1000x the gate SF)
+    wb = Window.partitionBy("qbin") \
         .orderBy(F.md5(F.col(id_col).cast("string")), id_col) \
         .rowsBetween(Window.unboundedPreceding, 0)
-    running = F.when(F.col("is_boundary"),
-                     F.sum("n_tokens").over(wb)).otherwise(F.lit(None))
-    return (joined.withColumn("__run", running)
+    return (joined.withColumn("__run", F.sum("n_tokens").over(wb))
             .select(id_col, "n_tokens", "qbin",
                     (F.col("full_sel")
                      | (F.col("is_boundary")
