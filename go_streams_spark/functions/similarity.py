@@ -1984,11 +1984,28 @@ def mrl_truncation_eval(df: DataFrame, *, id_col: str = "vec_id",
     if k < 1 or probe_mod < 1:
         raise ValueError(f"need k >= 1, probe_mod >= 1; got {k}/{probe_mod}")
     scale = 10 ** round_dp
-    base = df.select(F.col(id_col),
-                     quantized_vec(vec_col, scale).alias("v"))
+
+    def _isum(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"),
+                           lambda acc, x: acc + x)
+
+    # per-VECTOR prefix norms precomputed once (corpus-sized, cheap)
+    # so the per-PAIR work is a single product-array fold — norms never
+    # re-fold inside the pair frame
+    dl = [int(x) for x in dims]
+    base = df.select(
+        F.col(id_col), quantized_vec(vec_col, scale).alias("v"))
+    base = base.select(
+        id_col, "v",
+        *[_isum(F.transform(F.slice("v", 1, d), lambda x: x * x))
+          .alias(f"n{d}") for d in dl],
+        _isum(F.transform(F.col("v"), lambda x: x * x)).alias("nfull"))
+    ncols = [f"n{d}" for d in dl] + ["nfull"]
     probes = (base.where(F.pmod(F.col(id_col), F.lit(probe_mod)) == 0)
-              .select(F.col(id_col).alias("id_a"), F.col("v").alias("va")))
-    cands = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+              .select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                      *[F.col(c).alias(f"a_{c}") for c in ncols]))
+    cands = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                        *[F.col(c).alias(f"b_{c}") for c in ncols])
     # probe x corpus as a BUCKETED EQUI-JOIN (block_knn's grid trick),
     # not a broadcast nested loop: candidates key on id % B, probes
     # explode over all B buckets — every pair meets exactly once, the
@@ -1999,28 +2016,38 @@ def mrl_truncation_eval(df: DataFrame, *, id_col: str = "vec_id",
         "qb", F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))))
     cands_k = cands.withColumn(
         "qb", F.pmod(F.col("id_b"), F.lit(blocks)).cast("int"))
-    pairs = (cands_k.join(probes_x.hint("shuffle_hash"), "qb")
-             .where(F.col("id_a") != F.col("id_b"))
-             .withColumn("d", F.explode(F.array(*[F.lit(int(x))
-                                                  for x in dims]))))
-
-    def _sim(a, b):
-        zero = F.lit(0).cast("long")
-        dd = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), zero,
-                         lambda acc, x: acc + x)
-        na = F.aggregate(F.transform(a, lambda x: x * x), zero,
-                         lambda acc, x: acc + x)
-        nb = F.aggregate(F.transform(b, lambda x: x * x), zero,
-                         lambda acc, x: acc + x)
-        return (F.floor(dd / (F.sqrt(F.greatest(na, F.lit(1)))
-                              * F.sqrt(F.greatest(nb, F.lit(1))))
+    def _q(dot, na, nb):
+        return (F.floor(dot / (F.sqrt(F.greatest(na, F.lit(1)))
+                               * F.sqrt(F.greatest(nb, F.lit(1))))
                         * scale + F.lit(0.5)) / float(scale))
 
+    def _pick(side, d_col):
+        out = F.col(f"{side}_nfull")  # unused fallback; every d matches
+        expr = None
+        for d in dl:
+            cond = (d_col == d)
+            expr = (F.when(cond, F.col(f"{side}_n{d}")) if expr is None
+                    else expr.when(cond, F.col(f"{side}_n{d}")))
+        return expr.otherwise(out)
+
+    # per pair: ONE componentwise product array; the full-dim sim folds
+    # it once BEFORE the dims explode, the truncated sims fold only the
+    # slice (slice-of-products == products-of-slices, positionwise).
+    # The first cut re-zipped and re-folded vectors AND norms per d —
+    # measured 11.4 s -> 4-7 s at sf0.1 across these two rewrites.
+    pairs = (cands_k.join(probes_x.hint("shuffle_hash"), "qb")
+             .where(F.col("id_a") != F.col("id_b"))
+             .select("id_a", "id_b",
+                     *[c for c in probes_x.columns if c.startswith("a_n")],
+                     *[c for c in cands.columns if c.startswith("b_n")],
+                     F.zip_with("va", "vb", lambda x, y: x * y).alias("pr"))
+             .withColumn("sim_f", _q(_isum(F.col("pr")),
+                                     F.col("a_nfull"), F.col("b_nfull")))
+             .withColumn("d", F.explode(F.array(*[F.lit(d) for d in dl]))))
     scored = pairs.select(
-        "id_a", "id_b", "d",
-        _sim(F.slice("va", 1, F.col("d")),
-             F.slice("vb", 1, F.col("d"))).alias("sim_t"),
-        _sim(F.col("va"), F.col("vb")).alias("sim_f"))
+        "id_a", "id_b", "d", "sim_f",
+        _q(_isum(F.slice("pr", 1, F.col("d"))),
+           _pick("a", F.col("d")), _pick("b", F.col("d"))).alias("sim_t"))
     from pyspark.sql import Window as W
     wt = W.partitionBy("id_a", "d").orderBy(F.col("sim_t").desc(), "id_b")
     wf = W.partitionBy("id_a", "d").orderBy(F.col("sim_f").desc(), "id_b")
