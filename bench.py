@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "image_dhash_neardup_pairs",
     "audio_wav_decode_features",
     "video_avi_frame_sample",
+    "multimodal_features_real_bmp",
     "bootstrap_ci_tokens",
     "bootstrap_ci_tokens_by_source",
     "fd_violation_events",

@@ -9874,3 +9874,54 @@ def video_avi_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     from .functions.multimodal import decode_avi_frames, synth_avi
     return decode_avi_frames(synth_avi(docs), every_k=2)
+
+
+@query("multimodal_features_real_bmp", f"""
+WITH {_BMP_BANDS_CTE}, blk AS (
+  SELECT doc_id,
+         (r // 4) * 4 + (CASE WHEN c < 4 THEN 0 WHEN c < 9 THEN 1
+                              WHEN c < 13 THEN 2 ELSE 3 END) AS i,
+         sum(g)::BIGINT AS tot, count(*)::BIGINT AS n
+  FROM lum
+  GROUP BY doc_id, (r // 4) * 4 + (CASE WHEN c < 4 THEN 0 WHEN c < 9
+                                        THEN 1 WHEN c < 13 THEN 2
+                                        ELSE 3 END)
+), q AS (
+  SELECT doc_id, i, tot // n AS v FROM blk
+), nrm AS (
+  SELECT doc_id, sqrt(sum(v * v)::BIGINT) AS den FROM q GROUP BY doc_id
+)
+SELECT q.doc_id, 'image/bmp' AS media_type, 1 AS n_frames,
+       round((max(CASE WHEN i = 0 THEN v END)
+             / greatest(max(den), 1.0))::REAL::DOUBLE, 4) AS f0,
+       round((max(CASE WHEN i = 5 THEN v END)
+             / greatest(max(den), 1.0))::REAL::DOUBLE, 4) AS f5,
+       round((max(CASE WHEN i = 10 THEN v END)
+             / greatest(max(den), 1.0))::REAL::DOUBLE, 4) AS f10,
+       round((max(CASE WHEN i = 15 THEN v END)
+             / greatest(max(den), 1.0))::REAL::DOUBLE, 4) AS f15
+FROM q JOIN nrm ON nrm.doc_id = q.doc_id
+GROUP BY q.doc_id
+""")
+def multimodal_features_real_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The generic media-feature pipeline running a REAL in-container
+    decode end to end: synth actual BMP files -> magic-byte sniff tags
+    them image/bmp -> ``extract_features(codec='bmp')`` struct-parses
+    the bytes and emits floor-boundary block-mean luminance features
+    (integer means + exact int64 norm, so the float32 vector is
+    engine-reproducible). The oracle re-derives the features from the
+    pixel math — the whole write->sniff->parse->featurize chain must be
+    the identity to hash green. Four spread feature components sampled
+    (the full vector feeds the similarity ops downstream)."""
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.multimodal import (attach_media_metadata,
+                                       extract_features, synth_bmp)
+    media = attach_media_metadata(synth_bmp(docs), blob_col="image")
+    feats = extract_features(media, blob_col="image", dim=16, codec="bmp")
+
+    def f(i):
+        return F.round(F.element_at("feature", i + 1).cast("double"), 4) \
+            .alias(f"f{i}")
+
+    return feats.select("doc_id", "media_type", "n_frames",
+                        f(0), f(5), f(10), f(15))

@@ -183,15 +183,19 @@ def test_multimodal_decode_stub_raises():
 
 
 def test_multimodal_codec_selection():
-    """codec='stub' always picks the stub; codec='auto' picks pillow
-    only when importable (not baked into this container) and must fall
-    back to the stub otherwise — never raise at selection time."""
+    """codec='stub' always picks the stub; codec='bmp' forces the
+    builtin struct decoder; codec='auto' picks pillow only when
+    importable (not baked into this container) and otherwise falls back
+    to the builtin BMP-aware decoder (round 7: real decode for BMP
+    magic, stub for everything else) — never raises at selection
+    time."""
     assert M._pick_decoder("stub") is M._decode_stub
+    assert M._pick_decoder("bmp") is M._decode_bmp_builtin
     try:
         import PIL  # noqa: F401
         assert M._pick_decoder("auto") is M._decode_pil
     except ImportError:
-        assert M._pick_decoder("auto") is M._decode_stub
+        assert M._pick_decoder("auto") is M._decode_auto_builtin
 
 
 def test_multimodal_real_pil_decode(spark):
