@@ -33,6 +33,38 @@ def _quantize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     return F.greatest(F.lit(0), F.least(F.lit(steps), q)).cast("long")
 
 
+def integer_quantize(col: Column, lo: Column, hi: Column,
+                     bits: int = 8) -> Column:
+    """Engine-exact linear quantization of an INTEGER column into
+    [0, 2^bits): ``((v - lo) * steps) div max(hi - lo, 1)``. Pure int64
+    arithmetic with one truncating division on non-negative operands —
+    bit-identical in Spark, DuckDB, and numpy, unlike the float
+    ``_quantize`` path whose double rounding can flip a cell boundary
+    between engines. Inputs must already be integral (caller casts)."""
+    steps = F.lit((1 << bits) - 1).cast("long")
+    span = F.greatest((hi - lo).cast("long"), F.lit(1).cast("long"))
+    q = ((col.cast("long") - lo.cast("long")) * steps).cast("long")
+    # exact floor division: (q - q % span) is an exact multiple of span,
+    # so the IEEE double division returns the integer quotient exactly
+    # (both operands and the quotient are < 2^53)
+    return F.least(steps, ((q - q % span) / span).cast("long"))
+
+
+def ntile_arithmetic(rn: Column, n: Column, k: int) -> Column:
+    """SQL ``ntile(k)`` as closed-form arithmetic over a precomputed
+    1-based ordinal ``rn`` and total count ``n`` (the distributed_ordinal
+    outputs): the first ``n % k`` buckets take ``ceil(n/k)`` rows, the
+    rest ``floor(n/k)`` — bit-identical to the window function but with
+    no Exchange SinglePartition, so it survives any row count."""
+    q, r = F.floor(n / k), n % k
+    big = r * (q + 1)
+    return F.when(
+        rn <= big, F.floor((rn - 1) / (q + 1)) + 1
+    ).otherwise(
+        r + F.floor((rn - big - 1) / F.greatest(q, F.lit(1))) + 1
+    ).cast("int")
+
+
 def zorder_key(quantized: Sequence[Column], bits: int = 8) -> Column:
     """Morton interleave: bit j of column i lands at position
     ``j * n_cols + i`` of the key. Pure shift/or expression tree.

@@ -9925,3 +9925,173 @@ def multimodal_features_real_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return feats.select("doc_id", "media_type", "n_frames",
                         f(0), f(5), f(10), f(15))
+
+
+# ---------------------------------------------------------------------------
+# Data layout: Z-order clustering effectiveness (round 7)
+# ---------------------------------------------------------------------------
+
+#: Morton interleave of two 8-bit quantized values, matching
+#: operators/layout.py::zorder_key's bit placement (bit j of column i at
+#: position j*n + i): qa occupies even bit positions, qb odd.
+_MORTON8_SQL = " + ".join(
+    f"(((qa >> {j}) & 1) << {2 * j}) + (((qb >> {j}) & 1) << {2 * j + 1})"
+    for j in range(8))
+
+
+@query("zorder_layout_audit", f"""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_partkey AS a, l_suppkey AS b
+  FROM lineitem
+), bounds AS (
+  SELECT min(a) AS la, max(a) AS ha, min(b) AS lb, max(b) AS hb FROM base
+), q AS (
+  SELECT l_orderkey, l_linenumber, a, b,
+         least(255, ((a - la) * 255) // greatest(ha - la, 1)) AS qa,
+         least(255, ((b - lb) * 255) // greatest(hb - lb, 1)) AS qb
+  FROM base CROSS JOIN bounds
+), z AS (
+  SELECT a, b, l_orderkey, l_linenumber, {_MORTON8_SQL} AS zkey FROM q
+), bk AS (
+  SELECT a, b,
+         ntile(64) OVER (ORDER BY zkey, l_orderkey, l_linenumber) AS bz,
+         ntile(64) OVER (ORDER BY l_orderkey, l_linenumber) AS bi
+  FROM z
+), lng AS (
+  SELECT 'zorder' AS layout, bz AS bucket, a, b FROM bk
+  UNION ALL
+  SELECT 'insertion' AS layout, bi AS bucket, a, b FROM bk
+), stats AS (
+  SELECT layout, bucket, min(a) AS mna, max(a) AS mxa,
+         min(b) AS mnb, max(b) AS mxb
+  FROM lng GROUP BY layout, bucket
+), statsl AS (
+  SELECT layout, bucket, 'part' AS dim, mna AS mn, mxa AS mx FROM stats
+  UNION ALL
+  SELECT layout, bucket, 'supp' AS dim, mnb AS mn, mxb AS mx FROM stats
+), probes AS (
+  SELECT 'part' AS dim, k::INT AS k,
+         la + ((2 * k + 1) * greatest(ha - la, 1)) // 16 AS p
+  FROM bounds CROSS JOIN generate_series(0, 7) s(k)
+  UNION ALL
+  SELECT 'supp' AS dim, k::INT AS k,
+         lb + ((2 * k + 1) * greatest(hb - lb, 1)) // 16 AS p
+  FROM bounds CROSS JOIN generate_series(0, 7) s(k)
+), doms AS (
+  SELECT 'part' AS dim, greatest(ha - la, 1) AS dom FROM bounds
+  UNION ALL
+  SELECT 'supp' AS dim, greatest(hb - lb, 1) AS dom FROM bounds
+), hits AS (
+  SELECT s.layout, s.dim,
+         sum(CASE WHEN p.p BETWEEN s.mn AND s.mx THEN 1 ELSE 0 END)::BIGINT
+           AS buckets_scanned_total
+  FROM statsl s JOIN probes p ON p.dim = s.dim
+  GROUP BY s.layout, s.dim
+), spans AS (
+  SELECT layout, dim, sum(mx - mn)::BIGINT AS span_sum
+  FROM statsl GROUP BY layout, dim
+)
+SELECT h.layout, h.dim, 64 AS buckets, 8 AS probes,
+       h.buckets_scanned_total,
+       (h.buckets_scanned_total * 1000000) // 512 AS scanned_ratio_micro,
+       (sp.span_sum * 1000000) // (64 * d.dom) AS avg_bucket_span_micro
+FROM hits h
+JOIN spans sp ON sp.layout = h.layout AND sp.dim = h.dim
+JOIN doms d ON d.dim = h.dim
+""")
+def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering effectiveness, MEASURED: cluster lineitem 64
+    ways by the Morton key of (l_partkey, l_suppkey) vs by insertion
+    order, then replay an 8-point probe grid per dimension against each
+    bucket's min/max footer stats — exactly the skip-or-scan decision a
+    parquet reader makes per row group. ``buckets_scanned_total`` /
+    ``avg_bucket_span_micro`` quantify WHY z-ordered writes prune on
+    BOTH dimensions while insertion order prunes on neither (the
+    measurement twin of operators/layout.py::zorder_sorted, which the
+    write-path test exercises on real files).
+
+    Scale shape: quantization bounds are one 1-row aggregate broadcast
+    back; bucket assignment is the distributed ordinal (range shuffle +
+    broadcast offsets — NO Exchange SinglePartition) with ntile's
+    arithmetic applied in closed form; the audit aggregates 64 bucket
+    rows x 16 probes of bounded metadata. Everything is int64 with
+    truncating division — engine-exact, partitioning-independent."""
+    from .operators import distributed_ordinal
+    from .operators.layout import (integer_quantize, ntile_arithmetic,
+                                   zorder_key)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_partkey").alias("a"), F.col("l_suppkey").alias("b"))
+    bounds = li.agg(F.min("a").alias("la"), F.max("a").alias("ha"),
+                    F.min("b").alias("lb"), F.max("b").alias("hb"))
+    q = (li.crossJoin(F.broadcast(bounds))
+         .withColumn("qa", integer_quantize(
+             F.col("a"), F.col("la"), F.col("ha"), bits=8))
+         .withColumn("qb", integer_quantize(
+             F.col("b"), F.col("lb"), F.col("hb"), bits=8))
+         .withColumn("zkey", zorder_key([F.col("qa"), F.col("qb")], bits=8)))
+    oz = distributed_ordinal(
+        q, order_by=["zkey", "l_orderkey", "l_linenumber"],
+        idx="rz", total_col="__n")
+    ob = distributed_ordinal(
+        oz, order_by=["l_orderkey", "l_linenumber"], idx="ri")
+    bk = ob.select(
+        "a", "b",
+        ntile_arithmetic(F.col("rz"), F.col("__n"), 64).alias("bz"),
+        ntile_arithmetic(F.col("ri"), F.col("__n"), 64).alias("bi"))
+    lng = (bk.select(F.explode(F.array(
+        F.struct(F.lit("zorder").alias("layout"),
+                 F.col("bz").alias("bucket")),
+        F.struct(F.lit("insertion").alias("layout"),
+                 F.col("bi").alias("bucket")))).alias("lb"), "a", "b")
+        .select(F.col("lb.layout").alias("layout"),
+                F.col("lb.bucket").alias("bucket"), "a", "b"))
+    stats = lng.groupBy("layout", "bucket").agg(
+        F.min("a").alias("mna"), F.max("a").alias("mxa"),
+        F.min("b").alias("mnb"), F.max("b").alias("mxb"))
+    statsl = (stats.select(
+        "layout", "bucket", F.lit("part").alias("dim"),
+        F.col("mna").alias("mn"), F.col("mxa").alias("mx"))
+        .unionByName(stats.select(
+            "layout", "bucket", F.lit("supp").alias("dim"),
+            F.col("mnb").alias("mn"), F.col("mxb").alias("mx"))))
+    # 16-row probe grid (8 equal-width cell midpoints per dimension),
+    # derived from the same 1-row bounds aggregate — bounded metadata
+    probes = (bounds
+              .select(F.explode(F.sequence(F.lit(0), F.lit(7))).alias("k"),
+                      "la", "ha", "lb", "hb")
+              .select(F.explode(F.array(
+                  F.struct(
+                      F.lit("part").alias("dim"), F.col("k"),
+                      F.expr("la + ((2 * k + 1) * greatest(ha - la, 1)) "
+                             "div 16").alias("p")),
+                  F.struct(
+                      F.lit("supp").alias("dim"), F.col("k"),
+                      F.expr("lb + ((2 * k + 1) * greatest(hb - lb, 1)) "
+                             "div 16").alias("p")))).alias("pr"))
+              .select("pr.dim", "pr.k", "pr.p"))
+    doms = (bounds.select(F.explode(F.array(
+        F.struct(F.lit("part").alias("dim"),
+                 F.expr("greatest(ha - la, 1)").alias("dom")),
+        F.struct(F.lit("supp").alias("dim"),
+                 F.expr("greatest(hb - lb, 1)").alias("dom")))).alias("d"))
+        .select("d.dim", "d.dom"))
+    hits = (statsl.join(F.broadcast(probes), "dim")
+            .groupBy("layout", "dim")
+            .agg(F.sum(F.when((F.col("p") >= F.col("mn"))
+                              & (F.col("p") <= F.col("mx")), 1)
+                       .otherwise(0)).cast("long")
+                 .alias("buckets_scanned_total")))
+    spans = (statsl.groupBy("layout", "dim")
+             .agg(F.sum(F.col("mx") - F.col("mn")).cast("long")
+                  .alias("span_sum")))
+    return (hits.join(spans, ["layout", "dim"])
+            .join(F.broadcast(doms), "dim")
+            .select(
+                "layout", "dim",
+                F.lit(64).alias("buckets"), F.lit(8).alias("probes"),
+                "buckets_scanned_total",
+                F.expr("(buckets_scanned_total * 1000000) div 512")
+                  .alias("scanned_ratio_micro"),
+                F.expr("(span_sum * 1000000) div (64 * dom)")
+                  .alias("avg_bucket_span_micro")))

@@ -612,3 +612,56 @@ def test_runtime_bloom_filter_injection(spark, sf_dir):
     finally:
         spark.conf.set(scan_key, old_scan)
         spark.conf.set(bcast_key, old_bcast)
+
+
+def test_zorder_layout_audit_prunes_on_both_dims(spark, sf_dir):
+    """The measurement twin of the z-order write test: clustering 64
+    buckets by Morton(l_partkey, l_suppkey) must yield strictly fewer
+    probe-scanned buckets AND strictly tighter per-bucket spans than
+    insertion order, on BOTH dimensions — otherwise the layout isn't
+    buying row-group pruning."""
+    from go_streams_spark.queries import QUERIES
+    rows = {(r["layout"], r["dim"]): r
+            for r in QUERIES["zorder_layout_audit"](spark, sf_dir).collect()}
+    assert len(rows) == 4
+    for dim in ("part", "supp"):
+        z, ins = rows[("zorder", dim)], rows[("insertion", dim)]
+        assert z["buckets_scanned_total"] < ins["buckets_scanned_total"], dim
+        assert z["avg_bucket_span_micro"] < ins["avg_bucket_span_micro"], dim
+        # insertion order over uncorrelated keys prunes ~nothing: every
+        # probe hits (almost) every bucket
+        assert ins["buckets_scanned_total"] >= 8 * 64 * 9 // 10
+
+
+def test_ntile_arithmetic_matches_window_ntile(spark):
+    """Closed-form ntile (layout.py) is bit-identical to the window
+    function for sizes around the bucket-count boundary conditions
+    (n < k, n = k, n % k != 0)."""
+    from pyspark.sql import Window
+    from go_streams_spark.operators.layout import ntile_arithmetic
+    for n, k in ((5, 8), (8, 8), (100, 8), (103, 8), (64, 64)):
+        df = spark.range(1, n + 1).withColumn("rn", F.col("id")) \
+            .withColumn("n", F.lit(n))
+        got = df.select("id", ntile_arithmetic(
+            F.col("rn"), F.col("n"), k).alias("b")).collect()
+        want = df.select("id", F.ntile(k).over(
+            Window.orderBy("id")).alias("b")).collect()
+        assert sorted((r["id"], r["b"]) for r in got) == \
+            sorted((r["id"], r["b"]) for r in want), (n, k)
+
+
+def test_integer_quantize_exact_and_clamped(spark):
+    """integer_quantize: pure int64 floor arithmetic — lo maps to 0,
+    hi to 2^bits - 1, constant columns to 0, and every cell boundary
+    matches the Python reference ((v - lo) * steps) // span."""
+    from go_streams_spark.operators.layout import integer_quantize
+    lo, hi, bits = 7, 9103, 8
+    df = spark.range(100).select(
+        (F.lit(lo) + (F.col("id") * 91) % (hi - lo + 1)).alias("v"))
+    got = df.select("v", integer_quantize(
+        F.col("v"), F.lit(lo), F.lit(hi), bits=bits).alias("q")).collect()
+    for r in got:
+        assert r["q"] == min(255, ((r["v"] - lo) * 255) // (hi - lo)), r
+    const = spark.range(3).select(F.lit(42).alias("v"))
+    assert all(r["q"] == 0 for r in const.select(integer_quantize(
+        F.col("v"), F.lit(42), F.lit(42), bits=bits).alias("q")).collect())
