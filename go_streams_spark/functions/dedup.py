@@ -780,3 +780,146 @@ def minhash_quality_report(df: DataFrame, *, text_col: str = "text",
             .select("id_a", "id_b", "est_micro", "exact_micro",
                     F.abs(F.col("est_micro") - F.col("exact_micro"))
                     .alias("abs_err_micro")))
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record linkage
+# ---------------------------------------------------------------------------
+
+_FS_FIELDS = ("lang", "source", "len", "head")
+
+
+def _fs_weight_expr(k: str) -> str:
+    """Integer-odds weight for one comparison field: the agreement
+    weight is the odds ratio m/u in micro-units, the disagreement
+    weight (1-m)/(1-u) — each a monotone transform of the classical
+    log2 likelihood-ratio weight (log is monotone), kept as exact int64
+    truncating divisions so the score is bit-identical across engines
+    (a float log2 differs in the last ulp between libm and the JVM)."""
+    return (f"CASE WHEN ag_{k} THEN (m_{k} * 1000000) div u_{k} "
+            f"ELSE ((1000000 - m_{k}) * 1000000) div (1000000 - u_{k}) END")
+
+
+def _fs_mu(pairs: DataFrame, cls: str) -> DataFrame:
+    """One-row m/u estimate per comparison field given a 0/1 match
+    classification column ``cls``: m_k = P(field k agrees | match),
+    u_k = P(agrees | non-match), both as micro-units clamped into
+    [1, 999999] so neither odds ratio can divide by zero. A single
+    map-side-partial aggregate over the pair set."""
+    aggs = []
+    for k in _FS_FIELDS:
+        ag = F.when(F.col(f"ag_{k}"), 1).otherwise(0)
+        pos, neg = F.col(cls), 1 - F.col(cls)
+        aggs += [
+            F.sum(ag * pos).alias(f"__am_{k}"),
+            F.sum(ag * neg).alias(f"__au_{k}"),
+        ]
+    aggs += [F.sum(F.col(cls)).alias("__nm"),
+             F.sum(1 - F.col(cls)).alias("__nu")]
+    st = pairs.agg(*aggs)
+    for k in _FS_FIELDS:
+        st = (st.withColumn(
+            f"m_{k}", F.expr(
+                f"least(greatest((__am_{k} * 1000000) "
+                f"div greatest(__nm, 1), 1), 999999)"))
+            .withColumn(
+            f"u_{k}", F.expr(
+                f"least(greatest((__au_{k} * 1000000) "
+                f"div greatest(__nu, 1), 1), 999999)")))
+    return st.select(*[c for k in _FS_FIELDS for c in (f"m_{k}", f"u_{k}")])
+
+
+def fellegi_sunter_link(df: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id", ngram: int = 3,
+                        num_hashes: int = 12, rows_per_band: int = 3,
+                        seed_threshold_micro: int = 500_000,
+                        decision_threshold_micro: int = 4_000_000) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage over blocked
+    candidates — the ER architecture (block -> compare -> score ->
+    classify) with MODEL-BASED scoring instead of a hand rule.
+
+    Stages (all relational, never all-pairs):
+      1. blocking: MinHash-LSH band candidates (the 100 TB blocker);
+      2. comparison vectors: four field agreements per pair (lang,
+         source, length-within-10%, 12-char head) plus the exact
+         shingle Jaccard in micro-units;
+      3. seed classification: Jaccard >= ``seed_threshold_micro``
+         bootstraps the latent match class (no labels needed);
+      4. m/u estimation: one 1-row aggregate gives P(agree | match) and
+         P(agree | non-match) per field — broadcast back;
+      5. scoring: additive integer-odds weights (see _fs_weight_expr);
+      6. ONE EM refinement: re-classify by score, re-estimate m/u,
+         re-score — the fixed-iteration, engine-exact core of the EM
+         loop Fellegi–Sunter estimators run to convergence.
+
+    Every division is a truncating int64 division on clamped operands,
+    so scores are deterministic across engines and partitionings. The
+    pair set is persisted once: three global aggregates and the final
+    projection all read it.
+    """
+    if decision_threshold_micro <= 0:
+        raise ValueError("decision_threshold_micro must be positive")
+    sh = track_persist(shingle_rows(df, text_col=text_col, id_col=id_col,
+                                    ngram=ngram))
+    cands = minhash_lsh_candidates(df, text_col=text_col, id_col=id_col,
+                                   ngram=ngram, num_hashes=num_hashes,
+                                   rows_per_band=rows_per_band, shingles=sh)
+    cnts = sh.groupBy(F.col(id_col).alias("cid")) \
+        .agg(F.count(F.lit(1)).alias("c"))
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col(id_col).alias("__idb"), F.col("s").alias("s_b"))
+    inter = (cands.join(sa.hint("shuffle_hash"), "id_a")
+             .join(sb.hint("shuffle_hash"),
+                   (F.col("id_b") == F.col("__idb"))
+                   & (F.col("s_a") == F.col("s_b")))
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("i")))
+    jac = (cands.join(inter, ["id_a", "id_b"], "left")
+           .na.fill({"i": 0})
+           .join(cnts.withColumnRenamed("cid", "id_a")
+                 .withColumnRenamed("c", "ca").hint("shuffle_hash"), "id_a")
+           .join(cnts.withColumnRenamed("cid", "id_b")
+                 .withColumnRenamed("c", "cb").hint("shuffle_hash"), "id_b")
+           .select("id_a", "id_b", F.expr(
+               "(i * 1000000) div greatest(ca + cb - i, 1)")
+               .alias("jaccard_micro")))
+    attrs = df.select(
+        F.col(id_col).alias("__aid"), F.col("lang").alias("__lang"),
+        F.col("source").alias("__source"), F.col("n_chars").alias("__n"),
+        F.lower(F.substring(F.col(text_col), 1, 12)).alias("__head"))
+    a = attrs.select(F.col("__aid").alias("id_a"),
+                     *[F.col(c).alias(f"a{c}") for c in
+                       ("__lang", "__source", "__n", "__head")])
+    b = attrs.select(F.col("__aid").alias("id_b"),
+                     *[F.col(c).alias(f"b{c}") for c in
+                       ("__lang", "__source", "__n", "__head")])
+    pairs = (jac.join(a.hint("shuffle_hash"), "id_a")
+             .join(b.hint("shuffle_hash"), "id_b")
+             .select(
+                 "id_a", "id_b", "jaccard_micro",
+                 (F.col("a__lang") == F.col("b__lang")).alias("ag_lang"),
+                 (F.col("a__source") == F.col("b__source"))
+                 .alias("ag_source"),
+                 (F.abs(F.col("a__n") - F.col("b__n")) * 10
+                  <= F.least("a__n", "b__n")).alias("ag_len"),
+                 (F.col("a__head") == F.col("b__head")).alias("ag_head"),
+                 F.when(F.col("jaccard_micro")
+                        >= seed_threshold_micro, 1).otherwise(0)
+                 .alias("__seed")))
+    pairs = track_persist(pairs)
+    score = " + ".join(_fs_weight_expr(k) for k in _FS_FIELDS)
+    s1 = (pairs.crossJoin(F.broadcast(_fs_mu(pairs, "__seed")))
+          .withColumn("score_seed_micro", F.expr(score).cast("long"))
+          .drop(*[c for k in _FS_FIELDS for c in (f"m_{k}", f"u_{k}")])
+          .withColumn("__cls", F.when(
+              F.col("score_seed_micro") >= decision_threshold_micro, 1)
+              .otherwise(0)))
+    s1 = track_persist(s1)
+    s2 = (s1.crossJoin(F.broadcast(_fs_mu(s1, "__cls")))
+          .withColumn("score_micro", F.expr(score).cast("long")))
+    n_agree = sum(F.when(F.col(f"ag_{k}"), 1).otherwise(0)
+                  for k in _FS_FIELDS)
+    return s2.select(
+        "id_a", "id_b", "jaccard_micro",
+        n_agree.cast("int").alias("n_agree"),
+        "score_seed_micro", "score_micro",
+        (F.col("score_micro") >= decision_threshold_micro).alias("matched"))

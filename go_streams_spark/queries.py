@@ -10095,3 +10095,124 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("scanned_ratio_micro"),
                 F.expr("(span_sum * 1000000) div (64 * dom)")
                   .alias("avg_bucket_span_micro")))
+
+
+# ---------------------------------------------------------------------------
+# Probabilistic record linkage: Fellegi–Sunter over LSH blocks (round 7)
+# ---------------------------------------------------------------------------
+
+def _fs_weight_sql(k: str) -> str:
+    return (f"CASE WHEN ag_{k} THEN (m_{k} * 1000000) // u_{k} "
+            f"ELSE ((1000000 - m_{k}) * 1000000) // (1000000 - u_{k}) END")
+
+
+def _fs_mu_sql(src: str, cls: str) -> str:
+    """m/u estimation CTE body: one aggregate over ``src`` pairs with
+    0/1 classification column ``cls`` — micro-units clamped [1, 999999]
+    (mirrors functions/dedup.py::_fs_mu)."""
+    parts = []
+    for k in ("lang", "source", "len", "head"):
+        parts.append(
+            f"least(greatest(sum(CASE WHEN ag_{k} AND {cls} = 1 THEN 1 "
+            f"ELSE 0 END) * 1000000 // greatest(sum({cls}), 1), 1), "
+            f"999999) AS m_{k}")
+        parts.append(
+            f"least(greatest(sum(CASE WHEN ag_{k} AND {cls} = 0 THEN 1 "
+            f"ELSE 0 END) * 1000000 // greatest(sum(1 - {cls}), 1), 1), "
+            f"999999) AS u_{k}")
+    return f"SELECT {', '.join(parts)} FROM {src}"
+
+
+@query("record_linkage_fs", f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     for i in generate_series(1, len(toks) - 2)])
+    ELSE [] END) AS s
+  FROM t
+), mh AS (
+  SELECT sh.doc_id, seeds.seed,
+         min(('0x' || substr(md5(sh.s), 1, 15))::BIGINT
+             + seeds.seed * (('0x' || substr(md5(sh.s), 16, 15))::BIGINT % 1000000007)) AS m
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS seed) seeds
+  GROUP BY sh.doc_id, seeds.seed
+), bands AS (
+  SELECT doc_id, seed // 3 AS band,
+         md5(string_agg(m::VARCHAR, '|' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY doc_id, seed // 3
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id < b.doc_id
+), cnts AS (
+  SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(sb.s)::BIGINT AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  LEFT JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+  GROUP BY c.id_a, c.id_b
+), ex AS (
+  SELECT i.id_a, i.id_b,
+         (i.i * 1000000) // greatest(ca.c + cb.c - i.i, 1) AS jaccard_micro
+  FROM inter i
+  JOIN cnts ca ON ca.doc_id = i.id_a
+  JOIN cnts cb ON cb.doc_id = i.id_b
+), attrs AS (
+  SELECT doc_id, lang, source, n_chars, lower(substr(text, 1, 12)) AS head
+  FROM documents
+), pr AS (
+  SELECT e.id_a, e.id_b, e.jaccard_micro,
+         (a.lang = b.lang) AS ag_lang,
+         (a.source = b.source) AS ag_source,
+         (abs(a.n_chars - b.n_chars) * 10 <= least(a.n_chars, b.n_chars))
+           AS ag_len,
+         (a.head = b.head) AS ag_head,
+         CASE WHEN e.jaccard_micro >= 500000 THEN 1 ELSE 0 END AS seed
+  FROM ex e
+  JOIN attrs a ON a.doc_id = e.id_a
+  JOIN attrs b ON b.doc_id = e.id_b
+), st1 AS (
+  {_fs_mu_sql('pr', 'seed')}
+), w1 AS (
+  SELECT pr.*, ({' + '.join(_fs_weight_sql(k) for k in ('lang', 'source', 'len', 'head'))})::BIGINT
+           AS score_seed_micro
+  FROM pr CROSS JOIN st1
+), c1 AS (
+  SELECT w1.*, CASE WHEN score_seed_micro >= 4000000 THEN 1 ELSE 0 END AS cls
+  FROM w1
+), st2 AS (
+  {_fs_mu_sql('c1', 'cls')}
+), w2 AS (
+  SELECT c1.id_a, c1.id_b, c1.jaccard_micro,
+         c1.ag_lang, c1.ag_source, c1.ag_len, c1.ag_head,
+         c1.score_seed_micro,
+         ({' + '.join(_fs_weight_sql(k) for k in ('lang', 'source', 'len', 'head'))})::BIGINT
+           AS score_micro
+  FROM c1 CROSS JOIN st2
+)
+SELECT id_a, id_b, jaccard_micro,
+       (CASE WHEN ag_lang THEN 1 ELSE 0 END + CASE WHEN ag_source THEN 1 ELSE 0 END
+        + CASE WHEN ag_len THEN 1 ELSE 0 END + CASE WHEN ag_head THEN 1 ELSE 0 END)::INT
+         AS n_agree,
+       score_seed_micro, score_micro,
+       score_micro >= 4000000 AS matched
+FROM w2
+""")
+def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage (functions/dedup.py::
+    fellegi_sunter_link): MinHash-LSH blocking -> four-field comparison
+    vectors -> unsupervised m/u estimation seeded by exact Jaccard ->
+    integer-odds additive scoring -> ONE engine-exact EM refinement.
+    The model-based sibling of fuzzy_name_match_pairs' hand rule and
+    the probabilistic half of entity resolution: at 100 TB the pair set
+    comes from the same bucketed blocker as the dedup pipeline, the m/u
+    "model fit" is two 1-row broadcast aggregates, and every weight is
+    an exact int64 odds ratio (a monotone stand-in for the classical
+    log2 weights, which no two libms agree on to the last bit)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.fellegi_sunter_link(docs)

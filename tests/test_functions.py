@@ -2101,3 +2101,37 @@ def test_avi_codec_nested_walk_and_validation(spark):
         decode_avi_frames(bad).collect()
     with _pt.raises(ValueError):
         decode_avi_frames(synth_avi(docs), every_k=0)
+
+
+def test_fellegi_sunter_separates_dup_pairs(spark, sf_dir):
+    """FS linkage semantics: the learned weights must rank true
+    near-dups (high exact Jaccard) above incidental bucket collisions —
+    every seed pair (jaccard >= 0.5) scores at least as high as the
+    best sub-0.2-jaccard pair, and matched pairs agree on more fields
+    on average than unmatched."""
+    from go_streams_spark.functions.dedup import fellegi_sunter_link
+    from go_streams_spark.queries import _t
+    rows = fellegi_sunter_link(_t(spark, sf_dir, "documents")).collect()
+    assert rows, "LSH blocking produced no candidate pairs"
+    seeds = [r for r in rows if r["jaccard_micro"] >= 500_000]
+    chaff = [r for r in rows if r["jaccard_micro"] < 200_000]
+    assert seeds, "corpus has near-dup seeds at this SF"
+    if chaff:
+        assert min(r["score_micro"] for r in seeds) >= \
+            max(r["score_micro"] for r in chaff)
+    matched = [r for r in rows if r["matched"]]
+    unmatched = [r for r in rows if not r["matched"]]
+    assert matched
+    if unmatched:
+        avg = lambda rs: sum(r["n_agree"] for r in rs) / len(rs)  # noqa: E731
+        assert avg(matched) > avg(unmatched)
+
+
+def test_fellegi_sunter_rejects_bad_threshold(spark):
+    from go_streams_spark.functions.dedup import fellegi_sunter_link
+    import pytest
+    df = spark.createDataFrame(
+        [(1, "a b c", "en", "web", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    with pytest.raises(ValueError):
+        fellegi_sunter_link(df, decision_threshold_micro=0)
