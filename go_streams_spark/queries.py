@@ -10216,3 +10216,65 @@ def record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
     log2 weights, which no two libms agree on to the last bit)."""
     docs = _t(spark, sf_dir, "documents")
     return D.fellegi_sunter_link(docs)
+
+
+# ---------------------------------------------------------------------------
+# Spectral band energies on the real WAV decode path (round 7)
+# ---------------------------------------------------------------------------
+
+from .functions.multimodal import dft_basis_values_sql as _dft_vals  # noqa: E402
+
+
+@query("audio_dft_band_energy", f"""
+WITH heads AS (
+  SELECT doc_id,
+         array_to_string(list_filter(string_split(lower(text), ' '),
+                                     x -> x <> '')[1:8], ' ') AS head
+  FROM documents
+), blk AS (
+  SELECT doc_id, k, md5(head || ':w:' || k::VARCHAR) AS h
+  FROM heads CROSS JOIN generate_series(0, 7) s(k)
+), smp AS (
+  SELECT doc_id, k * 8 + j AS i,
+         ('0x' || substr(h, 4*j + 1, 2))::INT
+           + 256 * ('0x' || substr(h, 4*j + 3, 2))::INT AS u
+  FROM blk CROSS JOIN generate_series(0, 7) s2(j)
+), v AS (
+  SELECT doc_id, i,
+         CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+  FROM smp
+), tab AS (
+  SELECT b.bin, i.i, b.cs[i.i + 1] AS c, b.sn[i.i + 1] AS s
+  FROM {_dft_vals()} b(bin, cs, sn)
+  CROSS JOIN generate_series(0, 63) i(i)
+), corr AS (
+  SELECT v.doc_id, t.bin,
+         sum(v.v::BIGINT * t.c)::BIGINT AS re,
+         sum(v.v::BIGINT * t.s)::BIGINT AS im
+  FROM v JOIN tab t ON t.i = v.i
+  GROUP BY v.doc_id, t.bin
+)
+SELECT doc_id, bin::INT AS bin,
+       (abs(re) // 1000000)::BIGINT AS re_mag,
+       (abs(im) // 1000000)::BIGINT AS im_mag,
+       ((abs(re) // 1000000) * (abs(re) // 1000000)
+        + (abs(im) // 1000000) * (abs(im) // 1000000))::BIGINT
+         AS band_energy
+FROM corr
+""")
+def audio_dft_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral band energies over the REAL WAV decode chain: synth an
+    actual RIFF/WAVE file per doc -> chunk-walk parse back the PCM ->
+    exact integer DFT correlation against a quantized cos/sin basis at
+    bins {{1,2,3,5}} (functions/multimodal.py::pcm_dft_band_energy).
+    The audio-fingerprint primitive: band-energy vectors are the input
+    to Shazam-style landmark hashes and VAD gates. The oracle
+    re-derives the samples from the md5 math AND the transform from the
+    same literal micro-unit basis, so a decode bug or a drifting cos
+    breaks the hash. One Arrow map pass over the clip bytes, zero
+    shuffle; the basis matrix is a per-executor constant."""
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.multimodal import (decode_wav_pcm, pcm_dft_band_energy,
+                                       synth_wav)
+    return pcm_dft_band_energy(decode_wav_pcm(synth_wav(docs)),
+                               blob_col="pcm")

@@ -2135,3 +2135,43 @@ def test_fellegi_sunter_rejects_bad_threshold(spark):
         "doc_id long, text string, lang string, source string, n_chars long")
     with pytest.raises(ValueError):
         fellegi_sunter_link(df, decision_threshold_micro=0)
+
+
+def test_pcm_dft_band_energy_concentrates_on_pure_tone(spark):
+    """Feed a pure bin-2 cosine as raw PCM: the band energy must land
+    overwhelmingly in bin 2 (the quantized basis is still an orthogonal
+    family to ~6 decimal places), and the magnitudes must match the
+    exact integer recomputation."""
+    import math
+    import numpy as np
+    from go_streams_spark.functions.multimodal import (
+        DFT_N, dft_tables, pcm_dft_band_energy)
+    x = np.array([int(10000 * math.cos(2 * math.pi * 2 * i / DFT_N))
+                  for i in range(DFT_N)], dtype="<i2")
+    df = spark.createDataFrame([(1, bytearray(x.tobytes()))],
+                               "doc_id long, pcm binary")
+    rows = {r["bin"]: r for r in pcm_dft_band_energy(df).collect()}
+    assert rows[2]["band_energy"] > 100 * max(
+        rows[k]["band_energy"] for k in rows if k != 2)
+    cos_t, sin_t = dft_tables()
+    xi = x.astype(np.int64)
+    for k, r in rows.items():
+        re = int(np.dot(xi, np.array(cos_t[k], dtype=np.int64)))
+        im = int(np.dot(xi, np.array(sin_t[k], dtype=np.int64)))
+        assert r["re_mag"] == abs(re) // 1_000_000
+        assert r["im_mag"] == abs(im) // 1_000_000
+        assert r["band_energy"] == (abs(re) // 10**6) ** 2 + \
+            (abs(im) // 10**6) ** 2
+
+
+def test_pcm_dft_band_energy_rejects_bad_args(spark):
+    import pytest
+    from go_streams_spark.functions.multimodal import pcm_dft_band_energy
+    df = spark.createDataFrame([(1, bytearray(b"\x00\x00"))],
+                               "doc_id long, pcm binary")
+    with pytest.raises(ValueError):
+        pcm_dft_band_energy(df, n=0)
+    with pytest.raises(ValueError):
+        pcm_dft_band_energy(df, bins=())
+    with pytest.raises(ValueError):
+        pcm_dft_band_energy(df, id_col="nope")
