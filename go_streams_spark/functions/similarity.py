@@ -2064,3 +2064,104 @@ def mrl_truncation_eval(df: DataFrame, *, id_col: str = "vec_id",
                     F.floor(F.col("overlap_at_k") * 1_000_000 / F.lit(k)
                             + F.lit(0.5)).cast("long")
                     .alias("recall_micro")))
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance diversity selection (round 7)
+# ---------------------------------------------------------------------------
+
+def mmr_topk(df: DataFrame, *, id_col: str = "vec_id",
+             vec_col: str = "embedding", group_col: str = "label",
+             k: int = 3, pool: int = 8,
+             w_rel: int = 7, w_div: int = 3) -> DataFrame:
+    """Maximal Marginal Relevance top-k per group: greedily pick the
+    item maximizing ``w_rel * relevance - w_div * max_sim_to_selected``
+    — the classic diversity re-ranker (Carbonell & Goldstein) that
+    keeps a near-dup-heavy candidate list from filling the context
+    window with clones. Integer weights stand in for the usual
+    lambda/(1-lambda) so the score is an exact int64 (no float scale).
+
+    Relevance is the engine-exact micro-unit cosine to the group's
+    integer centroid (exact component sums, one offset trunc-div —
+    the SemDeDup codebook convention); the greedy runs per group over
+    only the top-``pool`` candidates (one partitioned window), so the
+    quadratic half is pool^2 per group no matter the corpus size — the
+    standard rerank shape: cheap retrieval bounds the pool, MMR pays
+    quadratic cost only inside it.
+
+    Plan: quantize -> centroid aggregate (group x dim grain, broadcast
+    back) -> relevance -> windowed pool cut -> one applyInPandas greedy
+    per group over <= pool rows (numpy twin of quantized_cosine, same
+    bits as the SQL replay).
+    """
+    if k < 1 or pool < k:
+        raise ValueError(f"need pool >= k >= 1, got k={k} pool={pool}")
+    if w_rel <= 0 or w_div < 0:
+        raise ValueError("w_rel must be positive, w_div non-negative")
+    import numpy as np
+    import pandas as pd
+
+    q = df.select(F.col(group_col).alias("grp"),
+                  F.col(id_col).alias("vid"),
+                  quantized_vec(vec_col).alias("qv"))
+    dims = q.select("grp", F.posexplode("qv").alias("dim", "c"))
+    cm = (dims.groupBy("grp", "dim")
+          .agg(F.sum("c").alias("s"), F.count(F.lit(1)).alias("n")))
+    # offset trunc-div == floor division for any sign of s (s >= -n*1e6),
+    # so Spark's `div` (trunc) and DuckDB's `//` agree exactly
+    cvec = (cm.withColumn("cc", F.expr(
+        "(s + n * 1000000) div n - 1000000"))
+        .groupBy("grp")
+        .agg(F.transform(F.array_sort(F.collect_list(
+            F.struct("dim", "cc"))), lambda st: st.cc).alias("cv")))
+    zero = F.lit(0).cast("long")
+    dotc = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y),
+                       zero, lambda a, x: a + x)
+    nq = F.aggregate(F.transform("qv", lambda x: x * x), zero,
+                     lambda a, x: a + x)
+    nc = F.aggregate(F.transform("cv", lambda x: x * x), zero,
+                     lambda a, x: a + x)
+    rel = (q.join(F.broadcast(cvec), "grp")
+           .withColumn("rel_micro", F.floor(
+               dotc / (F.sqrt(nq) * F.sqrt(nc)) * 1_000_000 + F.lit(0.5))
+               .cast("long")))
+    w = Window.partitionBy("grp").orderBy(F.col("rel_micro").desc(), "vid")
+    cand = (rel.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= pool)
+            .select("grp", "vid", "rel_micro", "qv"))
+
+    out_schema = (f"{group_col} {dict(df.dtypes)[group_col]}, rank int, "
+                  f"{id_col} {dict(df.dtypes)[id_col]}, rel_micro long, "
+                  "max_sim_micro long, mmr_score long")
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["rel_micro", "vid"], ascending=[False, True],
+            kind="mergesort").reset_index(drop=True)
+        qmat = np.array(pdf["qv"].tolist(), dtype=np.float64)
+        sims = _np_quantized_cosine_micro(qmat, qmat).astype(np.int64)
+        n = len(pdf)
+        rels = pdf["rel_micro"].to_numpy(np.int64)
+        vids = pdf["vid"].to_numpy()
+        selected: list[int] = []
+        rows = []
+        remaining = list(range(n))
+        for rank in range(1, min(k, n) + 1):
+            best, best_key = None, None
+            for i in remaining:
+                ms = int(max(sims[i, j] for j in selected)) if selected \
+                    else 0
+                score = w_rel * int(rels[i]) - w_div * ms
+                key = (-score, vids[i])
+                if best_key is None or key < best_key:
+                    best, best_key, best_ms = i, key, ms
+            selected.append(best)
+            remaining.remove(best)
+            rows.append((pdf["grp"].iloc[0], rank, vids[best],
+                         int(rels[best]), best_ms,
+                         w_rel * int(rels[best]) - w_div * best_ms))
+        return pd.DataFrame(rows, columns=[
+            group_col, "rank", id_col, "rel_micro", "max_sim_micro",
+            "mmr_score"])
+
+    return cand.groupBy("grp").applyInPandas(_greedy, schema=out_schema)

@@ -10278,3 +10278,96 @@ def audio_dft_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        synth_wav)
     return pcm_dft_band_energy(decode_wav_pcm(synth_wav(docs)),
                                blob_col="pcm")
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking (round 7)
+# ---------------------------------------------------------------------------
+
+#: engine-exact micro-unit cosine between two BIGINT list columns (the
+#: quantized_cosine formula before its final /1e6)
+def _qcos_micro_sql(a: str, b: str) -> str:
+    return (f"floor(list_sum(list_transform(list_zip({a}, {b}), "
+            f"p -> p[1] * p[2]))::BIGINT "
+            f"/ (sqrt(list_sum(list_transform({a}, x -> x * x))::BIGINT) "
+            f"* sqrt(list_sum(list_transform({b}, x -> x * x))::BIGINT)) "
+            f"* 1000000 + 0.5)::BIGINT")
+
+
+@query("mmr_diverse_topk", f"""
+WITH q AS (
+  SELECT label AS grp, vec_id AS vid,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS qv
+  FROM embeddings
+), cd AS (
+  SELECT grp, generate_subscripts(qv, 1) AS dim, unnest(qv) AS c FROM q
+), cm AS (
+  SELECT grp, dim, sum(c) AS s, count(*) AS n FROM cd GROUP BY grp, dim
+), cent AS (
+  SELECT grp, list((s + n * 1000000) // n - 1000000 ORDER BY dim) AS cv
+  FROM cm GROUP BY grp
+), rel AS (
+  SELECT q.grp, q.vid, q.qv,
+         {_qcos_micro_sql('q.qv', 'c.cv')} AS rel_micro
+  FROM q JOIN cent c ON c.grp = q.grp
+), cand AS (
+  SELECT * FROM (
+    SELECT rel.*, row_number() OVER (
+      PARTITION BY grp ORDER BY rel_micro DESC, vid) AS rn FROM rel)
+  WHERE rn <= 8
+), sims AS (
+  SELECT a.grp, a.vid AS id_a, b.vid AS id_b,
+         {_qcos_micro_sql('a.qv', 'b.qv')} AS sim
+  FROM cand a JOIN cand b ON a.grp = b.grp AND a.vid <> b.vid
+), s1 AS (
+  SELECT grp, vid, rel_micro FROM cand WHERE rn = 1
+), r2 AS (
+  SELECT c.grp, c.vid, c.rel_micro, s.sim AS maxsim
+  FROM cand c
+  JOIN s1 ON s1.grp = c.grp AND c.vid <> s1.vid
+  JOIN sims s ON s.grp = c.grp AND s.id_a = c.vid AND s.id_b = s1.vid
+), s2 AS (
+  SELECT grp, vid, rel_micro, maxsim FROM (
+    SELECT r2.*, row_number() OVER (
+      PARTITION BY grp
+      ORDER BY (7 * rel_micro - 3 * maxsim) DESC, vid) AS rn2 FROM r2)
+  WHERE rn2 = 1
+), r3 AS (
+  SELECT c.grp, c.vid, c.rel_micro, greatest(sa.sim, sb.sim) AS maxsim
+  FROM cand c
+  JOIN s1 ON s1.grp = c.grp
+  JOIN s2 ON s2.grp = c.grp
+  JOIN sims sa ON sa.grp = c.grp AND sa.id_a = c.vid AND sa.id_b = s1.vid
+  JOIN sims sb ON sb.grp = c.grp AND sb.id_a = c.vid AND sb.id_b = s2.vid
+  WHERE c.vid <> s1.vid AND c.vid <> s2.vid
+), s3 AS (
+  SELECT grp, vid, rel_micro, maxsim FROM (
+    SELECT r3.*, row_number() OVER (
+      PARTITION BY grp
+      ORDER BY (7 * rel_micro - 3 * maxsim) DESC, vid) AS rn3 FROM r3)
+  WHERE rn3 = 1
+)
+SELECT grp AS label, 1 AS rank, vid AS vec_id, rel_micro,
+       0::BIGINT AS max_sim_micro, (7 * rel_micro)::BIGINT AS mmr_score
+FROM s1
+UNION ALL
+SELECT grp, 2, vid, rel_micro, maxsim,
+       (7 * rel_micro - 3 * maxsim)::BIGINT FROM s2
+UNION ALL
+SELECT grp, 3, vid, rel_micro, maxsim,
+       (7 * rel_micro - 3 * maxsim)::BIGINT FROM s3
+""")
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking per label (functions/
+    similarity.py::mmr_topk): greedy pick of 3 from the top-8
+    relevance pool, scoring 7*rel - 3*max_sim_to_selected in exact
+    integer micro-units — the diversity selection every RAG/retrieval
+    stack runs after ANN, here over the integer label centroids as
+    queries. The pool cut bounds the quadratic half to pool^2 per
+    group; the oracle replays all three greedy steps as chained CTEs,
+    so Spark's per-group numpy greedy must match the SQL argmax
+    bit-for-bit (same tie-breaks, same micro-unit cosines)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.mmr_topk(emb, k=3, pool=8, w_rel=7, w_div=3) \
+        .withColumn("rank", F.col("rank").cast("int"))

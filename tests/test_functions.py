@@ -2175,3 +2175,41 @@ def test_pcm_dft_band_energy_rejects_bad_args(spark):
         pcm_dft_band_energy(df, bins=())
     with pytest.raises(ValueError):
         pcm_dft_band_energy(df, id_col="nope")
+
+
+def test_mmr_topk_greedy_invariants(spark, sf_dir):
+    """MMR semantics: rank 1 is the pure-relevance argmax of its group
+    (ties to the smaller id), mmr_score is non-increasing in rank (each
+    step maximizes over a shrinking set with growing max_sim), and the
+    selected k are distinct."""
+    from collections import defaultdict
+    from go_streams_spark.functions.similarity import mmr_topk
+    from go_streams_spark.queries import _t
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = mmr_topk(emb, k=3, pool=8).collect()
+    by_grp = defaultdict(list)
+    for r in rows:
+        by_grp[r["label"]].append(r)
+    assert by_grp
+    for grp, rs in by_grp.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len({r["vec_id"] for r in rs}) == len(rs)
+        assert rs[0]["max_sim_micro"] == 0
+        scores = [r["mmr_score"] for r in rs]
+        assert scores == sorted(scores, reverse=True), (grp, scores)
+        # rank 1 has the group's max relevance among the pool
+        assert rs[0]["rel_micro"] == max(r["rel_micro"] for r in rs)
+
+
+def test_mmr_topk_rejects_bad_args(spark):
+    import pytest
+    from go_streams_spark.functions.similarity import mmr_topk
+    df = spark.createDataFrame([(1, [0.1, 0.2], 0)],
+                               "vec_id long, embedding array<float>, label int")
+    with pytest.raises(ValueError):
+        mmr_topk(df, k=0)
+    with pytest.raises(ValueError):
+        mmr_topk(df, k=5, pool=3)
+    with pytest.raises(ValueError):
+        mmr_topk(df, w_rel=0)
