@@ -509,6 +509,49 @@ def brute_force_knn_matmul(df: DataFrame, *, id_col: str = "vec_id",
         _knn, schema=f"{id_col} long, neighbor_id long, sim double, rank int")
 
 
+def _ivf_codebook_mat(base: DataFrame, id_col: str, nlist: int,
+                      codebook) -> "np.ndarray":
+    """IVF codebook as a driver-resident (nlist x d) matrix: the caller's
+    trained codebook if given (e.g. train_codebook()), else the
+    deterministic lowest-id subset — bounded index metadata, the one
+    collect every IVF system performs."""
+    import numpy as np
+    if codebook is not None:
+        return np.asarray(codebook, dtype=np.float64)
+    cent_rows = sorted(base.where(F.col(id_col) < nlist).collect(),
+                       key=lambda r: r[0])
+    return np.array([r["v"] for r in cent_rows], dtype=np.float64)
+
+
+def _ivf_routes(base: DataFrame, c_mat, *, id_col: str, nprobe: int,
+                round_dp: int = 6) -> DataFrame:
+    """Assignment + probe routing: one vectorized mapInPandas pass emits
+    (vector, probed list, probe rank) rows — crn=1 is the inverted-list
+    assignment. raw dot / (norm * norm) rounded, the exact oracle
+    formula, so probe-selection tie-breaks agree across engines."""
+    import numpy as np
+    import pandas as pd
+    c_ids = np.arange(len(c_mat), dtype=np.int64)
+    c_len = np.linalg.norm(c_mat, axis=1)
+
+    def _route(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            q = np.array(list(pdf["v"]), dtype=np.float64)
+            sims = np.round((q @ c_mat.T)
+                            / (np.linalg.norm(q, axis=1)[:, None] * c_len[None, :]),
+                            round_dp)
+            out_id, out_cid, out_crn = [], [], []
+            for i, row in enumerate(sims):
+                order = np.lexsort((c_ids, -row))[:max(nprobe, 1)]
+                out_id.extend([ids[i]] * len(order))
+                out_cid.extend(c_ids[order])
+                out_crn.extend(range(1, len(order) + 1))
+            yield pd.DataFrame({id_col: out_id, "cid": out_cid, "crn": out_crn})
+
+    return base.mapInPandas(_route, schema=f"{id_col} long, cid long, crn int")
+
+
 def auto_nlist(n: int) -> int:
     """Data-adaptive IVF list count: the classic nlist ~ 4*sqrt(N) rule
     (FAISS guideline). With nlist FIXED, inverted-list length grows
@@ -556,34 +599,9 @@ def ivf_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
     if nlist == "auto":
         # scalar index metadata, like the codebook collect below
         nlist = auto_nlist(df.count())
-    if codebook is not None:
-        c_mat = np.asarray(codebook, dtype=np.float64)  # e.g. train_codebook()
-    else:
-        cent_rows = sorted(base.where(F.col(id_col) < nlist).collect(),
-                           key=lambda r: r[0])
-        c_mat = np.array([r["v"] for r in cent_rows], dtype=np.float64)
-    c_ids = np.arange(len(c_mat), dtype=np.int64)
-    c_len = np.linalg.norm(c_mat, axis=1)
-
-    def _route(batches):
-        # one row per (vector, probed list); crn=1 is the assignment.
-        # raw dot / (norm * norm) — the exact oracle formula, so the
-        # rounded values (and thus probe-selection tie-breaks) agree
-        for pdf in batches:
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            q = np.array(list(pdf["v"]), dtype=np.float64)
-            sims = np.round((q @ c_mat.T)
-                            / (np.linalg.norm(q, axis=1)[:, None] * c_len[None, :]),
-                            round_dp)
-            out_id, out_cid, out_crn = [], [], []
-            for i, row in enumerate(sims):
-                order = np.lexsort((c_ids, -row))[:max(nprobe, 1)]
-                out_id.extend([ids[i]] * len(order))
-                out_cid.extend(c_ids[order])
-                out_crn.extend(range(1, len(order) + 1))
-            yield pd.DataFrame({id_col: out_id, "cid": out_cid, "crn": out_crn})
-
-    routed = base.mapInPandas(_route, schema=f"{id_col} long, cid long, crn int")
+    c_mat = _ivf_codebook_mat(base, id_col, nlist, codebook)
+    routed = _ivf_routes(base, c_mat, id_col=id_col, nprobe=nprobe,
+                         round_dp=round_dp)
     members = (routed.where(F.col("crn") == 1).drop("crn")
                .join(base, id_col)
                .select(F.col("cid").alias("cid_m"), F.col(id_col).alias("id_b"),
@@ -2165,3 +2183,57 @@ def mmr_topk(df: DataFrame, *, id_col: str = "vec_id",
             "mmr_score"])
 
     return cand.groupBy("grp").applyInPandas(_greedy, schema=out_schema)
+
+
+def ivf_balance_audit(df: DataFrame, *, id_col: str = "vec_id",
+                      vec_col: str = "embedding", nlist: int | str = "auto",
+                      nprobe: int = 4, top_lists: int = 8,
+                      round_dp: int = 6, codebook=None) -> DataFrame:
+    """IVF index HEALTH report — the pre-flight before committing a
+    corpus to an inverted-file layout: list-size spread, the FAISS
+    imbalance factor (max/mean — >> 1 means straggler lists), the share
+    of vectors in the ``top_lists`` fattest lists (skew mass a salting
+    or re-train must fix), and the expected probe scan fraction at
+    ``nprobe`` (the real ANN cost vs brute force: what fraction of the
+    corpus the average query touches).
+
+    One routing pass (shared with ivf_knn), then everything aggregates
+    at list grain: ``sizes`` is nlist rows (bounded index metadata,
+    broadcast back for the probe-cost join), the final report is one
+    row of exact int64 ratios in micro-units.
+    """
+    if nprobe < 1:
+        raise ValueError("nprobe must be >= 1")
+    if top_lists < 1:
+        raise ValueError("top_lists must be >= 1")
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    if nlist == "auto":
+        nlist = auto_nlist(df.count())
+    c_mat = _ivf_codebook_mat(base, id_col, nlist, codebook)
+    routed = _ivf_routes(base, c_mat, id_col=id_col, nprobe=nprobe,
+                         round_dp=round_dp)
+    from ..plans.caching import track_persist
+    routed = track_persist(routed)
+    sizes = (routed.where(F.col("crn") == 1)
+             .groupBy("cid").agg(F.count(F.lit(1)).alias("sz")))
+    sizes = track_persist(sizes)
+    tot = sizes.agg(F.sum("sz").alias("n_vecs"),
+                    F.count(F.lit(1)).alias("nonempty_lists"),
+                    F.min("sz").alias("min_list"),
+                    F.max("sz").alias("max_list"))
+    top8 = (sizes.orderBy(F.col("sz").desc(), "cid").limit(top_lists)
+            .agg(F.sum("sz").alias("t8")))
+    scan = (routed.where(F.col("crn") <= nprobe)
+            .join(F.broadcast(sizes), "cid")
+            .agg(F.sum("sz").alias("scanned")))
+    return (tot.crossJoin(F.broadcast(top8))
+            .crossJoin(F.broadcast(scan))
+            .select(
+                F.lit(int(nlist)).cast("long").alias("nlist"),
+                "n_vecs", "nonempty_lists", "min_list", "max_list",
+                F.expr(f"(max_list * {int(nlist)} * 1000000) div n_vecs")
+                  .alias("imbalance_micro"),
+                F.expr("(t8 * 1000000) div n_vecs")
+                  .alias("top_share_micro"),
+                F.expr("(scanned * 1000000) div (n_vecs * n_vecs)")
+                  .alias("probe_scan_micro")))

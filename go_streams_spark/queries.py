@@ -10371,3 +10371,52 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return S.mmr_topk(emb, k=3, pool=8, w_rel=7, w_div=3) \
         .withColumn("rank", F.col("rank").cast("int"))
+
+
+@query("ann_ivf_balance_audit", """
+WITH cfg AS (
+  SELECT greatest(16, floor(4 * sqrt(count(*)))::BIGINT) AS nlist
+  FROM embeddings
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, v AS cv FROM v CROSS JOIN cfg WHERE vec_id < nlist
+), csims AS (
+  SELECT v.vec_id, c.cid,
+         round(list_sum(list_transform(list_zip(v.v, c.cv), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(v.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(c.cv, x -> x * x)))), 6) AS csim
+  FROM v CROSS JOIN c
+), ranked AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS crn
+  FROM csims
+), sizes AS (
+  SELECT cid, count(*)::BIGINT AS sz FROM ranked WHERE crn = 1 GROUP BY cid
+), tot AS (
+  SELECT sum(sz)::BIGINT AS n_vecs, count(*)::BIGINT AS nonempty_lists,
+         min(sz)::BIGINT AS min_list, max(sz)::BIGINT AS max_list
+  FROM sizes
+), top8 AS (
+  SELECT sum(sz)::BIGINT AS t8
+  FROM (SELECT sz FROM sizes ORDER BY sz DESC, cid LIMIT 8)
+), scan AS (
+  SELECT sum(s.sz)::BIGINT AS scanned
+  FROM ranked r JOIN sizes s ON s.cid = r.cid WHERE r.crn <= 4
+)
+SELECT cfg.nlist, t.n_vecs, t.nonempty_lists, t.min_list, t.max_list,
+       (t.max_list * cfg.nlist * 1000000) // t.n_vecs AS imbalance_micro,
+       (top8.t8 * 1000000) // t.n_vecs AS top_share_micro,
+       (scan.scanned * 1000000) // (t.n_vecs * t.n_vecs) AS probe_scan_micro
+FROM cfg, tot t, top8, scan
+""")
+def ann_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health (functions/similarity.py::ivf_balance_audit):
+    list-size spread, FAISS imbalance factor (max/mean), skew mass in
+    the 8 fattest lists, and the expected probe-scan fraction at
+    nprobe=4 — the measurements that decide re-train vs salt vs raise
+    nlist BEFORE a 100 TB corpus commits to an inverted-file layout.
+    Same deterministic codebook + routing pass as ann_ivf_knn; all
+    ratios exact int64 micro-units over list-grain (bounded) rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_balance_audit(emb, nlist="auto", nprobe=4)

@@ -2213,3 +2213,32 @@ def test_mmr_topk_rejects_bad_args(spark):
         mmr_topk(df, k=5, pool=3)
     with pytest.raises(ValueError):
         mmr_topk(df, w_rel=0)
+
+
+def test_ivf_balance_audit_consistency(spark, sf_dir):
+    """The audit's internal identities: every vector lands in exactly
+    one list (sum of sizes = n_vecs), the imbalance factor is >= 1e6
+    (max >= mean by definition), top-8 share is a valid fraction, and
+    probing nprobe lists scans more than the single assigned list
+    (probe_scan >= nprobe-weighted floor) yet far less than the corpus."""
+    from go_streams_spark.functions.similarity import ivf_balance_audit
+    from go_streams_spark.queries import _t
+    r = ivf_balance_audit(_t(spark, sf_dir, "embeddings"),
+                          nlist="auto", nprobe=4).collect()[0]
+    assert r["nonempty_lists"] <= r["nlist"]
+    assert r["min_list"] >= 1 and r["max_list"] >= r["min_list"]
+    assert r["imbalance_micro"] >= 1_000_000
+    assert 0 < r["top_share_micro"] <= 1_000_000
+    # a 4-probe query scans > its own list's share but << everything
+    assert 0 < r["probe_scan_micro"] < 1_000_000
+
+
+def test_ivf_balance_audit_rejects_bad_args(spark):
+    import pytest
+    from go_streams_spark.functions.similarity import ivf_balance_audit
+    df = spark.createDataFrame([(1, [0.1, 0.2])],
+                               "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        ivf_balance_audit(df, nprobe=0)
+    with pytest.raises(ValueError):
+        ivf_balance_audit(df, top_lists=0)
