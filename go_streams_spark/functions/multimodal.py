@@ -991,3 +991,178 @@ def dft_basis_values_sql(n: int = DFT_N, bins=DFT_BINS) -> str:
         f"({k}, {cos_t[k]}, {sin_t[k]})".replace("[", "[").replace("]", "]")
         for k in bins)
     return f"(VALUES {rows})"
+
+
+# ---------------------------------------------------------------------------
+# Real PNG codec path (round 7): the third in-container REAL image
+# format, and the strongest — unlike BMP's raw pixels, PNG runs an
+# actual compression pipeline: per-row filters (all five: None/Sub/Up/
+# Average/Paeth, the synth cycles them so the decoder must invert every
+# one), a real DEFLATE stream (CPython zlib), CRC-32 verified chunk
+# framing, and a deliberately split IDAT (decoders must concatenate).
+# ---------------------------------------------------------------------------
+
+PNG_W, PNG_H = BMP_W, BMP_H  # same md5-derived grid, gray = base value
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def synth_png(df: DataFrame, *, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Build a REAL 8-bit grayscale PNG per document: signature, IHDR,
+    the scanlines filtered with type r % 5 (every filter in the spec is
+    exercised), one zlib DEFLATE stream split across TWO IDAT chunks,
+    IEND — every chunk carrying its real CRC-32. One Arrow map pass,
+    zero shuffle."""
+    import struct
+    import zlib
+
+    def _chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sig = b"\x89PNG\r\n\x1a\n"
+        ihdr = struct.pack(">IIBBBBB", PNG_W, PNG_H, 8, 0, 0, 0, 0)
+        for pdf in batches:
+            blobs = []
+            for text in pdf[text_col].fillna(""):
+                v = np.array(_bmp_pixel_rows(text), dtype=np.int64)
+                raw = bytearray()
+                prev = np.zeros(PNG_W, dtype=np.int64)
+                for r in range(PNG_H):
+                    row = v[r]
+                    left = np.concatenate(([0], row[:-1]))
+                    ul = np.concatenate(([0], prev[:-1]))
+                    ft = r % 5
+                    if ft == 0:
+                        flt = row
+                    elif ft == 1:
+                        flt = (row - left) % 256
+                    elif ft == 2:
+                        flt = (row - prev) % 256
+                    elif ft == 3:
+                        flt = (row - (left + prev) // 2) % 256
+                    else:
+                        pr = np.array([_paeth(int(left[c]), int(prev[c]),
+                                              int(ul[c]))
+                                       for c in range(PNG_W)], dtype=np.int64)
+                        flt = (row - pr) % 256
+                    raw.append(ft)
+                    raw.extend(flt.astype(np.uint8).tobytes())
+                    prev = row
+                comp = zlib.compress(bytes(raw), 6)
+                mid = len(comp) // 2  # multi-IDAT concat is under test
+                blobs.append(sig + _chunk(b"IHDR", ihdr)
+                             + _chunk(b"IDAT", comp[:mid])
+                             + _chunk(b"IDAT", comp[mid:])
+                             + _chunk(b"IEND", b""))
+            yield pd.DataFrame({id_col: pdf[id_col], "image": blobs})
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInPandas(
+        _make, schema=f"{id_col} {id_type}, image binary")
+
+
+def decode_png_gray(df: DataFrame, *, image_col: str = "image",
+                    id_col: str = "doc_id") -> DataFrame:
+    """REAL PNG decode, no external library: verify the signature, walk
+    chunks (length/type/CRC-32 — a corrupt CRC raises), parse IHDR
+    (8-bit grayscale only — loud error otherwise), concatenate the
+    IDATs, zlib-inflate, then invert all five scanline filters
+    (Sub/Up/Average/Paeth reconstruction per RFC 2083). Emits header
+    facts plus exact integer luminance features: total/min/max and the
+    four floor-split quadrant sums — the stats a training-data
+    multimodal hygiene pass computes per image."""
+    import struct
+    import zlib
+
+    cols = (id_col, "width", "height", "bit_depth", "n_idat", "lum_sum",
+            "lum_min", "lum_max", "q00", "q01", "q10", "q11")
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: dict[str, list] = {c: [] for c in cols}
+        for pdf in batches:
+            for did, blob in zip(pdf[id_col], pdf[image_col]):
+                b = bytes(blob)
+                if b[:8] != b"\x89PNG\r\n\x1a\n":
+                    raise ValueError(f"doc {did}: not a PNG")
+                pos, idats, ihdr, n_idat = 8, [], None, 0
+                while pos < len(b):
+                    (ln,) = struct.unpack_from(">I", b, pos)
+                    typ = b[pos + 4:pos + 8]
+                    data = b[pos + 8:pos + 8 + ln]
+                    (crc,) = struct.unpack_from(">I", b, pos + 8 + ln)
+                    if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                        raise ValueError(f"doc {did}: CRC mismatch in "
+                                         f"{typ!r}")
+                    if typ == b"IHDR":
+                        ihdr = struct.unpack(">IIBBBBB", data)
+                    elif typ == b"IDAT":
+                        idats.append(data)
+                        n_idat += 1
+                    elif typ == b"IEND":
+                        break
+                    pos += 12 + ln
+                if ihdr is None:
+                    raise ValueError(f"doc {did}: missing IHDR")
+                w, h, depth, ctype, comp_m, filt_m, interlace = ihdr
+                if depth != 8 or ctype != 0 or comp_m != 0 or filt_m != 0 \
+                        or interlace != 0:
+                    raise ValueError(f"doc {did}: unsupported PNG variant")
+                raw = zlib.decompress(b"".join(idats))
+                if len(raw) != h * (w + 1):
+                    raise ValueError(f"doc {did}: scanline size mismatch")
+                px = np.zeros((h, w), dtype=np.int64)
+                prev = np.zeros(w, dtype=np.int64)
+                for r in range(h):
+                    ft = raw[r * (w + 1)]
+                    f = np.frombuffer(raw, np.uint8, count=w,
+                                      offset=r * (w + 1) + 1).astype(np.int64)
+                    if ft == 0:
+                        row = f
+                    elif ft == 2:
+                        row = (f + prev) % 256
+                    elif ft in (1, 3, 4):
+                        row = np.zeros(w, dtype=np.int64)
+                        for c in range(w):
+                            left = row[c - 1] if c else 0
+                            if ft == 1:
+                                pred = left
+                            elif ft == 3:
+                                pred = (left + prev[c]) // 2
+                            else:
+                                pred = _paeth(int(left), int(prev[c]),
+                                              int(prev[c - 1] if c else 0))
+                            row[c] = (f[c] + pred) % 256
+                    else:
+                        raise ValueError(f"doc {did}: bad filter {ft}")
+                    px[r] = row
+                    prev = row
+                hr, wc = h // 2, (w + 1) // 2
+                out[id_col].append(did)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["bit_depth"].append(depth)
+                out["n_idat"].append(n_idat)
+                out["lum_sum"].append(int(px.sum()))
+                out["lum_min"].append(int(px.min()))
+                out["lum_max"].append(int(px.max()))
+                out["q00"].append(int(px[:hr, :wc].sum()))
+                out["q01"].append(int(px[:hr, wc:].sum()))
+                out["q10"].append(int(px[hr:, :wc].sum()))
+                out["q11"].append(int(px[hr:, wc:].sum()))
+            yield pd.DataFrame(out)
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.mapInPandas(_decode, schema=(
+        f"{id_col} {id_type}, width int, height int, bit_depth int, "
+        "n_idat int, lum_sum long, lum_min int, lum_max int, "
+        "q00 long, q01 long, q10 long, q11 long"))

@@ -10420,3 +10420,47 @@ def ann_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios exact int64 micro-units over list-grain (bounded) rows."""
     emb = _t(spark, sf_dir, "embeddings")
     return S.ivf_balance_audit(emb, nlist="auto", nprobe=4)
+
+
+@query("image_png_decode_features", """
+WITH heads AS (
+  SELECT doc_id,
+         array_to_string(list_filter(string_split(lower(text), ' '),
+                                     x -> x <> '')[1:8], ' ') AS head
+  FROM documents
+), rows AS (
+  SELECT doc_id, r,
+         md5(head || ':' || r::VARCHAR) AS h1,
+         md5(head || ':' || r::VARCHAR || ':x') AS h2
+  FROM heads CROSS JOIN generate_series(0, 15) s(r)
+), px AS (
+  SELECT doc_id, r, c,
+         CASE WHEN c < 16 THEN ('0x' || substr(h1, 2*c + 1, 2))::INT
+              ELSE ('0x' || substr(h2, 2*(c - 16) + 1, 2))::INT
+         END AS v
+  FROM rows CROSS JOIN generate_series(0, 17) s2(c)
+)
+SELECT doc_id, 18::INT AS width, 16::INT AS height, 8::INT AS bit_depth,
+       2::INT AS n_idat,
+       sum(v)::BIGINT AS lum_sum, min(v)::INT AS lum_min,
+       max(v)::INT AS lum_max,
+       sum(CASE WHEN r < 8 AND c < 9 THEN v ELSE 0 END)::BIGINT AS q00,
+       sum(CASE WHEN r < 8 AND c >= 9 THEN v ELSE 0 END)::BIGINT AS q01,
+       sum(CASE WHEN r >= 8 AND c < 9 THEN v ELSE 0 END)::BIGINT AS q10,
+       sum(CASE WHEN r >= 8 AND c >= 9 THEN v ELSE 0 END)::BIGINT AS q11
+FROM px GROUP BY doc_id
+""")
+def image_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG round-trip gate, the strongest codec in the in-container
+    family: the synth writes an actual 8-bit grayscale PNG per doc —
+    scanlines filtered with type r % 5 (all five spec filters), a real
+    zlib DEFLATE stream split across two IDAT chunks, CRC-32 on every
+    chunk — and the decoder (functions/multimodal.py::decode_png_gray)
+    must verify CRCs, concatenate IDATs, inflate, and invert every
+    filter (Sub/Up/Average/Paeth reconstruction) to recover the pixels.
+    The oracle re-derives the luminance features from the md5 pixel
+    math alone, so any bug anywhere in the compression pipeline breaks
+    the hash. Two Arrow map passes, zero shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.multimodal import decode_png_gray, synth_png
+    return decode_png_gray(synth_png(docs))

@@ -2242,3 +2242,25 @@ def test_ivf_balance_audit_rejects_bad_args(spark):
         ivf_balance_audit(df, nprobe=0)
     with pytest.raises(ValueError):
         ivf_balance_audit(df, top_lists=0)
+
+
+def test_decode_png_rejects_corruption(spark):
+    """The PNG decoder is loud: a flipped byte inside a chunk breaks
+    that chunk's CRC-32 and raises; a non-PNG blob raises on the
+    signature."""
+    import pytest
+    from go_streams_spark.functions.multimodal import (decode_png_gray,
+                                                       synth_png)
+    base = spark.createDataFrame([(1, "hello world png gate")],
+                                 "doc_id long, text string")
+    blob = bytes(synth_png(base).collect()[0]["image"])
+    corrupt = bytearray(blob)
+    corrupt[40] ^= 0xFF  # inside IHDR/IDAT data -> CRC mismatch
+    bad = spark.createDataFrame([(1, bytearray(corrupt))],
+                                "doc_id long, image binary")
+    with pytest.raises(Exception, match="CRC|PNG"):
+        decode_png_gray(bad).collect()
+    notpng = spark.createDataFrame([(1, bytearray(b"GIF89a not a png"))],
+                                   "doc_id long, image binary")
+    with pytest.raises(Exception, match="not a PNG"):
+        decode_png_gray(notpng).collect()

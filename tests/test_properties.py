@@ -547,3 +547,30 @@ def test_real_codec_roundtrips_arbitrary_text(spark, text):
     for f in (0, 2, 4):
         assert avi[f]["frame_md5"] == hashlib.md5(
             _avi_frame_hex(text, f).encode()).hexdigest()
+
+
+@given(text=st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),
+    max_size=120))
+@settings(**SETTINGS)
+def test_png_codec_roundtrips_arbitrary_text(spark, text):
+    """PNG writer + decoder round-trip for ARBITRARY unicode text: the
+    decoded luminance features must equal the direct md5-math
+    derivation — through ALL five scanline filters, the DEFLATE
+    stream, CRC framing, and the split IDAT."""
+    import numpy as np
+
+    from go_streams_spark.functions.multimodal import (
+        _bmp_pixel_rows, decode_png_gray, synth_png)
+
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    [r] = decode_png_gray(synth_png(df)).collect()
+    v = np.array(_bmp_pixel_rows(text), dtype=np.int64)
+    assert (r["width"], r["height"], r["bit_depth"], r["n_idat"]) == \
+        (18, 16, 8, 2)
+    assert r["lum_sum"] == int(v.sum())
+    assert r["lum_min"] == int(v.min()) and r["lum_max"] == int(v.max())
+    assert r["q00"] == int(v[:8, :9].sum())
+    assert r["q01"] == int(v[:8, 9:].sum())
+    assert r["q10"] == int(v[8:, :9].sum())
+    assert r["q11"] == int(v[8:, 9:].sum())
