@@ -10464,3 +10464,52 @@ def image_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     from .functions.multimodal import decode_png_gray, synth_png
     return decode_png_gray(synth_png(docs))
+
+
+@query("link_prediction_parts", sql="WITH " + _part_edge_cte() + """, adj AS (
+  SELECT a AS node, b AS nbr FROM e0
+  UNION ALL
+  SELECT b AS node, a AS nbr FROM e0
+), deg AS (
+  SELECT node, count(*) AS d FROM adj GROUP BY node
+), wedges AS (
+  SELECT a1.nbr AS x, a2.nbr AS y, d.d
+  FROM adj a1
+  JOIN adj a2 ON a1.node = a2.node AND a1.nbr < a2.nbr
+  JOIN deg d ON d.node = a1.node
+  WHERE d.d <= 256
+), sc AS (
+  SELECT x, y, count(*)::BIGINT AS cn,
+         sum(1000000 // d)::BIGINT AS ra_micro
+  FROM wedges GROUP BY x, y
+), nonedge AS (
+  SELECT sc.* FROM sc
+  LEFT JOIN e0 ON e0.a = sc.x AND e0.b = sc.y
+  WHERE e0.a IS NULL
+), bidir AS (
+  SELECT x AS node, y AS candidate, cn, ra_micro FROM nonedge
+  UNION ALL
+  SELECT y AS node, x AS candidate, cn, ra_micro FROM nonedge
+)
+SELECT node, candidate, cn, ra_micro, rank::INT AS rank FROM (
+  SELECT bidir.*, row_number() OVER (
+    PARTITION BY node
+    ORDER BY ra_micro DESC, cn DESC, candidate) AS rank
+  FROM bidir)
+WHERE rank <= 5
+""")
+def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural link prediction on the part co-occurrence graph
+    (functions/graph.py::link_prediction): per-node top-5 non-adjacent
+    candidates by resource-allocation score (sum of floor(1e6/deg)
+    over shared neighbors — Adamic-Adar's exactly-representable
+    sibling) with common-neighbor count as tie-break. The "parts bought
+    together predict the next co-purchase" recommender. Wedge
+    enumeration goes through each center once with the standard
+    degree-cap hub guard (a deg-D hub is D^2 candidate pairs and ~zero
+    RA signal); existing edges drop via one anti-join; per-node rank is
+    a partitioned window."""
+    from .functions.graph import link_prediction
+    edges = part_pair_cooccurrence(spark, sf_dir).select("part_a", "part_b")
+    return link_prediction(edges, src="part_a", dst="part_b",
+                           hub_cap=256, top_k=5)

@@ -2264,3 +2264,35 @@ def test_decode_png_rejects_corruption(spark):
                                    "doc_id long, image binary")
     with pytest.raises(Exception, match="not a PNG"):
         decode_png_gray(notpng).collect()
+
+
+def test_link_prediction_model_on_known_graph(spark):
+    """Hand graph: path 1-2-3 plus hub 4 connected to {1,2,3}. The
+    RA/CN model predicts exactly the non-edges reachable by a 2-path,
+    scores them by sum(1e6 // deg(center)), and never re-predicts an
+    existing edge."""
+    from go_streams_spark.functions.graph import link_prediction
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (2, 4), (3, 4)], "src long, dst long")
+    got = {(r["node"], r["candidate"]): (r["cn"], r["ra_micro"])
+           for r in link_prediction(edges, top_k=5).collect()}
+    # the only non-edge is (1,3): shared neighbors 2 (deg 3) and 4 (deg 3)
+    assert set(got) == {(1, 3), (3, 1)}
+    assert got[(1, 3)] == (2, 2 * (1_000_000 // 3))
+    assert got[(1, 3)] == got[(3, 1)]
+
+
+def test_link_prediction_hub_cap_excludes_centers(spark):
+    """With hub_cap=1 every center is excluded (all degrees >= 2 in the
+    wedge graph), so no predictions survive — the hub guard is real."""
+    from go_streams_spark.functions.graph import link_prediction
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    assert link_prediction(edges, hub_cap=1).count() == 0
+    got = {(r["node"], r["candidate"]) for r in
+           link_prediction(edges, hub_cap=2).collect()}
+    assert got == {(1, 3), (3, 1)}
+    import pytest
+    with pytest.raises(ValueError):
+        link_prediction(edges, hub_cap=0)
+    with pytest.raises(ValueError):
+        link_prediction(edges, top_k=0)
