@@ -228,6 +228,14 @@ BENCH_QUERIES = [
     "conversion_latency_stats",
     "cohort_retention_weekly",
     "dow_seasonality_residuals",
+    # round-7 session-2 additions
+    "zorder_layout_audit",
+    "record_linkage_fs",
+    "audio_dft_band_energy",
+    "mmr_diverse_topk",
+    "ann_ivf_balance_audit",
+    "image_png_decode_features",
+    "link_prediction_parts",
 ]
 
 

@@ -10513,3 +10513,87 @@ def link_prediction_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = part_pair_cooccurrence(spark, sf_dir).select("part_a", "part_b")
     return link_prediction(edges, src="part_a", dst="part_b",
                            hub_cap=256, top_k=5)
+
+
+# ---------------------------------------------------------------------------
+# Dedup method-selection report (round 7)
+# ---------------------------------------------------------------------------
+
+def _dedup_method_eval_sql() -> str:
+    """Compose the method-eval oracle from the oracles of the pair sets
+    it evaluates (nested WITH, the rrf_fused_ann pattern) — the ground
+    truth and two of the three candidate generators can never drift
+    from their own gates; simhash band collisions (pre-verify) are
+    restated inline since the simhash gate's oracle post-verifies."""
+    return f"""
+WITH truth AS (
+  SELECT id_a, id_b FROM ({ORACLE["setsim_prefix_pairs"]})
+), mh AS (
+  SELECT DISTINCT id_a, id_b FROM ({ORACLE["minhash_quality_report"]})
+), stoks AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(string_split(lower(text), ' '),
+                                          x -> x <> ''))) AS tok
+  FROM documents
+), sth AS (
+  SELECT doc_id, md5(tok) AS h FROM stoks
+), sbits AS (
+  SELECT doc_id, j.j,
+         ((strpos('0123456789abcdef', substr(sth.h, (j.j // 4) + 1, 1)) - 1)
+          >> (j.j % 4)) & 1 AS bit
+  FROM sth CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) j
+), ssums AS (
+  SELECT doc_id, j, sum(2 * bit - 1) AS s FROM sbits GROUP BY doc_id, j
+), simh AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN
+               CASE WHEN j = 63 THEN (-9223372036854775807 - 1)
+                    ELSE (1::BIGINT << (j % 63)) END
+             ELSE 0 END)::BIGINT AS simhash
+  FROM ssums GROUP BY doc_id
+), sband AS (
+  SELECT doc_id, k, (simhash >> (16 * k)) & 65535 AS bv
+  FROM simh CROSS JOIN generate_series(0, 3) s(k)
+), shc AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sband a JOIN sband b
+    ON a.k = b.k AND a.bv = b.bv AND a.doc_id < b.doc_id
+), wn AS (
+  SELECT id_a, id_b FROM ({ORACLE["winnowing_overlap_pairs"]})
+), preds AS (
+  SELECT 'minhash_lsh' AS method, id_a, id_b FROM mh
+  UNION ALL SELECT 'simhash64_bands', id_a, id_b FROM shc
+  UNION ALL SELECT 'winnowing', id_a, id_b FROM wn
+), np AS (
+  SELECT method, count(*)::BIGINT AS n_pred FROM preds GROUP BY method
+), tp AS (
+  SELECT p.method, count(*)::BIGINT AS true_pos
+  FROM preds p JOIN truth t ON t.id_a = p.id_a AND t.id_b = p.id_b
+  GROUP BY p.method
+), nt AS (
+  SELECT count(*)::BIGINT AS n_truth FROM truth
+)
+SELECT np.method, np.n_pred, nt.n_truth,
+       coalesce(tp.true_pos, 0)::BIGINT AS true_pos,
+       (coalesce(tp.true_pos, 0) * 1000000) // greatest(np.n_pred, 1)
+         AS precision_micro,
+       (coalesce(tp.true_pos, 0) * 1000000) // greatest(nt.n_truth, 1)
+         AS recall_micro
+FROM np LEFT JOIN tp ON tp.method = np.method CROSS JOIN nt
+"""
+
+
+@query("dedup_method_eval", _dedup_method_eval_sql())
+def dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup method-selection report (functions/dedup.py::
+    dedup_method_eval): candidate-pair precision/recall of MinHash-LSH
+    banding, simhash64 pigeonhole banding, and winnowing fingerprint
+    sharing — each against the COMPLETE exact-Jaccard ground truth the
+    PPJoin gate proves. Precision quantifies wasted verify work; recall
+    what each blocker misses (simhash/winnowing hunt a different
+    similarity notion — their sub-1 Jaccard-recall is that mismatch,
+    measured). The oracle composes the evaluated pair sets' own gate
+    oracles (nested WITH), so the report can never drift from the
+    methods it scores."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.dedup_method_eval(docs)

@@ -2296,3 +2296,23 @@ def test_link_prediction_hub_cap_excludes_centers(spark):
         link_prediction(edges, hub_cap=0)
     with pytest.raises(ValueError):
         link_prediction(edges, top_k=0)
+
+
+def test_dedup_method_eval_report_identities(spark, sf_dir):
+    """Method-eval internal identities: one row per method, shared
+    ground-truth count, tp <= min(n_pred, n_truth), ratios valid
+    micro-fractions — and minhash-LSH (which hunts exactly the Jaccard
+    notion the truth encodes) recalls a strict majority of the truth at
+    this signature width."""
+    from go_streams_spark.functions.dedup import dedup_method_eval
+    from go_streams_spark.queries import _t
+    rows = {r["method"]: r for r in
+            dedup_method_eval(_t(spark, sf_dir, "documents")).collect()}
+    assert set(rows) == {"minhash_lsh", "simhash64_bands", "winnowing"}
+    truths = {r["n_truth"] for r in rows.values()}
+    assert len(truths) == 1 and truths.pop() > 0
+    for m, r in rows.items():
+        assert 0 <= r["true_pos"] <= min(r["n_pred"], r["n_truth"]), m
+        assert 0 <= r["precision_micro"] <= 1_000_000, m
+        assert 0 <= r["recall_micro"] <= 1_000_000, m
+    assert rows["minhash_lsh"]["recall_micro"] > 500_000
