@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "ann_ivf_balance_audit",
     "image_png_decode_features",
     "link_prediction_parts",
+    "dedup_method_eval",
 ]
 
 
