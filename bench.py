@@ -237,6 +237,8 @@ BENCH_QUERIES = [
     "image_png_decode_features",
     "link_prediction_parts",
     "dedup_method_eval",
+    "incremental_join_maintenance",
+    "attribution_credit",
 ]
 
 

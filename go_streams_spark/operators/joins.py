@@ -223,3 +223,32 @@ def salted_join(left: DataFrame, right: DataFrame, *, on: Sequence[str],
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
         .withColumn("__salt", F.col("__salt").cast("int")))
     return lf.join(rt, on + ["__salt"], how).drop("__salt")
+
+
+def join_delta(left_base: DataFrame, left_delta: DataFrame,
+               right_base: DataFrame, right_delta: DataFrame,
+               on: Sequence[str] | str, *,
+               broadcast_deltas: bool = False) -> DataFrame:
+    """Incremental (delta) maintenance of an inner join under
+    insert-only updates — the algebra behind every materialized-view /
+    streaming-join refresh:
+
+        Δ(A ⋈ B) = ΔA ⋈ B ∪ A ⋈ ΔB ∪ ΔA ⋈ ΔB
+
+    computed WITHOUT touching the old result. This is the 100 TB win:
+    re-joining two petabyte tables for a 0.1% batch costs the full
+    join; the three delta terms each shuffle only delta-sized data
+    against one base (set ``broadcast_deltas`` when the batch fits in
+    memory and even the base-side shuffle disappears — each term
+    becomes a broadcast-hash join running at scan speed).
+
+    Returns the bag of ADDED result rows — exactly
+    ``new_join EXCEPT ALL old_join`` (the oracle definition), which the
+    gate query hash-verifies.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    ld = F.broadcast(left_delta) if broadcast_deltas else left_delta
+    rd = F.broadcast(right_delta) if broadcast_deltas else right_delta
+    return (left_base.join(rd, on)
+            .unionByName(ld.join(right_base, on))
+            .unionByName(ld.join(rd, on)))

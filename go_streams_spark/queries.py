@@ -10597,3 +10597,148 @@ def dedup_method_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     methods it scores."""
     docs = _t(spark, sf_dir, "documents")
     return D.dedup_method_eval(docs)
+
+
+# ---------------------------------------------------------------------------
+# Incremental join maintenance + attribution (round 7)
+# ---------------------------------------------------------------------------
+
+@query("incremental_join_maintenance", """
+WITH ob AS (
+  SELECT o_custkey AS c_custkey, o_totalprice FROM orders
+  WHERE o_orderkey % 10 <> 0
+), od AS (
+  SELECT o_custkey AS c_custkey, o_totalprice FROM orders
+  WHERE o_orderkey % 10 = 0
+), cb AS (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 7 <> 0
+), cd AS (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 7 = 0
+), oldr AS (
+  SELECT c_mktsegment, o_totalprice FROM ob JOIN cb USING (c_custkey)
+), newr AS (
+  SELECT c_mktsegment, o_totalprice
+  FROM (SELECT * FROM ob UNION ALL SELECT * FROM od) o
+  JOIN (SELECT * FROM cb UNION ALL SELECT * FROM cd) c USING (c_custkey)
+), delta AS (
+  SELECT * FROM newr EXCEPT ALL SELECT * FROM oldr
+)
+SELECT c_mktsegment, count(*)::BIGINT AS added_rows,
+       round(sum(o_totalprice), 2) AS added_revenue
+FROM delta GROUP BY c_mktsegment
+""")
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view DELTA maintenance (operators/joins.py::
+    join_delta): with insert-only batches ΔO (10% of orders) and ΔC
+    (1/7 of customers), the engine computes the join's added rows as
+    ΔO⋈C ∪ O⋈ΔC ∪ ΔO⋈ΔC — three delta-sized joins, never re-joining
+    the bases and never reading the old result. The oracle computes the
+    DEFINITION instead (new join EXCEPT ALL old join), so a hash match
+    proves the maintenance identity on real data. At 100 TB this is
+    the difference between a petabyte re-join and a batch-sized
+    refresh; with a small batch, broadcast_deltas=True turns every
+    term into a scan-speed broadcast join."""
+    from .operators.joins import join_delta
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ob = o.where(F.col("o_orderkey") % 10 != 0).drop("o_orderkey")
+    od = o.where(F.col("o_orderkey") % 10 == 0).drop("o_orderkey")
+    cb = c.where(F.col("c_custkey") % 7 != 0)
+    cd = c.where(F.col("c_custkey") % 7 == 0)
+    delta = join_delta(ob, od, cb, cd, on="c_custkey")
+    return (delta.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("added_rows"),
+                 F.round(F.sum("o_totalprice"), 2).alias("added_revenue")))
+
+
+@query("attribution_credit", """
+WITH ev AS (
+  SELECT event_id, user_id, ts, event_type,
+         floor(value * 1000000 + 0.5)::BIGINT AS v_micro
+  FROM events
+), purchases AS (
+  SELECT event_id AS pid, user_id, ts AS pts, v_micro
+  FROM ev WHERE event_type = 'purchase'
+), touches AS (
+  SELECT event_id AS tid, user_id, ts AS tts, event_type AS touch_type
+  FROM ev WHERE event_type IN ('view', 'click')
+), paired AS (
+  SELECT p.pid, p.v_micro, t.tid, t.touch_type,
+         row_number() OVER (PARTITION BY p.pid
+                            ORDER BY t.tts DESC, t.tid DESC) AS rn,
+         count(*) OVER (PARTITION BY p.pid) AS n
+  FROM purchases p
+  JOIN touches t
+    ON t.user_id = p.user_id AND t.tts < p.pts
+   AND t.tts >= p.pts - INTERVAL 1 HOUR
+), lookback AS (
+  SELECT pid, v_micro, touch_type, rn, least(n, 3) AS nl
+  FROM paired WHERE rn <= 3
+)
+SELECT model, touch_type, count(*)::BIGINT AS n_credits,
+       sum(credit)::BIGINT AS credit_micro
+FROM (
+  SELECT 'last_touch' AS model, touch_type, v_micro AS credit
+  FROM lookback WHERE rn = 1
+  UNION ALL
+  SELECT 'first_touch' AS model, touch_type, v_micro AS credit
+  FROM lookback WHERE rn = nl
+  UNION ALL
+  SELECT 'linear' AS model, touch_type,
+         v_micro // nl + CASE WHEN rn = 1 THEN v_micro % nl ELSE 0 END
+           AS credit
+  FROM lookback
+) GROUP BY model, touch_type
+""")
+def attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch marketing attribution: each purchase's value (exact
+    micro-units) credited to the view/click touchpoints in its 1-hour
+    same-user lookback (most-recent 3) under three standard models —
+    last-touch (all to rn=1), first-touch (all to the earliest kept),
+    linear (exact integer split: floor share per touch, remainder to
+    the most recent, so credit conservation is EXACT — sum of shares
+    equals the purchase value to the micro-unit). The pairing is the
+    interval-join shape: user-partitioned equi-join with a time-range
+    band, bounded by per-user event rate, never a cross join; model
+    scoring is one window per purchase grain."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type",
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+        .alias("v_micro"))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("pid"), "user_id",
+                 F.col("ts").alias("pts"), "v_micro"))
+    t = (ev.where(F.col("event_type").isin("view", "click"))
+         .select(F.col("event_id").alias("tid"), "user_id",
+                 F.col("ts").alias("tts"),
+                 F.col("event_type").alias("touch_type")))
+    paired = (p.join(t, "user_id")
+              .where((F.col("tts") < F.col("pts"))
+                     & (F.col("tts") >= F.col("pts")
+                        - F.expr("INTERVAL 1 HOUR"))))
+    w = Window.partitionBy("pid").orderBy(F.col("tts").desc(),
+                                          F.col("tid").desc())
+    wc = Window.partitionBy("pid")
+    lookback = (paired
+                .withColumn("rn", F.row_number().over(w))
+                .withColumn("nl", F.least(F.count(F.lit(1)).over(wc),
+                                          F.lit(3)))
+                .where(F.col("rn") <= 3)
+                .select("pid", "v_micro", "touch_type", "rn", "nl"))
+    last = (lookback.where(F.col("rn") == 1)
+            .select(F.lit("last_touch").alias("model"), "touch_type",
+                    F.col("v_micro").alias("credit")))
+    first = (lookback.where(F.col("rn") == F.col("nl"))
+             .select(F.lit("first_touch").alias("model"), "touch_type",
+                     F.col("v_micro").alias("credit")))
+    linear = lookback.select(
+        F.lit("linear").alias("model"), "touch_type",
+        (F.expr("v_micro div nl")
+         + F.when(F.col("rn") == 1, F.col("v_micro") % F.col("nl"))
+         .otherwise(F.lit(0))).alias("credit"))
+    return (last.unionByName(first).unionByName(linear)
+            .groupBy("model", "touch_type")
+            .agg(F.count(F.lit(1)).alias("n_credits"),
+                 F.sum("credit").cast("long").alias("credit_micro")))

@@ -471,3 +471,45 @@ def test_token_bucket_burst_and_refill(spark):
     assert [out[i][0] for i in (20, 21, 22, 23)] == [True, True, True, False]
     with _pytest.raises(ValueError, match="burst_micro"):
         token_bucket_admit(df, rate_micro_per_sec=1, burst_micro=0)
+
+
+def test_join_delta_equals_bag_difference(spark):
+    """The incremental-maintenance identity on a hand case with
+    duplicate keys: three-term delta == new_join bag-minus old_join,
+    including multiplicities (2 base orders x 1 delta customer -> 2
+    added rows)."""
+    from collections import Counter
+    from go_streams_spark.operators.joins import join_delta
+    ob = spark.createDataFrame([(1, 10.0), (1, 20.0), (2, 5.0)],
+                               "k long, v double")
+    od = spark.createDataFrame([(1, 30.0), (3, 7.0)], "k long, v double")
+    cb = spark.createDataFrame([(2, "B")], "k long, seg string")
+    cd = spark.createDataFrame([(1, "A"), (3, "C")], "k long, seg string")
+    got = Counter((r["k"], r["v"], r["seg"]) for r in
+                  join_delta(ob, od, cb, cd, "k").collect())
+    new = (ob.unionByName(od)).join(cb.unionByName(cd), "k")
+    old = ob.join(cb, "k")
+    want = Counter((r["k"], r["v"], r["seg"]) for r in new.collect())
+    want.subtract(Counter((r["k"], r["v"], r["seg"])
+                          for r in old.collect()))
+    assert got == +want
+    # broadcast variant is plan-only: same rows
+    got_b = Counter((r["k"], r["v"], r["seg"]) for r in
+                    join_delta(ob, od, cb, cd, "k",
+                               broadcast_deltas=True).collect())
+    assert got_b == got
+
+
+def test_attribution_credit_conserves_value(spark, sf_dir):
+    """Linear attribution must conserve value EXACTLY: summed linear
+    credit equals the summed v_micro of every purchase that has at
+    least one touch in its lookback window — to the micro-unit."""
+    from go_streams_spark.queries import QUERIES, _t
+    from pyspark.sql import functions as F
+    rows = QUERIES["attribution_credit"](spark, sf_dir).collect()
+    linear = sum(r["credit_micro"] for r in rows if r["model"] == "linear")
+    last = sum(r["credit_micro"] for r in rows if r["model"] == "last_touch")
+    first = sum(r["credit_micro"] for r in rows
+                if r["model"] == "first_touch")
+    # every model distributes exactly the same attributable value
+    assert linear == last == first > 0
