@@ -1087,3 +1087,189 @@ def token_budget_select(df, *, text_col: str = "text",
                      | (F.col("is_boundary")
                         & (F.col("__run") <= F.col("residual"))))
                     .alias("selected")))
+
+
+# ---------------------------------------------------------------------------
+# Unigram language-model tokenizer (SentencePiece-style), round 7
+# ---------------------------------------------------------------------------
+
+UNIGRAM_MAX_PIECE = 4    # candidate pieces: word substrings up to 4 chars
+UNIGRAM_MAX_WORD = 24    # words longer than this are ignored (DP bound)
+UNIGRAM_MIN_COUNT = 2    # multi-char pieces need corpus support
+UNIGRAM_TOP_WORDS = 500  # segmentation report: most frequent words
+
+
+def unigram_scores(counts: dict) -> dict:
+    """Integer log-prob scores (micro-units) from exact piece counts:
+    score(p) = floor(ln(count/total) * 1e6). ONE CPython source of
+    truth — the driver computes this table once from the distributed
+    exact counts and broadcasts it; the per-SF oracle generator calls
+    the SAME function on independently-derived counts, so a drift in
+    either counting path breaks the gate (the zlib-oracle convention:
+    the replayed computation is identical, the READ path independent)."""
+    import math
+    total = sum(counts.values())
+    return {p: int(math.floor(math.log(c / total) * 1_000_000))
+            for p, c in counts.items()}
+
+
+def viterbi_segment(word: str, scores: dict,
+                    max_piece: int = UNIGRAM_MAX_PIECE):
+    """Max-likelihood segmentation under the unigram LM: dp over end
+    positions, candidates = in-vocab suffix pieces up to ``max_piece``
+    chars. Deterministic total order on ties: higher score, then fewer
+    pieces, then lexicographically smallest '|'-joined segmentation.
+    Returns (pieces tuple, score_micro)."""
+    n = len(word)
+    dp = [None] * (n + 1)          # (score, npieces, joined)
+    back = [None] * (n + 1)
+    dp[0] = (0, 0, "")
+    for i in range(1, n + 1):
+        best = None
+        for j in range(max(0, i - max_piece), i):
+            if dp[j] is None:
+                continue
+            piece = word[j:i]
+            s = scores.get(piece)
+            if s is None:
+                continue
+            sc = dp[j][0] + s
+            np_ = dp[j][1] + 1
+            joined = dp[j][2] + ("|" if dp[j][2] else "") + piece
+            cand = (sc, np_, joined)
+            if (best is None or sc > best[0]
+                    or (sc == best[0] and np_ < best[1])
+                    or (sc == best[0] and np_ == best[1]
+                        and joined < best[2])):
+                best = cand
+        dp[i] = best
+    if dp[n] is None:   # uncovered char (not possible for corpus words)
+        return (word,), 0
+    sc, np_, joined = dp[n]
+    return tuple(joined.split("|")), sc
+
+
+def _word_piece_counts(words_freq) -> dict:
+    """Exact piece counts from (word, freq) pairs: every substring
+    OCCURRENCE up to UNIGRAM_MAX_PIECE chars contributes the word's
+    corpus frequency. Pure-Python twin of the Spark explode; used by
+    the oracle generator."""
+    counts: dict = {}
+    for w, f in words_freq:
+        n = len(w)
+        for i in range(n):
+            for ln in range(1, min(UNIGRAM_MAX_PIECE, n - i) + 1):
+                p = w[i:i + ln]
+                counts[p] = counts.get(p, 0) + f
+    return {p: c for p, c in counts.items()
+            if c >= UNIGRAM_MIN_COUNT or len(p) == 1}
+
+
+def unigram_segment_report(df, *, text_col: str = "text") -> "DataFrame":
+    """SentencePiece-style unigram-LM tokenizer over the corpus, end to
+    end: exact piece counts (distributed) -> integer log-prob scores
+    (driver, vocab-bounded index metadata — the same decision class as
+    an IVF codebook collect) -> Viterbi max-likelihood segmentation of
+    the UNIGRAM_TOP_WORDS most frequent words. The non-greedy sibling
+    of the BPE family: BPE commits to merges greedily, the unigram LM
+    picks each word's globally best segmentation under the corpus
+    distribution.
+
+    Scale shape: tokenization + word counts are one scan + one
+    word-grain shuffle; piece explosion runs over DISTINCT words (vocab
+    scale, Heaps-sublinear) in one Arrow pass; the segmentation DP runs
+    on 500 rows. Scores are exact ints; ties broken by (fewer pieces,
+    lexicographic) — partitioning-independent by construction."""
+    from pyspark.sql import Window
+    from typing import Iterator
+
+    toks = (df.select(F.explode(F.split(F.lower(F.col(text_col)), " "))
+                      .alias("word"))
+            .where((F.col("word") != "")
+                   & (F.length("word") <= UNIGRAM_MAX_WORD)))
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    from ..plans.caching import track_persist
+    freq = track_persist(freq)
+
+    def _pieces(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_p, out_c = [], []
+            for w, f in zip(pdf["word"], pdf["freq"]):
+                n = len(w)
+                for i in range(n):
+                    for ln in range(1, min(UNIGRAM_MAX_PIECE, n - i) + 1):
+                        out_p.append(w[i:i + ln])
+                        out_c.append(int(f))
+            yield pd.DataFrame({"piece": out_p, "c": out_c})
+
+    pc = (freq.mapInPandas(_pieces, schema="piece string, c long")
+          .groupBy("piece").agg(F.sum("c").alias("c"))
+          .where((F.col("c") >= UNIGRAM_MIN_COUNT)
+                 | (F.length("piece") == 1)))
+    # vocab-bounded collect: piece table is index metadata (Heaps' law
+    # keeps it sublinear in corpus size), the tokenizer-model analogue
+    # of a codebook
+    counts = {r["piece"]: r["c"] for r in pc.collect()}
+    scores = unigram_scores(counts)
+
+    top = (freq.orderBy(F.col("freq").desc(), "word")
+           .limit(UNIGRAM_TOP_WORDS))
+
+    def _segment(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            words, freqs, segs, nps, scs = [], [], [], [], []
+            for w, f in zip(pdf["word"], pdf["freq"]):
+                pieces, sc = viterbi_segment(w, scores)
+                words.append(w)
+                freqs.append(int(f))
+                segs.append("|".join(pieces))
+                nps.append(len(pieces))
+                scs.append(sc)
+            yield pd.DataFrame({
+                "word": words, "freq": pd.Series(freqs, dtype="int64"),
+                "segmentation": segs,
+                "n_pieces": pd.Series(nps, dtype="int32"),
+                "score_micro": pd.Series(scs, dtype="int64")})
+
+    return top.mapInPandas(_segment, schema=(
+        "word string, freq long, segmentation string, n_pieces int, "
+        "score_micro long"))
+
+
+def unigram_oracle_sql(sf_dir: str, *, table: str = "documents",
+                       text_col: str = "text") -> str:
+    """Per-SF generated oracle for unigram_segment_report: word
+    frequencies come from DuckDB's own tokenizer chain (independent of
+    Spark's scan/split), piece counting from the pure-Python twin, then
+    the IDENTICAL score + Viterbi functions replay the segmentation and
+    the results bake into a VALUES table."""
+    import os
+
+    import duckdb
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    con = duckdb.connect()
+    wf = con.execute(f"""
+        SELECT word, count(*)::BIGINT AS freq FROM (
+          SELECT unnest(list_filter(string_split(lower({text_col}), ' '),
+                                    x -> x <> '')) AS word
+          FROM read_parquet('{path}'))
+        WHERE len(word) <= {UNIGRAM_MAX_WORD}
+        GROUP BY word
+    """).fetchall()
+    counts = _word_piece_counts(wf)
+    scores = unigram_scores(counts)
+    top = sorted(wf, key=lambda r: (-r[1], r[0]))[:UNIGRAM_TOP_WORDS]
+    rows = []
+    for w, f in top:
+        pieces, sc = viterbi_segment(w, scores)
+        esc_w = w.replace("'", "''")
+        esc_s = "|".join(pieces).replace("'", "''")
+        rows.append(f"('{esc_w}', {f}, '{esc_s}', {len(pieces)}, {sc})")
+    vals = ",\n".join(rows)
+    return f"""SELECT word::VARCHAR AS word, freq::BIGINT AS freq,
+       segmentation::VARCHAR AS segmentation, n_pieces::INT AS n_pieces,
+       score_micro::BIGINT AS score_micro
+FROM (VALUES
+{vals}
+) AS t(word, freq, segmentation, n_pieces, score_micro)"""

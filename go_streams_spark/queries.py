@@ -10742,3 +10742,21 @@ def attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("model", "touch_type")
             .agg(F.count(F.lit(1)).alias("n_credits"),
                  F.sum("credit").cast("long").alias("credit_micro")))
+
+
+@query("unigram_lm_segment", T.unigram_oracle_sql)
+def unigram_lm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer (functions/text.py::
+    unigram_segment_report): exact distributed piece counts -> integer
+    log-prob scores (vocab-bounded driver table, the codebook decision
+    class) -> Viterbi max-likelihood segmentation of the 500 most
+    frequent corpus words, with deterministic tie-breaks (fewer pieces,
+    then lexicographic). The non-greedy sibling of the BPE family —
+    together they cover both dominant subword-tokenizer architectures.
+    PER-SF generated oracle: DuckDB re-derives the word frequencies
+    through its own tokenizer chain, the pure-Python twin recounts the
+    pieces, and the identical score/Viterbi functions replay the
+    segmentation into a VALUES table — a drift in either counting path
+    or the DP breaks the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.unigram_segment_report(docs)

@@ -16,6 +16,7 @@ EXAMPLES = [
     "connector_pipeline",
     "embedding_pipeline",
     "release_pipeline",
+    "retrieval_pipeline",
 ]
 
 

@@ -2316,3 +2316,32 @@ def test_dedup_method_eval_report_identities(spark, sf_dir):
         assert 0 <= r["precision_micro"] <= 1_000_000, m
         assert 0 <= r["recall_micro"] <= 1_000_000, m
     assert rows["minhash_lsh"]["recall_micro"] > 500_000
+
+
+def test_unigram_lm_segments_frequent_word_whole(spark):
+    """Unigram-LM model behavior on a controlled corpus: a high-
+    frequency short word stays a single piece (its own log-prob beats
+    any split), a hapax word falls back to single characters (multi-
+    char pieces need min_count support), and every segmentation
+    concatenates back to its word with score = sum of piece scores."""
+    from go_streams_spark.functions.text import (
+        unigram_scores, unigram_segment_report, viterbi_segment,
+        _word_piece_counts)
+    docs = spark.createDataFrame(
+        [(i, "abcd common words here") for i in range(30)]
+        + [(100, "zq unique")],
+        "doc_id long, text string")
+    rows = {r["word"]: r for r in unigram_segment_report(docs).collect()}
+    assert rows["abcd"]["segmentation"] == "abcd"
+    assert rows["abcd"]["n_pieces"] == 1
+    assert rows["zq"]["segmentation"] == "z|q"
+    # independent replay: python twin on the same (word, freq) pairs
+    wf = [("abcd", 30), ("common", 30), ("words", 30), ("here", 30),
+          ("zq", 1), ("unique", 1)]
+    scores = unigram_scores(_word_piece_counts(wf))
+    for w, r in rows.items():
+        pieces, sc = viterbi_segment(w, scores)
+        assert "".join(pieces) == w
+        assert r["segmentation"] == "|".join(pieces), w
+        assert r["score_micro"] == sc == sum(
+            scores[p] for p in pieces), w
