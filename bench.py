@@ -239,6 +239,8 @@ BENCH_QUERIES = [
     "dedup_method_eval",
     "incremental_join_maintenance",
     "attribution_credit",
+    "unigram_lm_segment",
+    "dp_noisy_event_counts",
 ]
 
 

@@ -416,3 +416,70 @@ def bootstrap_mean_ci_grouped(df: DataFrame, *, key_col: str,
     return (base.join(ci, groups)
             .select(*groups, "n_rows", "point_mean", "ci_low", "ci_high",
                     "n_replicates"))
+
+
+# ---------------------------------------------------------------------------
+# Differential privacy: discrete-Laplace noisy counts (round 7)
+# ---------------------------------------------------------------------------
+
+DP_NOISE_BOUND = 20  # truncation: P(|X| > 20) < 3e-9 at epsilon = 1
+
+
+def dp_laplace_cdf_micro(epsilon_micro: int = 1_000_000,
+                         bound: int = DP_NOISE_BOUND) -> list:
+    """CDF of the TRUNCATED discrete Laplace (two-sided geometric)
+    mechanism, P(X = k) ∝ p^|k| with p = exp(-eps), tabulated as
+    (k, cdf_micro) pairs for k in [-bound, bound]. Computed ONCE in
+    CPython and embedded as the same literal table in the Spark plan
+    and the SQL oracle — the engine-exactness convention for
+    transcendental constants (the DFT basis table's sibling). The final
+    entry is pinned to exactly 1e6 so sampling is total."""
+    import math
+    p = math.exp(-epsilon_micro / 1_000_000)
+    weights = [p ** abs(k) for k in range(-bound, bound + 1)]
+    total = sum(weights)
+    acc, out = 0.0, []
+    for k, w in zip(range(-bound, bound + 1), weights):
+        acc += w
+        out.append((k, min(1_000_000, int(math.floor(acc / total * 1e6)))))
+    out[-1] = (bound, 1_000_000)
+    return out
+
+
+def dp_noisy_counts(df, group_col: str, *, epsilon_micro: int = 1_000_000,
+                    seed: int = 7, bound: int = DP_NOISE_BOUND):
+    """Differentially-private count release: per group, true count plus
+    truncated discrete-Laplace noise — the standard integer-valued DP
+    mechanism for counting queries (sensitivity 1). Noise is sampled by
+    inverse-CDF over a hash-uniform draw u = md5(group, seed) mod 1e6,
+    so the release is REPRODUCIBLE (seeded DP, the practical deployment
+    mode: re-running the release must not spend fresh privacy budget)
+    and the gate can hash-check the mechanism end to end. Truncation at
+    +/-``bound`` costs < 3e-9 probability mass at eps=1 (documented
+    delta; raise bound to shrink it).
+
+    Plan: one count aggregate (map-side partials), one broadcast join
+    against the (2*bound+1)-row CDF table picking the smallest k with
+    u_micro < cdf — group-grain work only."""
+    if epsilon_micro <= 0:
+        raise ValueError("epsilon_micro must be positive")
+    from pyspark.sql import functions as F
+    cdf = dp_laplace_cdf_micro(epsilon_micro, bound)
+    spark = df.sparkSession
+    cdf_df = spark.createDataFrame(cdf, "k int, cdf_micro long")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("true_n"))
+    u = (F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col(group_col).cast("string"),
+        F.lit(f"dp:{seed}"))), 1, 12), 16, 10).cast("long")
+        % 1_000_000)
+    noisy = (counts.withColumn("u_micro", u)
+             .join(F.broadcast(cdf_df), F.col("u_micro") < F.col("cdf_micro"))
+             .groupBy(group_col, "true_n", "u_micro")
+             .agg(F.min("k").alias("noise")))
+    return noisy.select(
+        group_col,
+        F.col("u_micro"),
+        F.col("noise").cast("int").alias("noise"),
+        F.greatest(F.col("true_n") + F.col("noise"), F.lit(0))
+        .cast("long").alias("noisy_count"),
+        F.lit(epsilon_micro).cast("long").alias("epsilon_micro"))

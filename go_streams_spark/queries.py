@@ -10760,3 +10760,46 @@ def unigram_lm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     or the DP breaks the hash."""
     docs = _t(spark, sf_dir, "documents")
     return T.unigram_segment_report(docs)
+
+
+def _dp_noisy_counts_sql() -> str:
+    from .functions.checks import dp_laplace_cdf_micro
+    rows = ", ".join(f"({k}, {c})" for k, c in dp_laplace_cdf_micro())
+    return f"""
+WITH cdf(k, cdf_micro) AS (VALUES {rows}),
+counts AS (
+  SELECT event_type, count(*)::BIGINT AS true_n FROM events
+  GROUP BY event_type
+), u AS (
+  SELECT event_type, true_n,
+         ('0x' || substr(md5(event_type || ':dp:7'), 1, 12))::BIGINT
+           % 1000000 AS u_micro
+  FROM counts
+), pick AS (
+  SELECT u.event_type, u.true_n, u.u_micro, min(c.k) AS noise
+  FROM u JOIN cdf c ON u.u_micro < c.cdf_micro
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, u_micro, noise::INT AS noise,
+       greatest(true_n + noise, 0)::BIGINT AS noisy_count,
+       1000000::BIGINT AS epsilon_micro
+FROM pick
+"""
+
+
+@query("dp_noisy_event_counts", _dp_noisy_counts_sql())
+def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (functions/checks.py::
+    dp_noisy_counts): per-event-type counts plus truncated
+    discrete-Laplace noise at eps=1, sampled by inverse-CDF over a
+    hash-seeded uniform — reproducible DP, the deployment mode where
+    re-running a release must not spend fresh budget. The CDF constants
+    are one CPython-computed literal table shared by the Spark plan and
+    the oracle (the DFT-basis convention); the mechanism itself is one
+    count aggregate + one broadcast join against 41 CDF rows.
+    Completes the privacy family: k_anonymity_audit measures
+    identifiability, pii_scrub_docs redacts, this releases aggregates
+    with a formal budget."""
+    from .functions.checks import dp_noisy_counts
+    ev = _t(spark, sf_dir, "events")
+    return dp_noisy_counts(ev, "event_type", seed=7)

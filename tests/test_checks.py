@@ -130,3 +130,33 @@ def test_bootstrap_grouped_matches_global_on_single_group(spark):
                                   replicates=60).collect()[0]
     assert (a["point_mean"], a["ci_low"], a["ci_high"]) == \
         (b["point_mean"], b["ci_low"], b["ci_high"])
+
+
+def test_dp_noisy_counts_mechanism(spark):
+    """DP mechanism pins: the CDF table is a valid monotone CDF ending
+    at exactly 1e6; noise is symmetric-ish and mode-0 (k=0 has the
+    largest single mass); noisy counts clamp at zero; the release is
+    reproducible (same seed -> same noise) and seed-sensitive."""
+    from go_streams_spark.functions.checks import (dp_laplace_cdf_micro,
+                                                   dp_noisy_counts)
+    cdf = dp_laplace_cdf_micro()
+    assert cdf[-1][1] == 1_000_000
+    assert all(b[1] >= a[1] for a, b in zip(cdf, cdf[1:]))
+    masses = {k: c - p for (_, p), (k, c) in zip(cdf, cdf[1:])}
+    assert max(masses, key=lambda k: masses[k]) == 0
+
+    df = spark.createDataFrame([(i, "a" if i % 3 else "b")
+                                for i in range(60)], "i long, g string")
+    r1 = {r["g"]: r for r in dp_noisy_counts(df, "g", seed=7).collect()}
+    r2 = {r["g"]: r for r in dp_noisy_counts(df, "g", seed=7).collect()}
+    assert {g: r["noisy_count"] for g, r in r1.items()} == \
+        {g: r["noisy_count"] for g, r in r2.items()}
+    assert all(r["noisy_count"] >= 0 for r in r1.values())
+    assert all(abs(r["noise"]) <= 20 for r in r1.values())
+    # a different seed draws different uniforms for at least one group
+    r3 = {r["g"]: r["u_micro"]
+          for r in dp_noisy_counts(df, "g", seed=8).collect()}
+    assert any(r3[g] != r1[g]["u_micro"] for g in r3)
+    import pytest
+    with pytest.raises(ValueError):
+        dp_noisy_counts(df, "g", epsilon_micro=0)
