@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "attribution_credit",
     "unigram_lm_segment",
     "dp_noisy_event_counts",
+    "holt_linear_hourly",
 ]
 
 

@@ -212,3 +212,64 @@ def ewma_halving(df: DataFrame, *, key_cols: Sequence[str],
         out_col,
         F.round(num.cast("double") / den.cast("double") / 1000000.0, 4))
         .drop("__m"))
+
+
+def _tdiv4(a: int) -> int:
+    """Truncating (toward-zero) division by 4 — matches Spark SQL `div`
+    and DuckDB `//` on negatives, unlike Python's floor `//`."""
+    return a // 4 if a >= 0 else -((-a) // 4)
+
+
+def holt_linear(df: DataFrame, *, key_col: str, order_col: str,
+                value_col: str) -> DataFrame:
+    """Holt double exponential smoothing (level + linear trend) with
+    alpha = beta = 1/4, in exact int64 arithmetic:
+
+        l_t = (y_t + 3*(l_{t-1} + b_{t-1})) div 4
+        b_t = ((l_t - l_{t-1}) + 3*b_{t-1}) div 4
+
+    initialized classically (l_1 = y_1, b_1 = y_2 - y_1; series shorter
+    than 2 points are dropped). The trend-corrected sibling of
+    ``ewma_halving``: EWMA lags a trending series by design, Holt
+    tracks it — the standard capacity-planning / forecasting smoother.
+    Rational 1/4 weights + truncating division keep every state exact
+    (Spark `div` and DuckDB `//` both truncate toward zero), so the
+    sequential fold is engine- and partitioning-exact and a recursive
+    CTE replays it bit-for-bit.
+
+    Plan: one applyInPandas fold per key over the key's ordered grid
+    rows — state is two ints, work is grid-grain (e.g. hours), never
+    row-grain; keys parallelize across the cluster."""
+    key_type = dict(df.dtypes).get(key_col)
+    val_type = dict(df.dtypes).get(value_col)
+    order_type = dict(df.dtypes).get(order_col)
+    if key_type is None or val_type is None or order_type is None:
+        raise ValueError(
+            f"holt_linear: missing column among {key_col!r}, "
+            f"{order_col!r}, {value_col!r}")
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort") \
+            .reset_index(drop=True)
+        if len(pdf) < 2:
+            return pdf.iloc[0:0].assign(level=pd.Series(dtype="int64"),
+                                        trend=pd.Series(dtype="int64"))
+        ys = [int(v) for v in pdf[value_col]]
+        lv, tr = ys[0], ys[1] - ys[0]
+        levels, trends = [lv], [tr]
+        for y in ys[1:]:
+            nl = _tdiv4(y + 3 * (lv + tr))
+            tr = _tdiv4((nl - lv) + 3 * tr)
+            lv = nl
+            levels.append(lv)
+            trends.append(tr)
+        return pd.DataFrame({
+            key_col: pdf[key_col],
+            order_col: pdf[order_col],
+            value_col: pdf[value_col],
+            "level": pd.Series(levels, dtype="int64"),
+            "trend": pd.Series(trends, dtype="int64")})
+
+    schema = (f"{key_col} {key_type}, {order_col} {order_type}, "
+              f"{value_col} {val_type}, level long, trend long")
+    return df.groupBy(key_col).applyInPandas(_fold, schema=schema)

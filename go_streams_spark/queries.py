@@ -10803,3 +10803,54 @@ def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.checks import dp_noisy_counts
     ev = _t(spark, sf_dir, "events")
     return dp_noisy_counts(ev, "event_type", seed=7)
+
+
+@query("holt_linear_hourly", """
+WITH RECURSIVE hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         sum(floor(value * 1000000 + 0.5))::BIGINT AS y
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, h, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hourly
+), rec AS (
+  SELECT s1.event_type, 1::BIGINT AS rn, s1.y,
+         s1.y AS l, s2.y - s1.y AS b
+  FROM seq s1 JOIN seq s2
+    ON s2.event_type = s1.event_type AND s2.rn = 2
+  WHERE s1.rn = 1
+  UNION ALL
+  SELECT s.event_type, s.rn, s.y,
+         (s.y + 3 * (r.l + r.b)) // 4 AS l,
+         (((s.y + 3 * (r.l + r.b)) // 4 - r.l) + 3 * r.b) // 4 AS b
+  FROM rec r JOIN seq s
+    ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT r.event_type, s.h AS hour, r.y AS y_micro,
+       r.l AS level_micro, r.b AS trend_micro
+FROM rec r JOIN seq s
+  ON s.event_type = r.event_type AND s.rn = r.rn
+""")
+def holt_linear_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double exponential smoothing of hourly event value per type
+    (operators/aggregate.py::holt_linear): level + linear trend at
+    alpha = beta = 1/4 in exact int64 micro-units — the
+    trend-corrected forecaster EWMA can't be (EWMA lags a ramp by
+    construction). The per-key fold is sequential BY THE MODEL'S
+    DEFINITION (each state depends on the previous), so the engine
+    pays one applyInPandas pass per type over HOUR-GRID rows (720 at
+    this corpus' span — never event-grain); the recursive-CTE oracle
+    replays every step, so a single off-by-one in the fold breaks the
+    hash."""
+    from .operators.aggregate import holt_linear
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5)))
+                   .cast("long").alias("y_micro")))
+    out = holt_linear(hourly, key_col="event_type", order_col="hour",
+                      value_col="y_micro")
+    return out.select("event_type", "hour", "y_micro",
+                      F.col("level").alias("level_micro"),
+                      F.col("trend").alias("trend_micro"))

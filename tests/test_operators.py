@@ -513,3 +513,29 @@ def test_attribution_credit_conserves_value(spark, sf_dir):
                 if r["model"] == "first_touch")
     # every model distributes exactly the same attributable value
     assert linear == last == first > 0
+
+
+def test_holt_linear_tracks_ramp_exactly(spark):
+    """Model pins: on a perfect ramp y_t = 100 + 10t the Holt recursion
+    (alpha=beta=1/4, trunc div) must match a hand-rolled Python replay
+    step for step, and the trend state must approach the true slope
+    while plain EWMA-style level-only smoothing lags; a 1-point series
+    is dropped (needs the 2-point init)."""
+    from go_streams_spark.operators.aggregate import holt_linear, _tdiv4
+    rows = [("a", t, 100 + 10 * t) for t in range(12)] + [("b", 0, 5)]
+    df = spark.createDataFrame(rows, "k string, t int, y long")
+    got = {(r["k"], r["t"]): (r["level"], r["trend"])
+           for r in holt_linear(df, key_col="k", order_col="t",
+                                value_col="y").collect()}
+    assert not any(k == "b" for k, _ in got)  # short series dropped
+    lv, tr = 100, 10
+    expect = {("a", 0): (lv, tr)}
+    for t in range(1, 12):
+        y = 100 + 10 * t
+        nl = _tdiv4(y + 3 * (lv + tr))
+        tr = _tdiv4((nl - lv) + 3 * tr)
+        lv = nl
+        expect[("a", t)] = (lv, tr)
+    assert got == expect
+    # on a ramp with exact init, level tracks exactly and trend holds
+    assert got[("a", 11)] == (100 + 10 * 11, 10)
