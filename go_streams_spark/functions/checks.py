@@ -483,3 +483,67 @@ def dp_noisy_counts(df, group_col: str, *, epsilon_micro: int = 1_000_000,
         F.greatest(F.col("true_n") + F.col("noise"), F.lit(0))
         .cast("long").alias("noisy_count"),
         F.lit(epsilon_micro).cast("long").alias("epsilon_micro"))
+
+
+def kaplan_meier(df, *, id_col: str, time_col: str):
+    """Kaplan–Meier survival estimator over last-activity times — the
+    churn curve: subjects whose last activity predates the corpus
+    horizon are EVENTS (churned at that time), subjects still active at
+    the horizon are right-CENSORED (standard KM handling — they leave
+    the risk set without an event). At each event time t:
+
+        S(t) = S(t-) * (n_t - d_t) div n_t        (exact micro-units)
+
+    with n_t = subjects whose last activity >= t and d_t = events at t.
+    Truncating integer division keeps every step engine-exact, so a
+    recursive CTE replays the whole curve.
+
+    Plan shape: one subject-grain aggregate (last activity), a 1-row
+    horizon broadcast, a day-grid suffix-sum window (bounded: one row
+    per distinct activity day — declare the grid bound class on the
+    query), and one sequential fold over the <= grid-many event days
+    (two ints of state). Nothing is subject-volume-sized past the
+    first aggregate."""
+    from typing import Iterator
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    last = df.groupBy(id_col).agg(F.max(time_col).alias("__ld"))
+    mx = last.agg(F.max("__ld").alias("__mx"))
+    marked = (last.crossJoin(F.broadcast(mx))
+              .withColumn("__churn", (F.col("__ld") < F.col("__mx"))
+                          .cast("int")))
+    dist = (marked.groupBy("__ld")
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.sum("__churn").alias("__d")))
+    # suffix sum over the day grid: bounded single-partition window
+    w = (Window.orderBy(F.col("__ld").desc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    risk = (dist.withColumn("n_risk", F.sum("__n").over(w))
+            .where(F.col("__d") > 0)
+            .select(F.col("__ld").alias("t"),
+                    F.col("n_risk").cast("long"),
+                    F.col("__d").cast("long").alias("n_events")))
+
+    def _fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows = []
+        for pdf in batches:
+            rows.extend(pdf.to_dict("records"))
+        rows.sort(key=lambda r: r["t"])
+        s = 1_000_000
+        out = {"t": [], "n_risk": [], "n_events": [], "survival_micro": []}
+        for r in rows:
+            n, d = int(r["n_risk"]), int(r["n_events"])
+            s = (s * (n - d)) // n  # operands non-negative: trunc == floor
+            out["t"].append(r["t"])
+            out["n_risk"].append(n)
+            out["n_events"].append(d)
+            out["survival_micro"].append(s)
+        yield pd.DataFrame(out)
+
+    t_type = dict(risk.dtypes)["t"]
+    # the fold is one pass over grid-bounded rows; coalesce(1) makes the
+    # sequential dependency explicit instead of relying on partition luck
+    return risk.coalesce(1).mapInPandas(_fold, schema=(
+        f"t {t_type}, n_risk long, n_events long, survival_micro long"))
