@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "unigram_lm_segment",
     "dp_noisy_event_counts",
     "holt_linear_hourly",
+    "kaplan_meier_conversion",
 ]
 
 

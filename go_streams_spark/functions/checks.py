@@ -485,44 +485,37 @@ def dp_noisy_counts(df, group_col: str, *, epsilon_micro: int = 1_000_000,
         F.lit(epsilon_micro).cast("long").alias("epsilon_micro"))
 
 
-def kaplan_meier(df, *, id_col: str, time_col: str):
-    """Kaplan–Meier survival estimator over last-activity times — the
-    churn curve: subjects whose last activity predates the corpus
-    horizon are EVENTS (churned at that time), subjects still active at
-    the horizon are right-CENSORED (standard KM handling — they leave
-    the risk set without an event). At each event time t:
+def kaplan_meier(df, *, duration_col: str, event_col: str):
+    """Kaplan-Meier survival estimator over (duration, event) subject
+    rows — the classic right-censored form: ``event_col`` = 1 means the
+    event happened at ``duration_col``, 0 means the subject was only
+    observed that long (censored — leaves the risk set, no step). At
+    each event time t:
 
         S(t) = S(t-) * (n_t - d_t) div n_t        (exact micro-units)
 
-    with n_t = subjects whose last activity >= t and d_t = events at t.
+    with n_t = subjects with duration >= t and d_t = events at t.
     Truncating integer division keeps every step engine-exact, so a
     recursive CTE replays the whole curve.
 
-    Plan shape: one subject-grain aggregate (last activity), a 1-row
-    horizon broadcast, a day-grid suffix-sum window (bounded: one row
-    per distinct activity day — declare the grid bound class on the
-    query), and one sequential fold over the <= grid-many event days
-    (two ints of state). Nothing is subject-volume-sized past the
-    first aggregate."""
+    Plan shape: one duration-grain aggregate, a grid suffix-sum window
+    (bounded: one row per distinct duration — declare the grid bound
+    class on the query), and one sequential fold over the <= grid-many
+    event times (one int of state). Nothing is subject-volume-sized
+    past the first aggregate."""
     from typing import Iterator
     import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    last = df.groupBy(id_col).agg(F.max(time_col).alias("__ld"))
-    mx = last.agg(F.max("__ld").alias("__mx"))
-    marked = (last.crossJoin(F.broadcast(mx))
-              .withColumn("__churn", (F.col("__ld") < F.col("__mx"))
-                          .cast("int")))
-    dist = (marked.groupBy("__ld")
+    dist = (df.groupBy(F.col(duration_col).alias("__t"))
             .agg(F.count(F.lit(1)).alias("__n"),
-                 F.sum("__churn").alias("__d")))
-    # suffix sum over the day grid: bounded single-partition window
-    w = (Window.orderBy(F.col("__ld").desc())
+                 F.sum(F.col(event_col).cast("long")).alias("__d")))
+    w = (Window.orderBy(F.col("__t").desc())
          .rowsBetween(Window.unboundedPreceding, 0))
     risk = (dist.withColumn("n_risk", F.sum("__n").over(w))
             .where(F.col("__d") > 0)
-            .select(F.col("__ld").alias("t"),
+            .select(F.col("__t").alias("t"),
                     F.col("n_risk").cast("long"),
                     F.col("__d").cast("long").alias("n_events")))
 

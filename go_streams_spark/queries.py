@@ -60,6 +60,8 @@ BOUND_CLASSES: dict[str, str] = {
     # reduce-first series analytics: rows entering the global window are
     # one per hour bucket, independent of event volume
     "hour-grid": "distinct hours in events.ts",
+    # one row per activity day (the Kaplan-Meier timeline)
+    "day-grid": "distinct days in events.ts",
     # one row per month bucket, independent of order volume
     "month-grid": "distinct months in orders.o_orderdate",
     # global concentration ranks over one row per customer; grows with
@@ -10861,3 +10863,74 @@ def holt_linear_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "hour", "y_micro",
                       F.col("level").alias("level_micro"),
                       F.col("trend").alias("trend_micro"))
+
+
+@query("kaplan_meier_conversion", """
+WITH RECURSIVE f AS (
+  SELECT user_id, min(ts) AS first_ev, max(ts) AS last_ev,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_p
+  FROM events GROUP BY user_id
+), subj AS (
+  SELECT user_id,
+         CASE WHEN first_p IS NOT NULL
+              THEN (epoch_us(first_p) - epoch_us(first_ev)) // 3600000000
+              ELSE (epoch_us(last_ev) - epoch_us(first_ev)) // 3600000000
+         END::BIGINT AS duration_h,
+         CASE WHEN first_p IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM f
+), dist AS (
+  SELECT duration_h AS t, count(*)::BIGINT AS n, sum(ev)::BIGINT AS d
+  FROM subj GROUP BY duration_h
+), risk AS (
+  SELECT t, d AS n_events,
+         sum(n) OVER (ORDER BY t DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ::BIGINT AS n_risk
+  FROM dist
+), evt AS (
+  SELECT t, n_risk, n_events,
+         row_number() OVER (ORDER BY t) AS rn
+  FROM risk WHERE n_events > 0
+), rec AS (
+  SELECT t, n_risk, n_events, rn,
+         (1000000 * (n_risk - n_events)) // n_risk AS s
+  FROM evt WHERE rn = 1
+  UNION ALL
+  SELECT e.t, e.n_risk, e.n_events, e.rn,
+         (r.s * (e.n_risk - e.n_events)) // e.n_risk AS s
+  FROM rec r JOIN evt e ON e.rn = r.rn + 1
+)
+SELECT t AS duration_h, n_risk, n_events, s AS survival_micro FROM rec
+""", bound="hour-grid")
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-conversion curve (functions/checks.py::
+    kaplan_meier): survival probability that a user has NOT yet made a
+    first purchase t hours after their first activity, users who never
+    purchase right-censored at their last observed activity — the
+    estimator behind time-to-value and churn dashboards, in exact int64
+    micro-units (S *= (n-d) div n per event time) so the recursive-CTE
+    oracle replays the whole curve. One user-grain aggregate, a
+    duration-grid suffix-sum window (bounded — hours between first and
+    last activity), and a one-int sequential fold over <= grid-many
+    event times."""
+    from .functions.checks import kaplan_meier
+    ev = _t(spark, sf_dir, "events")
+    f = (ev.groupBy("user_id")
+         .agg(F.min("ts").alias("first_ev"), F.max("ts").alias("last_ev"),
+              F.min(F.when(F.col("event_type") == "purchase",
+                           F.col("ts"))).alias("first_p")))
+    subj = f.select(
+        F.when(
+            F.col("first_p").isNotNull(),
+            F.expr("(unix_micros(cast(first_p as timestamp)) - "
+                   "unix_micros(cast(first_ev as timestamp))) "
+                   "div 3600000000"))
+        .otherwise(
+            F.expr("(unix_micros(cast(last_ev as timestamp)) - "
+                   "unix_micros(cast(first_ev as timestamp))) "
+                   "div 3600000000"))
+        .cast("long").alias("duration_h"),
+        F.when(F.col("first_p").isNotNull(), 1).otherwise(0).alias("ev"))
+    out = kaplan_meier(subj, duration_col="duration_h", event_col="ev")
+    return out.select(F.col("t").alias("duration_h"), "n_risk",
+                      "n_events", "survival_micro")

@@ -160,3 +160,26 @@ def test_dp_noisy_counts_mechanism(spark):
     import pytest
     with pytest.raises(ValueError):
         dp_noisy_counts(df, "g", epsilon_micro=0)
+
+
+def test_kaplan_meier_textbook_case(spark):
+    """Hand-computed KM on the classic small example: durations
+    [1e,2e,2e,3c,4e,5c] (e=event, c=censored).
+      t=1: n=6 d=1 -> S = 5/6
+      t=2: n=5 d=2 -> S = 5/6 * 3/5 = 1/2
+      t=4: n=2 d=1 -> S = 1/2 * 1/2 = 1/4
+    Censored subjects shrink the risk set without a step."""
+    from go_streams_spark.functions.checks import kaplan_meier
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 1), (3, 0), (4, 1), (5, 0)],
+        "duration long, ev int")
+    rows = {r["t"]: r for r in kaplan_meier(
+        df, duration_col="duration", event_col="ev").collect()}
+    assert set(rows) == {1, 2, 4}
+    assert (rows[1]["n_risk"], rows[1]["n_events"]) == (6, 1)
+    assert rows[1]["survival_micro"] == (1_000_000 * 5) // 6
+    assert (rows[2]["n_risk"], rows[2]["n_events"]) == (5, 2)
+    assert rows[2]["survival_micro"] == ((1_000_000 * 5) // 6 * 3) // 5
+    assert (rows[4]["n_risk"], rows[4]["n_events"]) == (2, 1)
+    assert rows[4]["survival_micro"] == \
+        (((1_000_000 * 5) // 6 * 3) // 5 * 1) // 2
