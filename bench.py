@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "dp_noisy_event_counts",
     "holt_linear_hourly",
     "kaplan_meier_conversion",
+    "graph_random_walks",
 ]
 
 

@@ -483,3 +483,58 @@ def link_prediction(edges: DataFrame, *, src: str = "src",
         F.col("ra_micro").desc(), F.col("cn").desc(), "candidate")
     return (both.withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= top_k))
+
+
+def random_walks(edges: DataFrame, *, src: str = "src", dst: str = "dst",
+                 walks: int = 2, steps: int = 4, seed: int = 7) -> DataFrame:
+    """DeepWalk-style random-walk corpus over an undirected edge set —
+    the sequence generator graph-embedding pipelines (DeepWalk,
+    node2vec p=q=1) feed to a skip-gram trainer. Walks are HASH-SEEDED
+    and therefore reproducible: at step s of walk w from start node v,
+    the next hop is neighbor rank md5(start:w:s:cur:seed) mod deg(cur)
+    — no RNG state, so the corpus is identical under any partitioning,
+    re-run, or engine (the negative-sampling/training-shuffle
+    convention).
+
+    Plan shape: adjacency ranks come from one partitioned window
+    (per-node grain); each step is ONE equi-join of the frontier
+    against the ranked adjacency on (node, rank) — walk extension is
+    embarrassingly data-parallel, frontier size = nodes x walks at
+    every step, and the loop unrolls ``steps`` joins into one lazy plan
+    (chained-CTE replayable). Emits (start, walk, step, node) rows
+    including step 0."""
+    if walks < 1 or steps < 1:
+        raise ValueError("walks and steps must be >= 1")
+    e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+          .distinct())
+    adj = (e0.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+           .unionByName(e0.select(F.col("b").alias("node"),
+                                  F.col("a").alias("nbr"))))
+    w_rank = Window.partitionBy("node").orderBy("nbr")
+    ranked = adj.withColumn("rank", F.row_number().over(w_rank))
+    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    ranked = track_persist(ranked.join(deg, "node"))
+
+    walk_ids = adj.sparkSession.range(walks).select(
+        F.col("id").cast("int").alias("walk"))
+    starts = adj.select("node").distinct().crossJoin(F.broadcast(walk_ids))
+    frontier = starts.select(F.col("node").alias("start"), "walk",
+                             F.col("node").alias("cur"))
+    out = frontier.select("start", "walk", F.lit(0).alias("step"),
+                          F.col("cur").alias("node"))
+    for s in range(1, steps + 1):
+        pick = (frontier.join(ranked.hint("shuffle_hash"),
+                              frontier.cur == ranked.node)
+                .withColumn("__r", F.conv(F.substring(F.md5(F.concat_ws(
+                    ":", F.col("start").cast("string"),
+                    F.col("walk").cast("string"), F.lit(str(s)),
+                    F.col("cur").cast("string"),
+                    F.lit(str(seed)))), 1, 12), 16, 10).cast("long")
+                    % F.col("deg"))
+                .where(F.col("rank") == F.col("__r") + 1)
+                .select("start", "walk", F.col("nbr").alias("cur")))
+        out = out.unionByName(pick.select(
+            "start", "walk", F.lit(s).alias("step"),
+            F.col("cur").alias("node")))
+        frontier = pick
+    return out.withColumn("step", F.col("step").cast("int"))

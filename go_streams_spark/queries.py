@@ -10934,3 +10934,53 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = kaplan_meier(subj, duration_col="duration_h", event_col="ev")
     return out.select(F.col("t").alias("duration_h"), "n_risk",
                       "n_events", "survival_micro")
+
+
+def _random_walk_sql(walks: int = 2, steps: int = 4, seed: int = 7) -> str:
+    """Chained-CTE oracle for random_walks: one CTE per step, the hash
+    next-hop formula restated per step literal."""
+    parts = [f"""adj AS (
+  SELECT a AS node, b AS nbr FROM e0
+  UNION ALL SELECT b AS node, a AS nbr FROM e0
+), deg AS (
+  SELECT node, count(*) AS deg FROM adj GROUP BY node
+), ranked AS (
+  SELECT a.node, a.nbr,
+         row_number() OVER (PARTITION BY a.node ORDER BY a.nbr) AS rank,
+         d.deg
+  FROM adj a JOIN deg d USING (node)
+), f0 AS (
+  SELECT s.node AS start, w.walk, s.node AS cur
+  FROM (SELECT DISTINCT node FROM adj) s
+  CROSS JOIN (SELECT unnest(generate_series(0, {walks - 1})) AS walk) w
+)"""]
+    for s in range(1, steps + 1):
+        parts.append(f""", f{s} AS (
+  SELECT f.start, f.walk, r.nbr AS cur
+  FROM f{s - 1} f JOIN ranked r ON r.node = f.cur
+   AND r.rank = ('0x' || substr(md5(f.start::VARCHAR || ':'
+                 || f.walk::VARCHAR || ':{s}:' || f.cur::VARCHAR
+                 || ':{seed}'), 1, 12))::BIGINT % r.deg + 1
+)""")
+    unions = ["SELECT start, walk::INT AS walk, 0::INT AS step, "
+              "cur AS node FROM f0"]
+    unions += [f"SELECT start, walk::INT, {s}::INT, cur FROM f{s}"
+               for s in range(1, steps + 1)]
+    return ("WITH " + _part_edge_cte() + ", " + "".join(parts)
+            + "\n" + "\nUNION ALL\n".join(unions))
+
+
+@query("graph_random_walks", _random_walk_sql())
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style random-walk corpus over the part co-occurrence
+    graph (functions/graph.py::random_walks): 2 hash-seeded walks of 4
+    steps from every node — the reproducible sequence corpus a
+    skip-gram embedding trainer consumes. Next hops are
+    md5(start:walk:step:cur:seed) mod degree against a ranked adjacency
+    (no RNG state anywhere), so the corpus is bitwise identical under
+    any partitioning and the chained-CTE oracle replays every hop.
+    Each step is one frontier-vs-adjacency equi-join."""
+    from .functions.graph import random_walks
+    edges = part_pair_cooccurrence(spark, sf_dir).select("part_a", "part_b")
+    return random_walks(edges, src="part_a", dst="part_b",
+                        walks=2, steps=4, seed=7)

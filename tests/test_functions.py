@@ -2345,3 +2345,33 @@ def test_unigram_lm_segments_frequent_word_whole(spark):
         assert r["segmentation"] == "|".join(pieces), w
         assert r["score_micro"] == sc == sum(
             scores[p] for p in pieces), w
+
+
+def test_random_walks_model_properties(spark):
+    """Walk semantics on a hand graph: every emitted hop is a real
+    edge, step counts are complete (walks x (steps+1) rows per start),
+    the same seed reproduces the corpus exactly, and a different seed
+    changes at least one hop on a branching graph."""
+    from go_streams_spark.functions.graph import random_walks
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "src long, dst long")
+    adj = {(a, b) for a, b in
+           [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)]}
+    adj |= {(b, a) for a, b in adj}
+    r1 = random_walks(edges, walks=2, steps=3, seed=7).collect()
+    by_key = {}
+    for r in r1:
+        by_key.setdefault((r["start"], r["walk"]), {})[r["step"]] = r["node"]
+    assert len(by_key) == 4 * 2
+    for (start, _), path in by_key.items():
+        assert sorted(path) == [0, 1, 2, 3]
+        assert path[0] == start
+        for s in range(1, 4):
+            assert (path[s - 1], path[s]) in adj, (start, path)
+    r2 = random_walks(edges, walks=2, steps=3, seed=7).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    r3 = random_walks(edges, walks=2, steps=3, seed=8).collect()
+    assert sorted(map(tuple, r3)) != sorted(map(tuple, r1))
+    import pytest
+    with pytest.raises(ValueError):
+        random_walks(edges, walks=0)
