@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "holt_linear_hourly",
     "kaplan_meier_conversion",
     "graph_random_walks",
+    "markov_attribution",
 ]
 
 

@@ -540,3 +540,179 @@ def kaplan_meier(df, *, duration_col: str, event_col: str):
     # sequential dependency explicit instead of relying on partition luck
     return risk.coalesce(1).mapInPandas(_fold, schema=(
         f"t {t_type}, n_risk long, n_events long, survival_micro long"))
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain attribution (removal effects), round 7
+# ---------------------------------------------------------------------------
+
+MARKOV_STATES = ("start", "view", "click", "signup", "error")
+MARKOV_ITERS = 32
+
+
+def markov_conversion_value(counts: dict, removed: str | None = None,
+                            iters: int = MARKOV_ITERS) -> int:
+    """P(reach conversion from 'start') of the first-order journey
+    chain, in exact integer micro-units, by fixed-iteration value
+    iteration: v(conv) = 1e6, v(null) = 0, and per sweep (states in
+    fixed declaration order, transitions in fixed target order)
+
+        v(s) = sum_j (p_micro(s -> j) * v(j)) div 1e6 .
+
+    ``removed`` implements the REMOVAL EFFECT: every transition into
+    the removed channel is rerouted to 'null' (the channel stops
+    existing; journeys that needed it die). Pure integer arithmetic in
+    a fixed order — the one source of truth for both engines (the
+    Spark path calls it on distributed counts, the oracle generator on
+    independently-derived counts)."""
+    outs: dict = {}
+    for (a, b), n in counts.items():
+        if a == removed:
+            continue
+        b2 = "null" if b == removed else b
+        outs.setdefault(a, {})
+        outs[a][b2] = outs[a].get(b2, 0) + n
+    p_micro = {}
+    for a, tos in outs.items():
+        tot = sum(tos.values())
+        for b, n in sorted(tos.items()):
+            p_micro[(a, b)] = (n * 1_000_000) // tot
+    v = {s: 0 for s in list(MARKOV_STATES) + ["conv", "null"]}
+    v["conv"] = 1_000_000
+    for _ in range(iters):
+        nv = dict(v)
+        for s in MARKOV_STATES:
+            if s == removed:
+                nv[s] = 0
+                continue
+            acc = 0
+            for b in sorted(set(b for (a, b) in p_micro if a == s)):
+                acc += (p_micro[(s, b)] * v.get(b, 0)) // 1_000_000
+            nv[s] = acc
+        v = nv
+    return v["start"]
+
+
+def markov_transition_counts(df, *, user_col: str = "user_id",
+                             time_col: str = "ts",
+                             type_col: str = "event_type",
+                             conversion: str = "purchase") -> "DataFrame":
+    """First-order journey transition counts: per user, events ordered
+    by (time, id) up to and including the FIRST conversion (mapped to
+    'conv'); 'start' prepended, 'null' appended when no conversion.
+    One user-grain window pass; output is state-pair grain (<= 7x7
+    rows — bounded model metadata, the codebook class)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(user_col).orderBy(time_col, "event_id")
+    ev = (df.withColumn("__rn", F.row_number().over(w))
+          .withColumn("__prn", F.min(F.when(
+              F.col(type_col) == conversion, F.col("__rn"))).over(
+              Window.partitionBy(user_col)))
+          .where(F.col("__prn").isNull() | (F.col("__rn") <= F.col("__prn")))
+          .withColumn("__state", F.when(
+              F.col(type_col) == conversion, F.lit("conv"))
+              .otherwise(F.col(type_col))))
+    seq = ev.select(user_col, "__rn", "__state",
+                    F.lead("__state").over(w).alias("__next"),
+                    F.col("__prn").isNotNull().alias("__has_conv"),
+                    F.max("__rn").over(Window.partitionBy(user_col))
+                    .alias("__last"))
+    firsts = (ev.where(F.col("__rn") == 1)
+              .select(F.lit("start").alias("from_state"),
+                      F.col("__state").alias("to_state")))
+    mids = (seq.where(F.col("__next").isNotNull())
+            .select(F.col("__state").alias("from_state"),
+                    F.col("__next").alias("to_state")))
+    tails = (seq.where((F.col("__rn") == F.col("__last"))
+                       & ~F.col("__has_conv"))
+             .select(F.col("__state").alias("from_state"),
+                     F.lit("null").alias("to_state")))
+    return (firsts.unionByName(mids).unionByName(tails)
+            .groupBy("from_state", "to_state")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def markov_attribution(df, **kwargs) -> "DataFrame":
+    """Markov removal-effect attribution (Anderl et al.'s
+    data-driven model): channel credit = how much the chain's
+    conversion probability DROPS when the channel is removed,
+    normalized into shares. Transition counting is distributed
+    (markov_transition_counts); the <= 7x7 count matrix collects as
+    bounded model metadata and the fixed-iteration integer value
+    iteration runs once per channel + once for the base chain."""
+    from pyspark.sql import functions as F  # noqa: F401
+    counts_df = markov_transition_counts(df, **kwargs)
+    counts = {(r["from_state"], r["to_state"]): r["n"]
+              for r in counts_df.collect()}
+    base = markov_conversion_value(counts)
+    channels = [s for s in MARKOV_STATES if s != "start"]
+    drops = {}
+    for c in channels:
+        without = markov_conversion_value(counts, removed=c)
+        drops[c] = max(0, base - without)
+    tot = sum(drops.values())
+    spark = df.sparkSession
+    rows = [(c,
+             int(sum(n for (a, b), n in counts.items() if b == c)),
+             (drops[c] * 1_000_000) // max(base, 1),
+             (drops[c] * 1_000_000) // max(tot, 1))
+            for c in channels]
+    return spark.createDataFrame(
+        rows, "channel string, transitions_in long, "
+              "removal_drop_micro long, share_micro long")
+
+
+def markov_attribution_oracle_sql(sf_dir: str) -> str:
+    """Per-SF generated oracle for markov_attribution: journeys are
+    re-derived in pure Python from a DuckDB read (independent of
+    Spark's window/scan path), then the SAME fixed-iteration integer
+    value iteration replays the removal effects into a VALUES table."""
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        SELECT user_id, event_type
+        FROM read_parquet('{os.path.join(sf_dir, "events.parquet")}')
+        ORDER BY user_id, ts, event_id
+    """).fetchall()
+    journeys: dict = {}
+    for uid, et in rows:
+        journeys.setdefault(uid, []).append(et)
+    counts: dict = {}
+
+    def bump(a, b):
+        counts[(a, b)] = counts.get((a, b), 0) + 1
+
+    for seq in journeys.values():
+        states = []
+        for et in seq:
+            states.append("conv" if et == "purchase" else et)
+            if et == "purchase":
+                break
+        prev = "start"
+        for s in states:
+            bump(prev, s)
+            prev = s
+        if prev != "conv":
+            bump(prev, "null")
+    base = markov_conversion_value(counts)
+    channels = [s for s in MARKOV_STATES if s != "start"]
+    drops = {c: max(0, base - markov_conversion_value(counts, removed=c))
+             for c in channels}
+    tot = sum(drops.values())
+    vals = ",\n".join(
+        f"('{c}', {sum(n for (a, b), n in counts.items() if b == c)}, "
+        f"{(drops[c] * 1_000_000) // max(base, 1)}, "
+        f"{(drops[c] * 1_000_000) // max(tot, 1)})"
+        for c in channels)
+    return f"""SELECT channel::VARCHAR AS channel,
+       transitions_in::BIGINT AS transitions_in,
+       removal_drop_micro::BIGINT AS removal_drop_micro,
+       share_micro::BIGINT AS share_micro
+FROM (VALUES
+{vals}
+) AS t(channel, transitions_in, removal_drop_micro, share_micro)"""

@@ -10984,3 +10984,24 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = part_pair_cooccurrence(spark, sf_dir).select("part_a", "part_b")
     return random_walks(edges, src="part_a", dst="part_b",
                         walks=2, steps=4, seed=7)
+
+
+from .functions.checks import markov_attribution_oracle_sql as _markov_sql  # noqa: E402
+
+
+@query("markov_attribution", _markov_sql)
+def markov_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    sibling of attribution_credit's positional rules: build the
+    first-order journey chain per user (events up to first purchase,
+    'conv'/'null' absorbing), then credit each channel by how much the
+    chain's conversion probability drops when that channel is removed
+    (transitions into it reroute to 'null'), normalized into shares.
+    Transition counting is one distributed user-grain window pass; the
+    <= 7x7 count matrix is bounded model metadata (codebook class) and
+    the fixed-32-sweep integer value iteration is the shared CPython
+    source of truth for both engines. PER-SF generated oracle
+    re-derives the journeys independently from a DuckDB read."""
+    from .functions.checks import markov_attribution
+    ev = _t(spark, sf_dir, "events")
+    return markov_attribution(ev)

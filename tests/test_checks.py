@@ -183,3 +183,39 @@ def test_kaplan_meier_textbook_case(spark):
     assert (rows[4]["n_risk"], rows[4]["n_events"]) == (2, 1)
     assert rows[4]["survival_micro"] == \
         (((1_000_000 * 5) // 6 * 3) // 5 * 1) // 2
+
+
+def test_markov_attribution_hand_chain(spark):
+    """Hand journey set where one channel is the sole conversion path:
+    u1 view->click->purchase, u2 view->purchase, u3 view (no purchase).
+    Removing 'view' kills ALL conversions (every journey enters through
+    it) -> removal drop = base, share dominated by view; removing
+    'error' (never seen) changes nothing -> zero drop. Transition
+    counts and value iteration verified against the shared helper."""
+    import datetime as dt
+    from go_streams_spark.functions.checks import (
+        markov_attribution, markov_conversion_value,
+        markov_transition_counts)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, t0, "view"), (2, 1, t0.replace(hour=1), "click"),
+        (3, 1, t0.replace(hour=2), "purchase"),
+        (4, 2, t0, "view"), (5, 2, t0.replace(hour=1), "purchase"),
+        (6, 3, t0, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string")
+    counts = {(r["from_state"], r["to_state"]): r["n"]
+              for r in markov_transition_counts(df).collect()}
+    assert counts == {("start", "view"): 3, ("view", "click"): 1,
+                      ("click", "conv"): 1, ("view", "conv"): 1,
+                      ("view", "null"): 1}
+    base = markov_conversion_value(counts)
+    assert base > 0
+    assert markov_conversion_value(counts, removed="view") == 0
+    att = {r["channel"]: r for r in markov_attribution(df).collect()}
+    assert att["view"]["removal_drop_micro"] == 1_000_000  # kills base
+    assert att["error"]["removal_drop_micro"] == 0
+    assert att["view"]["share_micro"] >= att["click"]["share_micro"]
+    total_share = sum(r["share_micro"] for r in att.values())
+    assert 999_990 <= total_share <= 1_000_000  # trunc-div shortfall only
