@@ -245,6 +245,7 @@ BENCH_QUERIES = [
     "kaplan_meier_conversion",
     "graph_random_walks",
     "markov_attribution",
+    "rake_keyphrases",
 ]
 
 

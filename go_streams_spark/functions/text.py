@@ -1273,3 +1273,63 @@ def unigram_oracle_sql(sf_dir: str, *, table: str = "documents",
 FROM (VALUES
 {vals}
 ) AS t(word, freq, segmentation, n_pieces, score_micro)"""
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (round 7)
+# ---------------------------------------------------------------------------
+
+def rake_keyphrases(df, *, text_col: str = "text", id_col: str = "doc_id",
+                    stopwords: tuple = STOPWORDS, top_k: int = 3,
+                    max_run: int = 4) -> "DataFrame":
+    """RAKE (Rapid Automatic Keyword Extraction): candidate phrases are
+    maximal stopword-free runs (capped at ``max_run`` words), each word
+    scored deg/freq WITHIN ITS DOCUMENT (deg = sum of the lengths of
+    the phrases it appears in — favors words that travel in long
+    phrases; freq alone favors boilerplate), phrase score = sum of
+    member word scores, top-``top_k`` phrases per doc. Exact integer
+    micro-unit scores (one truncating division per word).
+
+    Scale shape: run segmentation is one doc-grain window (cumulative
+    stopword count); everything else is (doc, run)- or (doc, word)-
+    grain hash aggregation and the final rank a doc-partitioned window
+    — no corpus-global state at all, the embarrassingly-document-
+    parallel shape."""
+    if top_k < 1 or max_run < 1:
+        raise ValueError("top_k and max_run must be >= 1")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.filter(F.split(F.lower(F.col(text_col)), " "),
+                              lambda x: x != "")).alias("i", "t"))
+    marked = toks.withColumn("stop", F.col("t").isin(*stopwords))
+    wrun = Window.partitionBy(id_col).orderBy("i")
+    runs = marked.withColumn(
+        "run", F.sum(F.col("stop").cast("int")).over(wrun))
+    words = runs.where(~F.col("stop")).select(id_col, "run", "i", "t")
+    from ..plans.caching import track_persist
+    words = track_persist(words)
+    phr = (words.groupBy(id_col, "run")
+           .agg(F.count(F.lit(1)).alias("nw"),
+                F.array_join(F.transform(F.array_sort(F.collect_list(
+                    F.struct("i", "t"))), lambda s: s.t), " ")
+                .alias("phrase"))
+           .where(F.col("nw") <= max_run))
+    phr = track_persist(phr)
+    wstat = (words.join(phr.select(id_col, "run", "nw"), [id_col, "run"])
+             .groupBy(id_col, "t")
+             .agg(F.count(F.lit(1)).alias("freq"),
+                  F.sum("nw").alias("deg")))
+    pscore = (phr.join(words, [id_col, "run"])
+              .join(wstat, [id_col, "t"])
+              .groupBy(id_col, "run", "phrase", "nw")
+              .agg(F.sum(F.expr("(deg * 1000000) div freq"))
+                   .alias("score_micro")))
+    dedup = (pscore.groupBy(id_col, "phrase",
+                            F.col("nw").cast("int").alias("n_words"))
+             .agg(F.max("score_micro").alias("score_micro")))
+    wr = Window.partitionBy(id_col).orderBy(
+        F.col("score_micro").desc(), "phrase")
+    return (dedup.withColumn("rank", F.row_number().over(wr).cast("int"))
+            .where(F.col("rank") <= top_k))

@@ -11005,3 +11005,60 @@ def markov_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.checks import markov_attribution
     ev = _t(spark, sf_dir, "events")
     return markov_attribution(ev)
+
+
+@query("rake_keyphrases", """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                             x -> x <> '') AS l
+  FROM documents
+), toks AS (
+  SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS t FROM base
+), marked AS (
+  SELECT doc_id, i, t,
+         t IN ('the','a','of','and','to','in','is','for','on','with')
+           AS stop
+  FROM toks
+), runs AS (
+  SELECT doc_id, i, t, stop,
+         sum(CASE WHEN stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i) AS run
+  FROM marked
+), words AS (
+  SELECT doc_id, run, i, t FROM runs WHERE NOT stop
+), phr AS (
+  SELECT doc_id, run, count(*) AS nw,
+         string_agg(t, ' ' ORDER BY i) AS phrase
+  FROM words GROUP BY doc_id, run
+  HAVING count(*) <= 4
+), wstat AS (
+  SELECT w.doc_id, w.t, count(*) AS freq, sum(p.nw)::BIGINT AS deg
+  FROM words w JOIN phr p ON p.doc_id = w.doc_id AND p.run = w.run
+  GROUP BY w.doc_id, w.t
+), pscore AS (
+  SELECT p.doc_id, p.run, p.phrase, p.nw,
+         sum((s.deg * 1000000) // s.freq)::BIGINT AS score_micro
+  FROM phr p
+  JOIN words w ON w.doc_id = p.doc_id AND w.run = p.run
+  JOIN wstat s ON s.doc_id = w.doc_id AND s.t = w.t
+  GROUP BY p.doc_id, p.run, p.phrase, p.nw
+), dedup AS (
+  SELECT doc_id, phrase, nw::INT AS n_words,
+         max(score_micro) AS score_micro
+  FROM pscore GROUP BY doc_id, phrase, nw
+)
+SELECT doc_id, phrase, n_words, score_micro, rank::INT AS rank FROM (
+  SELECT dedup.*, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score_micro DESC, phrase) AS rank
+  FROM dedup)
+WHERE rank <= 3
+""")
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (functions/text.py::rake_keyphrases):
+    top-3 stopword-free phrase runs per document scored by summed
+    deg/freq word scores — the classic unsupervised keyword extractor
+    (Rose et al.), here with exact integer micro-unit scores and fully
+    document-parallel execution (doc-grain windows + hash aggregates,
+    no corpus-global state)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.rake_keyphrases(docs, top_k=3, max_run=4)

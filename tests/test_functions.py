@@ -2375,3 +2375,28 @@ def test_random_walks_model_properties(spark):
     import pytest
     with pytest.raises(ValueError):
         random_walks(edges, walks=0)
+
+
+def test_rake_keyphrases_hand_doc(spark):
+    """Classic RAKE behavior on a hand doc: multi-word phrases outrank
+    single frequent words (deg rewards phrase membership), stopwords
+    never appear inside a phrase, and runs longer than max_run drop."""
+    from go_streams_spark.functions.text import rake_keyphrases
+    docs = spark.createDataFrame(
+        [(1, "deep learning systems and deep learning models "
+             "for data processing on big clusters"),
+         (2, "one two three four five six seven")],  # 7-word run > max_run
+        "doc_id long, text string")
+    rows = rake_keyphrases(docs, top_k=3, max_run=4).collect()
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert d1, "doc 1 produced phrases"
+    top = min(d1, key=lambda r: r["rank"])
+    assert top["n_words"] >= 2  # a phrase, not a lone token
+    assert "deep learning" in top["phrase"]
+    for r in d1:
+        for w in ("and", "for", "on"):
+            assert f" {w} " not in f" {r['phrase']} "
+    assert not [r for r in rows if r["doc_id"] == 2]  # over-long run dropped
+    import pytest
+    with pytest.raises(ValueError):
+        rake_keyphrases(docs, top_k=0)
