@@ -17,6 +17,7 @@ EXAMPLES = [
     "embedding_pipeline",
     "release_pipeline",
     "retrieval_pipeline",
+    "marketing_pipeline",
 ]
 
 
