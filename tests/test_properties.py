@@ -574,3 +574,86 @@ def test_png_codec_roundtrips_arbitrary_text(spark, text):
     assert r["q01"] == int(v[:8, 9:].sum())
     assert r["q10"] == int(v[8:, :9].sum())
     assert r["q11"] == int(v[8:, 9:].sum())
+
+
+@given(subjects=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=8),
+              st.integers(min_value=0, max_value=1)),
+    min_size=1, max_size=25))
+@settings(**SETTINGS)
+def test_kaplan_meier_matches_python_model(spark, subjects):
+    """KM on arbitrary (duration, event) multisets == a pure-Python
+    product-limit replay with the same trunc-div micro arithmetic."""
+    from go_streams_spark.functions.checks import kaplan_meier
+    df = spark.createDataFrame(subjects, "duration long, ev int")
+    got = {r["t"]: (r["n_risk"], r["n_events"], r["survival_micro"])
+           for r in kaplan_meier(df, duration_col="duration",
+                                 event_col="ev").collect()}
+    s, want = 1_000_000, {}
+    for t in sorted({d for d, _ in subjects}):
+        n = sum(1 for d, _ in subjects if d >= t)
+        d_ = sum(1 for d, e in subjects if d == t and e == 1)
+        if d_ > 0:
+            s = (s * (n - d_)) // n
+            want[t] = (n, d_, s)
+    assert got == want
+
+
+@given(evs=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),   # minute offset
+              st.sampled_from(["view", "click", "purchase"]),
+              st.integers(min_value=1, max_value=500)),  # value
+    min_size=1, max_size=20))
+@settings(**SETTINGS)
+def test_attribution_credit_matches_python_model(spark, evs):
+    """Positional attribution on arbitrary single-user event streams ==
+    a pure-Python replay: same 1-hour lookback, top-3 recency, exact
+    integer linear split with remainder-to-most-recent."""
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(i + 1, 1, t0 + dt.timedelta(minutes=m), et, float(v))
+            for i, (m, et, v) in enumerate(evs)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+
+    # run the registered query body against the in-memory stand-in by
+    # swapping the table loader (restored in finally)
+    import go_streams_spark.queries as qq
+    orig = qq._t
+    try:
+        qq._t = lambda spark_, sf_, name: df
+        got = {(r["model"], r["touch_type"]): (r["n_credits"],
+                                               r["credit_micro"])
+               for r in qq.QUERIES["attribution_credit"](
+                   spark, "unused").collect()}
+    finally:
+        qq._t = orig
+
+    # python model
+    sorted_evs = sorted(rows, key=lambda r: (r[2], r[0]))
+    want: dict = {}
+
+    def add(model, tt, credit):
+        k = (model, tt)
+        n, c = want.get(k, (0, 0))
+        want[k] = (n + 1, c + credit)
+
+    for pid, _, pts, et, v in sorted_evs:
+        if et != "purchase":
+            continue
+        v_micro = int(v * 1_000_000 + 0.5)  # floor(x+.5), positive v
+        touches = [(tid, tts, tet) for tid, _, tts, tet, _ in sorted_evs
+                   if tet in ("view", "click") and tts < pts
+                   and tts >= pts - dt.timedelta(hours=1)]
+        touches.sort(key=lambda x: (x[1], x[0]), reverse=True)
+        kept = touches[:3]
+        if not kept:
+            continue
+        nl = len(kept)
+        add("last_touch", kept[0][2], v_micro)
+        add("first_touch", kept[-1][2], v_micro)
+        for rank0, (tid, tts, tet) in enumerate(kept):
+            c = v_micro // nl + (v_micro % nl if rank0 == 0 else 0)
+            add("linear", tet, c)
+    assert got == want
