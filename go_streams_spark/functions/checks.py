@@ -596,6 +596,7 @@ def markov_conversion_value(counts: dict, removed: str | None = None,
 def markov_transition_counts(df, *, user_col: str = "user_id",
                              time_col: str = "ts",
                              type_col: str = "event_type",
+                             id_col: str = "event_id",
                              conversion: str = "purchase") -> "DataFrame":
     """First-order journey transition counts: per user, events ordered
     by (time, id) up to and including the FIRST conversion (mapped to
@@ -605,7 +606,7 @@ def markov_transition_counts(df, *, user_col: str = "user_id",
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    w = Window.partitionBy(user_col).orderBy(time_col, "event_id")
+    w = Window.partitionBy(user_col).orderBy(time_col, id_col)
     ev = (df.withColumn("__rn", F.row_number().over(w))
           .withColumn("__prn", F.min(F.when(
               F.col(type_col) == conversion, F.col("__rn"))).over(

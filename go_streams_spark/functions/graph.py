@@ -456,8 +456,10 @@ def link_prediction(edges: DataFrame, *, src: str = "src",
         raise ValueError("hub_cap must be >= 1")
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
-    e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-          .distinct())
+    # canonicalize like the other undirected ops (k_core/triangles):
+    # reversed-stored or bidirectional inputs would otherwise slip the
+    # existing-edge anti-join and double degrees
+    e0 = _canonical_undirected(edges, src, dst)  # columns (a, b), a < b
     adj = (e0.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
            .unionByName(e0.select(F.col("b").alias("node"),
                                   F.col("a").alias("nbr"))))
@@ -505,8 +507,7 @@ def random_walks(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     including step 0."""
     if walks < 1 or steps < 1:
         raise ValueError("walks and steps must be >= 1")
-    e0 = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-          .distinct())
+    e0 = _canonical_undirected(edges, src, dst)  # columns (a, b), a < b
     adj = (e0.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
            .unionByName(e0.select(F.col("b").alias("node"),
                                   F.col("a").alias("nbr"))))

@@ -988,8 +988,7 @@ def dft_basis_values_sql(n: int = DFT_N, bins=DFT_BINS) -> str:
     with per-bin micro-unit lists — the oracle indexes ``cs[i + 1]``."""
     cos_t, sin_t = dft_tables(n, bins)
     rows = ", ".join(
-        f"({k}, {cos_t[k]}, {sin_t[k]})".replace("[", "[").replace("]", "]")
-        for k in bins)
+        f"({k}, {cos_t[k]}, {sin_t[k]})" for k in bins)
     return f"(VALUES {rows})"
 
 
@@ -1088,8 +1087,11 @@ def decode_png_gray(df: DataFrame, *, image_col: str = "image",
             "lum_min", "lum_max", "q00", "q01", "q10", "q11")
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out: dict[str, list] = {c: [] for c in cols}
         for pdf in batches:
+            # fresh dict per Arrow batch: a function-scope accumulator
+            # with the yield inside the loop re-emits earlier batches'
+            # rows on partitions larger than one Arrow batch
+            out: dict[str, list] = {c: [] for c in cols}
             for did, blob in zip(pdf[id_col], pdf[image_col]):
                 b = bytes(blob)
                 if b[:8] != b"\x89PNG\r\n\x1a\n":

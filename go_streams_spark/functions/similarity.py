@@ -2010,7 +2010,9 @@ def mrl_truncation_eval(df: DataFrame, *, id_col: str = "vec_id",
     # per-VECTOR prefix norms precomputed once (corpus-sized, cheap)
     # so the per-PAIR work is a single product-array fold — norms never
     # re-fold inside the pair frame
-    dl = [int(x) for x in dims]
+    # dedupe + sort: a repeated dim would alias two n{d} columns in
+    # one select and fail at plan time
+    dl = sorted({int(x) for x in dims})
     base = df.select(
         F.col(id_col), quantized_vec(vec_col, scale).alias("v"))
     base = base.select(
@@ -2133,15 +2135,20 @@ def mmr_topk(df: DataFrame, *, id_col: str = "vec_id",
         .agg(F.transform(F.array_sort(F.collect_list(
             F.struct("dim", "cc"))), lambda st: st.cc).alias("cv")))
     zero = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
     dotc = F.aggregate(F.zip_with("qv", "cv", lambda x, y: x * y),
                        zero, lambda a, x: a + x)
     nq = F.aggregate(F.transform("qv", lambda x: x * x), zero,
                      lambda a, x: a + x)
     nc = F.aggregate(F.transform("cv", lambda x: x * x), zero,
                      lambda a, x: a + x)
+    # greatest(n, 1): a zero-quantized vector (all |x| < 5e-7) must
+    # score rel 0, not NULL — the mrl_truncation_eval guard convention
     rel = (q.join(F.broadcast(cvec), "grp")
            .withColumn("rel_micro", F.floor(
-               dotc / (F.sqrt(nq) * F.sqrt(nc)) * 1_000_000 + F.lit(0.5))
+               dotc / (F.sqrt(F.greatest(nq, one))
+                       * F.sqrt(F.greatest(nc, one)))
+               * 1_000_000 + F.lit(0.5))
                .cast("long")))
     w = Window.partitionBy("grp").orderBy(F.col("rel_micro").desc(), "vid")
     cand = (rel.withColumn("__rn", F.row_number().over(w))
@@ -2157,7 +2164,11 @@ def mmr_topk(df: DataFrame, *, id_col: str = "vec_id",
             ["rel_micro", "vid"], ascending=[False, True],
             kind="mergesort").reset_index(drop=True)
         qmat = np.array(pdf["qv"].tolist(), dtype=np.float64)
-        sims = _np_quantized_cosine_micro(qmat, qmat).astype(np.int64)
+        # nan_to_num: zero-norm rows produce 0/0 -> score 0, matching
+        # the guarded SQL (0 dot over a clamped norm)
+        sims = np.nan_to_num(
+            _np_quantized_cosine_micro(qmat, qmat), nan=0.0
+        ).astype(np.int64)
         n = len(pdf)
         rels = pdf["rel_micro"].to_numpy(np.int64)
         vids = pdf["vid"].to_numpy()

@@ -1283,7 +1283,9 @@ def rake_keyphrases(df, *, text_col: str = "text", id_col: str = "doc_id",
                     stopwords: tuple = STOPWORDS, top_k: int = 3,
                     max_run: int = 4) -> "DataFrame":
     """RAKE (Rapid Automatic Keyword Extraction): candidate phrases are
-    maximal stopword-free runs (capped at ``max_run`` words), each word
+    maximal stopword-free runs (runs LONGER than ``max_run`` words are
+    dropped outright — with them their words' freq/deg contributions;
+    over-long runs are usually broken markup, not keyphrases), each word
     scored deg/freq WITHIN ITS DOCUMENT (deg = sum of the lengths of
     the phrases it appears in — favors words that travel in long
     phrases; freq alone favors boilerplate), phrase score = sum of

@@ -10298,8 +10298,10 @@ def audio_dft_band_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _qcos_micro_sql(a: str, b: str) -> str:
     return (f"floor(list_sum(list_transform(list_zip({a}, {b}), "
             f"p -> p[1] * p[2]))::BIGINT "
-            f"/ (sqrt(list_sum(list_transform({a}, x -> x * x))::BIGINT) "
-            f"* sqrt(list_sum(list_transform({b}, x -> x * x))::BIGINT)) "
+            f"/ (sqrt(greatest(list_sum(list_transform({a}, "
+            f"x -> x * x))::BIGINT, 1)) "
+            f"* sqrt(greatest(list_sum(list_transform({b}, "
+            f"x -> x * x))::BIGINT, 1))) "
             f"* 1000000 + 0.5)::BIGINT")
 
 

@@ -2400,3 +2400,27 @@ def test_rake_keyphrases_hand_doc(spark):
     import pytest
     with pytest.raises(ValueError):
         rake_keyphrases(docs, top_k=0)
+
+
+def test_decode_png_multi_batch_no_duplicates(spark):
+    """Regression: with more rows than one Arrow batch, the decoder
+    must emit each doc exactly once (a function-scope accumulator with
+    the yield inside the batch loop re-emitted earlier batches)."""
+    from go_streams_spark.functions.multimodal import (decode_png_gray,
+                                                       synth_png)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        docs = spark.createDataFrame(
+            [(i, f"doc number {i} text") for i in range(10)],
+            "doc_id long, text string").coalesce(1)
+        rows = decode_png_gray(synth_png(docs)).collect()
+        ids = [r["doc_id"] for r in rows]
+        assert sorted(ids) == list(range(10))
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
