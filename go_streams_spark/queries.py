@@ -60,8 +60,6 @@ BOUND_CLASSES: dict[str, str] = {
     # reduce-first series analytics: rows entering the global window are
     # one per hour bucket, independent of event volume
     "hour-grid": "distinct hours in events.ts",
-    # one row per activity day (the Kaplan-Meier timeline)
-    "day-grid": "distinct days in events.ts",
     # one row per month bucket, independent of order volume
     "month-grid": "distinct months in orders.o_orderdate",
     # global concentration ranks over one row per customer; grows with

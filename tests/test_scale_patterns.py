@@ -464,8 +464,6 @@ def test_single_partition_exchange_inputs_bounded(spark, sf_dir):
     class_bounds = {
         "hour-grid": (ev.select(F.date_trunc(
             "hour", F.col("ts").cast("timestamp"))).distinct().count()),
-        "day-grid": (ev.select(F.date_trunc(
-            "day", F.col("ts").cast("timestamp"))).distinct().count()),
         "month-grid": (_t(spark, sf_dir, "orders")
                        .select(F.date_trunc("month", "o_orderdate"))
                        .distinct().count()),
