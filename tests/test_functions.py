@@ -2424,3 +2424,26 @@ def test_decode_png_multi_batch_no_duplicates(spark):
         else:
             spark.conf.set(
                 "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_mmr_topk_group_smaller_than_k(spark):
+    """A group with fewer members than k emits min(k, n) ranks — no
+    padding, no crash."""
+    from go_streams_spark.functions.similarity import mmr_topk
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (10, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<float>, label int")
+    got = sorted((r["label"], r["rank"])
+                 for r in mmr_topk(emb, k=3, pool=8).collect())
+    assert got == [(0, 1), (0, 2), (1, 1)]
+
+
+def test_fellegi_sunter_zero_candidates_is_empty(spark):
+    """A corpus with no shared shingles yields zero LSH candidates and
+    an empty (not failing) linkage result."""
+    from go_streams_spark.functions.dedup import fellegi_sunter_link
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta", "en", "web", 22),
+         (2, "epsilon zeta eta theta", "de", "web", 22)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    assert fellegi_sunter_link(df).count() == 0
