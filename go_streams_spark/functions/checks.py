@@ -465,17 +465,23 @@ def dp_noisy_counts(df, group_col: str, *, epsilon_micro: int = 1_000_000,
         raise ValueError("epsilon_micro must be positive")
     from pyspark.sql import functions as F
     cdf = dp_laplace_cdf_micro(epsilon_micro, bound)
-    spark = df.sparkSession
-    cdf_df = spark.createDataFrame(cdf, "k int, cdf_micro long")
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("true_n"))
     u = (F.conv(F.substring(F.md5(F.concat_ws(
         ":", F.col(group_col).cast("string"),
         F.lit(f"dp:{seed}"))), 1, 12), 16, 10).cast("long")
         % 1_000_000)
+    # inverse CDF as a literal CASE chain (smallest k with u < cdf):
+    # the table is a compile-time constant, so sampling is pure
+    # whole-stage-codegen expression work — no join of any kind (a
+    # non-equi join against the 41-row table would plan as a
+    # BroadcastNestedLoopJoin, the node the registry audit forbids
+    # for anything but scalar builds)
+    noise_expr = F.lit(cdf[-1][0])
+    for k, c in reversed(cdf[:-1]):
+        noise_expr = F.when(F.col("u_micro") < F.lit(c),
+                            F.lit(k)).otherwise(noise_expr)
     noisy = (counts.withColumn("u_micro", u)
-             .join(F.broadcast(cdf_df), F.col("u_micro") < F.col("cdf_micro"))
-             .groupBy(group_col, "true_n", "u_micro")
-             .agg(F.min("k").alias("noise")))
+             .withColumn("noise", noise_expr))
     return noisy.select(
         group_col,
         F.col("u_micro"),

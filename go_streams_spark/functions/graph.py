@@ -459,7 +459,11 @@ def link_prediction(edges: DataFrame, *, src: str = "src",
     # canonicalize like the other undirected ops (k_core/triangles):
     # reversed-stored or bidirectional inputs would otherwise slip the
     # existing-edge anti-join and double degrees
-    e0 = _canonical_undirected(edges, src, dst)  # columns (a, b), a < b
+    # persist the canonical edge set: BOTH the adjacency (wedge join)
+    # and the existing-edge anti-join read it, and its lineage is the
+    # caller's whole edge-construction pipeline (a basket explode for
+    # the part graph) — without the pin the anti-join branch replays it
+    e0 = track_persist(_canonical_undirected(edges, src, dst))
     adj = (e0.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
            .unionByName(e0.select(F.col("b").alias("node"),
                                   F.col("a").alias("nbr"))))
@@ -516,9 +520,11 @@ def random_walks(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
     ranked = track_persist(ranked.join(deg, "node"))
 
-    walk_ids = adj.sparkSession.range(walks).select(
-        F.col("id").cast("int").alias("walk"))
-    starts = adj.select("node").distinct().crossJoin(F.broadcast(walk_ids))
+    # walk ids via explode of a literal array — a crossJoin against a
+    # walk-id frame would plan as a nested-loop join (audit-forbidden)
+    starts = (adj.select("node").distinct()
+              .withColumn("walk", F.explode(F.array(
+                  *[F.lit(i).cast("int") for i in range(walks)]))))
     frontier = starts.select(F.col("node").alias("start"), "walk",
                              F.col("node").alias("cur"))
     out = frontier.select("start", "walk", F.lit(0).alias("step"),
