@@ -246,6 +246,8 @@ BENCH_QUERIES = [
     "graph_random_walks",
     "markov_attribution",
     "rake_keyphrases",
+    "offpolicy_ips_eval",
+    "conformal_calibration",
 ]
 
 

@@ -11062,3 +11062,139 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     no corpus-global state)."""
     docs = _t(spark, sf_dir, "documents")
     return T.rake_keyphrases(docs, top_k=3, max_run=4)
+
+
+# ---------------------------------------------------------------------------
+# Off-policy evaluation + conformal calibration (round 7)
+# ---------------------------------------------------------------------------
+
+@query("offpolicy_ips_eval", """
+WITH logged AS (
+  SELECT event_type AS action,
+         floor(value * 1000000 + 0.5)::BIGINT AS r_micro,
+         extract(hour FROM ts)::INT AS hr
+  FROM events
+), pol AS (
+  SELECT 'daypart_rule' AS policy, action, r_micro,
+         CASE WHEN (CASE WHEN hr < 12 THEN 'view' ELSE 'click' END)
+              = action THEN 1 ELSE 0 END AS m
+  FROM logged
+  UNION ALL
+  SELECT 'always_purchase', action, r_micro,
+         CASE WHEN action = 'purchase' THEN 1 ELSE 0 END
+  FROM logged
+)
+SELECT policy,
+       count(*)::BIGINT AS n_logged,
+       sum(m)::BIGINT AS n_matched,
+       (sum(m * r_micro * 5)) // count(*) AS ips_micro,
+       (sum(m * r_micro)) // greatest(sum(m), 1) AS snips_micro
+FROM pol GROUP BY policy
+""")
+def offpolicy_ips_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy (counterfactual) evaluation by importance sampling —
+    the bandit-replay estimator: the synthetic event log's actions are
+    declared uniformly logged (propensity 1/5 over the five event
+    types), and two deterministic target policies are valued WITHOUT
+    deployment: IPS = E[r * 1(pi(x)=a) / p] (here * 5), SNIPS = the
+    self-normalized variant that trades a little bias for much lower
+    variance (the production default). Exact integer micro-units, one
+    scan + one group-grain aggregate per policy — the evaluation shape
+    that replays a 100 TB log in a single pass. The daypart rule's
+    context is the event hour; matching is exact-action."""
+    ev = _t(spark, sf_dir, "events")
+    logged = ev.select(
+        F.col("event_type").alias("action"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+        .alias("r_micro"),
+        F.hour(F.col("ts").cast("timestamp")).alias("hr"))
+    daypart = F.when(F.col("hr") < 12, "view").otherwise("click")
+    p1 = logged.select(
+        F.lit("daypart_rule").alias("policy"), "action", "r_micro",
+        F.when(daypart == F.col("action"), 1).otherwise(0).alias("m"))
+    p2 = logged.select(
+        F.lit("always_purchase").alias("policy"), "action", "r_micro",
+        F.when(F.col("action") == "purchase", 1).otherwise(0).alias("m"))
+    return (p1.unionByName(p2)
+            .groupBy("policy")
+            .agg(F.count(F.lit(1)).alias("n_logged"),
+                 F.sum("m").cast("long").alias("n_matched"),
+                 F.expr("sum(m * r_micro * 5) div count(*)")
+                 .alias("ips_micro"),
+                 F.expr("sum(m * r_micro) div greatest(sum(m), 1)")
+                 .alias("snips_micro")))
+
+
+@query("conformal_calibration", """
+WITH base AS (
+  SELECT user_id, event_type,
+         floor(value * 1000000 + 0.5)::BIGINT AS y,
+         user_id % 2 = 0 AS is_cal
+  FROM events
+), pred AS (
+  SELECT event_type, sum(y) // count(*) AS yhat
+  FROM base WHERE is_cal GROUP BY event_type
+), cal AS (
+  SELECT abs(b.y - p.yhat) AS score
+  FROM base b JOIN pred p USING (event_type) WHERE b.is_cal
+), ncal AS (
+  SELECT count(*)::BIGINT AS n FROM cal
+), qhat AS (
+  SELECT score AS q FROM (
+    SELECT score, row_number() OVER (ORDER BY score) AS rn FROM cal)
+  CROSS JOIN ncal
+  WHERE rn = least(((n + 1) * 9 + 9) // 10, n)
+), test AS (
+  SELECT abs(b.y - p.yhat) <= q.q AS covered
+  FROM base b JOIN pred p USING (event_type) CROSS JOIN qhat q
+  WHERE NOT b.is_cal
+)
+SELECT 100000::BIGINT AS alpha_micro,
+       (SELECT n FROM ncal) AS n_cal,
+       count(*)::BIGINT AS n_test,
+       (SELECT q FROM qhat) AS qhat_micro,
+       (sum(CASE WHEN covered THEN 1 ELSE 0 END) * 1000000) // count(*)
+         AS coverage_micro
+FROM test
+""")
+def conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction calibration — the distribution-free
+    uncertainty wrapper every model-serving stack is adding: a simple
+    per-type mean predictor is fit on the calibration half (even user
+    ids), nonconformity = |y - yhat|, q_hat = the ceil((n+1)*0.9)-th
+    smallest calibration score (alpha = 0.1), and the test half reports
+    empirical coverage of the interval yhat +/- q_hat (the
+    finite-sample >= 90% guarantee, checked by the test). Exact
+    integers end to end; the calibration order statistic uses the
+    distributed ordinal (one range shuffle + broadcast offsets — no
+    SinglePartition over the calibration set)."""
+    from .operators import distributed_ordinal
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_type",
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+        .alias("y"),
+        (F.col("user_id") % 2 == 0).alias("is_cal"))
+    pred = (base.where("is_cal").groupBy("event_type")
+            .agg(F.expr("sum(y) div count(*)").alias("yhat")))
+    joined = base.join(F.broadcast(pred), "event_type") \
+        .withColumn("score", F.abs(F.col("y") - F.col("yhat")))
+    cal = joined.where("is_cal").select("score")
+    ordn = distributed_ordinal(cal, order_by=["score"], idx="rn",
+                               total_col="__n")
+    qhat = (ordn.where(F.col("rn") == F.least(
+        F.expr("((__n + 1) * 9 + 9) div 10"), F.col("__n")))
+        .select(F.col("score").alias("q")).limit(1))
+    test = (joined.where(~F.col("is_cal"))
+            .crossJoin(F.broadcast(qhat))
+            .select((F.col("score") <= F.col("q")).alias("covered"),
+                    "q"))
+    n_cal = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    summary = test.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.max("q").alias("qhat_micro"),
+        F.expr("(sum(CASE WHEN covered THEN 1 ELSE 0 END) * 1000000)"
+               " div count(*)").alias("coverage_micro"))
+    return (F.broadcast(n_cal).crossJoin(summary)
+            .select(F.lit(100000).cast("long").alias("alpha_micro"),
+                    "n_cal", "n_test", "qhat_micro", "coverage_micro"))

@@ -219,3 +219,32 @@ def test_markov_attribution_hand_chain(spark):
     assert att["view"]["share_micro"] >= att["click"]["share_micro"]
     total_share = sum(r["share_micro"] for r in att.values())
     assert 999_990 <= total_share <= 1_000_000  # trunc-div shortfall only
+
+
+def test_conformal_coverage_guarantee(spark, sf_dir):
+    """Split conformal's finite-sample guarantee: empirical test
+    coverage must be >= 1 - alpha (minus a small finite-sample slack)
+    and q_hat must be a real calibration score (non-negative)."""
+    from go_streams_spark.queries import QUERIES
+    r = QUERIES["conformal_calibration"](spark, sf_dir).collect()[0]
+    assert r["alpha_micro"] == 100_000
+    assert r["n_cal"] > 0 and r["n_test"] > 0
+    assert r["qhat_micro"] >= 0
+    # >= 90% coverage with 2% finite-sample slack at these corpus sizes
+    assert r["coverage_micro"] >= 880_000, r
+
+
+def test_offpolicy_ips_identities(spark, sf_dir):
+    """IPS/SNIPS identities: the always_purchase policy matches exactly
+    the purchase rows, its SNIPS equals the mean purchase reward, and
+    IPS = SNIPS * (5 * n_matched / n) (the importance-weight mass)."""
+    from go_streams_spark.queries import QUERIES
+    rows = {r["policy"]: r for r in
+            QUERIES["offpolicy_ips_eval"](spark, sf_dir).collect()}
+    ap = rows["always_purchase"]
+    assert 0 < ap["n_matched"] < ap["n_logged"]
+    # IPS ~= SNIPS * 5 * matched / n (trunc-div rounding slack)
+    approx = ap["snips_micro"] * 5 * ap["n_matched"] // ap["n_logged"]
+    assert abs(ap["ips_micro"] - approx) <= 5, ap
+    dr = rows["daypart_rule"]
+    assert dr["n_matched"] > 0
