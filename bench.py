@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "rake_keyphrases",
     "offpolicy_ips_eval",
     "conformal_calibration",
+    "offpolicy_dr_eval",
 ]
 
 

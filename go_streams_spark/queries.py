@@ -11198,3 +11198,75 @@ def conformal_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (F.broadcast(n_cal).crossJoin(summary)
             .select(F.lit(100000).cast("long").alias("alpha_micro"),
                     "n_cal", "n_test", "qhat_micro", "coverage_micro"))
+
+
+@query("offpolicy_dr_eval", """
+WITH logged AS (
+  SELECT event_type AS action,
+         floor(value * 1000000 + 0.5)::BIGINT AS r_micro,
+         extract(hour FROM ts)::INT AS hr
+  FROM events
+), qhat AS (
+  SELECT action, sum(r_micro) // count(*) AS q FROM logged GROUP BY action
+), pol AS (
+  SELECT 'daypart_rule' AS policy, l.action, l.r_micro,
+         CASE WHEN l.hr < 12 THEN 'view' ELSE 'click' END AS pi_a
+  FROM logged l
+  UNION ALL
+  SELECT 'always_purchase', l.action, l.r_micro, 'purchase'
+  FROM logged l
+), terms AS (
+  SELECT p.policy,
+         qp.q AS q_pol,
+         CASE WHEN p.pi_a = p.action THEN 1 ELSE 0 END AS m,
+         p.r_micro, ql.q AS q_log
+  FROM pol p
+  JOIN qhat qp ON qp.action = p.pi_a
+  JOIN qhat ql ON ql.action = p.action
+)
+SELECT policy, count(*)::BIGINT AS n_logged,
+       (sum(q_pol)) // count(*) AS dm_micro,
+       (sum(m * r_micro * 5)) // count(*) AS ips_micro,
+       (sum(q_pol + 5 * m * (r_micro - q_log))) // count(*) AS dr_micro
+FROM terms GROUP BY policy
+""")
+def offpolicy_dr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubly-robust off-policy evaluation — the estimator that
+    completes the OPE family (offpolicy_ips_eval): the direct-method
+    term scores the target action with a reward model (per-action mean
+    trained on the log — 5 rows of bounded model metadata, broadcast),
+    and the importance-weighted residual corrects the model's bias on
+    matched rows: DR = E[q(pi(x)) + (1(pi=a)/p)(r - q(a))]. Unbiased if
+    EITHER the propensity or the reward model is right — the property
+    that makes DR the production OPE default. One scan, two broadcast
+    joins against the 5-row model, group-grain aggregates; exact int64
+    micro-units."""
+    ev = _t(spark, sf_dir, "events")
+    logged = ev.select(
+        F.col("event_type").alias("action"),
+        F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+        .alias("r_micro"),
+        F.hour(F.col("ts").cast("timestamp")).alias("hr"))
+    qhat = (logged.groupBy("action")
+            .agg(F.expr("sum(r_micro) div count(*)").alias("q")))
+    daypart = F.when(F.col("hr") < 12, "view").otherwise("click")
+    p1 = logged.select(F.lit("daypart_rule").alias("policy"),
+                       "action", "r_micro", daypart.alias("pi_a"))
+    p2 = logged.select(F.lit("always_purchase").alias("policy"),
+                       "action", "r_micro", F.lit("purchase").alias("pi_a"))
+    pol = p1.unionByName(p2)
+    qp = qhat.select(F.col("action").alias("pi_a"),
+                     F.col("q").alias("q_pol"))
+    ql = qhat.select(F.col("action").alias("action"),
+                     F.col("q").alias("q_log"))
+    terms = (pol.join(F.broadcast(qp), "pi_a")
+             .join(F.broadcast(ql), "action")
+             .withColumn("m", F.when(F.col("pi_a") == F.col("action"), 1)
+                         .otherwise(0)))
+    return (terms.groupBy("policy")
+            .agg(F.count(F.lit(1)).alias("n_logged"),
+                 F.expr("sum(q_pol) div count(*)").alias("dm_micro"),
+                 F.expr("sum(m * r_micro * 5) div count(*)")
+                 .alias("ips_micro"),
+                 F.expr("sum(q_pol + 5 * m * (r_micro - q_log)) "
+                        "div count(*)").alias("dr_micro")))

@@ -248,3 +248,38 @@ def test_offpolicy_ips_identities(spark, sf_dir):
     assert abs(ap["ips_micro"] - approx) <= 5, ap
     dr = rows["daypart_rule"]
     assert dr["n_matched"] > 0
+
+
+def test_offpolicy_dr_identities(spark, sf_dir):
+    """DR pinned against an independent pandas replay of the estimator
+    (per-action mean reward model, uniform 1/5 propensity, both target
+    policies), and its IPS term cross-checked against the IPS query."""
+    from go_streams_spark.queries import QUERIES, _t
+    rows = {r["policy"]: r for r in
+            QUERIES["offpolicy_dr_eval"](spark, sf_dir).collect()}
+    ips_rows = {r["policy"]: r for r in
+                QUERIES["offpolicy_ips_eval"](spark, sf_dir).collect()}
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", "ts").toPandas()
+    import math
+    acts = ev["event_type"].tolist()
+    rs = [int(math.floor(v * 1_000_000 + 0.5)) for v in ev["value"]]
+    hrs = [t.hour for t in ev["ts"]]
+    q = {}
+    for a in set(acts):
+        vals = [r for r, aa in zip(rs, acts) if aa == a]
+        q[a] = sum(vals) // len(vals)
+    for pol, pi in (("daypart_rule",
+                     lambda h: "view" if h < 12 else "click"),
+                    ("always_purchase", lambda h: "purchase")):
+        n = len(acts)
+        dm = sum(q[pi(h)] for h in hrs) // n
+        ips = sum(5 * r for r, a, h in zip(rs, acts, hrs)
+                  if pi(h) == a) // n
+        dr = sum(q[pi(h)] + (5 * (r - q[a]) if pi(h) == a else 0)
+                 for r, a, h in zip(rs, acts, hrs)) // n
+        got = rows[pol]
+        assert got["n_logged"] == n
+        assert got["dm_micro"] == dm, pol
+        assert got["ips_micro"] == ips == ips_rows[pol]["ips_micro"], pol
+        assert got["dr_micro"] == dr, pol
