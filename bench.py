@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "offpolicy_ips_eval",
     "conformal_calibration",
     "offpolicy_dr_eval",
+    "diff_in_diff_value",
 ]
 
 

@@ -11270,3 +11270,75 @@ def offpolicy_dr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("ips_micro"),
                  F.expr("sum(q_pol + 5 * m * (r_micro - q_log)) "
                         "div count(*)").alias("dr_micro")))
+
+
+@query("diff_in_diff_value", """
+WITH bounds AS (
+  SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us FROM events
+), cells AS (
+  SELECT (user_id % 2 = 0) AS treated,
+         (epoch_us(ts) >= mid_us) AS post,
+         floor(value * 1000000 + 0.5)::BIGINT AS r
+  FROM events CROSS JOIN bounds
+), agg AS (
+  SELECT treated, post, count(*)::BIGINT AS n,
+         sum(r) // count(*) AS mean_micro
+  FROM cells GROUP BY treated, post
+)
+SELECT
+  max(CASE WHEN treated AND NOT post THEN n END) AS n_pre_treat,
+  max(CASE WHEN treated AND post THEN n END) AS n_post_treat,
+  max(CASE WHEN NOT treated AND NOT post THEN n END) AS n_pre_ctrl,
+  max(CASE WHEN NOT treated AND post THEN n END) AS n_post_ctrl,
+  max(CASE WHEN treated AND NOT post THEN mean_micro END) AS pre_treat_micro,
+  max(CASE WHEN treated AND post THEN mean_micro END) AS post_treat_micro,
+  max(CASE WHEN NOT treated AND NOT post THEN mean_micro END) AS pre_ctrl_micro,
+  max(CASE WHEN NOT treated AND post THEN mean_micro END) AS post_ctrl_micro,
+  (max(CASE WHEN treated AND post THEN mean_micro END)
+   - max(CASE WHEN treated AND NOT post THEN mean_micro END))
+  - (max(CASE WHEN NOT treated AND post THEN mean_micro END)
+     - max(CASE WHEN NOT treated AND NOT post THEN mean_micro END))
+    AS did_micro
+FROM agg
+""")
+def diff_in_diff_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the workhorse quasi-experimental
+    estimator: treatment = even user ids, period split at the corpus
+    time midpoint (epoch-microsecond arithmetic, engine-exact), effect
+    = (post - pre) of treated minus (post - pre) of control, canceling
+    both group-level and time-level confounds under parallel trends.
+    Completes the causal/eval family (ab_test_welch = randomized,
+    offpolicy_* = counterfactual replay, this = observational panel).
+    One scan + a 4-cell aggregate; exact int64 micro-unit means."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.expr(
+        "(unix_micros(cast(min(ts) as timestamp)) "
+        "+ unix_micros(cast(max(ts) as timestamp))) div 2").alias("mid_us"))
+    cells = (ev.crossJoin(F.broadcast(bounds))
+             .select((F.col("user_id") % 2 == 0).alias("treated"),
+                     F.expr("unix_micros(cast(ts as timestamp)) >= mid_us")
+                     .alias("post"),
+                     F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+                     .cast("long").alias("r")))
+    agg = (cells.groupBy("treated", "post")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.expr("sum(r) div count(*)").alias("mean_micro")))
+
+    def cell(tr, po, col):
+        return F.max(F.when((F.col("treated") == tr)
+                            & (F.col("post") == po), F.col(col)))
+
+    did = ((cell(True, True, "mean_micro")
+            - cell(True, False, "mean_micro"))
+           - (cell(False, True, "mean_micro")
+              - cell(False, False, "mean_micro")))
+    return agg.agg(
+        cell(True, False, "n").alias("n_pre_treat"),
+        cell(True, True, "n").alias("n_post_treat"),
+        cell(False, False, "n").alias("n_pre_ctrl"),
+        cell(False, True, "n").alias("n_post_ctrl"),
+        cell(True, False, "mean_micro").alias("pre_treat_micro"),
+        cell(True, True, "mean_micro").alias("post_treat_micro"),
+        cell(False, False, "mean_micro").alias("pre_ctrl_micro"),
+        cell(False, True, "mean_micro").alias("post_ctrl_micro"),
+        did.alias("did_micro"))

@@ -283,3 +283,37 @@ def test_offpolicy_dr_identities(spark, sf_dir):
         assert got["dm_micro"] == dm, pol
         assert got["ips_micro"] == ips == ips_rows[pol]["ips_micro"], pol
         assert got["dr_micro"] == dr, pol
+
+
+def test_diff_in_diff_synthetic_effect(spark):
+    """Planted-effect recovery: control is flat (10 -> 10), treated
+    jumps (10 -> 25) post-midpoint -> DiD = +15 exactly; a common time
+    shock added to BOTH groups cancels out of the estimate."""
+    import datetime as dt
+    from go_streams_spark.queries import QUERIES
+    import go_streams_spark.queries as qq
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day in range(10):
+        post = day >= 5
+        shock = 3.0 if post else 0.0  # common time shock
+        for rep in range(4):
+            eid += 1  # treated: even user ids
+            rows.append((eid, 2, t0 + dt.timedelta(days=day, minutes=rep),
+                         "view", (25.0 if post else 10.0) + shock))
+            eid += 1
+            rows.append((eid, 3, t0 + dt.timedelta(days=day, minutes=rep),
+                         "view", 10.0 + shock))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+    orig = qq._t
+    try:
+        qq._t = lambda spark_, sf_, name: df
+        r = QUERIES["diff_in_diff_value"](spark, "unused").collect()[0]
+    finally:
+        qq._t = orig
+    assert r["did_micro"] == 15_000_000, r
+    # the shock moved both post means but not the estimate
+    assert r["post_ctrl_micro"] - r["pre_ctrl_micro"] == 3_000_000
