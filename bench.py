@@ -250,7 +250,98 @@ BENCH_QUERIES = [
     "conformal_calibration",
     "offpolicy_dr_eval",
     "diff_in_diff_value",
+    # round-8 additions: the formerly-unbenched registry tail (VERDICT r7
+    # task #4 — no silent caps). Everything registered is now either
+    # benched here, benched in the streaming lane, or excluded with a
+    # recorded reason; tests/test_bench_coverage.py asserts the
+    # three-way partition covers the registry exactly.
+    "setsim_pairs_lsh",
+    "approx_distinct_users",
+    "cogroup_user_activity",
+    "cumulative_user_growth",
+    "deterministic_sample_docs",
+    "doc_fingerprint",
+    "domain_quota_sample",
+    "embedding_near_dup_lsh",
+    "fd_holds_orders",
+    "fold_python_per_key",
+    "funnel_view_click_purchase",
+    "join_fanout_profile",
+    "key_uniqueness_profile",
+    "kmv_audience_overlap",
+    "kmv_distinct_users",
+    "lang_id_counts",
+    "ltv_decile_profile",
+    "markov_transitions",
+    "mean_ci_by_type",
+    "mixture_sample_docs",
+    "modal_event_type_per_user",
+    "null_semantics_groupby",
+    "outlier_filtered_stats",
+    "pivot_priority_counts",
+    "price_histogram",
+    "q4_order_priority",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q22_idle_rich_customers",
+    "quality_scores",
+    "range_frame_rolling_revenue",
+    "retention_cohorts",
+    "rfm_segments",
+    "round_robin_buckets",
+    "seasonality_dow_hour",
+    "sentence_stats",
+    "udtf_word_positions",
+    "union_by_name_evolution",
+    "unpivot_lineitem_measures",
+    "weighted_sample_docs",
 ]
+
+# Structured Streaming lane: availableNow trigger wall-time per query.
+# Benched separately (2 runs, own detail section) because each pays
+# multi-second fixed trigger/state-store/checkpoint startup that is real
+# streaming cost but incomparable with the batch headline total.
+STREAMING_BENCH = [
+    "stream_batch_parity_tumbling",
+    "stream_parity_sliding",
+    "stream_parity_session",
+    "stream_parity_keyed_tumbling",
+    "stream_fold_running_sum",
+    "stream_dedup_event_pairs",
+    "stream_join_view_purchase",
+    "cep_stream_funnel",
+]
+
+# Registry queries deliberately NOT benched, each with its reason — the
+# exclusion list is data in BENCH_DETAIL.json, never a silent cap.
+EXCLUDED = {
+    "array_functions_sampler": "function-surface correctness sampler; sub-second, no plan shape the benched set lacks",
+    "boolean_aggregates_sampler": "function-surface correctness sampler; sub-second, no plan shape the benched set lacks",
+    "scalar_function_sampler": "function-surface correctness sampler; sub-second, no plan shape the benched set lacks",
+    "window_functions_sampler": "function-surface correctness sampler; sub-second, no plan shape the benched set lacks",
+    "batch_collect_flatten": "deliberately driver-bounded collect-and-flatten contract pin; benching would time the collect the engine forbids in hot paths",
+    "bpe_encode_corpus": "encode stage benched inside bpe_fertility_by_lang (same Arrow encode path + one extra agg)",
+    "cep_error_burst": "same sessionize-once + regex-per-session plan as benched cep_funnel_pattern",
+    "cube_status_flag": "strict subset of benched cube_status_flag_metrics (same CUBE, fewer measures)",
+    "dedup_components": "same MinHash->connected-components pipeline benched via leakage_safe_split",
+    "neardup_keep_best": "same MinHash->connected-components pipeline benched via leakage_safe_split",
+    "embedding_near_dup": "exact O(N^2)-FLOP contract (quadratic by design); benched production sibling is embedding_near_dup_lsh",
+    "mad_outlier_stats": "exact two-pass-median correctness pin; the benched headline is mad_outlier_stats_hist (bucketed-CDF plan a cluster runs)",
+    "map_python_udf": "UDF-path parity pin (byte-identical to map_project); the benched path is the JVM projection",
+    "minhash_signatures": "sub-stage of benched dedup_minhash_pairs (signatures only, no join)",
+    "pq_encode_codes": "sub-stage of benched ann_ivf_pq / pq_adc_topk (codes only, no search)",
+    "simhash64_docs": "sub-stage of benched simhash64_near_pairs (hashes only, no band join)",
+    "simhash_near_pairs": "32-bit twin of benched simhash64_near_pairs (same plan, narrower hash)",
+    "q8_market_share": "DataFrame twin of benched sql_surface_market_share (identical plan via SQL API)",
+    "text_redact_pii": "same regex-scrub plan class as benched pii_scrub_docs",
+    "multimodal_meta": "binary-plumbing pin with deterministic fake codec; real-codec twin multimodal_features_real_bmp is benched",
+    "multimodal_features": "binary-plumbing pin with deterministic fake codec; real-codec twin multimodal_features_real_bmp is benched",
+    "multimodal_resize": "binary-plumbing pin with deterministic fake codec; real-codec twin image_bmp_decode_features is benched",
+    "multimodal_frame_sample": "binary-plumbing pin with deterministic fake codec; real-codec twin video_avi_frame_sample is benched",
+    "pass_through": "identity projection — times only the parquet scan every benched query already pays",
+    "reduce_final_global": "single-row global reduce; same scan+agg as benched q6_forecast_revenue",
+    "zip_with_padding": "ordinal-zip contract pin; distributed variant zip_distributed_full is benched",
+}
 
 
 def force(df) -> None:
@@ -325,6 +416,26 @@ def main() -> None:
                         "median": round(sample[len(sample) // 2], 3)}
         release_tracked()  # free operator-pinned caches between queries
 
+    # Streaming lane: availableNow wall time, min-of-2 (run 1 pays state
+    # store + checkpoint dir creation on top of codegen; the floor is
+    # still dominated by fixed trigger startup at sf0.1 — that fixed
+    # cost is the honest number for a streaming micro-batch).
+    stream_timings: dict[str, float] = {}
+    for name in STREAMING_BENCH:
+        if name not in QUERIES:
+            continue
+        sample = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(QUERIES[name](spark, sf_dir))
+            sample.append(time.perf_counter() - t0)
+        stream_timings[name] = round(min(sample), 3)
+        release_tracked()
+    stream_total = round(sum(stream_timings.values()), 3)
+
+    unaccounted = sorted(set(QUERIES) - set(BENCH_QUERIES)
+                         - set(STREAMING_BENCH) - set(EXCLUDED))
+
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
@@ -346,6 +457,11 @@ def main() -> None:
                 "n_events": n_events,
                 "queries": timings,
                 "spread": spread,
+                "streaming_lane_total_sec": stream_total,
+                "streaming_queries": stream_timings,
+                "excluded": EXCLUDED,
+                "unaccounted": unaccounted,
+                "registry_count": len(QUERIES),
             },
             f,
             indent=1,
@@ -363,6 +479,9 @@ def main() -> None:
         "queries": slowest,
         "sf": sf_val,
         "n_queries": len(timings),
+        "n_streaming": len(stream_timings),
+        "streaming_lane_sec": stream_total,
+        "n_excluded": len(EXCLUDED),
         "runs_per_query": runs,
         "pipeline_events_per_sec": events_per_sec,
         "pipeline_events_per_sec_median": events_per_sec_median,

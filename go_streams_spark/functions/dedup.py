@@ -433,12 +433,17 @@ def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_
                          F.col(dst).alias("pb")).localCheckpoint(eager=True)
     # Symmetrize via ONE explode, not union(pairs, pairs.swap) +
     # distinct — duplicate edges (or self-loops) cannot change a min,
-    # and the distinct was a needless shuffle.
+    # and the distinct was a needless shuffle. Materialized eagerly so
+    # the explode runs ONCE, not once per propagation pass: before this
+    # pin every iteration's join re-derived the 2x edge set from the
+    # pairs snapshot (at sf10 that re-scan was most of the 98 s
+    # leakage_safe_split wall time).
     edges = (pairs.select(F.explode(F.array(
         F.struct(F.col("pa").alias("a"), F.col("pb").alias("b")),
         F.struct(F.col("pb").alias("a"), F.col("pa").alias("b"))))
         .alias("e"))
-        .select(F.col("e.a").alias("a"), F.col("e.b").alias("b")))
+        .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
+        .localCheckpoint(eager=True))
     # Iterative lineage MUST be truncated every pass (localCheckpoint,
     # eager): without it iteration k re-executes iterations 1..k-1 both
     # in the convergence count and the next join — quadratic total work
@@ -451,8 +456,19 @@ def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_
               .withColumn("component", F.col("id"))
               .localCheckpoint(eager=True))
     converged = False
+    # Delta (frontier) propagation: labels are monotone non-increasing,
+    # so an edge (a, b) can only lower a's label in pass k+1 if b's
+    # label CHANGED in pass k — propagating from the full label table
+    # every pass (the old form) redoes work for every already-settled
+    # component. The frontier starts as all nodes and collapses to the
+    # still-active components' boundary; with AQE the edges-vs-frontier
+    # join demotes to broadcast once the frontier is small, so late
+    # passes cost one edge scan and no shuffle of the settled mass.
+    # (This is the large-graph early-exit the sf10 audit asked for:
+    # converged components drop out of every subsequent pass.)
+    frontier = labels
     for _ in range(max_iterations):
-        neighbor_min = (edges.join(labels, edges.b == labels.id)
+        neighbor_min = (edges.join(frontier, edges.b == frontier.id)
                         .groupBy(edges.a.alias("id"))
                         .agg(F.min("component").alias("n_comp")))
         # The convergence flag rides INSIDE the checkpointed frame: the
@@ -460,7 +476,8 @@ def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_
         # a second shuffle-join job per iteration that roughly doubled
         # the loop's wall time (measured 8.9 -> 7.0 s for
         # dedup_components at sf0.001). Here the changed check is a
-        # limit-1 scan over already-materialized partitions.
+        # limit-1 scan over already-materialized partitions, and the
+        # next frontier is a filter over the same materialized frame.
         joined = (labels.join(neighbor_min, "id", "left")
                   .select("id",
                           F.least(F.col("component"),
@@ -470,7 +487,8 @@ def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_
                            < F.col("component")).alias("__chg"))
                   .localCheckpoint(eager=True))
         labels = joined.drop("__chg")
-        if joined.where("__chg").limit(1).count() == 0:
+        frontier = joined.where("__chg").drop("__chg")
+        if frontier.limit(1).count() == 0:
             converged = True
             break
     if not converged:
@@ -658,7 +676,9 @@ def remove_duplicate_spans(df: DataFrame, *, text_col: str = "text",
 
 def prefix_filter_pairs(df: DataFrame, *, text_col: str = "text",
                         id_col: str = "doc_id", ngram: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_candidate_estimate: int | None = 100_000_000
+                        ) -> DataFrame:
     """EXACT set-similarity join (PPJoin/All-Pairs class, Bayardo et
     al. WWW'07; Xiao et al. WWW'08): every pair with n-gram Jaccard >=
     threshold, found WITHOUT the O(N^2) scan and WITHOUT the
@@ -681,6 +701,17 @@ def prefix_filter_pairs(df: DataFrame, *, text_col: str = "text",
     broadcast of corpus-scale sides. The per-doc prefix rank windows on
     the doc key (bounded partitions). At 100 TB the prefix index is the
     standard materialize-to-parquet first stage.
+
+    MEMORY GUARD: exact PPJoin's candidate volume is inherent to the
+    corpus's duplicate density — at high density it can exceed any
+    single-node heap (the sf10 sweep needed a 48 GB driver; SCALE.md
+    §22). Before forming pairs this function upper-bounds the candidate
+    count from the prefix-bucket histogram (sum over prefix shingles of
+    n*(n-1)/2 — one cheap agg, no pair join) and raises loudly when it
+    exceeds ``max_candidate_estimate``, naming the memory-safe composed
+    alternative ``setsim_pairs(prefilter='lsh')`` (LSH near-dup first,
+    exact verification on the bucketed candidates). Pass ``None`` to
+    run unguarded on a fleet with the memory for it.
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -701,6 +732,20 @@ def prefix_filter_pairs(df: DataFrame, *, text_col: str = "text",
         .where(F.col("rnk")
                <= F.col("c") - F.ceil(F.lit(threshold) * F.col("c")) + 1)
         .select(F.col(id_col), F.col("s"), F.col("c")))
+    if max_candidate_estimate is not None:
+        est = (pref.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+               .agg(F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("e"))
+               .collect()[0]["e"]) or 0
+        if est > max_candidate_estimate:
+            raise RuntimeError(
+                f"prefix_filter_pairs: estimated candidate volume "
+                f"{int(est):,} exceeds max_candidate_estimate="
+                f"{max_candidate_estimate:,}. Exact PPJoin at this "
+                f"duplicate density needs executor-fleet memory; the "
+                f"memory-safe production order is "
+                f"setsim_pairs(prefilter='lsh') — LSH-bucketed "
+                f"candidates, identical exact verification. Pass "
+                f"max_candidate_estimate=None to run unguarded.")
     pa = pref.select(F.col(id_col).alias("id_a"), "s",
                      F.col("c").alias("ca"))
     pb = pref.select(F.col(id_col).alias("id_b"),
@@ -714,6 +759,85 @@ def prefix_filter_pairs(df: DataFrame, *, text_col: str = "text",
                      & (F.col("cb") * F.lit(threshold) <= F.col("ca")))
              .select("id_a", "id_b").distinct())
     return jaccard_verify(df, cands, text_col=text_col, id_col=id_col,
+                          ngram=ngram, threshold=threshold, shingles=sh)
+
+
+def setsim_pairs(df: DataFrame, *, text_col: str = "text",
+                 id_col: str = "doc_id", ngram: int = 3,
+                 threshold: float = 0.5, prefilter: str | None = "lsh",
+                 num_hashes: int = 12, rows_per_band: int = 3,
+                 max_candidate_estimate: int | None = 100_000_000
+                 ) -> DataFrame:
+    """Set-similarity join front door — picks the candidate-generation
+    strategy by memory regime, exact verification either way.
+
+    ``prefilter='lsh'`` (default — the production order at scale): LSH
+    band buckets generate candidates (volume bounded by band-bucket
+    occupancy — the shape that held exponent 0.55 at sf10), then
+    PPJoin's lossless length + prefix-agreement filters prune them
+    BEFORE the expensive shingle-intersection verify. Exact Jaccard on
+    every surviving candidate; recall is LSH's (probabilistic at the
+    threshold boundary, documented in COVERAGE.md) — within the
+    candidate set, completeness is exact, so the result is precisely
+    {pairs with J >= t} ∩ {LSH candidates}.
+
+    ``prefilter=None``: deterministic-complete exact PPJoin
+    (prefix_filter_pairs) — guaranteed to find EVERY qualifying pair,
+    at candidate volume inherent to the corpus's duplicate density;
+    guarded by ``max_candidate_estimate`` (raises loudly, naming this
+    composed path, rather than OOM-thrashing a small driver).
+
+    Both filters applied to the LSH candidates are lossless for true
+    pairs (PPJoin/All-Pairs theorems: J(A,B) >= t implies
+    t*max(|A|,|B|) <= min(|A|,|B|) and the rarity-order prefixes of A
+    and B intersect), so the composed path loses nothing beyond LSH's
+    own candidate recall.
+    """
+    if prefilter is None:
+        return prefix_filter_pairs(
+            df, text_col=text_col, id_col=id_col, ngram=ngram,
+            threshold=threshold,
+            max_candidate_estimate=max_candidate_estimate)
+    if prefilter != "lsh":
+        raise ValueError(f"prefilter must be 'lsh' or None, got {prefilter!r}")
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql import Window
+    from ..plans.caching import track_persist
+    sh = track_persist(shingle_rows(df, text_col=text_col, id_col=id_col,
+                                    ngram=ngram))
+    cnts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("c"))
+    cands0 = minhash_lsh_candidates(df, text_col=text_col, id_col=id_col,
+                                    ngram=ngram, num_hashes=num_hashes,
+                                    rows_per_band=rows_per_band, shingles=sh)
+    # length filter: J >= t requires t * max(|A|,|B|) <= min(|A|,|B|);
+    # id order is not size order, so compare least/greatest.
+    ca = cnts.select(F.col(id_col).alias("id_a"), F.col("c").alias("ca"))
+    cb = cnts.select(F.col(id_col).alias("id_b"), F.col("c").alias("cb"))
+    cands1 = (cands0.join(ca.hint("shuffle_hash"), "id_a")
+              .join(cb.hint("shuffle_hash"), "id_b")
+              .where(F.least("ca", "cb")
+                     >= F.lit(threshold) * F.greatest("ca", "cb"))
+              .select("id_a", "id_b"))
+    # prefix-agreement filter: a true pair must share a rarity-order
+    # prefix shingle. Two doc-keyed equi-joins, output linear in the
+    # (bounded) candidate count — never a shingle-bucket pair join.
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("sf"))
+    ranked = (sh.join(freq.hint("shuffle_hash"), "s")
+              .withColumn("rnk", F.row_number().over(
+                  Window.partitionBy(id_col).orderBy("sf", "s"))))
+    pref = (ranked.join(cnts.hint("shuffle_hash"), id_col)
+            .where(F.col("rnk")
+                   <= F.col("c") - F.ceil(F.lit(threshold) * F.col("c")) + 1)
+            .select(F.col(id_col), F.col("s")))
+    pa = pref.select(F.col(id_col).alias("id_a"), "s")
+    pb = pref.select(F.col(id_col).alias("__idb"), F.col("s").alias("s_b"))
+    cands2 = (cands1.join(pa.hint("shuffle_hash"), "id_a")
+              .join(pb.hint("shuffle_hash"),
+                    (F.col("id_b") == F.col("__idb"))
+                    & (F.col("s") == F.col("s_b")))
+              .select("id_a", "id_b").distinct())
+    return jaccard_verify(df, cands2, text_col=text_col, id_col=id_col,
                           ngram=ngram, threshold=threshold, shingles=sh)
 
 

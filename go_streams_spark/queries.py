@@ -1737,6 +1737,23 @@ def setsim_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_filter_pairs(docs, ngram=3, threshold=0.5)
 
 
+@query("setsim_pairs_lsh", ORACLE["dedup_minhash_pairs"])
+def setsim_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEMORY-SAFE composed set-similarity join — the production order
+    at 100 TB: LSH band buckets generate candidates (volume bounded by
+    bucket occupancy, the sf10-proven 0.55-exponent shape), PPJoin's
+    lossless length + prefix-agreement filters prune them, exact
+    Jaccard verifies the survivors. Result is EXACTLY
+    {pairs with J >= 0.5} ∩ {LSH candidates} — both filters are
+    lossless for true pairs (Bayardo/Xiao theorems), so the oracle is
+    the dedup_minhash_pairs replay verbatim: candidate recall is LSH's,
+    precision is exact. This is the path the prefix_filter_pairs
+    candidate-budget guard names when exact PPJoin's inherent candidate
+    volume would thrash a small heap (SCALE.md §22)."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.setsim_pairs(docs, ngram=3, threshold=0.5, prefilter="lsh")
+
+
 @query("simhash_docs", """
 WITH toks AS (
   SELECT doc_id,

@@ -18,6 +18,7 @@ EXAMPLES = [
     "release_pipeline",
     "retrieval_pipeline",
     "marketing_pipeline",
+    "experimentation_pipeline",
 ]
 
 

@@ -15,15 +15,26 @@ pure function of its input tables.
 Usage: python tools/check_determinism.py [sf_dir] [query ...]
 (default sf_dir /root/testdata/sf0.001 — shapes, not volume, are what
 vary with partitioning). Exits 1 on any mismatch.
+
+Every PASSING query is recorded (merged) into DETERMINISM_AUDIT.json
+at the repo root — {query: {hash, rows, sf_dir}} plus a count — and
+entries for queries no longer in the registry are pruned on write.
+tests/test_determinism_manifest.py asserts the manifest covers the
+full registry, so REGISTERING A QUERY WITHOUT AUDITING IT FAILS THE
+SUITE (the round-6/round-7 audit-staleness drift, mechanized away).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import sys
 
 import pandas as pd
+
+MANIFEST = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "DETERMINISM_AUDIT.json")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -51,6 +62,7 @@ def main():
 
     spark = get_spark("determinism-check")
     failures, errors = [], []
+    passed: dict[str, dict] = {}
     names = [n for n in QUERIES if not only or n in only]
     for name in names:
         hashes = []
@@ -75,9 +87,29 @@ def main():
             print(f"NONDET {name}: parts={PARTS_A} hash={ha[:12]} "
                   f"rows={na} vs parts={PARTS_B} hash={hb[:12]} rows={nb}")
         else:
+            passed[name] = {"hash": ha, "rows": na, "sf_dir": sf_dir}
             print(f"OK    {name}: {na} rows, hash stable across "
                   f"partitionings")
     spark.conf.set("spark.sql.shuffle.partitions", PARTS_A)
+    # Merge passing results into the manifest; prune deregistered
+    # queries so the coverage test can assert strict set equality.
+    manifest = {"parts": [PARTS_A, PARTS_B], "queries": {}}
+    if os.path.exists(MANIFEST):
+        with open(MANIFEST) as f:
+            manifest = json.load(f)
+    manifest["parts"] = [PARTS_A, PARTS_B]
+    qs = {k: v for k, v in manifest.get("queries", {}).items()
+          if k in QUERIES}
+    qs.update(passed)
+    manifest["queries"] = dict(sorted(qs.items()))
+    manifest["audited_count"] = len(qs)
+    manifest["registry_count"] = len(QUERIES)
+    with open(MANIFEST, "w") as f:
+        json.dump(manifest, f, indent=1)
+        f.write("\n")
+    print(f"manifest: {manifest['audited_count']}/"
+          f"{manifest['registry_count']} registry queries audited "
+          f"-> {MANIFEST}")
     print(f"\n{len(failures)} nondeterministic, {len(errors)} errors "
           f"of {len(names)} queries"
           + (f": {failures}" if failures else ""))
