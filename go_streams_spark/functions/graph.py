@@ -503,20 +503,27 @@ def random_walks(edges: DataFrame, *, src: str = "src", dst: str = "dst",
     convention).
 
     Plan shape: adjacency ranks come from one partitioned window
-    (per-node grain); each step is ONE 1:1 equi-join of the frontier
-    against the ranked adjacency on the COMPOSITE key (node, rank) —
-    the frontier carries the current node's degree (picked up from the
-    adjacency row that produced it), so the target rank is computed
-    BEFORE the join and each frontier row matches exactly one adjacency
-    row. The original form joined on node alone and filtered rank
-    afterwards — a fan-out of deg(cur) rows per walk per step (hub
-    nodes made this the slowest benched query); the composite key
-    removes the fan-out entirely. shuffle_hash stays pinned: the ranked
-    adjacency is corpus-scale at 100 TB and must never broadcast. Walk
-    extension is embarrassingly data-parallel, frontier size = nodes x
-    walks at every step, and the loop unrolls ``steps`` joins into one
-    lazy plan (chained-CTE replayable). Emits (start, walk, step, node)
-    rows including step 0."""
+    (per-node grain); each step is ONE equi-join of the frontier
+    against the ranked adjacency on the node key with the rank pick as
+    a join predicate — walk extension is embarrassingly data-parallel,
+    frontier size = nodes x walks at every step, and the loop unrolls
+    ``steps`` joins into one lazy plan (chained-CTE replayable). Emits
+    (start, walk, step, node) rows including step 0.
+
+    The adjacency-side join strategy is SIZE-ADAPTIVE (the persisted
+    adjacency's measured row count, not optimizer estimates, which
+    undersell the union+window expansion): when the ranked adjacency
+    fits the broadcast budget, every step joins broadcast-hash — the
+    frontier never shuffles and the single broadcast exchange is reused
+    across all ``steps`` joins; past the budget it pins shuffle_hash
+    (the 100 TB shape — a corpus-scale adjacency must never broadcast).
+    Round-8 alternatives measured and rejected: a (node, rank)
+    composite-key 1:1 equi-join (frontier carries the degree) removed
+    the per-probe deg(cur) fan-out but timed equal at sf10 (34.0 vs
+    34.7 s — part-graph degrees are bounded, so the fan-out never
+    dominates) and 15-40% slower at sf0.1 (extra adjacency-build join);
+    the remaining cost is plan depth — ``steps`` chained joins is the
+    floor for a sequential-dependency walk."""
     if walks < 1 or steps < 1:
         raise ValueError("walks and steps must be >= 1")
     e0 = _canonical_undirected(edges, src, dst)  # columns (a, b), a < b
@@ -524,36 +531,45 @@ def random_walks(edges: DataFrame, *, src: str = "src", dst: str = "dst",
            .unionByName(e0.select(F.col("b").alias("node"),
                                   F.col("a").alias("nbr"))))
     w_rank = Window.partitionBy("node").orderBy("nbr")
+    ranked = adj.withColumn("rank", F.row_number().over(w_rank))
     deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
-    # each adjacency row also carries the NEIGHBOR's degree, so a hop
-    # hands the next frontier row its modulus without a second join
-    ranked = track_persist(
-        adj.withColumn("rank", F.row_number().over(w_rank))
-        .join(deg.select(F.col("node").alias("nbr"),
-                         F.col("deg").alias("nbr_deg")), "nbr"))
+    ranked = track_persist(ranked.join(deg, "node"))
+    # ~40 bytes/row (3 numeric cols + row overhead) against the
+    # session's autoBroadcastJoinThreshold, CAPPED at 8 MB: measured at
+    # sf10 (714k adjacency rows, ~28 MB estimate) the broadcast plan is
+    # 1.4x SLOWER than shuffle-hash (49.6 vs 34.7 s — per-step rebuild
+    # of a multi-MB hash relation on every executor thread beats the
+    # frontier shuffle it saves), while at sf0.1-sf1 (<3 MB) broadcast
+    # wins 27% (5.9 -> 4.3 s). The count() also pre-warms the persist
+    # so the window/union runs once, not per step.
+    n_adj = ranked.count()
+    threshold = min(int(ranked.sparkSession.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "67108864") or 0),
+        8 * 1024 * 1024)
+    if threshold > 0 and n_adj * 40 <= threshold:
+        ranked = F.broadcast(ranked)
+    else:
+        ranked = ranked.hint("shuffle_hash")
 
     # walk ids via explode of a literal array — a crossJoin against a
     # walk-id frame would plan as a nested-loop join (audit-forbidden)
-    starts = (deg.withColumn("walk", F.explode(F.array(
-        *[F.lit(i).cast("int") for i in range(walks)]))))
+    starts = (adj.select("node").distinct()
+              .withColumn("walk", F.explode(F.array(
+                  *[F.lit(i).cast("int") for i in range(walks)]))))
     frontier = starts.select(F.col("node").alias("start"), "walk",
-                             F.col("node").alias("cur"),
-                             F.col("deg").alias("cur_deg"))
+                             F.col("node").alias("cur"))
     out = frontier.select("start", "walk", F.lit(0).alias("step"),
                           F.col("cur").alias("node"))
     for s in range(1, steps + 1):
-        step_rank = (F.conv(F.substring(F.md5(F.concat_ws(
-            ":", F.col("start").cast("string"),
-            F.col("walk").cast("string"), F.lit(str(s)),
-            F.col("cur").cast("string"),
-            F.lit(str(seed)))), 1, 12), 16, 10).cast("long")
-            % F.col("cur_deg") + 1).cast("int")
-        probe = frontier.select("start", "walk",
-                                F.col("cur").alias("node"),
-                                step_rank.alias("rank"))
-        pick = (probe.join(ranked.hint("shuffle_hash"), ["node", "rank"])
-                .select("start", "walk", F.col("nbr").alias("cur"),
-                        F.col("nbr_deg").alias("cur_deg")))
+        pick = (frontier.join(ranked, frontier.cur == ranked.node)
+                .withColumn("__r", F.conv(F.substring(F.md5(F.concat_ws(
+                    ":", F.col("start").cast("string"),
+                    F.col("walk").cast("string"), F.lit(str(s)),
+                    F.col("cur").cast("string"),
+                    F.lit(str(seed)))), 1, 12), 16, 10).cast("long")
+                    % F.col("deg"))
+                .where(F.col("rank") == F.col("__r") + 1)
+                .select("start", "walk", F.col("nbr").alias("cur")))
         out = out.unionByName(pick.select(
             "start", "walk", F.lit(s).alias("step"),
             F.col("cur").alias("node")))

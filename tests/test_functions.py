@@ -1560,6 +1560,49 @@ def test_prefix_filter_pairs_complete_and_bucketed(spark, sf_dir):
         D.prefix_filter_pairs(docs, threshold=0.0)
 
 
+def test_prefix_filter_candidate_budget_guard(spark, sf_dir):
+    """The memory guard: when the prefix-bucket histogram upper-bounds
+    candidate volume above the budget, prefix_filter_pairs must raise
+    BEFORE forming any pair, and the message must name the composed
+    memory-safe alternative (the sf10 OOM class, SCALE.md §22/§24)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    with pytest.raises(RuntimeError, match="setsim_pairs"):
+        D.prefix_filter_pairs(docs, ngram=3, threshold=0.5,
+                              max_candidate_estimate=1)
+    # budget=None runs unguarded; default budget passes at this scale
+    assert D.prefix_filter_pairs(
+        docs, ngram=3, threshold=0.5,
+        max_candidate_estimate=None).count() >= 0
+
+
+def test_setsim_pairs_composed_lsh_path(spark, sf_dir):
+    """Composed path semantics: setsim_pairs(prefilter='lsh') returns
+    EXACTLY the LSH pipeline's verified pairs ({J >= t} ∩ LSH
+    candidates — the PPJoin length/prefix filters are lossless for true
+    pairs), is a subset of the deterministic-complete exact join, and
+    plans without cartesian products or corpus-side broadcasts."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    composed = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+                D.setsim_pairs(docs, ngram=3, threshold=0.5,
+                               prefilter="lsh").collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+           D.ngram_jaccard_pairs(docs, ngram=3, threshold=0.5).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             D.prefix_filter_pairs(docs, ngram=3, threshold=0.5).collect()}
+    assert composed == lsh
+    assert set(composed) <= set(exact)
+    assert all(exact[k] == v for k, v in composed.items())
+
+    from go_streams_spark.plans import explain_str
+    plan = explain_str(
+        D.setsim_pairs(docs, ngram=3, threshold=0.5, prefilter="lsh"),
+        "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    with pytest.raises(ValueError, match="prefilter"):
+        D.setsim_pairs(docs, prefilter="bogus")
+
+
 def test_compression_ratio_exact_vs_zlib(spark, sf_dir):
     """Engine compression ratios equal an independent zlib computation
     EXACTLY for every document, and the repetitive-text signal orders
