@@ -295,6 +295,9 @@ BENCH_QUERIES = [
     "union_by_name_evolution",
     "unpivot_lineitem_measures",
     "weighted_sample_docs",
+    "dp_user_level_counts",
+    "ks_drift_events",
+    "compaction_bin_packing",
 ]
 
 # Structured Streaming lane: availableNow trigger wall-time per query.

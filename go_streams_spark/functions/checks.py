@@ -491,6 +491,173 @@ def dp_noisy_counts(df, group_col: str, *, epsilon_micro: int = 1_000_000,
         F.lit(epsilon_micro).cast("long").alias("epsilon_micro"))
 
 
+def dp_user_level_counts(df, group_col: str, user_col: str, *,
+                         contribution_bound: int = 3,
+                         epsilon_micro: int = 1_000_000, seed: int = 7):
+    """USER-LEVEL differentially-private count release — the privacy
+    unit real data releases need: ``dp_noisy_counts`` protects single
+    EVENTS (sensitivity 1), but one user contributes many events, so
+    event-level DP leaks under user adjacency. Standard recipe
+    (Wilson et al., "Differentially Private SQL"): (1) clamp each
+    user's contribution per group at ``contribution_bound`` C — a
+    user-grain aggregate + least(); (2) the clamped count's user-level
+    sensitivity is C, so sample truncated discrete Laplace at
+    eps/C (CDF tabulated at epsilon_micro // C, truncation bound
+    scaled by C to keep the dropped mass comparable). Same seeded
+    inverse-CDF mechanism as the event-level release, so the oracle
+    replays the whole pipeline including the noise.
+
+    Plan: one (group, user)-grain aggregate, one group-grain aggregate,
+    then a literal CASE chain for the noise — map-side combinable
+    throughout, no user-grain state on the driver."""
+    if contribution_bound < 1:
+        raise ValueError("contribution_bound must be >= 1")
+    if epsilon_micro <= 0:
+        raise ValueError("epsilon_micro must be positive")
+    cdf = dp_laplace_cdf_micro(epsilon_micro // contribution_bound,
+                               DP_NOISE_BOUND * contribution_bound)
+    per_user = (df.groupBy(group_col, user_col)
+                .agg(F.least(F.count(F.lit(1)),
+                             F.lit(contribution_bound)).alias("contrib")))
+    counts = (per_user.groupBy(group_col)
+              .agg(F.sum("contrib").cast("long").alias("true_n"),
+                   F.count(F.lit(1)).cast("long").alias("n_users")))
+    u = (F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col(group_col).cast("string"),
+        F.lit(f"dpu:{seed}"))), 1, 12), 16, 10).cast("long")
+        % 1_000_000)
+    noise_expr = F.lit(cdf[-1][0])
+    for k, c in reversed(cdf[:-1]):
+        noise_expr = F.when(F.col("u_micro") < F.lit(c),
+                            F.lit(k)).otherwise(noise_expr)
+    return (counts.withColumn("u_micro", u)
+            .withColumn("noise", noise_expr)
+            .select(group_col, "n_users", "u_micro",
+                    F.col("noise").cast("int").alias("noise"),
+                    F.greatest(F.col("true_n") + F.col("noise"), F.lit(0))
+                    .cast("long").alias("noisy_count"),
+                    F.lit(contribution_bound).cast("int")
+                    .alias("contribution_bound"),
+                    F.lit(epsilon_micro).cast("long")
+                    .alias("epsilon_micro")))
+
+
+def ks_two_sample(df, *, value_col: str, side_col: str,
+                  side_a: str, side_b: str):
+    """Exact two-sample Kolmogorov-Smirnov statistic between the
+    ``value_col`` distributions of two groups — the distribution-drift
+    test that sees what binned PSI smooths over (PSI is blind to shifts
+    WITHIN a bin; KS is sup-norm over the exact empirical CDFs).
+
+    D = sup_x |F_a(x) - F_b(x)| computed fully distributed and exactly
+    in integers: values go to micro-units, one (value)-grain aggregate
+    counts each side, then the cumulative counts come from the same
+    two-pass scheme as operators.distributed_ordinal — range-partition
+    by value, per-partition running sums in ONE Arrow pass, per-
+    partition totals (one tiny row each) prefix-summed and broadcast
+    back. No Exchange SinglePartition anywhere, so the sup runs at any
+    value-grain cardinality. The statistic is reported as
+    d_micro = floor(1e6 * max|cumA*nB - cumB*nA| / (nA*nB)) with the
+    smallest attaining value for a deterministic argmax.
+
+    Returns one row: (n_a, n_b, d_micro, at_value_micro)."""
+    v = F.floor(F.col(value_col) * 1_000_000 + F.lit(0.5)).cast("long")
+    grain = (df.where(F.col(side_col).isin(side_a, side_b))
+             .select(v.alias("v"), F.col(side_col).alias("s"))
+             .groupBy("v")
+             .agg(F.count(F.when(F.col("s") == side_a, 1)).alias("ca"),
+                  F.count(F.when(F.col("s") == side_b, 1)).alias("cb")))
+    n_parts = max(2, int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions")))
+    parted = (grain.repartitionByRange(n_parts, "v")
+              .sortWithinPartitions("v"))
+
+    def local_cum(it):
+        # Arrow hands one partition as SEVERAL batches (maxRecordsPerBatch);
+        # the running sums must carry across them or every batch would
+        # restart the CDF (the carry is per-partition: each task gets its
+        # own iterator). Batches arrive in the sortWithinPartitions order.
+        carry_a = carry_b = 0
+        for pdf in it:
+            if len(pdf):
+                pdf = pdf.reset_index(drop=True)
+                pdf["cum_a"] = pdf["ca"].cumsum() + carry_a
+                pdf["cum_b"] = pdf["cb"].cumsum() + carry_b
+                carry_a = int(pdf["cum_a"].iloc[-1])
+                carry_b = int(pdf["cum_b"].iloc[-1])
+                yield pdf
+
+    cum = parted.mapInPandas(
+        local_cum, schema="v long, ca long, cb long, cum_a long, cum_b long")
+    cum = (cum.withColumn("__mid", F.monotonically_increasing_id())
+           .withColumn("__pid", F.shiftright("__mid", 33).cast("int"))
+           .drop("__mid"))
+    from ..plans.caching import track_persist
+    cum = track_persist(cum)
+    # per-partition totals: one tiny row per partition -> driver prefix
+    # sums -> broadcast offsets (the distributed_ordinal contract; the
+    # collect is bounded by the partition count, never the data)
+    totals = (cum.groupBy("__pid")
+              .agg(F.max("cum_a").alias("ta"), F.max("cum_b").alias("tb"))
+              .collect())
+    totals.sort(key=lambda r: r["__pid"])
+    off_a, off_b, offsets = 0, 0, []
+    for r in totals:
+        offsets.append((r["__pid"], off_a, off_b))
+        off_a += r["ta"] or 0
+        off_b += r["tb"] or 0
+    n_a, n_b = off_a, off_b
+    spark = df.sparkSession
+    off_df = F.broadcast(spark.createDataFrame(
+        offsets, schema="__pid int, off_a long, off_b long"))
+    gap = F.abs((F.col("off_a") + F.col("cum_a")) * F.lit(n_b)
+                - (F.col("off_b") + F.col("cum_b")) * F.lit(n_a))
+    scored = cum.join(off_df, "__pid").select(
+        "v", gap.alias("gap"))
+    best = scored.agg(F.max("gap").alias("g")).collect()[0]["g"] or 0
+    at_v = (scored.where(F.col("gap") == F.lit(best))
+            .agg(F.min("v").alias("v")).collect()[0]["v"])
+    one = spark.range(1).select(
+        F.lit(n_a).cast("long").alias("n_a"),
+        F.lit(n_b).cast("long").alias("n_b"),
+        F.lit(int(best * 1_000_000 // max(n_a * n_b, 1))).cast("long")
+        .alias("d_micro"),
+        F.lit(at_v).cast("long").alias("at_value_micro"))
+    return one
+
+
+def compaction_bins(df, *, ts_col: str = "ts", row_bytes: int = 64,
+                    target_bytes: int = 1_048_576):
+    """Small-file compaction planner — the lakehouse maintenance pass
+    (OPTIMIZE / rewriteDataFiles) that turns a long tail of tiny
+    time-partitions into ~target-size output files: per-hour partition
+    sizes (row count x estimated row width) are packed GREEDILY IN
+    TIME ORDER into bins by cumulative size — bin k = rows whose
+    cumulative-bytes-before falls in [k*target, (k+1)*target) — so
+    every output file holds a contiguous time range (preserving
+    time-predicate pruning, which arbitrary bin packing would destroy).
+
+    Plan: one hour-grain aggregate, then one global ordered window over
+    HOUR-GRID rows (bounded: one row per distinct hour, never event
+    volume — the hour-grid bound class). Returns one row per planned
+    output file: (bin, n_partitions, bytes, hour_first, hour_last)."""
+    if target_bytes < 1 or row_bytes < 1:
+        raise ValueError("target_bytes and row_bytes must be >= 1")
+    hourly = (df.groupBy(F.date_trunc("hour", ts_col).alias("h"))
+              .agg((F.count(F.lit(1)) * row_bytes).alias("bytes")))
+    w = Window.orderBy("h").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    binned = (hourly
+              .withColumn("cum", F.sum("bytes").over(w))
+              .withColumn("bin", ((F.col("cum") - F.col("bytes"))
+                                  / target_bytes).cast("long")))
+    return (binned.groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_partitions"),
+                 F.sum("bytes").cast("long").alias("bytes"),
+                 F.min("h").alias("hour_first"),
+                 F.max("h").alias("hour_last")))
+
+
 def kaplan_meier(df, *, duration_col: str, event_col: str):
     """Kaplan-Meier survival estimator over (duration, event) subject
     rows — the classic right-censored form: ``event_col`` = 1 means the

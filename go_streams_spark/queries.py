@@ -10813,6 +10813,120 @@ FROM pick
 """
 
 
+def _dp_user_level_sql() -> str:
+    from .functions.checks import DP_NOISE_BOUND, dp_laplace_cdf_micro
+    rows = ", ".join(f"({k}, {c})" for k, c in dp_laplace_cdf_micro(
+        1_000_000 // 3, DP_NOISE_BOUND * 3))
+    return f"""
+WITH cdf(k, cdf_micro) AS (VALUES {rows}),
+per_user AS (
+  SELECT event_type, user_id, least(count(*), 3) AS contrib
+  FROM events GROUP BY 1, 2
+), counts AS (
+  SELECT event_type, sum(contrib)::BIGINT AS true_n,
+         count(*)::BIGINT AS n_users
+  FROM per_user GROUP BY 1
+), u AS (
+  SELECT event_type, true_n, n_users,
+         ('0x' || substr(md5(event_type || ':dpu:7'), 1, 12))::BIGINT
+           % 1000000 AS u_micro
+  FROM counts
+), pick AS (
+  SELECT u.event_type, u.true_n, u.n_users, u.u_micro, min(c.k) AS noise
+  FROM u JOIN cdf c ON u.u_micro < c.cdf_micro
+  GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, n_users, u_micro, noise::INT AS noise,
+       greatest(true_n + noise, 0)::BIGINT AS noisy_count,
+       3::INT AS contribution_bound,
+       1000000::BIGINT AS epsilon_micro
+FROM pick
+"""
+
+
+@query("dp_user_level_counts", _dp_user_level_sql())
+def dp_user_level_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-level DP count release (functions/checks.py::
+    dp_user_level_counts): per-user contributions clamped at 3, then
+    truncated discrete Laplace at eps/3 (sensitivity = the clamp) —
+    the privacy unit production releases actually need, since one user
+    contributes many events and event-level DP leaks under user
+    adjacency (Wilson et al., VLDB'20). Same seeded inverse-CDF
+    mechanism as dp_noisy_event_counts, so the oracle replays clamp,
+    aggregate, AND noise end to end."""
+    from .functions.checks import dp_user_level_counts
+    ev = _t(spark, sf_dir, "events")
+    return dp_user_level_counts(ev, "event_type", "user_id",
+                                contribution_bound=3, seed=7)
+
+
+@query("ks_drift_events", """
+WITH g AS (
+  SELECT floor(value * 1000000 + 0.5)::BIGINT AS v,
+         count(*) FILTER (WHERE event_type = 'click') AS ca,
+         count(*) FILTER (WHERE event_type = 'purchase') AS cb
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+), c AS (
+  SELECT v, sum(ca) OVER (ORDER BY v) AS cum_a,
+         sum(cb) OVER (ORDER BY v) AS cum_b
+  FROM g
+), n AS (
+  SELECT sum(ca)::BIGINT AS n_a, sum(cb)::BIGINT AS n_b FROM g
+), s AS (
+  SELECT c.v, abs(c.cum_a * n.n_b - c.cum_b * n.n_a) AS gap, n.n_a, n.n_b
+  FROM c CROSS JOIN n
+)
+SELECT n_a, n_b,
+       (max(gap) * 1000000 // (n_a * n_b))::BIGINT AS d_micro,
+       min(CASE WHEN gap = (SELECT max(gap) FROM s) THEN v END)::BIGINT
+         AS at_value_micro
+FROM s GROUP BY n_a, n_b
+""")
+def ks_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift statistic between the
+    click and purchase value distributions (functions/checks.py::
+    ks_two_sample) — the sup-norm CDF test that catches within-bin
+    shifts binned PSI smooths over (psi_drift_report's sibling). Exact
+    integer arithmetic end to end; the cumulative CDFs use the
+    distributed two-pass scheme (range shuffle + one Arrow pass +
+    broadcast per-partition offsets), never Exchange SinglePartition,
+    so the sup runs at any value cardinality."""
+    from .functions.checks import ks_two_sample
+    ev = _t(spark, sf_dir, "events")
+    return ks_two_sample(ev, value_col="value", side_col="event_type",
+                         side_a="click", side_b="purchase")
+
+
+@query("compaction_bin_packing", """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) * 64 AS bytes
+  FROM events GROUP BY 1
+), c AS (
+  SELECT h, bytes, sum(bytes) OVER (ORDER BY h) AS cum FROM hourly
+)
+SELECT ((cum - bytes) // 1048576)::BIGINT AS bin,
+       count(*)::BIGINT AS n_partitions,
+       sum(bytes)::BIGINT AS bytes,
+       min(h) AS hour_first, max(h) AS hour_last
+FROM c GROUP BY 1
+""", bound="hour-grid")
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner (functions/checks.py::
+    compaction_bins) — the OPTIMIZE/rewriteDataFiles maintenance pass:
+    per-hour partition sizes packed greedily IN TIME ORDER into ~1 MiB
+    bins by cumulative size, so every planned output file covers a
+    contiguous time range and time-predicate pruning survives the
+    rewrite (arbitrary bin packing would destroy it). The only global
+    window runs over hour-GRID rows (bounded, declared class); at
+    100 TB the same plan packs table partitions from metadata, not
+    row counts."""
+    from .functions.checks import compaction_bins
+    ev = _t(spark, sf_dir, "events")
+    return compaction_bins(ev, ts_col="ts", row_bytes=64,
+                           target_bytes=1_048_576)
+
+
 @query("dp_noisy_event_counts", _dp_noisy_counts_sql())
 def dp_noisy_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Differentially-private count release (functions/checks.py::
