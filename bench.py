@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "fd_violation_events",
     "cusum_changepoint_hourly",
     "salted_join_events",
+    "bloom_join_prune_audit",
     "url_canonical_dedup",
     "theilsen_slope_by_type",
     "quantile_normalize_sources",
@@ -180,6 +181,7 @@ BENCH_QUERIES = [
     "scd2_user_state_history",
     "bigram_lm_counts",
     "bigram_lm_doc_scores",
+    "ccnet_ppl_buckets",
     "token_window_chunks",
     "cdc_latest_state_per_user",
     "sequence_packing_batches",
@@ -242,6 +244,7 @@ BENCH_QUERIES = [
     "unigram_lm_segment",
     "dp_noisy_event_counts",
     "holt_linear_hourly",
+    "holt_winters_hourly",
     "kaplan_meier_conversion",
     "graph_random_walks",
     "markov_attribution",

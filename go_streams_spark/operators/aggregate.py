@@ -273,3 +273,86 @@ def holt_linear(df: DataFrame, *, key_col: str, order_col: str,
     schema = (f"{key_col} {key_type}, {order_col} {order_type}, "
               f"{value_col} {val_type}, level long, trend long")
     return df.groupBy(key_col).applyInPandas(_fold, schema=schema)
+
+
+def _tdiv(a: int, d: int) -> int:
+    """Truncating (toward-zero) division — matches Spark SQL `div` and
+    DuckDB `//` on negatives, unlike Python's floor `//`."""
+    return a // d if a >= 0 else -((-a) // d)
+
+
+def holt_winters_additive(df: DataFrame, *, key_col: str, order_col: str,
+                          value_col: str, period: int) -> DataFrame:
+    """Holt-Winters triple exponential smoothing (additive seasonality)
+    with alpha = beta = gamma = 1/4, in exact int64 arithmetic:
+
+        l_t = (y_t - s_{t-m} + 3*(l_{t-1} + b_{t-1})) div 4
+        b_t = ((l_t - l_{t-1}) + 3*b_{t-1})            div 4
+        s_t = ((y_t - l_t) + 3*s_{t-m})                div 4
+
+    over season length ``m = period``, classically initialized from the
+    first season: l_m = mean(y_1..y_m) (truncating div), b_m = 0,
+    s_i = y_i - l_m for i = 1..m. Rows 1..m are consumed by the
+    initialization; every row after it emits (level, trend, seasonal).
+    Keys with fewer than ``period + 1`` rows emit nothing.
+
+    The seasonal sibling of ``holt_linear``: Holt tracks a trend but
+    lags a daily cycle by construction; Holt-Winters carries one
+    seasonal component per grid slot (m extra ints of state) and is the
+    standard capacity-planning forecaster for diurnal load. Rational
+    1/4 weights + truncating division keep every state exact, so the
+    fold is engine- and partitioning-exact and a recursive CTE that
+    carries the seasonal vector as a LIST column replays it
+    bit-for-bit.
+
+    Plan: one applyInPandas fold per key over the key's ordered grid
+    rows — state is m+2 ints, work is grid-grain (e.g. hours), never
+    event-grain; keys parallelize across the cluster.
+    """
+    if period < 2:
+        raise ValueError("holt_winters_additive: period must be >= 2")
+    from collections import deque
+    key_type = dict(df.dtypes).get(key_col)
+    val_type = dict(df.dtypes).get(value_col)
+    order_type = dict(df.dtypes).get(order_col)
+    if key_type is None or val_type is None or order_type is None:
+        raise ValueError(
+            f"holt_winters_additive: missing column among {key_col!r}, "
+            f"{order_col!r}, {value_col!r}")
+
+    def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort") \
+            .reset_index(drop=True)
+        empty = pdf.iloc[0:0].assign(
+            level=pd.Series(dtype="int64"), trend=pd.Series(dtype="int64"),
+            seasonal=pd.Series(dtype="int64"))
+        if len(pdf) < period + 1:
+            return empty
+        ys = [int(v) for v in pdf[value_col]]
+        lv = _tdiv(sum(ys[:period]), period)
+        tr = 0
+        sea = deque(y - lv for y in ys[:period])
+        levels, trends, seas = [], [], []
+        for y in ys[period:]:
+            s_old = sea.popleft()
+            nl = _tdiv(y - s_old + 3 * (lv + tr), 4)
+            tr = _tdiv((nl - lv) + 3 * tr, 4)
+            lv = nl
+            ns = _tdiv((y - nl) + 3 * s_old, 4)
+            sea.append(ns)
+            levels.append(lv)
+            trends.append(tr)
+            seas.append(ns)
+        out = pdf.iloc[period:].reset_index(drop=True)
+        return pd.DataFrame({
+            key_col: out[key_col],
+            order_col: out[order_col],
+            value_col: out[value_col],
+            "level": pd.Series(levels, dtype="int64"),
+            "trend": pd.Series(trends, dtype="int64"),
+            "seasonal": pd.Series(seas, dtype="int64")})
+
+    schema = (f"{key_col} {key_type}, {order_col} {order_type}, "
+              f"{value_col} {val_type}, level long, trend long, "
+              f"seasonal long")
+    return df.groupBy(key_col).applyInPandas(_fold, schema=schema)

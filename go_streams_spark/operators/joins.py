@@ -252,3 +252,67 @@ def join_delta(left_base: DataFrame, left_delta: DataFrame,
     return (left_base.join(rd, on)
             .unionByName(ld.join(right_base, on))
             .unionByName(ld.join(rd, on)))
+
+
+# -- Bloom-filter semi-join pruning -----------------------------------------
+
+#: Deterministic bloom parameters shared by builder, prober and the
+#: DuckDB oracle: keys fold into [0, _BLOOM_KEY_MOD) first so every
+#: product below stays < 2^52 (no int64 overflow on ANY engine), then
+#: two independent affine hashes pick bit positions.
+_BLOOM_KEY_MOD = 1_048_573          # largest prime < 2^20
+_BLOOM_C1 = 2_654_435_761           # Knuth multiplicative constant
+_BLOOM_C2 = 998_244_353             # NTT prime
+_BLOOM_B2 = 12_345
+
+
+def bloom_hashes(key: Column, m_bits: int) -> tuple[Column, Column]:
+    """The two bloom bit positions for a nonnegative integer key —
+    exactly reproducible in ANSI SQL as
+    ``((k % 1048573) * 2654435761) % m`` and
+    ``((k % 1048573) * 998244353 + 12345) % m``."""
+    kk = F.pmod(key.cast("long"), F.lit(_BLOOM_KEY_MOD))
+    h1 = F.pmod(kk * F.lit(_BLOOM_C1), F.lit(m_bits))
+    h2 = F.pmod(kk * F.lit(_BLOOM_C2) + F.lit(_BLOOM_B2), F.lit(m_bits))
+    return h1, h2
+
+
+def bloom_bits_df(build: DataFrame, key: str, *,
+                  m_bits: int = 8192) -> DataFrame:
+    """The SET bit positions of a bloom filter over ``build[key]`` as a
+    one-column DataFrame (``__bit``) — at most ``m_bits`` rows however
+    large the build side, so it always broadcasts."""
+    h1, h2 = bloom_hashes(F.col(key), m_bits)
+    return build.select(F.explode(F.array(h1, h2)).alias("__bit")).distinct()
+
+
+def bloom_semi_join(probe: DataFrame, build: DataFrame, *,
+                    probe_key: str, build_key: str | None = None,
+                    m_bits: int = 8192) -> DataFrame:
+    """Bloom-filter PREFILTER for a big join: returns the probe rows
+    whose key passes a two-hash bloom built over ``build[build_key]``.
+    No false negatives (every true match survives); false positives are
+    bounded by the load factor ((set_bits / m_bits)^2), so the result
+    must still be joined exactly — the point is that the expensive
+    shuffle join now moves only ~matching rows.
+
+    This is the shape Spark's own runtime row-group bloom pushdown
+    (spark.sql.optimizer.runtimeFilter.bloomFilter.enabled) applies
+    adaptively; the explicit operator exists for when the planner can't
+    see the opportunity (pre-aggregated probe, non-equi follow-up, or a
+    build side produced mid-pipeline) and for engines/readers where the
+    filter must be applied BEFORE an expensive decode. Plan: the bit
+    set is <= m_bits rows (broadcast, never a shuffle); the probe scan
+    gains two broadcast LeftSemi joins that AQE folds into the scan
+    stage — probe data is never shuffled by the prefilter itself.
+
+    Keys must be nonnegative integers (they fold mod 2^20 before
+    hashing so the arithmetic is overflow-free in int64 on any engine).
+    """
+    build_key = build_key or probe_key
+    bits = F.broadcast(bloom_bits_df(build, build_key, m_bits=m_bits))
+    h1, h2 = bloom_hashes(F.col(probe_key), m_bits)
+    out = probe.withColumn("__h1", h1).withColumn("__h2", h2)
+    out = out.join(bits, out["__h1"] == bits["__bit"], "left_semi")
+    out = out.join(bits, out["__h2"] == bits["__bit"], "left_semi")
+    return out.drop("__h1", "__h2")

@@ -1212,6 +1212,76 @@ def salted_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "c_name", "value")
 
 
+@query("bloom_join_prune_audit", """
+WITH build AS (
+  SELECT DISTINCT c_custkey % 1048573 AS kk
+  FROM customer WHERE c_acctbal > 7000
+), bits AS (
+  SELECT DISTINCT bit FROM (
+    SELECT (kk * 2654435761) % 8192 AS bit FROM build
+    UNION ALL
+    SELECT (kk * 998244353 + 12345) % 8192 FROM build)
+), flags AS (
+  SELECT ((o_custkey % 1048573) * 2654435761) % 8192
+           IN (SELECT bit FROM bits)
+         AND ((o_custkey % 1048573) * 998244353 + 12345) % 8192
+           IN (SELECT bit FROM bits)                        AS pass,
+         o_custkey IN (SELECT c_custkey FROM customer
+                       WHERE c_acctbal > 7000)              AS hit
+  FROM orders
+)
+SELECT count(*)                                             AS probe_rows,
+       sum(CASE WHEN pass THEN 1 ELSE 0 END)::BIGINT        AS bloom_pass_rows,
+       sum(CASE WHEN hit THEN 1 ELSE 0 END)::BIGINT         AS true_match_rows,
+       sum(CASE WHEN pass AND NOT hit THEN 1 ELSE 0 END)::BIGINT
+                                                            AS false_positive_rows,
+       round(sum(CASE WHEN pass AND NOT hit THEN 1 ELSE 0 END)
+             / greatest(count(*) - sum(CASE WHEN hit THEN 1 ELSE 0 END), 1),
+             6)                                             AS fp_rate
+FROM flags
+""")
+def bloom_join_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning audit — the scale pattern behind
+    operators/joins.py::bloom_semi_join: before shuffling a 100 TB fact
+    table into a join, a <= m_bits-row bloom bit set built over the dim
+    keys (broadcast, never a shuffle) drops the non-matching fact rows
+    at scan time, no false negatives. The audit measures exactly what a
+    capacity planner needs: probe volume, bloom survivors, true
+    matches, and the false-positive count/rate the m_bits budget buys
+    (expected fp_rate ~ (set_bits/m)^2 — here ~1%). One probe scan;
+    the bit set and the exact key set are both broadcast; bit math is
+    shared with bloom_semi_join via bloom_hashes, so the audit pins the
+    operator's arithmetic against the ANSI-SQL oracle."""
+    from .operators.joins import bloom_bits_df, bloom_hashes
+    cust = _t(spark, sf_dir, "customer")
+    build = cust.where(F.col("c_acctbal") > 7000)
+    bits = bloom_bits_df(build, "c_custkey", m_bits=8192)
+    orders = _t(spark, sf_dir, "orders")
+    h1, h2 = bloom_hashes(F.col("o_custkey"), 8192)
+    flags = (orders.select(F.col("o_custkey"), h1.alias("__h1"),
+                           h2.alias("__h2"))
+             .join(F.broadcast(bits.withColumnRenamed("__bit", "__b1")),
+                   F.col("__h1") == F.col("__b1"), "left")
+             .join(F.broadcast(bits.withColumnRenamed("__bit", "__b2")),
+                   F.col("__h2") == F.col("__b2"), "left")
+             .join(F.broadcast(build.select("c_custkey").distinct()
+                               .withColumn("__m", F.lit(1))),
+                   F.col("o_custkey") == F.col("c_custkey"), "left")
+             .select((F.col("__b1").isNotNull()
+                      & F.col("__b2").isNotNull()).alias("pass"),
+                     F.col("__m").isNotNull().alias("hit")))
+    p = F.sum(F.when(F.col("pass"), 1).otherwise(0))
+    t = F.sum(F.when(F.col("hit"), 1).otherwise(0))
+    fp = F.sum(F.when(F.col("pass") & ~F.col("hit"), 1).otherwise(0))
+    return flags.agg(
+        F.count(F.lit(1)).alias("probe_rows"),
+        p.cast("long").alias("bloom_pass_rows"),
+        t.cast("long").alias("true_match_rows"),
+        fp.cast("long").alias("false_positive_rows"),
+        F.round(fp / F.greatest(F.count(F.lit(1)) - t, F.lit(1)), 6)
+        .alias("fp_rate"))
+
+
 @query("cusum_changepoint_hourly", bound="hour-grid", sql="""
 WITH grid AS (
   SELECT time_bucket(INTERVAL '1 hour', ts) AS hour,
@@ -7934,6 +8004,62 @@ def bigram_lm_doc_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bigram_lm_doc_scores(_t(spark, sf_dir, "documents"))
 
 
+@query("ccnet_ppl_buckets", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(arr)-1)) AS t(i)
+  WHERE len(arr) >= 2
+),
+model AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+first AS (SELECT w1, sum(c12) AS c1 FROM model GROUP BY w1),
+vocab AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)
+),
+scored AS (
+  SELECT bg.doc_id,
+         round(exp(avg(-ln((c12 + 1.0) / (c1 + v)))), 4) AS ppl
+  FROM bg JOIN model USING (w1, w2) JOIN first USING (w1) CROSS JOIN vocab
+  GROUP BY bg.doc_id
+)
+SELECT s.doc_id, d.lang, s.ppl,
+       CASE ntile(3) OVER (PARTITION BY d.lang ORDER BY s.ppl, s.doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM scored s JOIN documents d USING (doc_id)
+""")
+def ccnet_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus partitioning (Wenzek et al.
+    2020): per-LANGUAGE perplexity terciles under the LM quality score
+    — the bucketing step CCNet applies after KenLM scoring, so that
+    'well-written' (head) data can be up-sampled and tail data dropped
+    or down-sampled per language rather than globally (a global cut
+    would silently delete low-resource languages whose ppl runs high).
+    Composes functions.text.bigram_lm_doc_scores (corpus-as-model,
+    add-1 smoothing; swap-in point for a KenLM join at production) with
+    one lang-partitioned ntile pass, ties broken by doc_id so bucket
+    edges are deterministic.
+
+    Scale: the LM scoring is one data shuffle through a vocab²-bounded
+    model join; the tercile window shuffles doc-GRAIN score rows by
+    lang (never token volume). At 1e9+ docs per language replace the
+    exact ntile with sampled percentile thresholds broadcast back —
+    CCNet itself computes thresholds on a sample."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+    scored = T.bigram_lm_doc_scores(docs).select("doc_id", "ppl")
+    w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    return (scored.join(docs.select("doc_id", "lang"), "doc_id")
+            .withColumn("__n", F.ntile(3).over(w))
+            .select("doc_id", "lang", "ppl",
+                    F.when(F.col("__n") == 1, "head")
+                    .when(F.col("__n") == 2, "middle")
+                    .otherwise("tail").alias("bucket")))
+
+
 @query("token_window_chunks", """
 WITH toks AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS arr
@@ -10994,6 +11120,73 @@ def holt_linear_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "hour", "y_micro",
                       F.col("level").alias("level_micro"),
                       F.col("trend").alias("trend_micro"))
+
+
+@query("holt_winters_hourly", """
+WITH RECURSIVE hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         sum(floor(value * 1000000 + 0.5))::BIGINT AS y
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, h, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hourly
+), init AS (
+  SELECT event_type, list(y ORDER BY rn) AS ys
+  FROM seq WHERE rn <= 24 GROUP BY event_type HAVING count(*) = 24
+), init2 AS (
+  SELECT event_type, (list_sum(ys)::BIGINT // 24) AS l0, ys FROM init
+), rec AS (
+  SELECT event_type, 24::BIGINT AS rn, l0 AS l, 0::BIGINT AS b,
+         list_transform(ys, y -> y - l0) AS sea
+  FROM init2
+  UNION ALL
+  SELECT s.event_type, s.rn,
+         (s.y - r.sea[1] + 3 * (r.l + r.b)) // 4 AS l,
+         (((s.y - r.sea[1] + 3 * (r.l + r.b)) // 4) - r.l + 3 * r.b) // 4
+           AS b,
+         list_append(r.sea[2:],
+           ((s.y - ((s.y - r.sea[1] + 3 * (r.l + r.b)) // 4))
+            + 3 * r.sea[1]) // 4) AS sea
+  FROM rec r JOIN seq s
+    ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT r.event_type, s.h AS hour, s.y AS y_micro,
+       r.l AS level_micro, r.b AS trend_micro, r.sea[24] AS seasonal_micro
+FROM rec r JOIN seq s
+  ON s.event_type = r.event_type AND s.rn = r.rn
+WHERE r.rn > 24
+""")
+def holt_winters_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters triple exponential smoothing (additive DAILY
+    seasonality, period 24 on the hour grid) of hourly event value per
+    type — operators/aggregate.py::holt_winters_additive. The seasonal
+    completion of the forecasting family: EWMA lags a ramp,
+    ``holt_linear`` tracks it but lags the diurnal cycle, Holt-Winters
+    carries one seasonal int per hour-of-day slot. All state is exact
+    int64 micro-units (alpha=beta=gamma=1/4 as truncating `div 4`), so
+    the oracle — a recursive CTE that carries the 24-slot seasonal
+    vector as a LIST column, sliding it with list_append(sea[2:], s_new)
+    — replays every step bit-for-bit.
+
+    Plan: the fold is sequential per key BY THE MODEL'S DEFINITION, so
+    the engine pays one applyInPandas pass per event_type over
+    HOUR-GRID rows (~720 here), never event-grain; types parallelize
+    across the cluster and the pre-aggregation to the grid is the only
+    data-volume shuffle."""
+    from .operators.aggregate import holt_winters_additive
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5)))
+                   .cast("long").alias("y_micro")))
+    out = holt_winters_additive(hourly, key_col="event_type",
+                                order_col="hour", value_col="y_micro",
+                                period=24)
+    return out.select("event_type", "hour", "y_micro",
+                      F.col("level").alias("level_micro"),
+                      F.col("trend").alias("trend_micro"),
+                      F.col("seasonal").alias("seasonal_micro"))
 
 
 @query("kaplan_meier_conversion", """

@@ -539,3 +539,74 @@ def test_holt_linear_tracks_ramp_exactly(spark):
     assert got == expect
     # on a ramp with exact init, level tracks exactly and trend holds
     assert got[("a", 11)] == (100 + 10 * 11, 10)
+
+
+def test_bloom_semi_join_prunes_without_false_negatives(spark):
+    """Every true match survives the bloom prefilter (no false
+    negatives), survivors are a subset of the probe, the bit set is
+    bounded by m_bits, and a tiny filter yields false positives the
+    exact join would then drop — the documented contract."""
+    from go_streams_spark.operators.joins import (
+        bloom_bits_df, bloom_semi_join)
+    probe = spark.createDataFrame(
+        [(i, f"p{i}") for i in range(2000)], "k long, payload string")
+    build = spark.createDataFrame(
+        [(i * 37,) for i in range(40)], "k long")
+
+    got = {r["k"] for r in
+           bloom_semi_join(probe, build, probe_key="k").collect()}
+    true_keys = {i * 37 for i in range(40) if i * 37 < 2000}
+    assert true_keys <= got               # no false negatives
+    assert got <= set(range(2000))        # subset of the probe
+
+    # a deliberately tiny filter must produce false positives (the
+    # pigeonhole guarantees it: 2000 probe keys, 64 bits)
+    tiny = {r["k"] for r in
+            bloom_semi_join(probe, build, probe_key="k",
+                            m_bits=64).collect()}
+    assert true_keys <= tiny and len(tiny) > len(true_keys)
+
+    bits = bloom_bits_df(build, "k", m_bits=64)
+    assert bits.count() <= 64
+    assert bits.columns == ["__bit"]
+
+
+def test_holt_winters_additive_replays_and_guards(spark):
+    """The Spark fold matches an independent in-test replay of the
+    published recurrence (alpha=beta=gamma=1/4, truncating div), keys
+    shorter than period+1 emit nothing, and period < 2 fails loudly."""
+    import pytest as _pytest
+    from go_streams_spark.operators.aggregate import holt_winters_additive
+
+    period = 3
+    ys = [10, 40, 25, 13, 44, 29, 16, 50, 31, 18]
+    rows = ([("a", i, y) for i, y in enumerate(ys)]
+            + [("short", i, 5) for i in range(period)])  # == period rows
+    df = spark.createDataFrame(rows, "k string, t int, y long")
+
+    def tdiv(a, d):
+        return a // d if a >= 0 else -((-a) // d)
+
+    lv, tr = tdiv(sum(ys[:period]), period), 0
+    sea = [y - lv for y in ys[:period]]
+    expected = []
+    for i, y in enumerate(ys[period:], start=period):
+        s_old = sea.pop(0)
+        nl = tdiv(y - s_old + 3 * (lv + tr), 4)
+        tr = tdiv((nl - lv) + 3 * tr, 4)
+        lv = nl
+        ns = tdiv((y - nl) + 3 * s_old, 4)
+        sea.append(ns)
+        expected.append(("a", i, y, lv, tr, ns))
+
+    out = holt_winters_additive(df, key_col="k", order_col="t",
+                                value_col="y", period=period)
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == sorted(expected)  # 'short' key emitted nothing
+
+    with _pytest.raises(ValueError, match="period"):
+        holt_winters_additive(df, key_col="k", order_col="t",
+                              value_col="y", period=1)
+    with _pytest.raises(ValueError, match="missing column"):
+        holt_winters_additive(df, key_col="nope", order_col="t",
+                              value_col="y", period=3)
