@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "incremental_join_maintenance",
     "attribution_credit",
     "unigram_lm_segment",
+    "wordpiece_segment_report",
     "dp_noisy_event_counts",
     "holt_linear_hourly",
     "holt_winters_hourly",

@@ -1335,3 +1335,225 @@ def rake_keyphrases(df, *, text_col: str = "text", id_col: str = "doc_id",
         F.col("score_micro").desc(), "phrase")
     return (dedup.withColumn("rank", F.row_number().over(wr).cast("int"))
             .where(F.col("rank") <= top_k))
+
+
+# ---------------------------------------------------------------------------
+# WordPiece (round 8): likelihood-scored trainer + greedy longest-match
+# encoder — the third tokenizer family (BPE = frequency-merge + rank-
+# order encode; unigram-LM = Viterbi; WordPiece = likelihood merge +
+# maximal-munch encode, the BERT scheme).
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for the WordPiece pair-likelihood score
+#: cnt(ab)/(cnt(a)*cnt(b)) — integer micro-units so argmax ordering is
+#: engine-exact. int64-safe while cnt(ab) < 9.2e6 and token volume
+#: < 3e9 (den = cnt(a)*cnt(b)); beyond that switch the score to
+#: decimal(38) — the DECISION stays a one-row driver fetch either way.
+_WP_SCORE_SCALE = 10 ** 12
+
+
+def wordpiece_train_merges(df, *, text_col: str = "text", rounds: int = 5,
+                           min_count: int = 2):
+    """WordPiece tokenizer training, distributed: like
+    ``bpe_train_merges`` (same vocabulary loop, same greedy
+    left-to-right rewrite fold) but the merge DECISION maximizes the
+    likelihood score cnt(ab) / (cnt(a) * cnt(b)) (Schuster & Nakajima
+    2012; the BERT trainer) instead of raw pair frequency — rare-but-
+    predictive pairs win over merely common ones.
+
+    Per round: weighted pair counts AND weighted symbol counts off the
+    same vocabulary (two hash aggs over the token-TYPE table, shrunk by
+    the repetition factor); symbol counts broadcast back onto pair rows
+    (symbol table is alphabet+rounds bounded); pairs below
+    ``min_count`` are dropped BEFORE the argmax — a raw likelihood
+    argmax would always pick singleton pairs, whose tiny denominators
+    dominate the score; argmax on integer micro-score with
+    (score desc, a, b) tie-break comes to the driver (one row — index
+    metadata); vocab rewrites via the shared ``_merge_fold`` and
+    localCheckpoints so round k+1 does not replay rounds 1..k. Stops
+    early when no candidate remains.
+    Returns (round, piece, a, b, cnt, score_micro).
+
+    No single-query SQL oracle (iterative argmax); exactness is pinned
+    against an independent Python twin in tests and the
+    ``wordpiece_segment_report`` gate query bakes the twin's replay
+    into a generated VALUES oracle per SF."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    spark = df.sparkSession
+    vocab = (df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("tok_cnt"))
+             .select(F.split("tok", "").alias("syms"), "tok_cnt")
+             .localCheckpoint())
+    merges: list[tuple] = []
+    for r in range(rounds):
+        n1 = F.greatest(F.size("syms") - 1, F.lit(0))
+        pairs = (vocab.select(
+            F.explode(F.zip_with(F.slice("syms", 1, n1),
+                                 F.slice("syms", 2, n1),
+                                 lambda a, b: F.struct(a.alias("a"),
+                                                       b.alias("b"))))
+            .alias("p"), "tok_cnt")
+            .groupBy("p").agg(F.sum("tok_cnt").alias("cnt")))
+        syms = (vocab.select(F.explode("syms").alias("s"), "tok_cnt")
+                .groupBy("s").agg(F.sum("tok_cnt").alias("sc")))
+        cand = (pairs
+                .join(F.broadcast(syms.select(F.col("s").alias("__a"),
+                                              F.col("sc").alias("ca"))),
+                      F.col("p.a") == F.col("__a"))
+                .join(F.broadcast(syms.select(F.col("s").alias("__b"),
+                                              F.col("sc").alias("cb"))),
+                      F.col("p.b") == F.col("__b"))
+                .where(F.col("cnt") >= min_count)
+                .withColumn("score_micro",
+                            F.expr(f"(cnt * {_WP_SCORE_SCALE})"
+                                   " div (ca * cb)")))
+        best = (cand.orderBy(F.col("score_micro").desc(),
+                             F.col("p.a"), F.col("p.b")).first())
+        if best is None:
+            break
+        a, b = best["p"]["a"], best["p"]["b"]
+        merges.append((r, a + b, a, b, int(best["cnt"]),
+                       int(best["score_micro"])))
+        vocab = (vocab.select(_merge_fold("syms", a, b).alias("syms"),
+                              "tok_cnt")
+                 .localCheckpoint())
+    return spark.createDataFrame(
+        merges, "round int, piece string, a string, b string, cnt long, "
+                "score_micro long")
+
+
+def _wp_greedy(word: str, pieces: set, maxlen: int) -> list:
+    """Greedy longest-match-first (maximal munch) WordPiece
+    segmentation of one word: at each position take the longest piece
+    in the trained vocabulary, falling back to the single character
+    (every corpus character is implicitly in-vocab, so no [UNK] arises
+    on the training corpus itself); continuation pieces carry the
+    BERT '##' display prefix. Pure function — shared verbatim by the
+    Spark encoder and the DuckDB oracle generator."""
+    out, pos = [], 0
+    while pos < len(word):
+        ln = min(maxlen, len(word) - pos)
+        while ln >= 2 and word[pos:pos + ln] not in pieces:
+            ln -= 1
+        piece = word[pos:pos + ln] if ln >= 2 else word[pos]
+        out.append(piece if pos == 0 else "##" + piece)
+        pos += len(piece)
+    return out
+
+
+def _wp_train_py(word_freqs, rounds: int, min_count: int = 2) -> list:
+    """Independent pure-Python WordPiece trainer twin (exact big-int
+    arithmetic) — the oracle generator's replay of
+    ``wordpiece_train_merges``. Input: (word, freq) rows."""
+    from collections import Counter
+    vocab = Counter()
+    for w, c in word_freqs:
+        vocab[tuple(w)] += int(c)
+    merges = []
+    for r in range(rounds):
+        pc, sc = Counter(), Counter()
+        for syms, c in vocab.items():
+            for s in syms:
+                sc[s] += c
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += c
+        scored = {p: (c * _WP_SCORE_SCALE) // (sc[p[0]] * sc[p[1]])
+                  for p, c in pc.items() if c >= min_count}
+        if not scored:
+            break
+        (a, b), sm = min(scored.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((r, a + b, a, b, pc[(a, b)], sm))
+        new_vocab = Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += c
+        vocab = new_vocab
+    return merges
+
+
+#: report defaults shared by the gate query and its oracle generator
+_WP_ROUNDS = 6
+_WP_TOP_WORDS = 40
+
+
+def wordpiece_segment_report(df, *, text_col: str = "text",
+                             rounds: int = _WP_ROUNDS,
+                             top_words: int = _WP_TOP_WORDS):
+    """Train a WordPiece vocabulary on the corpus, then segment the
+    ``top_words`` most frequent words with greedy longest-match —
+    (word, freq, segmentation, n_pieces). Deliberately the same report
+    shape as the unigram-LM segmenter so the three tokenizer families
+    are directly comparable on one corpus. Note maximal munch is NOT
+    merge-order replay: BPE applied to the same vocabulary can emit a
+    different (sometimes longer) segmentation — that divergence is the
+    reason real tokenizers ship the inference rule with the vocab.
+
+    Plan: training as ``wordpiece_train_merges`` (the merge table is
+    driver metadata, rounds rows); word frequencies are one hash agg
+    over exploded tokens; top-k is a TakeOrdered (never a global
+    sort); segmentation is an Arrow-batched pandas UDF over the K
+    surviving rows."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    merges = wordpiece_train_merges(df, text_col=text_col, rounds=rounds)
+    pieces = {r["piece"] for r in merges.collect()}  # bounded: <= rounds
+    maxlen = max((len(p) for p in pieces), default=1)
+
+    @pandas_udf("string")
+    def _seg(words: pd.Series) -> pd.Series:
+        return words.map(
+            lambda w: "|".join(_wp_greedy(w or "", pieces, maxlen)))
+
+    freq = (df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                      .alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.col("freq").desc(), "word").limit(top_words))
+    out = freq.withColumn("segmentation", _seg(F.col("word")))
+    return out.withColumn(
+        "n_pieces", F.size(F.split("segmentation", r"\|")).cast("int"))
+
+
+def wordpiece_oracle_sql(sf_dir: str, *, table: str = "documents",
+                         text_col: str = "text") -> str:
+    """Per-SF generated oracle for wordpiece_segment_report: word
+    frequencies come from DuckDB's own tokenizer chain, the merge table
+    from the pure-Python big-int trainer twin, segmentation from the
+    SAME ``_wp_greedy`` function, and the results bake into a VALUES
+    table."""
+    import os
+
+    import duckdb
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    con = duckdb.connect()
+    wf = con.execute(f"""
+        SELECT word, count(*)::BIGINT AS freq FROM (
+          SELECT unnest(list_filter(string_split(lower({text_col}), ' '),
+                                    x -> x <> '')) AS word
+          FROM read_parquet('{path}'))
+        GROUP BY word
+    """).fetchall()
+    merges = _wp_train_py(wf, rounds=_WP_ROUNDS)
+    pieces = {m[1] for m in merges}
+    maxlen = max((len(p) for p in pieces), default=1)
+    top = sorted(wf, key=lambda r: (-r[1], r[0]))[:_WP_TOP_WORDS]
+    rows = []
+    for w, f in top:
+        seg = "|".join(_wp_greedy(w, pieces, maxlen))
+        esc_w = w.replace("'", "''")
+        esc_s = seg.replace("'", "''")
+        rows.append(f"('{esc_w}', {f}, '{esc_s}', {seg.count('|') + 1})")
+    vals = ",\n".join(rows)
+    return f"""SELECT word::VARCHAR AS word, freq::BIGINT AS freq,
+       segmentation::VARCHAR AS segmentation, n_pieces::INT AS n_pieces
+FROM (VALUES
+{vals}
+) AS t(word, freq, segmentation, n_pieces)"""

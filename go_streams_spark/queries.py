@@ -10914,6 +10914,25 @@ def unigram_lm_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.unigram_segment_report(docs)
 
 
+@query("wordpiece_segment_report", T.wordpiece_oracle_sql)
+def wordpiece_segment_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer (functions/text.py::wordpiece_train_merges +
+    greedy longest-match encode): merges chosen by the LIKELIHOOD score
+    cnt(ab)/(cnt(a)*cnt(b)) (Schuster & Nakajima 2012, the BERT
+    trainer) rather than BPE's raw frequency, then the top-40 corpus
+    words segmented with maximal munch and '##' continuation prefixes.
+    Completes the tokenizer triad — BPE (frequency merge, rank-order
+    encode), unigram-LM (Viterbi), WordPiece (likelihood merge, greedy
+    encode) — on one corpus with one report shape. PER-SF generated
+    oracle: DuckDB re-derives word frequencies through its own
+    tokenizer chain, an independent pure-Python big-int trainer twin
+    replays the merge decisions, and the SAME greedy segmenter bakes
+    the expected rows into a VALUES table — a drift in scoring,
+    tie-break, or the munch rule breaks the hash."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.wordpiece_segment_report(docs)
+
+
 def _dp_noisy_counts_sql() -> str:
     from .functions.checks import dp_laplace_cdf_micro
     rows = ", ".join(f"({k}, {c})" for k, c in dp_laplace_cdf_micro())

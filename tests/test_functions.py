@@ -2490,3 +2490,72 @@ def test_fellegi_sunter_zero_candidates_is_empty(spark):
          (2, "epsilon zeta eta theta", "de", "web", 22)],
         "doc_id long, text string, lang string, source string, n_chars long")
     assert fellegi_sunter_link(df).count() == 0
+
+
+def test_wordpiece_train_matches_python_reference(spark):
+    """wordpiece_train_merges equals a from-scratch Python trainer with
+    the likelihood score cnt(ab)/(cnt(a)*cnt(b)) in exact integer
+    micro-units (score-desc/pair-asc tie-break) — and DIVERGES from
+    BPE's frequency argmax on this corpus, which is the point of the
+    scheme."""
+    docs = [(i, t) for i, t in enumerate(
+        ["low lower lowest", "low low newer newest", "wider new newer",
+         "lowest newest wide wide wider", "quiz quiz jazzy"])]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = [(r["round"], r["piece"], r["cnt"], r["score_micro"])
+           for r in T.wordpiece_train_merges(df, rounds=5).collect()]
+
+    from collections import Counter
+    vocab = Counter()
+    for _, t in docs:
+        for tok in t.lower().split():
+            vocab[tuple(tok)] += 1
+    expect = []
+    for r in range(5):
+        pc, sc = Counter(), Counter()
+        for syms, c in vocab.items():
+            for s in syms:
+                sc[s] += c
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += c
+        scored = {p: (c * 10 ** 12) // (sc[p[0]] * sc[p[1]])
+                  for p, c in pc.items() if c >= 2}
+        if not scored:
+            break
+        (a, b), sm = min(scored.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((r, a + b, pc[(a, b)], sm))
+        new_vocab = Counter()
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] += c
+        vocab = new_vocab
+    assert got == expect
+
+    # the likelihood argmax must differ from BPE's frequency argmax
+    # here (e.g. rare-but-exclusive 'qu'/'zz' beat common 'lo'/'we')
+    bpe_first = T.bpe_train_merges(df, rounds=1).collect()[0]["pair"]
+    assert got[0][1] != bpe_first
+
+    with pytest.raises(ValueError, match="rounds"):
+        T.wordpiece_train_merges(df, rounds=0)
+
+
+def test_wordpiece_greedy_maximal_munch():
+    """_wp_greedy takes the LONGEST in-vocab piece at each position,
+    falls back to single characters, and prefixes continuations with
+    '##' — including the known BPE-vs-munch divergence case."""
+    pieces = {"lo", "low", "er", "we"}
+    assert T._wp_greedy("lower", pieces, 3) == ["low", "##er"]
+    assert T._wp_greedy("welow", pieces, 3) == ["we", "##low"]
+    assert T._wp_greedy("xyz", pieces, 3) == ["x", "##y", "##z"]
+    assert T._wp_greedy("", pieces, 3) == []
+    # maximal munch can strand a suffix BPE merge-order would pair:
+    # vocab {"ab","abc"} on "abcd": munch takes "abc" then chars
+    assert T._wp_greedy("abcd", {"ab", "abc"}, 3) == ["abc", "##d"]
