@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "simhash_docs",
     "simhash64_near_pairs",
     "embedding_knn",
+    "ann_filtered_recall_audit",
     "hard_negatives_by_label",
     "semdedup_prune",
     "semdedup_fixed_codebook",

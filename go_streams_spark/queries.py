@@ -1979,6 +1979,103 @@ def embedding_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("int"))
 
 
+@query("ann_filtered_recall_audit", """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS qv,
+         list_sum(list_transform(embedding,
+             x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT
+                  * floor(x::DOUBLE * 1000000 + 0.5)::BIGINT))::BIGINT AS nrm
+  FROM embeddings
+), pf AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.label AS la, b.label AS lb,
+         floor(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                       p -> p[1] * p[2]))::BIGINT
+               / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000 + 0.5)
+           / 1000000.0 AS sim
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id
+), fullk AS (
+  SELECT *, row_number() OVER (PARTITION BY id_a
+                               ORDER BY sim DESC, id_b) AS rk
+  FROM pf
+), truth3 AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a
+                                          ORDER BY sim DESC, id_b) AS rk
+    FROM pf WHERE la % 2 = 0 AND lb % 2 = 0)
+  WHERE rk <= 3
+), post3 AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a
+                                          ORDER BY sim DESC, id_b) AS rk2
+    FROM fullk WHERE rk <= 9 AND la % 2 = 0 AND lb % 2 = 0)
+  WHERE rk2 <= 3
+)
+SELECT q.vec_id,
+       coalesce(p.n_post, 0)::BIGINT AS n_post,
+       coalesce(h.n_hit, 0)::BIGINT  AS n_hit,
+       ((coalesce(h.n_hit, 0) * 1000000) // 3)::BIGINT AS recall_micro
+FROM (SELECT DISTINCT id_a AS vec_id FROM truth3) q
+LEFT JOIN (SELECT id_a, count(*) AS n_post FROM post3 GROUP BY id_a) p
+  ON p.id_a = q.vec_id
+LEFT JOIN (SELECT t.id_a, count(*) AS n_hit
+           FROM truth3 t JOIN post3 s
+             ON s.id_a = t.id_a AND s.id_b = t.id_b
+           GROUP BY t.id_a) h
+  ON h.id_a = q.vec_id
+""")
+def ann_filtered_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search done BOTH ways, per-query recall audit —
+    the decision every metadata-filtered ANN deployment faces:
+    PRE-FILTER (restrict the index to the predicate slice, search
+    within it — exact, needs a filtered index) vs POST-FILTER (take
+    top-k' from the full index, keep slice survivors, cut to k — one
+    shared index, loses recall when matches rank below k'). Slice =
+    even labels; truth = exact cosine top-3 within the slice
+    (block_knn on the filtered frame); post = slice survivors of the
+    full top-9, cut to 3. Emits per query (n_post, n_hit,
+    recall_micro) — the measured recall the k'=3k over-fetch buys, the
+    number that sizes k' in production.
+
+    Scale: two block_knn passes (2-D blocked BLAS matmuls, nothing
+    driver-resident) + label joins at neighbor-row grain and one
+    left-semi intersection; all integer micro-unit sims, so the audit
+    is engine-exact against the N^2 SQL replay."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pred = (F.col("label") % 2) == 0
+    truth = (S.block_knn(emb.where(pred), k=3,
+                         query_blocks=8, index_shards=4)
+             .select("vec_id", "neighbor_id"))
+    full = S.block_knn(emb, k=9, query_blocks=8, index_shards=4)
+    labels = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    from pyspark.sql import Window
+    post = (full
+            .join(labels.select(F.col("vec_id"),
+                                F.col("label").alias("__ql")), "vec_id")
+            .join(labels.select(F.col("vec_id").alias("neighbor_id"),
+                                F.col("label").alias("__nl")),
+                  "neighbor_id")
+            .where(((F.col("__ql") % 2) == 0) & ((F.col("__nl") % 2) == 0))
+            .withColumn("__rk2", F.row_number().over(
+                Window.partitionBy("vec_id")
+                .orderBy(F.col("sim").desc(), "neighbor_id")))
+            .where(F.col("__rk2") <= 3)
+            .select("vec_id", "neighbor_id"))
+    hits = (truth.join(post, ["vec_id", "neighbor_id"], "left_semi")
+            .groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    n_post = post.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_post"))
+    return (truth.select("vec_id").distinct()
+            .join(n_post, "vec_id", "left")
+            .join(hits, "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce("n_post", F.lit(0)).alias("n_post"),
+                    F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+                    F.expr("(coalesce(n_hit, 0) * 1000000) div 3")
+                    .alias("recall_micro")))
+
+
 @query("ann_sign_lsh", """
 WITH cfg AS (
   SELECT least(62, min(len(embedding)),
