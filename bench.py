@@ -140,10 +140,12 @@ BENCH_QUERIES = [
     # neardup_keep_best / dedup_components stay registry-only: same CC
     # pipeline leakage_safe_split already benches
     "temperature_mixture_sample",
+    "unimax_budget_allocation",
     "ewma_value_by_user",
     "merge_upsert_customers",
     "audio_pcm_features",
     "k_anonymity_audit",
+    "l_diversity_audit",
     "corpus_content_fingerprint",
     "embedding_second_moments",
     "embedding_mahalanobis_outliers",

@@ -5418,6 +5418,115 @@ def ewma_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "ewma")
 
 
+@query("unimax_budget_allocation", """
+WITH d AS (
+  SELECT source,
+         sum(len(list_filter(string_split(text, ' '),
+                             x -> x <> '')))::BIGINT AS s
+  FROM documents GROUP BY source
+), t AS (
+  SELECT sum(s)::BIGINT AS tot, ((sum(s) * 2) // 5)::BIGINT AS b,
+         count(*)::BIGINT AS n
+  FROM d
+), o AS (
+  SELECT source, s,
+         row_number() OVER (ORDER BY s, source) AS rn,
+         sum(s) OVER (ORDER BY s, source) AS cum
+  FROM d
+), lv AS (
+  SELECT (t.b - coalesce(lag(o.cum) OVER (ORDER BY o.rn), 0))
+           // (t.n - o.rn + 1) AS lvl,
+         coalesce(lag(o.s) OVER (ORDER BY o.rn), 0) AS s_prev,
+         o.s AS s_cur
+  FROM o CROSS JOIN t
+), pick AS (
+  SELECT min(lvl)::BIGINT AS lvl FROM lv
+  WHERE lvl >= s_prev AND lvl < s_cur
+)
+SELECT o.source, o.s AS supply_tokens,
+       CASE WHEN t.b >= t.tot THEN o.s
+            ELSE least(o.s, coalesce(pick.lvl, t.tot)) END::BIGINT
+         AS alloc_tokens,
+       CASE WHEN t.b >= t.tot THEN FALSE
+            ELSE o.s > coalesce(pick.lvl, t.tot) END AS level_limited
+FROM o CROSS JOIN t CROSS JOIN pick
+""")
+def unimax_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-uniform training-token allocation under per-domain supply
+    caps — the UniMax idea (Chung et al. 2023: spread the budget as
+    evenly as possible across domains, never oversampling a domain
+    past its supply) solved exactly as an integer water-fill. Domains
+    sorted by supply; the unique level L with
+    sum(min(s_i, L)) <= budget < sum(min(s_i, L+1)) is found by the
+    classic prefix-sum feasibility test (cap the k smallest domains at
+    full supply, level the rest); every domain then gets
+    min(supply, L). Budget here = 40% of corpus tokens, derived from
+    the data. The allocation table is what a sampler consumes (e.g.
+    temperature_mixture_sample's weights swap for these quotas).
+
+    Scale: token counts are one hash agg to SOURCE grain; the
+    water-fill windows run over domain-grain rows (bounded by the
+    domain catalog, ~dozens), never token or doc volume."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+    d = (docs.select("source",
+                     F.size(F.filter(F.split("text", " "),
+                                     lambda x: x != "")).alias("__nt"))
+         .groupBy("source").agg(F.sum("__nt").cast("long").alias("s")))
+    t = d.agg(F.sum("s").cast("long").alias("tot"),
+              F.expr("(sum(s) * 2) div 5").cast("long").alias("b"),
+              F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("s", "source")
+    o = d.select("source", "s",
+                 F.row_number().over(w).alias("rn"),
+                 F.sum("s").over(w).alias("cum"))
+    wr = Window.orderBy("rn")
+    lv = (o.crossJoin(F.broadcast(t))
+          .select(F.expr("(b - coalesce(lag(cum) over (order by rn), 0))"
+                         " div (n - rn + 1)").alias("lvl"),
+                  F.coalesce(F.lag("s").over(wr), F.lit(0)).alias("s_prev"),
+                  F.col("s").alias("s_cur")))
+    pick = (lv.where((F.col("lvl") >= F.col("s_prev"))
+                     & (F.col("lvl") < F.col("s_cur")))
+            .agg(F.min("lvl").cast("long").alias("lvl")))
+    return (o.crossJoin(F.broadcast(t)).crossJoin(F.broadcast(pick))
+            .select("source",
+                    F.col("s").alias("supply_tokens"),
+                    F.when(F.col("b") >= F.col("tot"), F.col("s"))
+                    .otherwise(F.least(
+                        F.col("s"),
+                        F.coalesce(F.col("lvl"), F.col("tot"))))
+                    .cast("long").alias("alloc_tokens"),
+                    F.when(F.col("b") >= F.col("tot"), F.lit(False))
+                    .otherwise(F.col("s")
+                               > F.coalesce(F.col("lvl"), F.col("tot")))
+                    .alias("level_limited")))
+
+
+@query("l_diversity_audit", """
+SELECT event_type, date_trunc('day', ts) AS day,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT user_id)::BIGINT AS distinct_users,
+       (count(DISTINCT user_id) < 5) AS low_diversity
+FROM events GROUP BY 1, 2
+""")
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2007) of the
+    released (event_type, day) aggregation grain: a group whose rows
+    trace back to fewer than l=5 distinct users lets an observer link
+    the released aggregate to individuals even when k-anonymity on row
+    COUNT passes — the companion check to k_anonymity_audit (which
+    bounds group size, not identity diversity). One hash agg with a
+    distinct-count; grain is (type x day)-bounded."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type",
+                       F.date_trunc("day", "ts").alias("day"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.countDistinct("user_id").cast("long")
+                 .alias("distinct_users"))
+            .withColumn("low_diversity", F.col("distinct_users") < 5))
+
+
 @query("k_anonymity_audit", """
 WITH g AS (
   SELECT lang, source,
