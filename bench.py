@@ -150,6 +150,7 @@ BENCH_QUERIES = [
     "embedding_second_moments",
     "embedding_mahalanobis_outliers",
     "pca_whiten_embeddings",
+    "procrustes_alignment_drift",
     "isotonic_quality_calibration",
     "type_token_diversity",
     "psi_drift_report",

@@ -2248,3 +2248,138 @@ def ivf_balance_audit(df: DataFrame, *, id_col: str = "vec_id",
                   .alias("top_share_micro"),
                 F.expr("(scanned * 1000000) div (n_vecs * n_vecs)")
                   .alias("probe_scan_micro")))
+
+
+# ---------------------------------------------------------------------------
+# Orthogonal Procrustes alignment (round 8): align two embedding
+# spaces (model v1 -> v2 migration, cross-lingual mapping) and measure
+# per-vector drift after the best rotation is removed.
+# ---------------------------------------------------------------------------
+
+def _procrustes_rotation_micro(cov):
+    """Orthogonal Procrustes solution for an EXACT int64 cross-
+    covariance matrix M = A^T B: R = U V^T from the SVD of M, returned
+    quantized to int64 micro-units. Shared verbatim by the Spark path
+    and the oracle generator, so both sides run the same LAPACK call
+    on the same exact-integer input — the float enters exactly once,
+    here, and identically."""
+    import numpy as np
+    u, _, vt = np.linalg.svd(np.asarray(cov, dtype="float64"))
+    r = u @ vt
+    return np.floor(r * 1_000_000 + 0.5).astype("int64")
+
+
+def procrustes_residuals(df: DataFrame, *, id_col: str = "vec_id",
+                         a_col: str = "va", b_col: str = "vb") -> DataFrame:
+    """Per-vector alignment residual between two embedding spaces under
+    the best orthogonal map (Schonemann 1966): fit R minimizing
+    ||A R - B||_F (R = U V^T from the SVD of A^T B), then emit
+    sum_d ((A_v R)_d - B_v_d)^2 per vector in exact micro^2 units.
+    The migration-drift report: vectors whose meaning MOVED between
+    two model versions keep a large residual after the global rotation
+    (which absorbs the harmless coordinate-frame change) is removed.
+
+    Determinism/exactness: both spaces quantize to int64 micro-units;
+    the d x d cross-covariance is an exact integer sum (mapInPandas
+    batch partials -> one (d^2)-row aggregate — partition-independent
+    by commutativity); the SVD runs ONCE on that exact matrix
+    (driver-resident, d^2 <= 4096 entries — codebook-class metadata);
+    the rotation re-quantizes to micro ints and the residual is pure
+    int64 numpy arithmetic (integer matmul, no BLAS float path).
+    int64 bounds: covariance entries ~ N * 1e12 hold to ~9e6 vectors
+    of worst-case unit mass — beyond that, compute the covariance on a
+    uniform sample (the rotation is a 4096-parameter model; a sample
+    fits it) and keep the residual pass over the full corpus.
+
+    Scale: one data pass for the covariance (emitting d^2 rows per
+    Arrow batch), one for the residuals; nothing corpus-sized is ever
+    collected or broadcast except the d x d rotation itself.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..plans.caching import track_persist
+
+    q = track_persist(df.select(
+        F.col(id_col),
+        quantized_vec(a_col).alias("__qa"),
+        quantized_vec(b_col).alias("__qb")))
+
+    def _cov_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(list(pdf["__qa"]), dtype="int64")
+            B = np.array(list(pdf["__qb"]), dtype="int64")
+            m = (A.T @ B).ravel()
+            yield pd.DataFrame({"pos": np.arange(m.size, dtype="int64"),
+                                "v": m})
+
+    cov_rows = (q.mapInPandas(_cov_partials, schema="pos long, v long")
+                .groupBy("pos").agg(F.sum("v").alias("v"))
+                .collect())
+    if not cov_rows:
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} long, residual_sq long")
+    d = int(len(cov_rows) ** 0.5)
+    m = np.zeros(d * d, dtype="int64")
+    for r in cov_rows:
+        m[r["pos"]] = r["v"]
+    r_micro = _procrustes_rotation_micro(m.reshape(d, d))
+
+    def _resid(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(list(pdf["__qa"]), dtype="int64")
+            B = np.array(list(pdf["__qb"]), dtype="int64")
+            proj = (A @ r_micro) // 1_000_000   # numpy floor-div, both sides
+            dlt = proj - B
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy(),
+                "residual_sq": (dlt * dlt).sum(axis=1).astype("int64")})
+
+    return q.mapInPandas(_resid, schema=f"{id_col} long, residual_sq long")
+
+
+def procrustes_oracle_sql(sf_dir: str, *, table: str = "embeddings",
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          shift: int = 3) -> str:
+    """Per-SF generated oracle for procrustes_alignment_drift: an
+    independent DuckDB read of the vectors, the SAME planted signed
+    permutation, the SAME exact-integer covariance / rotation /
+    residual pipeline (shared _procrustes_rotation_micro; whole-corpus
+    integer matmul — batch-shape independent because integer), baked
+    into a VALUES table."""
+    import os
+
+    import duckdb
+    import numpy as np
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT {id_col}, {vec_col} FROM read_parquet('{path}') "
+        f"ORDER BY {id_col}").fetchall()
+    ids = [r[0] for r in rows]
+    a_f = np.array([r[1] for r in rows], dtype="float64")
+    d = a_f.shape[1]
+    sgn = np.array([1.0 if j % 2 == 0 else -1.0 for j in range(d)])
+    b_f = a_f[:, [(j + shift) % d for j in range(d)]] * sgn
+    # planted per-vector drift (vec_id % 50 == 0): swap coords 0 and 1
+    # AFTER the global map — unabsorbable by any single rotation
+    mask = np.array([i % 50 == 0 for i in ids])
+    b_f[mask] = b_f[mask][:, [1, 0] + list(range(2, d))]
+    qa = np.floor(a_f * 1_000_000 + 0.5).astype("int64")
+    qb = np.floor(b_f * 1_000_000 + 0.5).astype("int64")
+    r_micro = _procrustes_rotation_micro(qa.T @ qb)
+    proj = (qa @ r_micro) // 1_000_000
+    dlt = proj - qb
+    res = (dlt * dlt).sum(axis=1)
+    vals = ",\n".join(f"({i}, {int(v)})" for i, v in zip(ids, res))
+    return f"""SELECT {id_col}::BIGINT AS {id_col},
+       residual_sq::BIGINT AS residual_sq
+FROM (VALUES
+{vals}
+) AS t({id_col}, residual_sq)"""

@@ -6880,6 +6880,43 @@ def pca_whiten_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pca_whiten_embeddings(emb, out_dim=8)
 
 
+@query("procrustes_alignment_drift", S.procrustes_oracle_sql)
+def procrustes_alignment_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orthogonal Procrustes drift report between two embedding spaces
+    (functions/similarity.py::procrustes_residuals): fit the best
+    rotation R = U V^T from the SVD of the exact-integer cross-
+    covariance, remove it, and emit each vector's remaining squared
+    residual — the embedding-migration diagnostic (model v1 -> v2:
+    the global rotation absorbs the harmless coordinate-frame change;
+    what's left is per-vector MEANING drift). The v2 space here is a
+    planted signed dimension-permutation of v1 (an orthogonal map) for
+    98% of vectors — recovered exactly, residual 0 — plus a per-vector
+    coordinate swap on vec_id % 50 == 0, which the global rotation
+    CANNOT absorb: the report flags exactly those vectors with
+    positive residuals. A real migration swaps the planted column for
+    a join against the v2 table.
+
+    Scale: one pass for the d x d covariance (mapInPandas integer
+    partials -> d^2-row aggregate), one Arrow pass for residuals; the
+    only driver-resident object is the 64 x 64 rotation. PER-SF
+    generated oracle: independent DuckDB read + the SAME shared
+    rotation/residual functions baked to a VALUES table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = F.col("embedding")
+    dsz = F.size(a)
+    b = F.transform(
+        F.sequence(F.lit(0), dsz - F.lit(1)),
+        lambda j: F.when(j % 2 == 0,
+                         F.element_at(a, ((j + 3) % dsz) + 1))
+        .otherwise(-F.element_at(a, ((j + 3) % dsz) + 1)))
+    drifted = F.concat(F.array(F.element_at(b, 2), F.element_at(b, 1)),
+                       F.slice(b, 3, dsz - 2))
+    vb = F.when(F.col("vec_id") % 50 == 0, drifted).otherwise(b)
+    return S.procrustes_residuals(
+        emb.select("vec_id", a.alias("va"), vb.alias("vb")),
+        id_col="vec_id", a_col="va", b_col="vb")
+
+
 @query("embedding_second_moments", """
 WITH q AS (
   SELECT vec_id,

@@ -2559,3 +2559,38 @@ def test_wordpiece_greedy_maximal_munch():
     # maximal munch can strand a suffix BPE merge-order would pair:
     # vocab {"ab","abc"} on "abcd": munch takes "abc" then chars
     assert T._wp_greedy("abcd", {"ab", "abc"}, 3) == ["abc", "##d"]
+
+
+def test_procrustes_residuals_recovers_planted_rotation(spark):
+    """An exactly-orthogonal planted map (signed permutation) is fully
+    absorbed by the fitted rotation (residual 0 everywhere); a
+    per-vector corruption the global rotation cannot absorb gets a
+    LARGE residual on exactly that vector; empty input yields an empty
+    frame with the contract schema."""
+    import numpy as np
+    rng = [[float(((i * 7 + j * 3) % 11) - 5) / 5 for j in range(8)]
+           for i in range(40)]
+    # b = signed permutation of a (orthogonal): b[j] = +/- a[(j+2) % 8]
+    def planted(a):
+        return [a[(j + 2) % 8] * (1.0 if j % 2 == 0 else -1.0)
+                for j in range(8)]
+    rows = [(i, a, planted(a)) for i, a in enumerate(rng)]
+    # corrupt vector 5: swap two coords AFTER the map
+    b5 = rows[5][2][:]
+    b5[0], b5[1] = b5[1], b5[0]
+    rows[5] = (5, rows[5][1], b5)
+    df = spark.createDataFrame(
+        rows, "vec_id long, va array<double>, vb array<double>")
+    got = {r["vec_id"]: r["residual_sq"] for r in
+           S.procrustes_residuals(df).collect()}
+    assert len(got) == 40
+    corrupted = got.pop(5)
+    # the 39 clean vectors sit at (near-)zero — only quantization and
+    # the one corrupted vector's pull on R contribute
+    assert corrupted > 100 * max(got.values() or [1])
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, va array<double>, vb array<double>")
+    out = S.procrustes_residuals(empty)
+    assert out.columns == ["vec_id", "residual_sq"]
+    assert out.count() == 0
