@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "ann_pq_rerank",
     "ann_ivf_pq",
     "ann_recall_report",
+    "ann_ndcg_report",
     "text_normalize_docs",
     "cep_funnel_pattern",
     "jl_project_embeddings",
@@ -250,6 +251,7 @@ BENCH_QUERIES = [
     "dp_noisy_event_counts",
     "holt_linear_hourly",
     "holt_winters_hourly",
+    "hw_anomaly_hourly",
     "kaplan_meier_conversion",
     "graph_random_walks",
     "markov_attribution",

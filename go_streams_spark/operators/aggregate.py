@@ -282,7 +282,8 @@ def _tdiv(a: int, d: int) -> int:
 
 
 def holt_winters_additive(df: DataFrame, *, key_col: str, order_col: str,
-                          value_col: str, period: int) -> DataFrame:
+                          value_col: str, period: int,
+                          emit_forecast: bool = False) -> DataFrame:
     """Holt-Winters triple exponential smoothing (additive seasonality)
     with alpha = beta = gamma = 1/4, in exact int64 arithmetic:
 
@@ -305,6 +306,11 @@ def holt_winters_additive(df: DataFrame, *, key_col: str, order_col: str,
     carries the seasonal vector as a LIST column replays it
     bit-for-bit.
 
+    ``emit_forecast=True`` adds the ONE-STEP-AHEAD forecast column
+    f_t = l_{t-1} + b_{t-1} + s_{t-m} (the state BEFORE observing
+    y_t) — the residual y_t - f_t is the seasonal-adjusted surprise a
+    monitoring rule thresholds on.
+
     Plan: one applyInPandas fold per key over the key's ordered grid
     rows — state is m+2 ints, work is grid-grain (e.g. hours), never
     event-grain; keys parallelize across the cluster.
@@ -323,18 +329,22 @@ def holt_winters_additive(df: DataFrame, *, key_col: str, order_col: str,
     def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort") \
             .reset_index(drop=True)
-        empty = pdf.iloc[0:0].assign(
-            level=pd.Series(dtype="int64"), trend=pd.Series(dtype="int64"),
-            seasonal=pd.Series(dtype="int64"))
+        extra = {"level": pd.Series(dtype="int64"),
+                 "trend": pd.Series(dtype="int64"),
+                 "seasonal": pd.Series(dtype="int64")}
+        if emit_forecast:
+            extra["forecast"] = pd.Series(dtype="int64")
+        empty = pdf.iloc[0:0].assign(**extra)
         if len(pdf) < period + 1:
             return empty
         ys = [int(v) for v in pdf[value_col]]
         lv = _tdiv(sum(ys[:period]), period)
         tr = 0
         sea = deque(y - lv for y in ys[:period])
-        levels, trends, seas = [], [], []
+        levels, trends, seas, fores = [], [], [], []
         for y in ys[period:]:
             s_old = sea.popleft()
+            fores.append(lv + tr + s_old)
             nl = _tdiv(y - s_old + 3 * (lv + tr), 4)
             tr = _tdiv((nl - lv) + 3 * tr, 4)
             lv = nl
@@ -344,15 +354,20 @@ def holt_winters_additive(df: DataFrame, *, key_col: str, order_col: str,
             trends.append(tr)
             seas.append(ns)
         out = pdf.iloc[period:].reset_index(drop=True)
-        return pd.DataFrame({
+        cols = {
             key_col: out[key_col],
             order_col: out[order_col],
             value_col: out[value_col],
             "level": pd.Series(levels, dtype="int64"),
             "trend": pd.Series(trends, dtype="int64"),
-            "seasonal": pd.Series(seas, dtype="int64")})
+            "seasonal": pd.Series(seas, dtype="int64")}
+        if emit_forecast:
+            cols["forecast"] = pd.Series(fores, dtype="int64")
+        return pd.DataFrame(cols)
 
     schema = (f"{key_col} {key_type}, {order_col} {order_type}, "
               f"{value_col} {val_type}, level long, trend long, "
               f"seasonal long")
+    if emit_forecast:
+        schema += ", forecast long"
     return df.groupBy(key_col).applyInPandas(_fold, schema=schema)

@@ -2188,6 +2188,113 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       query_blocks=8, index_shards=4)
 
 
+@query("ann_ndcg_report", """
+WITH cfg AS (
+  SELECT least(62, min(len(embedding)),
+               greatest(8, length(bin((count(*) + 7) // 8 - 1))))::INT AS nbits
+  FROM embeddings
+), v AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+), vq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS qv,
+         list_sum(list_transform(embedding,
+             x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT
+                  * floor(x::DOUBLE * 1000000 + 0.5)::BIGINT))::BIGINT AS nrm
+  FROM embeddings
+), ep AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         floor(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                       p -> p[1] * p[2]))::BIGINT
+               / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000 + 0.5)
+           / 1000000.0 AS sim
+  FROM vq a JOIN vq b ON a.vec_id <> b.vec_id
+), exact AS (
+  SELECT id_a, id_b FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_a
+                                 ORDER BY sim DESC, id_b) AS rank
+    FROM ep) WHERE rank <= 5
+), bv AS (
+  SELECT vec_id, v,
+         list_sum(list_transform(range(0, nbits),
+           i -> CASE WHEN v[i + 1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)
+         )::BIGINT AS bucket
+  FROM v CROSS JOIN cfg
+), lp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_sum(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]))
+               / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                  * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS sim
+  FROM bv a JOIN bv b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+), sys AS (
+  SELECT id_a, id_b, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_a
+                                 ORDER BY sim DESC, id_b) AS rank
+    FROM lp) WHERE rank <= 3
+), w(r, wt) AS (VALUES (1, 1000000), (2, 630930), (3, 500000)),
+rel AS (
+  SELECT s.id_a, s.rank, w.wt
+  FROM sys s JOIN exact e ON e.id_a = s.id_a AND e.id_b = s.id_b
+  JOIN w ON w.r = s.rank
+), per AS (
+  SELECT id_a, sum(wt) AS dcg, min(rank) AS fr, count(*) AS nrel
+  FROM rel GROUP BY id_a
+), nsys AS (SELECT id_a, count(*) AS ns FROM sys GROUP BY id_a)
+SELECT q.vec_id,
+       coalesce(nsys.ns, 0)::BIGINT   AS n_sys,
+       coalesce(per.nrel, 0)::BIGINT  AS n_rel,
+       ((coalesce(per.dcg, 0) * 1000000) // 2130930)::BIGINT AS ndcg_micro,
+       (CASE WHEN per.fr IS NULL THEN 0
+             ELSE 1000000 // per.fr END)::BIGINT             AS mrr_micro
+FROM (SELECT vec_id FROM embeddings) q
+LEFT JOIN nsys ON nsys.id_a = q.vec_id
+LEFT JOIN per ON per.id_a = q.vec_id
+""")
+def ann_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-AWARE ANN quality: per-query nDCG@3 and MRR of the
+    sign-LSH index against the exact cosine top-5 — recall counts hits
+    anywhere in the list, but a vector store that puts the true
+    neighbor at rank 3 instead of rank 1 degrades every downstream
+    RAG/recommendation consumer; nDCG/MRR price the POSITION. Binary
+    relevance (in the exact top-5), integer micro DCG weights
+    floor(1e6/log2(r+1)+0.5) baked as a 3-row literal table on both
+    sides, IDCG@3 constant — so the report is engine-exact, no float
+    log anywhere. Queries whose bucket produced no candidates emit
+    zeros (the honest number: an empty result page).
+
+    Cost = the exact evaluator (quadratic eval class, sampled in
+    production) + the LSH query path — the same contract as
+    ann_recall_report, one rank-weighted join deeper."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sysd = (S.sign_lsh_knn(emb, k=3, nbits="auto")
+            .select("vec_id", "neighbor_id", "rank"))
+    from .plans.caching import track_persist
+    sysd = track_persist(sysd)  # two consumers: rel + n_sys
+    ideal = (S.block_knn(emb, k=5, query_blocks=8, index_shards=4)
+             .select("vec_id", "neighbor_id"))
+    wts = F.array(F.lit(1000000), F.lit(630930), F.lit(500000))
+    rel = (sysd.join(ideal, ["vec_id", "neighbor_id"], "left_semi")
+           .select("vec_id", "rank",
+                   F.element_at(wts, F.col("rank").cast("int"))
+                   .alias("wt")))
+    per = rel.groupBy("vec_id").agg(F.sum("wt").alias("dcg"),
+                                    F.min("rank").alias("fr"),
+                                    F.count(F.lit(1)).alias("nrel"))
+    nsys = sysd.groupBy("vec_id").agg(F.count(F.lit(1)).alias("ns"))
+    return (emb.select("vec_id")
+            .join(nsys, "vec_id", "left").join(per, "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce("ns", F.lit(0)).cast("long").alias("n_sys"),
+                    F.coalesce("nrel", F.lit(0)).cast("long")
+                    .alias("n_rel"),
+                    F.expr("(coalesce(dcg, 0) * 1000000) div 2130930")
+                    .cast("long").alias("ndcg_micro"),
+                    F.when(F.col("fr").isNull(), F.lit(0))
+                    .otherwise(F.expr("1000000 div fr")).cast("long")
+                    .alias("mrr_micro")))
+
+
 @query("jl_project_embeddings", """
 WITH sgn AS (
   SELECT j, list(CASE WHEN ('0x' || substr(md5(i::VARCHAR || '_' || j::VARCHAR),
@@ -11449,6 +11556,71 @@ def holt_winters_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("level").alias("level_micro"),
                       F.col("trend").alias("trend_micro"),
                       F.col("seasonal").alias("seasonal_micro"))
+
+
+@query("hw_anomaly_hourly", """
+WITH RECURSIVE hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         sum(floor(value * 1000000 + 0.5))::BIGINT AS y
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, h, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hourly
+), init AS (
+  SELECT event_type, list(y ORDER BY rn) AS ys
+  FROM seq WHERE rn <= 24 GROUP BY event_type HAVING count(*) = 24
+), init2 AS (
+  SELECT event_type, (list_sum(ys)::BIGINT // 24) AS l0, ys FROM init
+), rec AS (
+  SELECT event_type, 24::BIGINT AS rn, l0 AS l, 0::BIGINT AS b,
+         list_transform(ys, y -> y - l0) AS sea
+  FROM init2
+  UNION ALL
+  SELECT s.event_type, s.rn,
+         (s.y - r.sea[1] + 3 * (r.l + r.b)) // 4 AS l,
+         (((s.y - r.sea[1] + 3 * (r.l + r.b)) // 4) - r.l + 3 * r.b) // 4
+           AS b,
+         list_append(r.sea[2:],
+           ((s.y - ((s.y - r.sea[1] + 3 * (r.l + r.b)) // 4))
+            + 3 * r.sea[1]) // 4) AS sea
+  FROM rec r JOIN seq s
+    ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT s.event_type, s.h AS hour, s.y AS y_micro,
+       (r0.l + r0.b + r0.sea[1]) AS forecast_micro,
+       abs(s.y - (r0.l + r0.b + r0.sea[1])) AS abs_dev_micro,
+       (abs(s.y - (r0.l + r0.b + r0.sea[1])) * 4
+        > abs(r0.l + r0.b + r0.sea[1])) AS is_anomaly
+FROM rec r0 JOIN seq s
+  ON s.event_type = r0.event_type AND s.rn = r0.rn + 1
+""")
+def hw_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-adjusted anomaly detection: Holt-Winters ONE-STEP-AHEAD
+    forecast (state before observing the hour: f_t = l_{t-1} + b_{t-1}
+    + s_{t-24}) against the realized hourly value; the flag fires when
+    the deviation exceeds 25% of the forecast magnitude. This is what
+    a raw z-score misses on diurnal load — 3am traffic that is normal
+    FOR 3AM but 5 sigma below the daily mean stays quiet, while a
+    modest dip during the peak hour (a real incident) fires. Same
+    exact-int64 fold as holt_winters_hourly with emit_forecast=True;
+    the oracle joins each recursion step's PREVIOUS state row, so the
+    forecast definition itself is hash-pinned."""
+    from .operators.aggregate import holt_winters_additive
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("hour"))
+              .agg(F.sum(F.floor(F.col("value") * 1_000_000 + F.lit(0.5)))
+                   .cast("long").alias("y_micro")))
+    out = holt_winters_additive(hourly, key_col="event_type",
+                                order_col="hour", value_col="y_micro",
+                                period=24, emit_forecast=True)
+    dev = F.abs(F.col("y_micro") - F.col("forecast"))
+    return out.select("event_type", "hour", "y_micro",
+                      F.col("forecast").alias("forecast_micro"),
+                      dev.alias("abs_dev_micro"),
+                      (dev * 4 > F.abs(F.col("forecast")))
+                      .alias("is_anomaly"))
 
 
 @query("kaplan_meier_conversion", """

@@ -589,20 +589,29 @@ def test_holt_winters_additive_replays_and_guards(spark):
 
     lv, tr = tdiv(sum(ys[:period]), period), 0
     sea = [y - lv for y in ys[:period]]
-    expected = []
+    expected, expected_f = [], []
     for i, y in enumerate(ys[period:], start=period):
         s_old = sea.pop(0)
+        fc = lv + tr + s_old
         nl = tdiv(y - s_old + 3 * (lv + tr), 4)
         tr = tdiv((nl - lv) + 3 * tr, 4)
         lv = nl
         ns = tdiv((y - nl) + 3 * s_old, 4)
         sea.append(ns)
         expected.append(("a", i, y, lv, tr, ns))
+        expected_f.append(("a", i, y, lv, tr, ns, fc))
 
     out = holt_winters_additive(df, key_col="k", order_col="t",
                                 value_col="y", period=period)
     got = sorted(tuple(r) for r in out.collect())
     assert got == sorted(expected)  # 'short' key emitted nothing
+
+    # emit_forecast adds the pre-update one-step-ahead prediction
+    out_f = holt_winters_additive(df, key_col="k", order_col="t",
+                                  value_col="y", period=period,
+                                  emit_forecast=True)
+    got_f = sorted(tuple(r) for r in out_f.collect())
+    assert got_f == sorted(expected_f)
 
     with _pytest.raises(ValueError, match="period"):
         holt_winters_additive(df, key_col="k", order_col="t",
