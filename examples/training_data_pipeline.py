@@ -89,6 +89,7 @@ def main():
     # the composed round-5 chains (each stage registry-gated on its own)
     curation_round5(spark, sf_dir)
     web_corpus_round5c(spark, sf_dir)
+    tokenizer_and_mixing_round8(spark, sf_dir)
 
 
 def curation_round5(spark, sf_dir="/root/testdata/sf0.001"):
@@ -178,3 +179,61 @@ def web_corpus_round5c(spark, sf_dir="/root/testdata/sf0.001"):
 
 if __name__ == "__main__":
     main()
+
+
+def tokenizer_and_mixing_round8(spark, sf_dir="/root/testdata/sf0.001"):
+    """The round-8 tokenizer + mixing chain: CCNet head/middle/tail
+    perplexity terciles per language (keep head+middle), UniMax integer
+    water-fill of a 40% token budget over the surviving sources, and a
+    WordPiece segmentation report of the corpus's top words — the
+    stages between "cleaned corpus" and "sampler config" in a
+    pretraining data plan. Every stage is registry-gated on its own
+    (ccnet_ppl_buckets / unimax_budget_allocation /
+    wordpiece_segment_report)."""
+    import os as _os
+
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+
+    # CCNet bucketing: per-language ppl terciles; drop the tail
+    ppl = T.bigram_lm_doc_scores(docs).select("doc_id", "ppl")
+    w = Window.partitionBy("lang").orderBy("ppl", "doc_id")
+    bucketed = (ppl.join(docs.select("doc_id", "lang", "source", "text"),
+                         "doc_id")
+                .withColumn("tercile", F.ntile(3).over(w)))
+    kept = bucketed.where(F.col("tercile") <= 2)
+    print(f"ccnet gate: {docs.count()} docs -> {kept.count()} head+middle")
+
+    # UniMax water-fill: 40% token budget spread max-uniformly across
+    # sources, never oversampling a source past its (post-gate) supply
+    d = (kept.select("source",
+                     F.size(F.filter(F.split("text", " "),
+                                     lambda x: x != "")).alias("nt"))
+         .groupBy("source").agg(F.sum("nt").cast("long").alias("s")))
+    t = d.agg(F.sum("s").cast("long").alias("tot"),
+              F.expr("(sum(s) * 2) div 5").cast("long").alias("b"),
+              F.count(F.lit(1)).cast("long").alias("n"))
+    ws = Window.orderBy("s", "source")
+    o = d.select("source", "s", F.row_number().over(ws).alias("rn"),
+                 F.sum("s").over(ws).alias("cum"))
+    wr = Window.orderBy("rn")
+    lv = (o.crossJoin(F.broadcast(t))
+          .select(F.expr("(b - coalesce(lag(cum) over (order by rn), 0))"
+                         " div (n - rn + 1)").alias("lvl"),
+                  F.coalesce(F.lag("s").over(wr), F.lit(0)).alias("s_prev"),
+                  F.col("s").alias("s_cur")))
+    pick = (lv.where((F.col("lvl") >= F.col("s_prev"))
+                     & (F.col("lvl") < F.col("s_cur")))
+            .agg(F.min("lvl").alias("lvl")))
+    alloc = (o.crossJoin(F.broadcast(t)).crossJoin(F.broadcast(pick))
+             .select("source", "s",
+                     F.when(F.col("b") >= F.col("tot"), F.col("s"))
+                     .otherwise(F.least(F.col("s"), F.coalesce(
+                         F.col("lvl"), F.col("tot")))).alias("alloc")))
+    alloc.orderBy("source").show(5)
+
+    # WordPiece: train on the gated corpus, segment its top words
+    report = T.wordpiece_segment_report(kept.select("doc_id", "text"),
+                                        rounds=4, top_words=8)
+    report.orderBy(F.col("freq").desc(), "word").show(8, truncate=False)
