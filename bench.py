@@ -323,6 +323,7 @@ STREAMING_BENCH = [
     "stream_dedup_event_pairs",
     "stream_join_view_purchase",
     "cep_stream_funnel",
+    "hw_stream_hourly",
 ]
 
 # Registry queries deliberately NOT benched, each with its reason — the

@@ -11623,6 +11623,75 @@ def hw_anomaly_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("is_anomaly"))
 
 
+@query("hw_stream_hourly", """
+WITH RECURSIVE hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h,
+         sum(floor(value * 1000000 + 0.5))::BIGINT AS y
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT event_type, h, y,
+         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM hourly
+), mx AS (
+  SELECT event_type, max(rn) AS mr FROM seq GROUP BY event_type
+), init AS (
+  SELECT event_type, list(y ORDER BY rn) AS ys
+  FROM seq WHERE rn <= 24 GROUP BY event_type HAVING count(*) = 24
+), init2 AS (
+  SELECT event_type, (list_sum(ys)::BIGINT // 24) AS l0, ys FROM init
+), rec AS (
+  SELECT event_type, 24::BIGINT AS rn, l0 AS l, 0::BIGINT AS b,
+         list_transform(ys, y -> y - l0) AS sea
+  FROM init2
+  UNION ALL
+  SELECT s.event_type, s.rn,
+         (s.y - r.sea[1] + 3 * (r.l + r.b)) // 4 AS l,
+         (((s.y - r.sea[1] + 3 * (r.l + r.b)) // 4) - r.l + 3 * r.b) // 4
+           AS b,
+         list_append(r.sea[2:],
+           ((s.y - ((s.y - r.sea[1] + 3 * (r.l + r.b)) // 4))
+            + 3 * r.sea[1]) // 4) AS sea
+  FROM rec r JOIN seq s
+    ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT r.event_type, s.h AS hour, s.y AS y_micro,
+       r.l AS level_micro, r.b AS trend_micro, r.sea[24] AS seasonal_micro
+FROM rec r
+JOIN seq s ON s.event_type = r.event_type AND s.rn = r.rn
+JOIN mx ON mx.event_type = r.event_type
+WHERE r.rn > 24 AND r.rn < mx.mr
+""")
+def hw_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Holt-Winters through the REAL stateful machinery
+    (streaming/stateful.py::holt_winters_stream): one
+    applyInPandasWithState pass per event_type fuses the hourly-slot
+    close (a slot completes when a later-slot row arrives) with the
+    seasonal forecast fold; state = the open slot's partial sum + the
+    init buffer or (l, b, 24-slot seasonal vector), all exact int64.
+    Run availableNow into an append memory sink and hash-matched
+    against the SAME recursive-CTE replay as the batch twin
+    (holt_winters_hourly) minus each key's FINAL hour — the append-mode
+    final-window hold: the last slot never sees a successor, so it
+    stays open, exactly like every streaming window op here."""
+    import uuid as _uuid
+    from .streaming import memory_sink
+    from .streaming.stateful import holt_winters_stream
+    src = (_events_stream(spark, sf_dir)
+           .select("event_type",
+                   F.date_trunc("hour", "ts").alias("hour"),
+                   F.floor(F.col("value") * 1_000_000 + F.lit(0.5))
+                   .cast("long").alias("y")))
+    out = holt_winters_stream(src, key_col="event_type", hour_col="hour",
+                              value_col="y", period=24)
+    name = "hw_stream_" + _uuid.uuid4().hex[:10]
+    Source(out).to(memory_sink(name, output_mode="append"))
+    return spark.table(name).select(
+        "event_type", "hour", "y_micro",
+        F.col("level").alias("level_micro"),
+        F.col("trend").alias("trend_micro"),
+        F.col("seasonal").alias("seasonal_micro"))
+
+
 @query("kaplan_meier_conversion", """
 WITH RECURSIVE f AS (
   SELECT user_id, min(ts) AS first_ev, max(ts) AS last_ev,

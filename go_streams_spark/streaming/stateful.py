@@ -791,3 +791,92 @@ def token_bucket_stream_tws(df: DataFrame, *, rate_micro_per_sec: int,
                 outputStructType=out_schema,
                 outputMode="Append",
                 timeMode="None"))
+
+
+def holt_winters_stream(df: DataFrame, *, key_col: str, hour_col: str,
+                        value_col: str, period: int = 24) -> DataFrame:
+    """Streaming Holt-Winters (additive) — the stateful twin of
+    operators/aggregate.py::holt_winters_additive, fusing the hourly
+    close and the forecast fold into ONE state pass: per key the state
+    carries the OPEN grid slot's partial sum plus the model
+    (init buffer, then l/b + the m-slot seasonal vector, all exact
+    int64); a slot closes when a later-slot row arrives, feeds the
+    fold, and (past the first-season init) emits its
+    (level, trend, seasonal) row. The final open slot never closes —
+    the append-mode final-window hold every streaming window op here
+    documents — so batch parity is exactly "batch output minus each
+    key's last hour", which is what the gate oracle replays.
+
+    Arrival-order contract: rows are processed in (hour) order within
+    a micro-batch and batches must not regress across batches for a
+    key (the running_fold_stream contract; late slot rows after close
+    would need a watermark + retraction, which this integer fold
+    deliberately does not attempt). State is m + O(1) longs per key.
+    """
+    if period < 2:
+        raise ValueError("holt_winters_stream: period must be >= 2")
+
+    def _tdiv(a: int, d: int) -> int:
+        return a // d if a >= 0 else -((-a) // d)
+
+    def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            cur_ns, hsum, buf, lv, tr, sea = state.get
+            buf, sea = list(buf), list(sea)
+        else:
+            cur_ns, hsum, buf, lv, tr, sea = None, 0, [], 0, 0, []
+        if cur_ns is not None and cur_ns < 0:
+            cur_ns = None  # encoded "no open slot"
+        outs = []
+
+        def close_slot(hour_ns: int, y: int):
+            nonlocal lv, tr
+            if len(sea) < period:
+                buf.append(y)
+                if len(buf) == period:
+                    lv0 = _tdiv(sum(buf), period)
+                    lv = lv0
+                    tr = 0
+                    sea.extend(v - lv0 for v in buf)
+                return
+            s_old = sea.pop(0)
+            nl = _tdiv(y - s_old + 3 * (lv + tr), 4)
+            tr = _tdiv((nl - lv) + 3 * tr, 4)
+            lv = nl
+            ns = _tdiv((y - nl) + 3 * s_old, 4)
+            sea.append(ns)
+            outs.append((hour_ns, y, lv, tr, ns))
+
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values(hour_col, kind="mergesort")
+            for h, y in zip(pdf[hour_col], pdf[value_col]):
+                h_ns = int(pd.Timestamp(h).value)
+                y = int(y)
+                if cur_ns is None:
+                    cur_ns, hsum = h_ns, y
+                elif h_ns == cur_ns:
+                    hsum += y
+                else:
+                    close_slot(cur_ns, hsum)
+                    cur_ns, hsum = h_ns, y
+        state.update((cur_ns if cur_ns is not None else -1,
+                      hsum, buf, lv, tr, sea))
+        if outs:
+            yield pd.DataFrame({
+                key_col: [key[0]] * len(outs),
+                "hour": pd.to_datetime([o[0] for o in outs]),
+                "y_micro": pd.Series([o[1] for o in outs], dtype="int64"),
+                "level": pd.Series([o[2] for o in outs], dtype="int64"),
+                "trend": pd.Series([o[3] for o in outs], dtype="int64"),
+                "seasonal": pd.Series([o[4] for o in outs], dtype="int64")})
+
+    key_type = dict(df.dtypes)[key_col]
+    out_schema = (f"{key_col} {key_type}, hour timestamp, y_micro long, "
+                  "level long, trend long, seasonal long")
+    state_schema = ("cur_ns long, hsum long, buf array<long>, "
+                    "l long, b long, sea array<long>")
+    return (df.groupBy(key_col)
+            .applyInPandasWithState(fold, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))

@@ -834,3 +834,58 @@ def test_token_bucket_stream_matches_batch(spark, tmp_path):
                 df, rate_micro_per_sec=20_000,
                 burst_micro=3_000_000).collect()}
     assert got == want and len(got) == len(rows)
+
+
+def test_holt_winters_stream_cross_batch_parity(spark, tmp_path):
+    """holt_winters_stream matches the batch fold minus each key's
+    FINAL slot (the append-mode open-slot hold), with the model state —
+    init buffer, level/trend, seasonal vector, and the OPEN slot's
+    partial sum — carried across two real micro-batches whose boundary
+    splits both an hour slot and the init/fold phase."""
+    from go_streams_spark.operators.aggregate import holt_winters_additive
+    from go_streams_spark.streaming.stateful import holt_winters_stream
+
+    period = 3
+    # key 'a': 8 hour-slots, two rows per slot (partial sums matter);
+    # the file split lands mid-slot-4 AND before the fold phase begins
+    rows = []
+    for h in range(8):
+        rows.append(("a", h, 10 + 7 * h))
+        rows.append(("a", h, 3 + h))
+    b1 = [r for r in rows if r[1] < 4 or (r[1] == 4 and r[2] % 2 == 0)]
+    b2 = [r for r in rows if r[1] > 4 or (r[1] == 4 and r[2] % 2 == 1)]
+
+    def to_df(rs):
+        return spark.createDataFrame(
+            [(k, f"2024-01-01 {h:02d}:00:00", v) for k, h, v in rs],
+            "k string, hs string, y long").select(
+            "k", F.col("hs").cast("timestamp").alias("hour"), "y")
+
+    src = str(tmp_path / "hw")
+    to_df(b1).coalesce(1).write.mode("append").parquet(src)
+    to_df(b2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("k string, hour timestamp, y long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = holt_winters_stream(stream, key_col="k", hour_col="hour",
+                              value_col="y", period=period)
+    import uuid as _uuid
+    name = "hwst_" + _uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["k"], r["hour"].hour, r["y_micro"], r["level"],
+                  r["trend"], r["seasonal"])
+                 for r in spark.table(name).collect())
+
+    hourly = (to_df(rows).groupBy("k", "hour")
+              .agg(F.sum("y").alias("ym")))
+    batch = holt_winters_additive(hourly, key_col="k", order_col="hour",
+                                  value_col="ym", period=period)
+    last = 7  # final slot never closes in the stream
+    expect = sorted((r["k"], r["hour"].hour, r["ym"], r["level"],
+                     r["trend"], r["seasonal"])
+                    for r in batch.collect() if r["hour"].hour != last)
+    assert got == expect and len(got) == 8 - period - 1
