@@ -528,3 +528,65 @@ def test_tws_token_bucket_parity(spark, tmp_path):
         tws = run(token_bucket_stream_tws, str(tmp_path / "cp_tws"))
     assert tws == legacy
     assert len(tws) == len(rows)
+
+
+def test_holt_winters_stream_checkpoint_recovery(spark, tmp_path):
+    """Kill-restart the streaming Holt-Winters at a checkpoint whose
+    boundary splits the fold mid-model: the restarted query must resume
+    with the recovered (open slot, init buffer, level/trend, seasonal
+    vector) state — the union of both runs' emissions equals the batch
+    fold minus the final open slot, with nothing re-emitted."""
+    from go_streams_spark.operators.aggregate import holt_winters_additive
+    from go_streams_spark.streaming.stateful import holt_winters_stream
+
+    period = 3
+    rows = [("a", h, 11 * h + 5) for h in range(9)]
+    src = str(tmp_path / "src")
+    cp = str(tmp_path / "cp")
+
+    def to_df(rs):
+        return spark.createDataFrame(
+            [(k, f"2024-02-01 {h:02d}:00:00", v) for k, h, v in rs],
+            "k string, hs string, y long").select(
+            "k", F.col("hs").cast("timestamp").alias("hour"), "y")
+
+    out_dir = str(tmp_path / "out")
+    seen: set = set()
+
+    def run_once():
+        stream = (spark.readStream
+                  .schema("k string, hour timestamp, y long")
+                  .parquet(src))
+        out = holt_winters_stream(stream, key_col="k", hour_col="hour",
+                                  value_col="y", period=period)
+        # memory sinks cannot recover from a checkpoint; a parquet
+        # sink is the real exactly-once surface anyway
+        q = (out.writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation", cp)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        rows = {(r["k"], r["hour"].hour, r["y_micro"], r["level"],
+                 r["trend"], r["seasonal"])
+                for r in spark.read.parquet(out_dir).collect()}
+        new = rows - seen
+        seen.update(rows)
+        return sorted(new)
+
+    # run 1: slots 0-5 (init consumes 0-2; folds emit 3,4; 5 stays open)
+    to_df(rows[:6]).coalesce(1).write.mode("append").parquet(src)
+    first = run_once()
+    assert sorted(h for _, h, *_ in first) == [3, 4]
+
+    # crash/redeploy: slots 6-8 arrive; recovered state closes 5, folds
+    # 6, 7; 8 stays open; nothing from run 1 is re-emitted
+    to_df(rows[6:]).coalesce(1).write.mode("append").parquet(src)
+    second = run_once()
+    assert sorted(h for _, h, *_ in second) == [5, 6, 7]
+
+    hourly = to_df(rows).groupBy("k", "hour").agg(F.sum("y").alias("ym"))
+    batch = holt_winters_additive(hourly, key_col="k", order_col="hour",
+                                  value_col="ym", period=period)
+    expect = sorted((r["k"], r["hour"].hour, r["ym"], r["level"],
+                     r["trend"], r["seasonal"])
+                    for r in batch.collect() if r["hour"].hour != 8)
+    assert sorted(first + second) == expect
