@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "attribution_credit",
     "unigram_lm_segment",
     "wordpiece_segment_report",
+    "tokenizer_fertility_compare",
     "dp_noisy_event_counts",
     "holt_linear_hourly",
     "holt_winters_hourly",

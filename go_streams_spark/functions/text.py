@@ -1557,3 +1557,175 @@ def wordpiece_oracle_sql(sf_dir: str, *, table: str = "documents",
 FROM (VALUES
 {vals}
 ) AS t(word, freq, segmentation, n_pieces)"""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer selection report (round 8): BPE vs WordPiece vs unigram-LM
+# frequency-weighted fertility on one corpus — the number that picks a
+# tokenizer family before committing a 100 TB encode run.
+# ---------------------------------------------------------------------------
+
+def _bpe_train_py(word_freqs, rounds: int, min_count: int = 2) -> list:
+    """Independent pure-Python BPE trainer twin (frequency argmax,
+    count-desc/pair-asc tie-break) — mirrors ``bpe_train_merges``;
+    used by the tokenizer-compare oracle generator."""
+    from collections import Counter
+    vocab = Counter()
+    for w, c in word_freqs:
+        vocab[tuple(w)] += int(c)
+    merges = []
+    for _ in range(rounds):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((a, b))
+        new_vocab = Counter()
+        for syms, c in vocab.items():
+            new_vocab[tuple(_bpe_apply_py_syms(list(syms), a, b))] += c
+        vocab = new_vocab
+    return merges
+
+
+def _bpe_apply_py_syms(syms: list, a: str, b: str) -> list:
+    """One greedy left-to-right (a, b) merge pass — the exact
+    ``_merge_fold`` semantics in Python."""
+    out = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = a + b
+        else:
+            out.append(x)
+    return out
+
+
+def _bpe_encode_py(word: str, merges: list) -> list:
+    """Encode one word with a rank-ordered merge table — the
+    ``bpe_apply_merges`` fold in Python."""
+    syms = list(word)
+    for a, b in merges:
+        syms = _bpe_apply_py_syms(syms, a, b)
+    return syms
+
+
+#: compare-report defaults shared by the gate query and its oracle
+_TKC_ROUNDS = 6
+_TKC_TOP_WORDS = 40
+
+
+def tokenizer_fertility_compare(df, *, text_col: str = "text",
+                                rounds: int = _TKC_ROUNDS,
+                                top_words: int = _TKC_TOP_WORDS):
+    """Train all three tokenizer families on the corpus and price them
+    on ONE shared eval set — the ``top_words`` most frequent words of
+    length <= UNIGRAM_MAX_WORD (the unigram DP bound, applied to every
+    family so the comparison is apples-to-apples). Emits one row per
+    tokenizer: (tokenizer, n_words, weighted_pieces, fertility_micro)
+    where fertility = frequency-weighted pieces per word — the
+    tokens-per-word the CORPUS would pay, i.e. the context-window and
+    compute cost of choosing that tokenizer.
+
+    Plan: word frequencies are one hash agg; each trainer is its own
+    bounded loop (BPE/WordPiece: driver-metadata merge tables; unigram:
+    vocab-bounded score table); the eval set is top_words rows. The
+    encode-a-corpus cost this report predicts is NOT paid here — that
+    is what the number is for."""
+    from pyspark.sql.functions import pandas_udf
+
+    freq = (df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                      .alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    top = (freq.where(F.length("word") <= UNIGRAM_MAX_WORD)
+           .orderBy(F.col("freq").desc(), "word").limit(top_words))
+
+    # BPE: rank-order merge replay, pure JVM on the K eval rows
+    bpe_rows = bpe_train_merges(df, text_col=text_col,
+                                rounds=rounds).collect()
+    bpe_merges = [(r["a"], r["b"]) for r in bpe_rows]
+    bpe_np = F.size(bpe_apply_merges(F.col("word"), bpe_merges))
+
+    # WordPiece: likelihood-scored merges + maximal munch
+    wp_rows = wordpiece_train_merges(df, text_col=text_col,
+                                     rounds=rounds).collect()
+    wp_pieces = {r["piece"] for r in wp_rows}
+    wp_maxlen = max((len(p) for p in wp_pieces), default=1)
+
+    @pandas_udf("int")
+    def _wp_np(words: pd.Series) -> pd.Series:
+        return words.map(
+            lambda w: len(_wp_greedy(w or "", wp_pieces, wp_maxlen)))
+
+    # unigram-LM: Viterbi segmentation under exact corpus piece scores
+    # (the unigram_segment_report machinery; its word table uses the
+    # same length filter, so the eval set is covered by construction)
+    uni = unigram_segment_report(df, text_col=text_col) \
+        .select("word", F.col("n_pieces").alias("np"))
+
+    def fert(scored, name):
+        return (scored
+                .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                     F.sum(F.col("freq") * F.col("np")).cast("long")
+                     .alias("weighted_pieces"),
+                     F.expr("(sum(freq * np) * 1000000) div sum(freq)")
+                     .cast("long").alias("fertility_micro"))
+                .select(F.lit(name).alias("tokenizer"), "n_words",
+                        "weighted_pieces", "fertility_micro"))
+
+    bpe_scored = top.withColumn("np", bpe_np.cast("int"))
+    wp_scored = top.withColumn("np", _wp_np(F.col("word")))
+    uni_scored = top.join(uni, "word")
+    return (fert(bpe_scored, "bpe")
+            .unionByName(fert(wp_scored, "wordpiece"))
+            .unionByName(fert(uni_scored, "unigram")))
+
+
+def tokenizer_compare_oracle_sql(sf_dir: str, *, table: str = "documents",
+                                 text_col: str = "text") -> str:
+    """Per-SF generated oracle for tokenizer_fertility_compare: word
+    frequencies from DuckDB's own tokenizer chain, all three trainers
+    replayed by their independent pure-Python twins, fertilities baked
+    into a 3-row VALUES table."""
+    import os
+
+    import duckdb
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    con = duckdb.connect()
+    wf = con.execute(f"""
+        SELECT word, count(*)::BIGINT AS freq FROM (
+          SELECT unnest(list_filter(string_split(lower({text_col}), ' '),
+                                    x -> x <> '')) AS word
+          FROM read_parquet('{path}'))
+        GROUP BY word
+    """).fetchall()
+    eligible = [(w, f) for w, f in wf if len(w) <= UNIGRAM_MAX_WORD]
+    top = sorted(eligible, key=lambda r: (-r[1], r[0]))[:_TKC_TOP_WORDS]
+
+    bpe_merges = _bpe_train_py(wf, rounds=_TKC_ROUNDS)
+    wp_pieces = {m[1] for m in _wp_train_py(wf, rounds=_TKC_ROUNDS)}
+    wp_maxlen = max((len(p) for p in wp_pieces), default=1)
+    scores = unigram_scores(_word_piece_counts(eligible))
+
+    rows = []
+    for name, np_fn in (
+            ("bpe", lambda w: len(_bpe_encode_py(w, bpe_merges))),
+            ("wordpiece", lambda w: len(_wp_greedy(w, wp_pieces,
+                                                   wp_maxlen))),
+            ("unigram", lambda w: len(viterbi_segment(w, scores)[0]))):
+        wp_sum = sum(f * np_fn(w) for w, f in top)
+        f_sum = sum(f for _, f in top)
+        fert = (wp_sum * 1_000_000) // max(f_sum, 1)
+        rows.append(f"('{name}', {len(top)}, {wp_sum}, {fert})")
+    vals = ",\n".join(rows)
+    return f"""SELECT tokenizer::VARCHAR AS tokenizer,
+       n_words::BIGINT AS n_words,
+       weighted_pieces::BIGINT AS weighted_pieces,
+       fertility_micro::BIGINT AS fertility_micro
+FROM (VALUES
+{vals}
+) AS t(tokenizer, n_words, weighted_pieces, fertility_micro)"""

@@ -11283,6 +11283,21 @@ def wordpiece_segment_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.wordpiece_segment_report(docs)
 
 
+@query("tokenizer_fertility_compare", T.tokenizer_compare_oracle_sql)
+def tokenizer_fertility_compare_q(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """The tokenizer SELECTION report: BPE (frequency merges), WordPiece
+    (likelihood merges, maximal munch), and unigram-LM (Viterbi) all
+    trained on this corpus and priced on one shared eval set — the
+    frequency-weighted pieces-per-word (fertility) each family would
+    charge, i.e. the context-window and compute cost of the choice
+    (functions/text.py::tokenizer_fertility_compare). Composes the
+    three pinned tokenizer pipelines; PER-SF generated oracle replays
+    all three with their independent pure-Python twins."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.tokenizer_fertility_compare(docs)
+
+
 def _dp_noisy_counts_sql() -> str:
     from .functions.checks import dp_laplace_cdf_micro
     rows = ", ".join(f"({k}, {c})" for k, c in dp_laplace_cdf_micro())
