@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "cdc_latest_state_per_user",
     "sequence_packing_batches",
     "embedding_quantize_int8",
+    "sq_int8_recall_audit",
     "bpe_first_merges",
     "bpe_train_merge_table",
     "keyed_batch_stats",

@@ -6478,6 +6478,119 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.max(err), 4).alias("max_abs_err")))
 
 
+@query("sq_int8_recall_audit", """
+WITH vq AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS qv,
+         list_sum(list_transform(embedding,
+             x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT
+                  * floor(x::DOUBLE * 1000000 + 0.5)::BIGINT))::BIGINT AS nrm
+  FROM embeddings
+), ep AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         floor(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                       p -> p[1] * p[2]))::BIGINT
+               / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000 + 0.5)
+           / 1000000.0 AS sim
+  FROM vq a JOIN vq b ON a.vec_id <> b.vec_id
+), exact AS (
+  SELECT id_a, id_b FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_a
+                                 ORDER BY sim DESC, id_b) AS rank
+    FROM ep) WHERE rank <= 5
+), flat AS (
+  SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS dim,
+         unnest(list_transform(embedding, x -> x::DOUBLE)) AS v
+  FROM embeddings
+), rng AS (
+  SELECT dim, min(v) AS lo, max(v) AS hi FROM flat GROUP BY dim
+), deq AS (
+  SELECT f.vec_id,
+         list(CASE WHEN r.hi = r.lo THEN r.lo
+                   ELSE floor((f.v - r.lo) / (r.hi - r.lo) * 254.0 + 0.5)
+                        / 254.0 * (r.hi - r.lo) + r.lo END
+              ORDER BY f.dim) AS dv
+  FROM flat f JOIN rng r ON r.dim = f.dim
+  GROUP BY f.vec_id
+), dq AS (
+  SELECT vec_id,
+         list_transform(dv, x -> floor(x * 1000000 + 0.5)::BIGINT) AS qv,
+         list_sum(list_transform(dv,
+             x -> floor(x * 1000000 + 0.5)::BIGINT
+                  * floor(x * 1000000 + 0.5)::BIGINT))::BIGINT AS nrm
+  FROM deq
+), dp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         floor(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                       p -> p[1] * p[2]))::BIGINT
+               / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000 + 0.5)
+           / 1000000.0 AS sim
+  FROM dq a JOIN dq b ON a.vec_id <> b.vec_id
+), approx AS (
+  SELECT id_a, id_b FROM (
+    SELECT *, row_number() OVER (PARTITION BY id_a
+                                 ORDER BY sim DESC, id_b) AS rank
+    FROM dp) WHERE rank <= 5
+), hits AS (
+  SELECT e.id_a, count(a.id_b) AS n_hit
+  FROM exact e LEFT JOIN approx a
+    ON a.id_a = e.id_a AND a.id_b = e.id_b
+  GROUP BY e.id_a
+)
+SELECT id_a AS vec_id, n_hit::BIGINT AS n_hit,
+       ((n_hit * 1000000) // 5)::BIGINT AS recall_micro
+FROM hits
+""")
+def sq_int8_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the 4x storage saving of scalar int8 quantization COSTS in
+    search quality: exact cosine top-5 on the original vectors vs
+    top-5 on the round-tripped (quantize -> dequantize) vectors, per
+    query — the audit run before switching an index to int8 storage
+    (its sibling embedding_quantize_int8 reports per-DIM value error;
+    this reports the end-to-end RANKING damage, which is what users
+    see). Per-dim min/max ranges are a 64-row broadcast (min/max are
+    order-independent, so the dequantized corpus is partitioning-
+    exact); both searches are block_knn integer-micro passes, so the
+    whole audit hash-matches the N^2 SQL replay."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = (emb.select("vec_id", F.posexplode("embedding")
+                       .alias("dim0", "v"))
+            .select("vec_id", (F.col("dim0") + 1).alias("dim"),
+                    F.col("v").cast("double").alias("v")))
+    rng = (flat.groupBy("dim").agg(F.min("v").alias("lo"),
+                                   F.max("v").alias("hi"))
+           .orderBy("dim").collect())          # 64 rows: codebook class
+    lo = F.array(*[F.lit(r["lo"]) for r in rng])
+    hi = F.array(*[F.lit(r["hi"]) for r in rng])
+    idx = F.sequence(F.lit(1), F.size("embedding"))
+    dv = F.zip_with(
+        F.transform(F.col("embedding"), lambda x: x.cast("double")), idx,
+        lambda x, i: F.when(F.element_at(hi, i) == F.element_at(lo, i),
+                            F.element_at(lo, i))
+        .otherwise(F.floor((x - F.element_at(lo, i))
+                           / (F.element_at(hi, i) - F.element_at(lo, i))
+                           * 254.0 + F.lit(0.5)) / 254.0
+                   * (F.element_at(hi, i) - F.element_at(lo, i))
+                   + F.element_at(lo, i)))
+    deq = emb.select("vec_id", dv.alias("embedding"))
+    exact = (S.block_knn(emb, k=5, query_blocks=8, index_shards=4)
+             .select("vec_id", "neighbor_id"))
+    approx = (S.block_knn(deq, k=5, query_blocks=8, index_shards=4)
+              .select("vec_id", "neighbor_id"))
+    ap2 = approx.select(F.col("vec_id").alias("__qid"),
+                        F.col("neighbor_id").alias("__nb"))
+    hits = (exact.join(ap2, (F.col("vec_id") == F.col("__qid"))
+                       & (F.col("neighbor_id") == F.col("__nb")), "left")
+            .select("vec_id", "__nb"))
+    return (hits.groupBy("vec_id")
+            .agg(F.count("__nb").alias("n_hit"))
+            .select("vec_id",
+                    F.col("n_hit").cast("long").alias("n_hit"),
+                    F.expr("(n_hit * 1000000) div 5").cast("long")
+                    .alias("recall_micro")))
+
+
 @query("bpe_first_merges", """
 SELECT pair, cnt, rank FROM (
   SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rank
