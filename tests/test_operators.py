@@ -619,3 +619,77 @@ def test_holt_winters_additive_replays_and_guards(spark):
     with _pytest.raises(ValueError, match="missing column"):
         holt_winters_additive(df, key_col="nope", order_col="t",
                               value_col="y", period=3)
+
+
+def test_bloom_semi_join_empty_build_and_dim_mismatch(spark):
+    """An EMPTY build side yields an empty (but schema-correct) result
+    — trivially no false negatives; the prefilter contract holds at
+    the degenerate boundary a production dim-table outage produces."""
+    from go_streams_spark.operators.joins import bloom_semi_join
+    probe = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    build = spark.createDataFrame([], "k long")
+    out = bloom_semi_join(probe, build, probe_key="k")
+    assert out.columns == ["k"]
+    assert out.count() == 0
+
+
+def test_unimax_water_fill_branches(spark):
+    """Both water-fill regimes on hand-sized domain tables: a binding
+    budget levels the large domains and fully satisfies the small one;
+    a single-domain corpus degenerates to min(supply, budget)."""
+    from go_streams_spark.queries import QUERIES
+    import pandas as pd
+
+    # replicate the registered query's algebra directly on a tiny frame
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def water_fill(pairs, budget_num=2, budget_den=5):
+        d = spark.createDataFrame(pairs, "source string, s long")
+        t = d.agg(F.sum("s").cast("long").alias("tot"),
+                  F.expr(f"(sum(s) * {budget_num}) div {budget_den}")
+                  .cast("long").alias("b"),
+                  F.count(F.lit(1)).cast("long").alias("n"))
+        w = Window.orderBy("s", "source")
+        o = d.select("source", "s", F.row_number().over(w).alias("rn"),
+                     F.sum("s").over(w).alias("cum"))
+        wr = Window.orderBy("rn")
+        lv = (o.crossJoin(F.broadcast(t))
+              .select(F.expr("(b - coalesce(lag(cum) over (order by rn),"
+                             " 0)) div (n - rn + 1)").alias("lvl"),
+                      F.coalesce(F.lag("s").over(wr), F.lit(0))
+                      .alias("s_prev"), F.col("s").alias("s_cur")))
+        pick = (lv.where((F.col("lvl") >= F.col("s_prev"))
+                         & (F.col("lvl") < F.col("s_cur")))
+                .agg(F.min("lvl").alias("lvl")))
+        return {r["source"]: r["alloc"] for r in
+                (o.crossJoin(F.broadcast(t)).crossJoin(F.broadcast(pick))
+                 .select("source",
+                         F.when(F.col("b") >= F.col("tot"), F.col("s"))
+                         .otherwise(F.least(F.col("s"), F.coalesce(
+                             F.col("lvl"), F.col("tot"))))
+                         .alias("alloc"))).collect()}
+
+    # mixed regime: budget 40% of 1000 = 400; level = (400-100) div 2
+    # = 150 -> small domain (100) fully satisfied, two large capped
+    got = water_fill([("small", 100), ("mid", 400), ("big", 500)])
+    assert got == {"small": 100, "mid": 150, "big": 150}
+    assert sum(got.values()) <= 400
+
+    # single domain: min(supply, budget)
+    assert water_fill([("only", 1000)]) == {"only": 400}
+
+
+def test_wordpiece_empty_and_tiny_corpus(spark):
+    """Degenerate corpora: an empty frame trains zero merges and emits
+    an empty report; a one-word corpus below min_count still yields a
+    char-fallback segmentation (maximal munch never fails)."""
+    from go_streams_spark.functions import text as T
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert T.wordpiece_train_merges(empty, rounds=2).count() == 0
+    assert T.wordpiece_segment_report(empty).count() == 0
+
+    one = spark.createDataFrame([(1, "zq")], "doc_id long, text string")
+    rep = T.wordpiece_segment_report(one, rounds=2, top_words=5).collect()
+    assert len(rep) == 1
+    assert rep[0]["segmentation"] == "z|##q"  # char fallback, ## prefix
