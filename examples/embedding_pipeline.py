@@ -66,6 +66,21 @@ def main():
     print(f"mean top-1 sim (micro): {ci['point_mean']} "
           f"[{ci['ci_low']}, {ci['ci_high']}]")
 
+    # 7. model-migration drift: align a planted "v2" space (signed
+    # dimension permutation = harmless coordinate-frame change) with
+    # orthogonal Procrustes; residuals near zero prove the rotation
+    # was absorbed — a real migration joins the actual v2 table
+    a = F.col("embedding")
+    dsz = F.size(a)
+    v2 = F.transform(
+        F.sequence(F.lit(0), dsz - F.lit(1)),
+        lambda j: F.when(j % 2 == 0, F.element_at(a, ((j + 3) % dsz) + 1))
+        .otherwise(-F.element_at(a, ((j + 3) % dsz) + 1)))
+    drift = S.procrustes_residuals(
+        emb.select("vec_id", a.alias("va"), v2.alias("vb")))
+    mx = drift.agg(F.max("residual_sq").alias("m")).collect()[0]["m"]
+    print(f"procrustes max residual_sq after alignment: {mx}")
+
 
 if __name__ == "__main__":
     main()
