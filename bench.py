@@ -310,6 +310,16 @@ BENCH_QUERIES = [
     "dp_user_level_counts",
     "ks_drift_events",
     "compaction_bin_packing",
+    # round-9 additions: the sampled production twins of the quadratic
+    # eval-audit class (deterministic 200-query md5 pick vs full index —
+    # the shape a 1e9-vector deployment runs; the unsampled originals
+    # stay benched at this SF where they clear the FLOP budget guard)
+    "embedding_knn_sampled",
+    "ann_filtered_recall_audit_sampled",
+    "ann_recall_report_sampled",
+    "ann_ndcg_report_sampled",
+    "sq_int8_recall_audit_sampled",
+    "ccnet_ppl_buckets_sampled",
 ]
 
 # Structured Streaming lane: availableNow trigger wall-time per query.

@@ -353,10 +353,68 @@ def cosine_near_dup_lsh(df: DataFrame, *, id_col: str = "vec_id",
             .where(F.col("sim") >= threshold))
 
 
+#: Default integer-multiply-add budget for the EXACT-evaluator pass of
+#: the eval-audit family (recall / nDCG / quantization audits). An
+#: unsampled exact pass costs ~N_queries * N_index * dim int-ops; 2e12
+#: is ~minutes of one executor's ALU time — past it the audit must run
+#: on a deterministic query sample (``eval_query_sample``), exactly the
+#: policy the audits' docstrings promise ("sampled in production").
+DEFAULT_EVAL_FLOP_BUDGET = 2_000_000_000_000
+
+
+def eval_query_sample(df: DataFrame, *, id_col: str = "vec_id",
+                      n: int = 200) -> DataFrame:
+    """Deterministic n-query evaluation sample: the ``n`` ids with the
+    smallest ``(md5(id), id)`` — the repo's cross-engine hash-pick
+    convention (md5 is bit-identical everywhere), so a DuckDB oracle
+    replays the exact same sample with
+    ``ORDER BY md5(id::VARCHAR), id LIMIT n``. Stable across runs,
+    partitionings, and cluster sizes; unbiased because md5 order is
+    independent of any data column.
+
+    Scale: Spark plans ``orderBy(...).limit(n)`` as
+    TakeOrderedAndProject — per-partition top-n then a bounded driver
+    merge of n rows per partition; nothing corpus-sized moves."""
+    if n < 1:
+        raise ValueError(f"sample_n_queries must be >= 1, got {n}")
+    return (df.select(id_col)
+            .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+            .limit(n))
+
+
+def guard_eval_flops(df: DataFrame, *, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     n_queries: int | None = None,
+                     budget: int = DEFAULT_EVAL_FLOP_BUDGET,
+                     op: str = "exact eval pass") -> int:
+    """Loud pre-flight guard for the quadratic eval-audit class: counts
+    the corpus once (parquet count-star is metadata-fast) and raises
+    when the exact pass ``n_queries x N x dim`` would exceed ``budget``
+    int-ops — naming the remedy (``sample_n_queries``) instead of
+    silently launching a month of compute. Returns the corpus count so
+    callers don't pay it twice."""
+    n = df.count()
+    if n == 0:
+        return 0
+    drow = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    d = max(int(drow["d"] or 1), 1)
+    nq = n if n_queries is None else min(n_queries, n)
+    flops = nq * n * d
+    if flops > budget:
+        raise ValueError(
+            f"{op}: unsampled exact evaluation needs ~{flops:.2e} "
+            f"integer ops ({nq} queries x {n} index vectors x dim {d}) "
+            f"> budget {budget:.2e}. Pass sample_n_queries=<n> (a "
+            f"deterministic md5-ordered pick via eval_query_sample — "
+            f"oracle-replayable) or raise flop_budget explicitly.")
+    return n
+
+
 def block_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
               k: int = 5, query_blocks: int = 8, index_shards: int = 4,
               round_dp: int = 6,
-              exclude_match_col: str | None = None) -> DataFrame:
+              exclude_match_col: str | None = None,
+              queries_df: DataFrame | None = None) -> DataFrame:
     """EXACT cosine top-k for every vector, fully distributed — the
     scale-safe replacement for driver-collect brute force.
 
@@ -397,6 +455,13 @@ def block_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddin
     — SQL's three-valued ``a.label <> b.label`` never matches a NULL
     pair, and numpy's NaN != x would instead KEEP them all, so the
     explicit filter keeps engine and oracle semantics identical.
+
+    ``queries_df``: when set (a frame carrying ``id_col``, e.g. an
+    ``eval_query_sample`` pick), only those ids act as QUERIES — the
+    index side stays the FULL corpus, so each sampled query's top-k is
+    its true corpus-wide top-k. Cost drops from N^2*d to n_q*N*d; the
+    sample frame broadcasts (bounded) into a left-semi prune of the
+    query side.
     """
     import numpy as np
     import pandas as pd
@@ -412,7 +477,11 @@ def block_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddin
                      quantized_vec(vec_col, scale).alias("v"), *xcols)
     la = [F.col(exclude_match_col).alias("la")] if exclude_match_col else []
     lb = [F.col(exclude_match_col).alias("lb")] if exclude_match_col else []
-    q = base.select(F.pmod(F.col(id_col), F.lit(Q)).cast("int").alias("qb"),
+    qbase = base
+    if queries_df is not None:
+        qbase = base.join(F.broadcast(queries_df.select(id_col)),
+                          id_col, "left_semi")
+    q = qbase.select(F.pmod(F.col(id_col), F.lit(Q)).cast("int").alias("qb"),
                     F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("sb"),
                     F.col(id_col).alias("id_a"), F.col("v").alias("va"), *la)
     ix = base.select(F.explode(F.sequence(F.lit(0), F.lit(Q - 1))).alias("qb"),
@@ -1882,7 +1951,10 @@ FROM proj"""
 def ann_recall_against_exact(df: DataFrame, approx: DataFrame, *,
                              id_col: str = "vec_id", k: int = 5,
                              query_blocks: int = 8,
-                             index_shards: int = 4) -> DataFrame:
+                             index_shards: int = 4,
+                             vec_col: str = "embedding",
+                             sample_n_queries: int | None = None,
+                             flop_budget: int | None = None) -> DataFrame:
     """In-engine ANN quality evaluation: recall@k of an approximate
     neighbor list against exact cosine top-k — the harness a vector
     store runs after (re)building an index. ``approx`` must carry
@@ -1896,10 +1968,23 @@ def ann_recall_against_exact(df: DataFrame, approx: DataFrame, *,
     auto-sized buckets hold ~constant occupancy, so most queries share
     a bucket with few true neighbors. The report exists to MEASURE
     that; the multiprobe/IVF variants recover recall (uplift pinned in
-    tests). Cost = the exact evaluator (quadratic embedding_knn class
-    — an eval pass, sampled in production) plus one join."""
+    tests). Cost = the exact evaluator (quadratic embedding_knn class)
+    plus one join.
+
+    THE SAMPLING CONTRACT IS CODE, not prose: ``sample_n_queries``
+    restricts the EVALUATED queries to a deterministic md5-ordered pick
+    (``eval_query_sample`` — oracle-replayable; the index side stays
+    the full corpus so each sampled query's truth is exact), and
+    ``flop_budget`` (int-ops) makes an unsampled run past the budget
+    raise loudly instead of silently launching the N^2 pass."""
+    sample = None
+    if sample_n_queries is not None:
+        sample = eval_query_sample(df, id_col=id_col, n=sample_n_queries)
+    elif flop_budget is not None:
+        guard_eval_flops(df, id_col=id_col, vec_col=vec_col,
+                         budget=flop_budget, op="ann_recall_against_exact")
     exact = block_knn(df, k=k, query_blocks=query_blocks,
-                      index_shards=index_shards) \
+                      index_shards=index_shards, queries_df=sample) \
         .select(id_col, "neighbor_id")
     # distinct + clamp: duplicate (id, neighbor) rows in a sloppy approx
     # list (or lists longer than k) must not inflate hits past k, else
@@ -2269,8 +2354,18 @@ def _procrustes_rotation_micro(cov):
     return np.floor(r * 1_000_000 + 0.5).astype("int64")
 
 
+#: max rows whose int64 micro-unit cross-covariance is provably
+#: overflow-free: each entry is a sum of N products bounded by
+#: (1e6)^2 per unit-mass coordinate pair, so |entry| <= N * 1e12 and
+#: int64 (9.22e18) holds to ~9.2e6 rows. Conservative by design —
+#: real unit-norm embeddings leave ~d x headroom.
+PROCRUSTES_COV_ROW_BOUND = 9_000_000
+
+
 def procrustes_residuals(df: DataFrame, *, id_col: str = "vec_id",
-                         a_col: str = "va", b_col: str = "vb") -> DataFrame:
+                         a_col: str = "va", b_col: str = "vb",
+                         cov_row_bound: int = PROCRUSTES_COV_ROW_BOUND,
+                         auto_sample: bool = True) -> DataFrame:
     """Per-vector alignment residual between two embedding spaces under
     the best orthogonal map (Schonemann 1966): fit R minimizing
     ||A R - B||_F (R = U V^T from the SVD of A^T B), then emit
@@ -2286,10 +2381,18 @@ def procrustes_residuals(df: DataFrame, *, id_col: str = "vec_id",
     (driver-resident, d^2 <= 4096 entries — codebook-class metadata);
     the rotation re-quantizes to micro ints and the residual is pure
     int64 numpy arithmetic (integer matmul, no BLAS float path).
-    int64 bounds: covariance entries ~ N * 1e12 hold to ~9e6 vectors
-    of worst-case unit mass — beyond that, compute the covariance on a
-    uniform sample (the rotation is a 4096-parameter model; a sample
-    fits it) and keep the residual pass over the full corpus.
+
+    int64 bound ENFORCED IN CODE (not just documented): covariance
+    entries ~ N * 1e12 hold to ``cov_row_bound`` (~9e6) worst-case
+    unit-mass vectors. The frame is counted (one pass over the already-
+    persisted quantized projection); past the bound the ROTATION is
+    fitted on a deterministic md5 hash-mod sample sized under the bound
+    (the rotation is a <= 4096-parameter model — a uniform sample fits
+    it; the sample's own count is re-checked so the guarantee is
+    airtight, not probabilistic), while the RESIDUAL pass stays
+    full-corpus. ``auto_sample=False`` turns the fallback into a loud
+    ValueError naming the remedy — no input can silently wrap int64
+    into a wrong rotation.
 
     Scale: one data pass for the covariance (emitting d^2 rows per
     Arrow batch), one for the residuals; nothing corpus-sized is ever
@@ -2300,10 +2403,35 @@ def procrustes_residuals(df: DataFrame, *, id_col: str = "vec_id",
 
     from ..plans.caching import track_persist
 
+    if cov_row_bound < 1:
+        raise ValueError(f"cov_row_bound must be >= 1, got {cov_row_bound}")
     q = track_persist(df.select(
         F.col(id_col),
         quantized_vec(a_col).alias("__qa"),
         quantized_vec(b_col).alias("__qb")))
+    n_rows = q.count()   # materializes the persist; reused by both passes
+    fit = q
+    if n_rows > cov_row_bound:
+        if not auto_sample:
+            raise ValueError(
+                f"procrustes_residuals: {n_rows} rows exceed the int64 "
+                f"covariance bound {cov_row_bound}; the exact integer "
+                f"cross-covariance would overflow and silently wrap. "
+                f"Leave auto_sample=True to fit the rotation on a "
+                f"deterministic hash sample (residuals stay full-corpus), "
+                f"or pre-sample the frame yourself.")
+        # deterministic md5 hash-mod pick, sized to half the bound so the
+        # realized count clears it with enormous margin; the count is
+        # re-checked, making the overflow guarantee exact
+        mod = max(2, -(-n_rows * 2 // cov_row_bound))   # ceil(2n/bound)
+        hb = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")),
+                                 1, 15), 16, 10).cast("long") % mod)
+        fit = track_persist(q.where(hb == 0))
+        n_fit = fit.count()
+        if n_fit > cov_row_bound:   # astronomically unlikely; airtight
+            raise ValueError(
+                f"procrustes_residuals: hash sample still {n_fit} rows "
+                f"> bound {cov_row_bound}; raise the modulus.")
 
     def _cov_partials(batches):
         for pdf in batches:
@@ -2315,7 +2443,7 @@ def procrustes_residuals(df: DataFrame, *, id_col: str = "vec_id",
             yield pd.DataFrame({"pos": np.arange(m.size, dtype="int64"),
                                 "v": m})
 
-    cov_rows = (q.mapInPandas(_cov_partials, schema="pos long, v long")
+    cov_rows = (fit.mapInPandas(_cov_partials, schema="pos long, v long")
                 .groupBy("pos").agg(F.sum("v").alias("v"))
                 .collect())
     if not cov_rows:

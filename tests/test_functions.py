@@ -94,6 +94,35 @@ def test_block_knn_matches_brute_force(spark, sf_dir):
     assert got == want
 
 
+def test_block_knn_query_sample_and_flop_guard(spark, sf_dir):
+    """Round-9 verdict task #1 — the eval-audit sampling contract in
+    code: (a) ``eval_query_sample`` is deterministic and partitioning-
+    independent; (b) ``block_knn(queries_df=...)`` returns exactly the
+    full result restricted to the sampled queries (index side stays
+    full, so truth is exact per sampled query); (c) ``guard_eval_flops``
+    raises loudly past the budget, naming the remedy."""
+    import pytest
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(80)
+
+    s1 = [r["vec_id"] for r in S.eval_query_sample(emb, n=15).collect()]
+    s2 = [r["vec_id"] for r in
+          S.eval_query_sample(emb.repartition(7), n=15).collect()]
+    assert s1 == s2 and len(s1) == 15          # deterministic pick
+
+    full = {(r["vec_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+            for r in S.block_knn(emb, k=3).collect()}
+    sample = S.eval_query_sample(emb, n=15)
+    got = {(r["vec_id"], r["rank"]): (r["neighbor_id"], r["sim"])
+           for r in S.block_knn(emb, k=3, queries_df=sample).collect()}
+    want = {key: v for key, v in full.items() if key[0] in set(s1)}
+    assert got == want                          # exact restriction
+
+    with pytest.raises(ValueError, match="sample_n_queries"):
+        S.guard_eval_flops(emb, budget=10, op="test-op")
+    # a sampled pass within budget is fine
+    assert S.guard_eval_flops(emb, n_queries=1, budget=10**12) == 80
+
+
 def test_cosine_near_dup_blocked_exact(spark):
     """Blocked pair scan emits every qualifying pair exactly once —
     diagonal and off-diagonal blocks, interleaved ids (pmod blocks)."""
@@ -2594,3 +2623,36 @@ def test_procrustes_residuals_recovers_planted_rotation(spark):
     out = S.procrustes_residuals(empty)
     assert out.columns == ["vec_id", "residual_sq"]
     assert out.count() == 0
+
+
+def test_procrustes_cov_bound_guard(spark):
+    """The int64 covariance bound is enforced in CODE (round-9 verdict
+    task #2): past ``cov_row_bound`` the rotation fits on a
+    deterministic hash sample while residuals stay full-corpus — for an
+    exactly-orthogonal planted map ANY row subset recovers the same
+    rotation, so residuals remain exactly 0 for clean rows and the
+    planted drift is still caught; auto_sample=False raises loudly."""
+    import pytest
+    rng = [[float(((i * 5 + j * 7) % 13) - 6) / 6 for j in range(8)]
+           for i in range(60)]
+
+    def planted(a):
+        return [a[(j + 3) % 8] * (1.0 if j % 2 == 0 else -1.0)
+                for j in range(8)]
+
+    rows = [(i, a, planted(a)) for i, a in enumerate(rng)]
+    b7 = rows[7][2][:]
+    b7[0], b7[1] = b7[1], b7[0]
+    rows[7] = (7, rows[7][1], b7)
+    df = spark.createDataFrame(
+        rows, "vec_id long, va array<double>, vb array<double>")
+
+    # bound of 20 forces the sampled-rotation path on a 60-row frame
+    got = {r["vec_id"]: r["residual_sq"] for r in
+           S.procrustes_residuals(df, cov_row_bound=20).collect()}
+    assert len(got) == 60          # residual pass stays full-corpus
+    corrupted = got.pop(7)
+    assert corrupted > 100 * max(max(got.values()), 1)
+
+    with pytest.raises(ValueError, match="covariance bound"):
+        S.procrustes_residuals(df, cov_row_bound=20, auto_sample=False)
