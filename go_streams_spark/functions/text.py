@@ -225,8 +225,30 @@ def token_window_chunks(df, *, text_col: str = "text", id_col: str = "doc_id",
         F.size(chunk).cast("long").alias("n_tokens"))
 
 
-def bpe_train_merges(df, *, text_col: str = "text", rounds: int = 5,
-                     min_count: int = 2):
+def corpus_word_freq(df, *, text_col: str = "text"):
+    """The (word, freq) vocabulary table every tokenizer trainer starts
+    from: lowercase -> whitespace tokens -> one hash agg. Factored out
+    so multi-trainer reports (``tokenizer_fertility_compare``) compute
+    and persist it ONCE instead of each trainer re-scanning the raw
+    corpus."""
+    return (df.select(F.explode(tokens(F.lower(F.col(text_col))))
+                      .alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+
+
+def _trainer_vocab(df, text_col: str, word_freq):
+    """Trainer-side vocabulary (syms array, tok_cnt): from a caller-
+    provided (word, freq) frame when given (shared-scan path), else
+    derived from the corpus."""
+    wf = corpus_word_freq(df, text_col=text_col) if word_freq is None \
+        else word_freq.select(F.col("word"), F.col("freq"))
+    return (wf.select(F.split("word", "").alias("syms"),
+                      F.col("freq").alias("tok_cnt"))
+            .localCheckpoint())
+
+
+def bpe_train_merges(df=None, *, text_col: str = "text", rounds: int = 5,
+                     min_count: int = 2, word_freq=None):
     """Iterative BPE tokenizer training, distributed: ``rounds`` merge
     steps over the corpus vocabulary (token -> count, symbols array).
 
@@ -242,14 +264,15 @@ def bpe_train_merges(df, *, text_col: str = "text", rounds: int = 5,
     a, b, cnt) — k rows, the training artifact a tokenizer ships; feed
     the (a, b) columns to ``bpe_encode`` to tokenize a corpus with it.
 
+    ``word_freq``: optionally start from a pre-computed (word, freq)
+    frame (``corpus_word_freq``) instead of scanning the corpus — the
+    shared-scan path for multi-trainer comparisons.
+
     No SQL oracle (iterative argmax is not one DuckDB query); exactness
     is pinned against an independent Python BPE reference in
     tests/test_functions.py::test_bpe_train_matches_python_reference."""
-    spark = df.sparkSession
-    vocab = (df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
-             .groupBy("tok").agg(F.count(F.lit(1)).alias("tok_cnt"))
-             .select(F.split("tok", "").alias("syms"), "tok_cnt")
-             .localCheckpoint())
+    spark = (df if df is not None else word_freq).sparkSession
+    vocab = _trainer_vocab(df, text_col, word_freq)
     merges: list[tuple] = []
     for r in range(rounds):
         n1 = F.greatest(F.size("syms") - 1, F.lit(0))
@@ -1165,33 +1188,19 @@ def _word_piece_counts(words_freq) -> dict:
             if c >= UNIGRAM_MIN_COUNT or len(p) == 1}
 
 
-def unigram_segment_report(df, *, text_col: str = "text") -> "DataFrame":
-    """SentencePiece-style unigram-LM tokenizer over the corpus, end to
-    end: exact piece counts (distributed) -> integer log-prob scores
-    (driver, vocab-bounded index metadata — the same decision class as
-    an IVF codebook collect) -> Viterbi max-likelihood segmentation of
-    the UNIGRAM_TOP_WORDS most frequent words. The non-greedy sibling
-    of the BPE family: BPE commits to merges greedily, the unigram LM
-    picks each word's globally best segmentation under the corpus
-    distribution.
-
-    Scale shape: tokenization + word counts are one scan + one
-    word-grain shuffle; piece explosion runs over DISTINCT words (vocab
-    scale, Heaps-sublinear) in one Arrow pass; the segmentation DP runs
-    on 500 rows. Scores are exact ints; ties broken by (fewer pieces,
-    lexicographic) — partitioning-independent by construction."""
-    from pyspark.sql import Window
+def unigram_piece_scores(freq, *, spark=None) -> dict:
+    """Integer log-prob piece-score table from a LENGTH-FILTERED
+    (word, freq) frame: distributed substring-occurrence counts (one
+    Arrow pass over DISTINCT words — vocab scale), then the shared
+    ``unigram_scores`` driver computation. The vocab-bounded collect is
+    index metadata (Heaps' law keeps it sublinear in corpus size) —
+    the tokenizer-model analogue of a codebook. Factored out of
+    ``unigram_segment_report`` so multi-trainer comparisons reuse a
+    shared frequency table instead of re-scanning the corpus."""
     from typing import Iterator
 
-    toks = (df.select(F.explode(F.split(F.lower(F.col(text_col)), " "))
-                      .alias("word"))
-            .where((F.col("word") != "")
-                   & (F.length("word") <= UNIGRAM_MAX_WORD)))
-    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
-    from ..plans.caching import track_persist
-    freq = track_persist(freq)
-
-    def _pieces(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _pieces(batches: "Iterator[pd.DataFrame]") \
+            -> "Iterator[pd.DataFrame]":
         for pdf in batches:
             out_p, out_c = [], []
             for w, f in zip(pdf["word"], pdf["freq"]):
@@ -1206,11 +1215,42 @@ def unigram_segment_report(df, *, text_col: str = "text") -> "DataFrame":
           .groupBy("piece").agg(F.sum("c").alias("c"))
           .where((F.col("c") >= UNIGRAM_MIN_COUNT)
                  | (F.length("piece") == 1)))
-    # vocab-bounded collect: piece table is index metadata (Heaps' law
-    # keeps it sublinear in corpus size), the tokenizer-model analogue
-    # of a codebook
     counts = {r["piece"]: r["c"] for r in pc.collect()}
-    scores = unigram_scores(counts)
+    return unigram_scores(counts)
+
+
+def unigram_segment_report(df, *, text_col: str = "text",
+                           word_freq=None) -> "DataFrame":
+    """SentencePiece-style unigram-LM tokenizer over the corpus, end to
+    end: exact piece counts (distributed) -> integer log-prob scores
+    (driver, vocab-bounded index metadata — the same decision class as
+    an IVF codebook collect) -> Viterbi max-likelihood segmentation of
+    the UNIGRAM_TOP_WORDS most frequent words. The non-greedy sibling
+    of the BPE family: BPE commits to merges greedily, the unigram LM
+    picks each word's globally best segmentation under the corpus
+    distribution.
+
+    Scale shape: tokenization + word counts are one scan + one
+    word-grain shuffle; piece explosion runs over DISTINCT words (vocab
+    scale, Heaps-sublinear) in one Arrow pass; the segmentation DP runs
+    on 500 rows. Scores are exact ints; ties broken by (fewer pieces,
+    lexicographic) — partitioning-independent by construction."""
+    from typing import Iterator
+
+    if word_freq is None:
+        toks = (df.select(F.explode(F.split(F.lower(F.col(text_col)), " "))
+                          .alias("word"))
+                .where((F.col("word") != "")
+                       & (F.length("word") <= UNIGRAM_MAX_WORD)))
+        freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    else:
+        # shared-scan path: the length filter commutes with the word-
+        # grain agg (it filters on the group key), so filtering the
+        # pre-computed table is exactly the scratch derivation
+        freq = word_freq.where(F.length("word") <= UNIGRAM_MAX_WORD)
+    from ..plans.caching import track_persist
+    freq = track_persist(freq)
+    scores = unigram_piece_scores(freq)
 
     top = (freq.orderBy(F.col("freq").desc(), "word")
            .limit(UNIGRAM_TOP_WORDS))
@@ -1352,8 +1392,9 @@ def rake_keyphrases(df, *, text_col: str = "text", id_col: str = "doc_id",
 _WP_SCORE_SCALE = 10 ** 12
 
 
-def wordpiece_train_merges(df, *, text_col: str = "text", rounds: int = 5,
-                           min_count: int = 2):
+def wordpiece_train_merges(df=None, *, text_col: str = "text",
+                           rounds: int = 5, min_count: int = 2,
+                           word_freq=None):
     """WordPiece tokenizer training, distributed: like
     ``bpe_train_merges`` (same vocabulary loop, same greedy
     left-to-right rewrite fold) but the merge DECISION maximizes the
@@ -1374,17 +1415,36 @@ def wordpiece_train_merges(df, *, text_col: str = "text", rounds: int = 5,
     early when no candidate remains.
     Returns (round, piece, a, b, cnt, score_micro).
 
+    ``word_freq``: optionally start from a pre-computed (word, freq)
+    frame (``corpus_word_freq``) — the shared-scan path.
+
+    int64 SAFETY IS ENFORCED, not documented: the total symbol volume V
+    bounds every cnt/ca/cb, so when V < 9.2e6 the int64 micro-score is
+    provably overflow-free (cnt*1e12 <= V*1e12 < 9.2e18 and
+    ca*cb <= V^2 << 9.2e18) and runs in the fast path; larger corpora
+    switch the score expression to DECIMAL(38,0) arithmetic whose `div`
+    matches Python big-int floor division exactly (tested) — wrong
+    merges from a silent int64 wrap can no longer happen.
+
     No single-query SQL oracle (iterative argmax); exactness is pinned
     against an independent Python twin in tests and the
     ``wordpiece_segment_report`` gate query bakes the twin's replay
     into a generated VALUES oracle per SF."""
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    spark = df.sparkSession
-    vocab = (df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
-             .groupBy("tok").agg(F.count(F.lit(1)).alias("tok_cnt"))
-             .select(F.split("tok", "").alias("syms"), "tok_cnt")
-             .localCheckpoint())
+    spark = (df if df is not None else word_freq).sparkSession
+    vocab = _trainer_vocab(df, text_col, word_freq)
+    vol_row = vocab.agg(F.sum(F.col("tok_cnt") * F.size("syms"))
+                        .alias("v")).first()
+    volume = int(vol_row["v"] or 0)
+    if volume < 9_200_000:
+        score_expr = F.expr(f"(cnt * {_WP_SCORE_SCALE}) div (ca * cb)")
+    else:
+        # DECIMAL(38,0) holds cnt*1e12 (<= 9.2e30) and ca*cb
+        # (<= 8.5e37); decimal `div` truncates like Python //
+        score_expr = F.expr(
+            f"(CAST(cnt AS DECIMAL(38,0)) * {_WP_SCORE_SCALE}) div "
+            f"(CAST(ca AS DECIMAL(38,0)) * CAST(cb AS DECIMAL(38,0)))")
     merges: list[tuple] = []
     for r in range(rounds):
         n1 = F.greatest(F.size("syms") - 1, F.lit(0))
@@ -1405,9 +1465,7 @@ def wordpiece_train_merges(df, *, text_col: str = "text", rounds: int = 5,
                                               F.col("sc").alias("cb"))),
                       F.col("p.b") == F.col("__b"))
                 .where(F.col("cnt") >= min_count)
-                .withColumn("score_micro",
-                            F.expr(f"(cnt * {_WP_SCORE_SCALE})"
-                                   " div (ca * cb)")))
+                .withColumn("score_micro", score_expr))
         best = (cand.orderBy(F.col("score_micro").desc(),
                              F.col("p.a"), F.col("p.b")).first())
         if best is None:
@@ -1630,27 +1688,32 @@ def tokenizer_fertility_compare(df, *, text_col: str = "text",
     tokens-per-word the CORPUS would pay, i.e. the context-window and
     compute cost of choosing that tokenizer.
 
-    Plan: word frequencies are one hash agg; each trainer is its own
-    bounded loop (BPE/WordPiece: driver-metadata merge tables; unigram:
-    vocab-bounded score table); the eval set is top_words rows. The
-    encode-a-corpus cost this report predicts is NOT paid here — that
-    is what the number is for."""
+    Plan: the corpus is scanned ONCE — the shared (word, freq) table is
+    persisted and feeds all three trainers AND the eval set (each
+    trainer used to re-derive it, r8's slowest-benched-query constant);
+    each trainer is its own bounded loop (BPE/WordPiece:
+    driver-metadata merge tables; unigram: vocab-bounded score table);
+    the eval set is top_words rows, with unigram pieces computed
+    DIRECTLY on those rows by the shared Viterbi (no join against the
+    report's fixed top-500 table — which silently dropped eval words
+    whenever top_words exceeded it). The encode-a-corpus cost this
+    report predicts is NOT paid here — that is what the number is
+    for."""
     from pyspark.sql.functions import pandas_udf
 
-    freq = (df.select(F.explode(tokens(F.lower(F.col(text_col))))
-                      .alias("word"))
-            .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
+    from ..plans.caching import track_persist
+
+    freq = track_persist(corpus_word_freq(df, text_col=text_col))
     top = (freq.where(F.length("word") <= UNIGRAM_MAX_WORD)
            .orderBy(F.col("freq").desc(), "word").limit(top_words))
 
     # BPE: rank-order merge replay, pure JVM on the K eval rows
-    bpe_rows = bpe_train_merges(df, text_col=text_col,
-                                rounds=rounds).collect()
+    bpe_rows = bpe_train_merges(word_freq=freq, rounds=rounds).collect()
     bpe_merges = [(r["a"], r["b"]) for r in bpe_rows]
     bpe_np = F.size(bpe_apply_merges(F.col("word"), bpe_merges))
 
     # WordPiece: likelihood-scored merges + maximal munch
-    wp_rows = wordpiece_train_merges(df, text_col=text_col,
+    wp_rows = wordpiece_train_merges(word_freq=freq,
                                      rounds=rounds).collect()
     wp_pieces = {r["piece"] for r in wp_rows}
     wp_maxlen = max((len(p) for p in wp_pieces), default=1)
@@ -1660,11 +1723,16 @@ def tokenizer_fertility_compare(df, *, text_col: str = "text",
         return words.map(
             lambda w: len(_wp_greedy(w or "", wp_pieces, wp_maxlen)))
 
-    # unigram-LM: Viterbi segmentation under exact corpus piece scores
-    # (the unigram_segment_report machinery; its word table uses the
-    # same length filter, so the eval set is covered by construction)
-    uni = unigram_segment_report(df, text_col=text_col) \
-        .select("word", F.col("n_pieces").alias("np"))
+    # unigram-LM: Viterbi under the exact corpus piece scores, applied
+    # directly to the eval rows (scores come from the same shared
+    # frequency table, length-filtered like the eval set)
+    scores = unigram_piece_scores(
+        freq.where(F.length("word") <= UNIGRAM_MAX_WORD))
+
+    @pandas_udf("int")
+    def _uni_np(words: pd.Series) -> pd.Series:
+        return words.map(
+            lambda w: len(viterbi_segment(w or "", scores)[0]))
 
     def fert(scored, name):
         return (scored
@@ -1678,7 +1746,7 @@ def tokenizer_fertility_compare(df, *, text_col: str = "text",
 
     bpe_scored = top.withColumn("np", bpe_np.cast("int"))
     wp_scored = top.withColumn("np", _wp_np(F.col("word")))
-    uni_scored = top.join(uni, "word")
+    uni_scored = top.withColumn("np", _uni_np(F.col("word")))
     return (fert(bpe_scored, "bpe")
             .unionByName(fert(wp_scored, "wordpiece"))
             .unionByName(fert(uni_scored, "unigram")))

@@ -38,24 +38,31 @@ def running_fold_stream(df: DataFrame, *, key_cols: list[str], value_col: str,
     Output rows = input rows (one per element, with ``acc`` column),
     matching the reference's per-element emission. The accumulator
     persists in the state store across micro-batches.
+
+    The group's Arrow chunks are buffered and sorted as ONE frame per
+    micro-batch (per-chunk sorting would fold interleaved ``order_col``
+    values out of order whenever a key's rows span >1 chunk); the
+    buffer is one micro-batch of one key — bounded by trigger size,
+    never total stream volume.
     """
 
     def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         acc = state.get[0] if state.exists else init
-        frames = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(order_col)
-            accs = []
-            for v in pdf[value_col]:
-                acc = fold_fn(v, acc)
-                accs.append(acc)
-            pdf = pdf.copy()
-            pdf["acc"] = accs
-            frames.append(pdf)
-        state.update((acc,))
+        chunks = [pdf for pdf in pdfs if len(pdf)]
         out_cols = [c.strip().split(" ")[0] for c in output_schema.split(",")]
-        for f in frames:
-            yield f[out_cols]
+        if not chunks:
+            state.update((acc,))
+            return
+        allrows = (pd.concat(chunks, ignore_index=True)
+                   if len(chunks) > 1 else chunks[0])
+        allrows = allrows.sort_values(order_col, kind="mergesort").copy()
+        accs = []
+        for v in allrows[value_col]:
+            acc = fold_fn(v, acc)
+            accs.append(acc)
+        allrows["acc"] = accs
+        state.update((acc,))
+        yield allrows[out_cols]
 
     return (df.groupBy(*key_cols)
             .applyInPandasWithState(fold, output_schema, state_schema,
@@ -808,10 +815,18 @@ def holt_winters_stream(df: DataFrame, *, key_col: str, hour_col: str,
     key's last hour", which is what the gate oracle replays.
 
     Arrival-order contract: rows are processed in (hour) order within
-    a micro-batch and batches must not regress across batches for a
+    a micro-batch — ALL of the group's Arrow chunks are concatenated
+    and sorted once before the fold (a per-chunk sort would let
+    interleaved hours across chunks close slots early and silently
+    corrupt the model; the buffered rows are one micro-batch of one
+    key's GRID rows, so the concat is bounded by hours-per-batch, not
+    event volume) — and batches must not regress across batches for a
     key (the running_fold_stream contract; late slot rows after close
     would need a watermark + retraction, which this integer fold
-    deliberately does not attempt). State is m + O(1) longs per key.
+    deliberately does not attempt). State is m + O(1) longs per key;
+    the open slot is tracked by an explicit has_open flag, so pre-1970
+    (negative epoch-ns) hours are handled correctly rather than
+    colliding with a -1 sentinel.
     """
     if period < 2:
         raise ValueError("holt_winters_stream: period must be >= 2")
@@ -821,12 +836,11 @@ def holt_winters_stream(df: DataFrame, *, key_col: str, hour_col: str,
 
     def fold(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         if state.exists:
-            cur_ns, hsum, buf, lv, tr, sea = state.get
+            has_open, cur_ns, hsum, buf, lv, tr, sea = state.get
             buf, sea = list(buf), list(sea)
+            cur_ns = cur_ns if has_open else None
         else:
             cur_ns, hsum, buf, lv, tr, sea = None, 0, [], 0, 0, []
-        if cur_ns is not None and cur_ns < 0:
-            cur_ns = None  # encoded "no open slot"
         outs = []
 
         def close_slot(hour_ns: int, y: int):
@@ -847,11 +861,14 @@ def holt_winters_stream(df: DataFrame, *, key_col: str, hour_col: str,
             sea.append(ns)
             outs.append((hour_ns, y, lv, tr, ns))
 
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values(hour_col, kind="mergesort")
-            for h, y in zip(pdf[hour_col], pdf[value_col]):
+        # buffer the WHOLE group's micro-batch before folding: chunks
+        # arrive in arbitrary hour order relative to each other
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            allrows = (pd.concat(chunks, ignore_index=True)
+                       if len(chunks) > 1 else chunks[0])
+            allrows = allrows.sort_values(hour_col, kind="mergesort")
+            for h, y in zip(allrows[hour_col], allrows[value_col]):
                 h_ns = int(pd.Timestamp(h).value)
                 y = int(y)
                 if cur_ns is None:
@@ -861,7 +878,8 @@ def holt_winters_stream(df: DataFrame, *, key_col: str, hour_col: str,
                 else:
                     close_slot(cur_ns, hsum)
                     cur_ns, hsum = h_ns, y
-        state.update((cur_ns if cur_ns is not None else -1,
+        state.update((cur_ns is not None,
+                      cur_ns if cur_ns is not None else 0,
                       hsum, buf, lv, tr, sea))
         if outs:
             yield pd.DataFrame({
@@ -875,8 +893,8 @@ def holt_winters_stream(df: DataFrame, *, key_col: str, hour_col: str,
     key_type = dict(df.dtypes)[key_col]
     out_schema = (f"{key_col} {key_type}, hour timestamp, y_micro long, "
                   "level long, trend long, seasonal long")
-    state_schema = ("cur_ns long, hsum long, buf array<long>, "
-                    "l long, b long, sea array<long>")
+    state_schema = ("has_open boolean, cur_ns long, hsum long, "
+                    "buf array<long>, l long, b long, sea array<long>")
     return (df.groupBy(key_col)
             .applyInPandasWithState(fold, out_schema, state_schema,
                                     "append", GroupStateTimeout.NoTimeout))

@@ -889,3 +889,57 @@ def test_holt_winters_stream_cross_batch_parity(spark, tmp_path):
                      r["trend"], r["seasonal"])
                     for r in batch.collect() if r["hour"].hour != last)
     assert got == expect and len(got) == 8 - period - 1
+
+
+def test_holt_winters_stream_pre_epoch_hours(spark, tmp_path):
+    """Pre-1970 hours have NEGATIVE epoch-ns; the state's open slot is
+    tracked by an explicit has_open flag, so a batch boundary landing
+    mid-slot on a negative timestamp must NOT drop the open partial sum
+    (the old cur_ns = -1 sentinel made any pre-epoch open slot
+    indistinguishable from 'no open slot')."""
+    from go_streams_spark.operators.aggregate import holt_winters_additive
+    from go_streams_spark.streaming.stateful import holt_winters_stream
+
+    period = 2
+    rows = []
+    for h in range(6):
+        rows.append(("a", h, 100 + 13 * h))
+        rows.append(("a", h, 5 + h))
+    # boundary splits slot 2: one row in each batch — the partial sum
+    # must survive the batch boundary on a NEGATIVE cur_ns
+    b1 = [r for r in rows if r[1] < 2 or (r[1] == 2 and r[2] % 2 == 0)]
+    b2 = [r for r in rows if r[1] > 2 or (r[1] == 2 and r[2] % 2 == 1)]
+
+    def to_df(rs):
+        return spark.createDataFrame(
+            [(k, f"1969-12-30 {h:02d}:00:00", v) for k, h, v in rs],
+            "k string, hs string, y long").select(
+            "k", F.col("hs").cast("timestamp").alias("hour"), "y")
+
+    src = str(tmp_path / "hwneg")
+    to_df(b1).coalesce(1).write.mode("append").parquet(src)
+    to_df(b2).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema("k string, hour timestamp, y long")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = holt_winters_stream(stream, key_col="k", hour_col="hour",
+                              value_col="y", period=period)
+    import uuid as _uuid
+    name = "hwneg_" + _uuid.uuid4().hex[:8]
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "cpneg"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["k"], r["hour"].hour, r["y_micro"], r["level"],
+                  r["trend"], r["seasonal"])
+                 for r in spark.table(name).collect())
+
+    hourly = (to_df(rows).groupBy("k", "hour")
+              .agg(F.sum("y").alias("ym")))
+    batch = holt_winters_additive(hourly, key_col="k", order_col="hour",
+                                  value_col="ym", period=period)
+    expect = sorted((r["k"], r["hour"].hour, r["ym"], r["level"],
+                     r["trend"], r["seasonal"])
+                    for r in batch.collect() if r["hour"].hour != 5)
+    assert got == expect and len(got) == 6 - period - 1

@@ -23,26 +23,39 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     args = sys.argv[1:]
-    if not args or len(args) < 2:
+    if not args:
         print(__doc__)
         sys.exit(2)
     sf_dir = args[0]
-    rest = args[1:]
+    rest = list(args[1:])
+    # accept --runs N anywhere after SF_DIR (previously only first,
+    # which silently timed nothing / died mid-run on later typos)
     runs = 3
-    if rest[0] == "--runs":
-        runs = int(rest[1])
-        rest = rest[2:]
+    if "--runs" in rest:
+        i = rest.index("--runs")
+        if i + 1 >= len(rest):
+            print("--runs needs a value", file=sys.stderr)
+            sys.exit(2)
+        runs = int(rest[i + 1])
+        del rest[i:i + 2]
+    if not rest:
+        print(__doc__)
+        sys.exit(2)
 
     from go_streams_spark.session import get_spark
     from go_streams_spark.plans import release_tracked
     from go_streams_spark.queries import QUERIES
 
+    # validate every name BEFORE timing any, so one typo can't discard
+    # minutes of completed timings
+    unknown = [n for n in rest if n not in QUERIES]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        sys.exit(1)
+
     spark = get_spark("time-queries")
     out = {}
     for name in rest:
-        if name not in QUERIES:
-            print(f"unknown query: {name}", file=sys.stderr)
-            sys.exit(1)
         sample = []
         for _ in range(runs):
             t0 = time.perf_counter()
