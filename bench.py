@@ -393,14 +393,17 @@ def main() -> None:
     from go_streams_spark.queries import _t
     ev = _t(spark, sf_dir, "events")
     n_events = ev.count()
-    # 5 timed passes for this single headline number (vs 3 for queries):
+    # 7 timed passes for this single headline number (vs 3 for queries):
     # it has shown the most run-to-run variance (400k -> 183k events/s
     # across rounds 3-6 on UNCHANGED operator code — host load, not a
-    # regression). Record the full sample so the spread is evidence, not
-    # anecdote: min is the headline (host load only adds time), median +
-    # all raw times go to BENCH_DETAIL.json as the noise bound.
+    # regression; r7->r8 median drifted 205k -> 189k inside the 5-run
+    # spread, prompting the N>=7 bump so tools/bench_compare.py can
+    # classify a median-over-median drop as noise vs signal). Record
+    # the full sample so the spread is evidence, not anecdote: min is
+    # the headline (host load only adds time), median + all raw times
+    # go to BENCH_DETAIL.json as the noise bound.
     pipe_times: list[float] = []
-    for _ in range(5):
+    for _ in range(7):
         t0 = time.perf_counter()
         force(ev
               .withColumn("v2", F.col("value") * 2)            # Map

@@ -9829,9 +9829,21 @@ def stream_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-input flows cannot express). Watermarks on BOTH streams
     bound the join state to O(users x window); the availableNow replay
     lands matched pairs in a memory sink and the hourly rollup
-    hash-matches the batch interval-join oracle."""
+    hash-matches the batch interval-join oracle.
+
+    State partitioning is SIZED TO STATE (round-9 verdict task #4):
+    profiling the 5.8 s streaming-lane wall showed 2 micro-batches —
+    batch 0 (200k rows): trigger 4.9 s of which addBatch 3.9 s with
+    ~34 s of summed state-store commit time across 32 partitions x 4
+    join stores; batch 1 (the mandatory zero-row watermark-close
+    batch): 2.2 s of pure store reload+commit. With ~40k state rows,
+    32 partitions is commit overhead, not parallelism: warm A/B
+    measured 5.4-6.1 s at 32 partitions vs ~2.0 s at 4-8. The stream
+    starts under state_sized_partitions(8); a 100 TB deployment raises
+    the number (state must spread), same deliberate sizing decision."""
     import uuid as _uuid
-    from .streaming import memory_sink, stream_interval_join
+    from .streaming import (memory_sink, state_sized_partitions,
+                            stream_interval_join)
     views = (_events_stream(spark, sf_dir)
              .where(F.col("event_type") == "view")
              .select("user_id",
@@ -9845,7 +9857,8 @@ def stream_join_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         views, purchases, key="user_id", left_ts="v_ts", right_ts="p_ts",
         lower="0 seconds", upper="30 minutes", watermark="1 hour")
     name = "ssjoin_" + _uuid.uuid4().hex[:10]
-    Source(joined).to(memory_sink(name, output_mode="append"))
+    with state_sized_partitions(spark, 8):
+        Source(joined).to(memory_sink(name, output_mode="append"))
     return (spark.table(name)
             .groupBy(F.date_trunc("hour", "v_ts").alias("view_hour"))
             .agg(F.count(F.lit(1)).alias("n_pairs"),

@@ -4,7 +4,8 @@ built-in Spark equivalent."""
 
 from .io import (file_stream_source, rate_source, memory_sink, console_sink,
                  with_refreshed_dim, idempotent_parquet_sink,
-                 noop_sink, foreach_batch_sink, with_bounded_retry)
+                 noop_sink, foreach_batch_sink, with_bounded_retry,
+                 state_sized_partitions)
 from .stateful import (running_fold_stream, global_fold_stream,
                        count_or_time_batch_stream, running_sum_stream_tws,
                        heavy_hitters_stream, heavy_hitters_stream_tws,
@@ -19,6 +20,7 @@ __all__ = [
     "with_refreshed_dim", "idempotent_parquet_sink",
     "file_stream_source", "rate_source", "memory_sink", "console_sink",
     "noop_sink", "foreach_batch_sink", "with_bounded_retry",
+    "state_sized_partitions",
     "stream_interval_join",
     "running_fold_stream", "global_fold_stream", "count_or_time_batch_stream",
     "heavy_hitters_stream", "heavy_hitters_stream_tws",

@@ -50,6 +50,40 @@ def rate_source(spark: SparkSession, rows_per_second: int = 100, **options) -> D
     return reader.load()
 
 
+class state_sized_partitions:
+    """Context manager sizing STATE partitioning for a stream about to
+    start. Stateful operators bake ``spark.sql.shuffle.partitions`` into
+    the checkpoint at first batch, and every micro-batch then pays a
+    state-store load+commit PER PARTITION PER STORE (a stream-stream
+    join keeps 4 stores per partition). Inheriting a batch-sized
+    setting (32 here, 200 default) makes small-state streams pure
+    commit overhead: the view↔purchase gate query's availableNow wall
+    was profiled at 5.4-6.1 s warm with 32 partitions vs 2.0 s with
+    4-8, with state of only ~40k rows (round-9 verdict task #4 — the
+    2-batch breakdown is recorded in the gate query's docstring).
+
+    Size ``n`` to expected state rows / a few hundred thousand, exactly
+    like choosing shuffle partitions for a batch join; at 100 TB you
+    RAISE it (state must spread across executors) — the point is that
+    it is a deliberate, state-sized choice either way. Restores the
+    session setting on exit; batch queries planned outside the block
+    are unaffected."""
+
+    def __init__(self, spark: SparkSession, n: int):
+        if n < 1:
+            raise ValueError(f"state partitions must be >= 1, got {n}")
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        return False
+
+
 def _writer(df: DataFrame, available_now: bool, checkpoint: str | None) -> DataStreamWriter:
     w = df.writeStream
     if available_now:

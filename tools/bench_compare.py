@@ -22,14 +22,38 @@ def load(path: str):
     d = json.load(open(path))
     if "parsed" in d and isinstance(d["parsed"], dict):
         d = d["parsed"]  # driver BENCH_r{N}.json wrapper (10 slowest only)
-    return d.get("queries", {}) or {}, d.get("spread", {}) or {}
+    return d.get("queries", {}) or {}, d.get("spread", {}) or {}, d
+
+
+def compare_pipeline(old_d: dict, new_d: dict) -> None:
+    """Spread-aware pipeline-throughput comparison (round-9 verdict
+    task #6): a median-over-median drop counts as SIGNAL only when it
+    exceeds BOTH runs' own min-vs-median gaps combined — each gap is
+    that bench window's measured host-load noise (load only ever adds
+    time), so a drift inside the summed gaps is noise by construction."""
+    ot, nt = old_d.get("pipeline_times_sec"), new_d.get("pipeline_times_sec")
+    if not ot or not nt:
+        return
+    om = sorted(ot)[len(ot) // 2]
+    nm = sorted(nt)[len(nt) // 2]
+    gap = (om - min(ot)) + (nm - min(nt))
+    o_ev, n_ev = old_d.get("n_events"), new_d.get("n_events")
+    drop = nm - om
+    klass = "SIGNAL" if drop > gap else "noise"
+    print(f"\npipeline (median-of-{len(nt)} vs median-of-{len(ot)}): "
+          f"{om:.3f}s -> {nm:.3f}s  "
+          f"(noise bound {gap:.3f}s -> {klass})")
+    if o_ev and n_ev:
+        print(f"  events/s median: {int(o_ev / om)} -> {int(n_ev / nm)}; "
+              f"min-based headline: {int(o_ev / min(ot))} -> "
+              f"{int(n_ev / min(nt))}")
 
 
 def main():
     old_path, new_path = sys.argv[1], sys.argv[2]
     top_n = int(sys.argv[3]) if len(sys.argv) > 3 else 10
-    old_q, _ = load(old_path)
-    new_q, new_spread = load(new_path)
+    old_q, _, old_d = load(old_path)
+    new_q, new_spread, new_d = load(new_path)
     common = sorted(set(old_q) & set(new_q))
     if not common:
         print("no common queries")
@@ -69,6 +93,7 @@ def main():
             break
         print(f"| {q} | {o:.2f} | {n:.2f} | {r:.2f}x | "
               f"{'noise' if noise else 'SIGNAL'} |")
+    compare_pipeline(old_d, new_d)
 
 
 if __name__ == "__main__":
