@@ -50,3 +50,27 @@ def test_manifest_entries_are_complete():
     for name, rec in manifest.get("queries", {}).items():
         assert {"hash", "rows", "sf_dir"} <= set(rec), (
             f"malformed manifest entry for {name}: {rec}")
+
+
+def test_fold_class_audited_at_two_sfs():
+    """The integer-fold class (sequential folds, prefix sums, seasonal
+    state, merge-table training) argues partitioning-independence via
+    integer commutativity — the argument MORE DATA stresses hardest
+    (more partitions, more chunk boundaries, more reordering surface).
+    Pin that every fold-class query carries cross-partitioning hashes
+    at >= 2 scale factors, so the evidence scales with the claim
+    (round-9 verdict task #8)."""
+    if not os.path.exists(MANIFEST):
+        return
+    with open(MANIFEST) as f:
+        manifest = json.load(f)
+    fold = manifest.get("fold_class", [])
+    assert len(fold) >= 25, (
+        "fold_class missing from the manifest — re-run "
+        "`python tools/check_determinism.py --fold-class`")
+    thin = [n for n in fold
+            if len(manifest["queries"].get(n, {}).get("sf_hashes", {})) < 2]
+    assert not thin, (
+        f"fold-class queries with <2 audited SFs: {thin}. Run `python "
+        f"tools/check_determinism.py --fold-class` (sf0.01) after the "
+        f"default sf0.001 audit.")

@@ -41,6 +41,33 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 PARTS_A = "32"
 PARTS_B = "7"   # coprime-ish, not a divisor: every boundary moves
 
+#: The INTEGER-FOLD CLASS: queries whose values route through an
+#: order-sensitive-looking accumulation (sequential integer folds,
+#: prefix sums, seasonal-vector state, merge-table training, stateful
+#: streaming twins). Exactness there is argued by integer commutativity
+#: — the argument larger data stresses hardest, because more rows mean
+#: more partitions, more Arrow chunk boundaries, and more reordering
+#: surface. These queries are therefore audited at TWO SFs (default
+#: sf0.001 like everything else, plus sf0.01 via --fold-class); the
+#: manifest records per-SF hashes and tests/test_determinism_manifest.py
+#: asserts the class carries both.
+FOLD_CLASS = [
+    "fold_running_sum", "reduce_running_max", "batch_by_count",
+    "token_bucket_admissions", "throttler_discard",
+    "holt_winters_hourly", "hw_anomaly_hourly", "hw_stream_hourly",
+    "ks_drift_events", "procrustes_alignment_drift",
+    "cusum_changepoint_hourly", "ewma_value_by_user",
+    "resample_fill_forward", "incremental_agg_merge",
+    "compaction_bin_packing", "unimax_budget_allocation",
+    "bpe_train_merge_table", "bpe_first_merges",
+    "wordpiece_segment_report", "unigram_lm_segment",
+    "tokenizer_fertility_compare", "cep_funnel_pattern",
+    "stream_fold_running_sum", "scd2_user_state_history",
+    "cdc_latest_state_per_user", "sequence_packing_batches",
+    "dedup_components", "leakage_safe_split",
+    "time_decay_engagement", "trend_slope_by_type",
+]
+
 
 def value_hash(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)].copy()
@@ -53,8 +80,17 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--fold-class"]
+    fold_mode = "--fold-class" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+    if fold_mode:
+        if args[1:]:
+            print("--fold-class takes no query names", file=sys.stderr)
+            sys.exit(2)
+        if not args:
+            sf_dir = "/root/testdata/sf0.01"
+        only = set(FOLD_CLASS)
 
     from go_streams_spark.session import get_spark
     from go_streams_spark.plans import release_tracked
@@ -100,10 +136,20 @@ def main():
     manifest["parts"] = [PARTS_A, PARTS_B]
     qs = {k: v for k, v in manifest.get("queries", {}).items()
           if k in QUERIES}
-    qs.update(passed)
+    for name, rec in passed.items():
+        old = qs.get(name, {})
+        sfh = dict(old.get("sf_hashes", {}))
+        if old.get("sf_dir") and old["sf_dir"] not in sfh:
+            # migrate a pre-multi-SF entry's evidence
+            sfh[old["sf_dir"]] = {"hash": old["hash"], "rows": old["rows"]}
+        sfh[rec["sf_dir"]] = {"hash": rec["hash"], "rows": rec["rows"]}
+        entry = dict(rec)
+        entry["sf_hashes"] = dict(sorted(sfh.items()))
+        qs[name] = entry
     manifest["queries"] = dict(sorted(qs.items()))
     manifest["audited_count"] = len(qs)
     manifest["registry_count"] = len(QUERIES)
+    manifest["fold_class"] = sorted(n for n in FOLD_CLASS if n in QUERIES)
     with open(MANIFEST, "w") as f:
         json.dump(manifest, f, indent=1)
         f.write("\n")
