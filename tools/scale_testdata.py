@@ -23,10 +23,14 @@ Two tables need more than a key shift to stay representative:
   other, while WITHIN a copy the exact-dup and near-dup relationships
   of the source corpus are reproduced exactly — duplicate structure
   scales linearly, like a corpus that actually grew.
-- ``embeddings``: copy i>0 rotates each vector's dimensions by i
-  positions. Rotation preserves norms and every intra-copy cosine
-  (near-dup/kNN structure identical per copy) while cross-copy cosines
-  decorrelate, again scaling neighbor structure linearly.
+- ``embeddings``: copy i>0 applies a distinct orthogonal transform —
+  dimension rotation 1 + (i-1) % (dim-1) crossed with a whole-vector
+  sign flip per (dim-1)-block. Each transform preserves norms and every
+  intra-copy cosine (near-dup/kNN structure identical per copy) while
+  cross-copy cosines decorrelate; 2*(dim-1) distinct copies exist at a
+  given dim, and the tool REFUSES larger factors rather than silently
+  repeating a transform (the old pure-rotation scheme clamped copies
+  >= dim to the identity — exact cross-copy duplicates).
 - ``part``/``customer``/``supplier`` name columns get the same
   per-token suffix as documents: verbatim name copies would either
   collapse under the fuzzy-match queries' ``.distinct()`` (zero growth)
@@ -85,16 +89,51 @@ KEY_BASE = {
 }
 
 
-def scale_dir(src: str, dst: str, factor: int) -> None:
+def scale_dir(src: str, dst: str, factor: int,
+              tables: list[str] | None = None) -> None:
+    """``tables``: optional subset to derive (e.g. just ``documents``
+    for the text-dedup family) — a factor-1000 full derivation is
+    ~17 GB dominated by lineitem; a documents-only one is ~1/10th."""
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+
+    todo = TABLES if tables is None else [t for t in TABLES
+                                          if t[0] in set(tables)]
+    if tables is not None and len(todo) != len(set(tables)):
+        unknown = set(tables) - {t[0] for t in TABLES}
+        raise ValueError(f"unknown tables: {sorted(unknown)}")
+
+    needed_cols = {c for _, keys, _ in todo for c in keys}
     maxes = {}
     for col, (table, base_col) in KEY_BASE.items():
+        if col not in needed_cols:
+            continue  # subset derivations may lack unrelated base tables
         maxes[col] = con.execute(
             f"SELECT max({base_col}) + 1 FROM "
             f"'{src}/{table}.parquet'").fetchone()[0]
 
-    for table, keys, extra in TABLES:
+    # embeddings: rotations repeat past the vector dimension — copy
+    # i = dim under the old [i+1:]||[1:i] slicing silently CLAMPED to
+    # the identity, making copies >= dim exact duplicates of copy 0
+    # (cross-copy duplicate cliques a real 100x corpus does not have).
+    # Use rotation 1 + (i-1) % (dim-1) (never identity) crossed with a
+    # whole-vector sign flip per (dim-1)-block: 2*(dim-1) distinct
+    # orthogonal transforms, each preserving norms and intra-copy
+    # cosines while cross-copy cosines decorrelate (a flipped copy's
+    # cosine against its unflipped twin is NEGATED — not a near-dup).
+    dim = None
+    if any(t[0] == "embeddings" for t in todo):
+        dim = con.execute(
+            f"SELECT len(embedding) FROM '{src}/embeddings.parquet' "
+            f"LIMIT 1").fetchone()[0]
+        if factor > 2 * (dim - 1) + 1:
+            raise ValueError(
+                f"embeddings supports at most {2 * (dim - 1) + 1} "
+                f"decorrelated copies at dim={dim} (rotations x sign "
+                f"flips); derive larger factors in steps or exclude "
+                f"embeddings via --tables")
+
+    for table, keys, extra in todo:
         src_pq = f"{src}/{table}.parquet"
         cols = [r[0] for r in con.execute(
             f"DESCRIBE SELECT * FROM '{src_pq}'").fetchall()]
@@ -118,9 +157,12 @@ def scale_dir(src: str, dst: str, factor: int) -> None:
                         r"length(regexp_replace(text, '(\S+)', "
                         f"'\\1~{i}', 'g')) AS n_chars")
                 elif extra == "rotate_vec" and c == "embedding" and i:
-                    proj.append(
-                        f"(embedding[{i + 1}:] || embedding[1:{i}])"
-                        f"::FLOAT[] AS embedding")
+                    r = 1 + (i - 1) % (dim - 1)
+                    flip = ((i - 1) // (dim - 1)) % 2
+                    rot = f"(embedding[{r + 1}:] || embedding[1:{r}])"
+                    if flip:
+                        rot = f"list_transform({rot}, x -> -x)"
+                    proj.append(f"{rot}::FLOAT[] AS embedding")
                 else:
                     proj.append(c)
             selects.append(
@@ -133,7 +175,14 @@ def scale_dir(src: str, dst: str, factor: int) -> None:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) < 3:
-        sys.exit("usage: scale_testdata.py SRC_DIR DST_DIR [factor]")
-    scale_dir(sys.argv[1], sys.argv[2],
-              int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+    argv = sys.argv[1:]
+    tables = None
+    if "--tables" in argv:
+        i = argv.index("--tables")
+        tables = argv[i + 1].split(",")
+        del argv[i:i + 2]
+    if len(argv) < 2:
+        sys.exit("usage: scale_testdata.py SRC_DIR DST_DIR [factor] "
+                 "[--tables t1,t2]")
+    scale_dir(argv[0], argv[1],
+              int(argv[2]) if len(argv) > 2 else 10, tables)
