@@ -29,6 +29,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: Default integer-multiply-add budget for the EXACT-evaluator pass of
+#: the eval-audit family (recall / nDCG / quantization audits). An
+#: unsampled exact pass costs ~N_queries * N_index * dim int-ops; 2e12
+#: is ~minutes of one executor's ALU time — past it the audit must run
+#: on a deterministic query sample (``eval_query_sample``), exactly the
+#: policy the audits' docstrings promise ("sampled in production").
+DEFAULT_EVAL_FLOP_BUDGET = 2_000_000_000_000
+
+
 def as_double(vec: Column | str) -> Column:
     v = F.col(vec) if isinstance(vec, str) else vec
     return F.transform(v, lambda x: x.cast("double"))
@@ -218,7 +227,9 @@ def sign_lsh_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embed
 
 def cosine_near_dup(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding",
                     threshold: float = 0.9, round_dp: int = 6,
-                    num_blocks: int = 8) -> DataFrame:
+                    num_blocks: int = 8,
+                    flop_budget: int | None = DEFAULT_EVAL_FLOP_BUDGET
+                    ) -> DataFrame:
     """EXACT embedding-cosine near-duplicate pairs (id_a < id_b, sim >= t).
 
     Blocked distributed pair scan — no BroadcastNestedLoopJoin, no
@@ -240,10 +251,23 @@ def cosine_near_dup(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "em
     per-task memory (B sized so 2 blocks fit an executor). For the
     recall<1 bucketed path that avoids the quadratic work entirely, see
     ``cosine_near_dup_lsh``.
+
+    The quadratic contract is GUARDED IN CODE: past ``flop_budget``
+    (int-ops; default DEFAULT_EVAL_FLOP_BUDGET) the call raises loudly
+    naming the bucketed sibling instead of silently launching the N^2
+    pass — pass flop_budget=None only when the quadratic cost is an
+    explicit decision.
     """
     import numpy as np
     import pandas as pd
 
+    if flop_budget is not None:
+        guard_eval_flops(df, id_col=id_col, vec_col=vec_col,
+                         budget=flop_budget, op="cosine_near_dup",
+                         remedy="Use cosine_near_dup_lsh (bucketed, "
+                                "sub-quadratic) or pass "
+                                "flop_budget=None if the exact N^2 "
+                                "pass is an explicit decision.")
     B = num_blocks
     # NB: cogroup matches groups by key VALUE AND TYPE — pmod(long col)
     # yields long while explode(sequence(int)) yields int, and mixed
@@ -353,15 +377,6 @@ def cosine_near_dup_lsh(df: DataFrame, *, id_col: str = "vec_id",
             .where(F.col("sim") >= threshold))
 
 
-#: Default integer-multiply-add budget for the EXACT-evaluator pass of
-#: the eval-audit family (recall / nDCG / quantization audits). An
-#: unsampled exact pass costs ~N_queries * N_index * dim int-ops; 2e12
-#: is ~minutes of one executor's ALU time — past it the audit must run
-#: on a deterministic query sample (``eval_query_sample``), exactly the
-#: policy the audits' docstrings promise ("sampled in production").
-DEFAULT_EVAL_FLOP_BUDGET = 2_000_000_000_000
-
-
 def eval_query_sample(df: DataFrame, *, id_col: str = "vec_id",
                       n: int = 200) -> DataFrame:
     """Deterministic n-query evaluation sample: the ``n`` ids with the
@@ -386,7 +401,8 @@ def guard_eval_flops(df: DataFrame, *, id_col: str = "vec_id",
                      vec_col: str = "embedding",
                      n_queries: int | None = None,
                      budget: int = DEFAULT_EVAL_FLOP_BUDGET,
-                     op: str = "exact eval pass") -> int:
+                     op: str = "exact eval pass",
+                     remedy: str | None = None) -> int:
     """Loud pre-flight guard for the quadratic eval-audit class: counts
     the corpus once (parquet count-star is metadata-fast) and raises
     when the exact pass ``n_queries x N x dim`` would exceed ``budget``
@@ -401,12 +417,14 @@ def guard_eval_flops(df: DataFrame, *, id_col: str = "vec_id",
     nq = n if n_queries is None else min(n_queries, n)
     flops = nq * n * d
     if flops > budget:
+        fix = remedy or ("Pass sample_n_queries=<n> (a deterministic "
+                         "md5-ordered pick via eval_query_sample — "
+                         "oracle-replayable) or raise flop_budget "
+                         "explicitly.")
         raise ValueError(
             f"{op}: unsampled exact evaluation needs ~{flops:.2e} "
             f"integer ops ({nq} queries x {n} index vectors x dim {d}) "
-            f"> budget {budget:.2e}. Pass sample_n_queries=<n> (a "
-            f"deterministic md5-ordered pick via eval_query_sample — "
-            f"oracle-replayable) or raise flop_budget explicitly.")
+            f"> budget {budget:.2e}. {fix}")
     return n
 
 
