@@ -3002,14 +3002,15 @@ def stream_batch_parity_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink), returned as the materialized result. Proves the streaming
     path computes byte-identical answers to the SQL oracle."""
     import uuid as _uuid
-    from .streaming import memory_sink
+    from .streaming import memory_sink, state_sized_partitions
     src = _events_stream(spark, sf_dir)
     windowed = Source(src).via(tumbling_window(
         "ts", "1 hour",
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("value"), 2).alias("sum_value"))).to_df()
     name = "parity_" + _uuid.uuid4().hex[:10]
-    Source(windowed).to(memory_sink(name, output_mode="complete"))
+    with state_sized_partitions(spark, 8):
+        Source(windowed).to(memory_sink(name, output_mode="complete"))
     return spark.table(name).select("window_start", "cnt", "sum_value")
 
 
@@ -3653,14 +3654,15 @@ def stream_parity_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (availableNow -> complete-mode memory sink), hash-matched against
     the SQL oracle."""
     import uuid as _uuid
-    from .streaming import memory_sink
+    from .streaming import memory_sink, state_sized_partitions
     src = _events_stream(spark, sf_dir)
     windowed = Source(src).via(sliding_window(
         "ts", "1 hour", "30 minutes",
         F.count(F.lit(1)).alias("cnt"),
         F.round(F.sum("value"), 2).alias("sum_value"))).to_df()
     name = "parity_sw_" + _uuid.uuid4().hex[:10]
-    Source(windowed).to(memory_sink(name, output_mode="complete"))
+    with state_sized_partitions(spark, 8):
+        Source(windowed).to(memory_sink(name, output_mode="complete"))
     return spark.table(name).select("window_start", "cnt", "sum_value")
 
 
@@ -5418,7 +5420,7 @@ def stream_parity_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink), hash-matched against the gaps-and-islands oracle.
     Mirrors flow/session_window.go:102-140 flush-on-close."""
     import uuid as _uuid
-    from .streaming import memory_sink
+    from .streaming import memory_sink, state_sized_partitions
     src = _events_stream(spark, sf_dir)
     windowed = Source(src).via(session_window(
         "ts", "30 minutes",
@@ -5426,7 +5428,8 @@ def stream_parity_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         keys=["user_id"])).to_df()
     name = "parity_sess_" + _uuid.uuid4().hex[:10]
-    Source(windowed).to(memory_sink(name, output_mode="complete"))
+    with state_sized_partitions(spark, 8):
+        Source(windowed).to(memory_sink(name, output_mode="complete"))
     return spark.table(name).select(
         "user_id",
         F.col("window_start").alias("session_start"),
@@ -6908,7 +6911,7 @@ def stream_fold_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matched against the prefix-sum oracle. The streaming twin of
     the batch `fold_running_sum` window query."""
     import uuid as _uuid
-    from .streaming import memory_sink
+    from .streaming import memory_sink, state_sized_partitions
     from .streaming.stateful import running_fold_stream
     src = (_events_stream(spark, sf_dir)
            .where("event_type = 'purchase'")
@@ -6918,7 +6921,8 @@ def stream_fold_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold_fn=lambda v, a: a + v, init=0.0,
         output_schema="user_id long, event_id long, value double, acc double")
     name = "fold_stream_" + _uuid.uuid4().hex[:10]
-    Source(folded).to(memory_sink(name, output_mode="append"))
+    with state_sized_partitions(spark, 8):
+        Source(folded).to(memory_sink(name, output_mode="append"))
     return spark.table(name).select(
         "user_id", "event_id", F.round("acc", 4).alias("acc"))
 
@@ -7595,7 +7599,7 @@ def stream_parity_keyed_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials; complete-mode memory sink + availableNow gives the
     flush-on-close batch answer, hash-matched against SQL."""
     import uuid as _uuid
-    from .streaming import memory_sink
+    from .streaming import memory_sink, state_sized_partitions
     src = _events_stream(spark, sf_dir)
     windowed = Source(src).via(tumbling_window(
         "ts", "6 hours",
@@ -7603,7 +7607,8 @@ def stream_parity_keyed_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         keys=["user_id"])).to_df()
     name = "parity_kt_" + _uuid.uuid4().hex[:10]
-    Source(windowed).to(memory_sink(name, output_mode="complete"))
+    with state_sized_partitions(spark, 8):
+        Source(windowed).to(memory_sink(name, output_mode="complete"))
     return spark.table(name).select("user_id", "window_start",
                                     "cnt", "sum_value")
 
@@ -7832,11 +7837,12 @@ def stream_dedup_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicatesWithinWatermark — pinned in
     test_streaming.py::test_streaming_dedup_within_watermark.)"""
     import uuid as _uuid
-    from .streaming import memory_sink
+    from .streaming import memory_sink, state_sized_partitions
     src = _events_stream(spark, sf_dir).select("user_id", "event_type")
     deduped = src.dropDuplicates(["user_id", "event_type"])
     name = "dedup_st_" + _uuid.uuid4().hex[:10]
-    Source(deduped).to(memory_sink(name, output_mode="append"))
+    with state_sized_partitions(spark, 8):
+        Source(deduped).to(memory_sink(name, output_mode="append"))
     return (spark.table(name).groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_distinct_users")))
 
@@ -9328,13 +9334,14 @@ def cep_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     w.r.t. watermark/timeout tie-breaking, which is what the SQL
     oracle's max-sid exclusion expresses."""
     import uuid as _uuid
-    from .streaming import memory_sink
+    from .streaming import memory_sink, state_sized_partitions
     from .streaming.stateful import cep_stream
     src = _events_stream(spark, sf_dir)
     out = cep_stream(src, pattern="v[^p]*c[^p]*p", symbols=_CEP_SYMBOLS,
                      gap_seconds=86400, close_on_timeout=False)
     name = "cepstream_" + _uuid.uuid4().hex[:10]
-    Source(out).to(memory_sink(name, output_mode="append"))
+    with state_sized_partitions(spark, 8):
+        Source(out).to(memory_sink(name, output_mode="append"))
     return spark.table(name)
 
 
@@ -12074,7 +12081,7 @@ def hw_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     final-window hold: the last slot never sees a successor, so it
     stays open, exactly like every streaming window op here."""
     import uuid as _uuid
-    from .streaming import memory_sink
+    from .streaming import memory_sink, state_sized_partitions
     from .streaming.stateful import holt_winters_stream
     src = (_events_stream(spark, sf_dir)
            .select("event_type",
@@ -12084,7 +12091,8 @@ def hw_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = holt_winters_stream(src, key_col="event_type", hour_col="hour",
                               value_col="y", period=24)
     name = "hw_stream_" + _uuid.uuid4().hex[:10]
-    Source(out).to(memory_sink(name, output_mode="append"))
+    with state_sized_partitions(spark, 8):
+        Source(out).to(memory_sink(name, output_mode="append"))
     return spark.table(name).select(
         "event_type", "hour", "y_micro",
         F.col("level").alias("level_micro"),
