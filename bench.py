@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "hard_negatives_by_label",
     "semdedup_prune",
     "semdedup_fixed_codebook",
+    "kcenter_coreset_select",
+    "kcenter_cover_summary",
     "ann_sign_lsh",
     "ann_sign_lsh_multiprobe",
     "ann_ivf_knn",

@@ -2529,3 +2529,122 @@ def procrustes_oracle_sql(sf_dir: str, *, table: str = "embeddings",
 FROM (VALUES
 {vals}
 ) AS t({id_col}, residual_sq)"""
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center coreset selection (round 9): pick k maximally-spread
+# representatives — Gonzalez's (1985) 2-approximation for the k-center
+# objective, the coreset selection rule of Sener & Savarese (ICLR 2018)
+# used for data pruning / active learning. Complements semdedup_prune
+# (which REMOVES redundancy) by SELECTING a budget-sized cover.
+# ---------------------------------------------------------------------------
+
+
+def kcenter_select(df: DataFrame, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", k: int = 8,
+                   scale: int = 1_000_000):
+    """Greedy k-center over micro-unit int64 vectors, engine-exact.
+
+    Round 1 seeds with the max-squared-norm vector (ties: lowest id);
+    each later round picks the vector with the largest exact int64
+    squared-L2 distance to its NEAREST already-selected center (ties:
+    lowest id), excluding previously selected ids. Returns
+    ``(selected, centers)``: ``selected`` is k tuples
+    (sel_round, id, dist_usq) where round r's dist_usq IS the k-center
+    coverage radius of the first r-1 centers (round 1 records the seed
+    squared norm), and ``centers`` the k quantized vectors (python
+    ints — k x d driver metadata, same class as a codebook).
+
+    Scale shape: the quantized base persists ONCE; each round is one
+    scan with a fused least-of-r-distances projection (whole-stage
+    codegen, no UDF) ending in a TakeOrderedAndProject top-1 — a
+    per-partition partial reduce, k single-row collects total, nothing
+    data-sized at the driver. Total O(k^2*d) work per row; at corpus
+    scale run the greedy over cluster representatives
+    (``train_codebook`` centroids) or a deterministic sample — the
+    composition coreset pipelines actually ship.
+    """
+    from ..plans.caching import track_persist
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        quantized_vec(vec_col, scale).alias("v"))
+    base = track_persist(base.withColumn(
+        "norm2", F.aggregate(F.transform("v", lambda x: x * x),
+                             F.lit(0).cast("long"), lambda a, x: a + x)))
+
+    def _d2(center_vals):
+        arr = F.array(*[F.lit(int(c)).cast("long") for c in center_vals])
+        return F.aggregate(
+            F.zip_with("v", arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda a, x: a + x)
+
+    seed = (base.orderBy(F.desc("norm2"), "id")
+            .select("id", "v", "norm2").first())
+    if seed is None:
+        return [], []
+    selected = [(1, seed["id"], int(seed["norm2"]))]
+    centers = [list(seed["v"])]
+    for r in range(2, k + 1):
+        dists = [_d2(c) for c in centers]
+        md = F.least(*dists) if len(dists) > 1 else dists[0]
+        top = (base.where(~F.col("id").isin([s[1] for s in selected]))
+               .select("id", "v", md.alias("md"))
+               .orderBy(F.desc("md"), "id").first())
+        if top is None:  # k exceeds the corpus — return what exists
+            break
+        selected.append((r, top["id"], int(top["md"])))
+        centers.append(list(top["v"]))
+    return selected, centers
+
+
+def kcenter_coreset(df: DataFrame, *, id_col: str = "vec_id",
+                    vec_col: str = "embedding", k: int = 8,
+                    scale: int = 1_000_000) -> DataFrame:
+    """The ``kcenter_select`` trace as a DataFrame:
+    (sel_round, id, dist_usq) — k rows, driver-built like a codebook."""
+    spark = df.sparkSession
+    selected, _ = kcenter_select(df, id_col=id_col, vec_col=vec_col,
+                                 k=k, scale=scale)
+    return spark.createDataFrame(
+        [(int(r), int(i), int(d)) for r, i, d in selected],
+        schema=f"sel_round int, {id_col} long, dist_usq long")
+
+
+def kcenter_assignments(df: DataFrame, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding", k: int = 8,
+                        scale: int = 1_000_000) -> DataFrame:
+    """Per-center cover summary after greedy k-center selection:
+    every vector is assigned to its nearest selected center (exact
+    int64 squared L2; ties -> earliest-selected center), then rolled up
+    to (center_round, center_id, n_assigned, radius_usq) where
+    radius_usq is the cell's max assignment distance — max over the
+    column is the realized k-center objective.
+
+    Scale shape: selection as in ``kcenter_select``; assignment is ONE
+    scan against the k-row broadcast center table (k*d ints), a
+    doubly-bounded nested-loop any engine survives, then a k-group hash
+    agg. No data-sized shuffle: the rollup's map-side partials reduce
+    each partition to <= k rows.
+    """
+    spark = df.sparkSession
+    selected, centers = kcenter_select(df, id_col=id_col, vec_col=vec_col,
+                                       k=k, scale=scale)
+    cent = spark.createDataFrame(
+        [(int(r), int(i), [int(x) for x in v])
+         for (r, i, _), v in zip(selected, centers)],
+        schema="center_round int, center_id long, cv array<long>")
+    base = df.select(F.col(id_col).alias("id"),
+                     quantized_vec(vec_col, scale).alias("v"))
+    d2 = F.aggregate(
+        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    asg = (base.crossJoin(F.broadcast(cent))
+           .select("id", "center_round", "center_id", d2.alias("d")))
+    w = Window.partitionBy("id").orderBy("d", "center_round")
+    return (asg.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .groupBy("center_round", "center_id")
+            .agg(F.count(F.lit(1)).alias("n_assigned"),
+                 F.max("d").alias("radius_usq"))
+            .orderBy("center_round"))

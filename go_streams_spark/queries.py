@@ -8899,6 +8899,108 @@ def semdedup_fixed_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
                             assign_round_dp=6)
 
 
+def _kcenter_ctes(k: int) -> str:
+    """Chained greedy k-center CTEs replaying S.kcenter_select round by
+    round: n = micro-unit quantized base, c1..ck = selected rows,
+    d1..d{k-1} = running min-dist frames with selected ids progressively
+    excluded. Every distance is an exact int64 squared L2; every pick
+    tie-breaks (stat DESC, id) exactly like the Spark side."""
+    def dist(va: str, vb: str) -> str:
+        return (f"list_sum(list_transform(list_zip({va}, {vb}), "
+                f"p -> (p[1]-p[2])*(p[1]-p[2])))::BIGINT")
+
+    parts = ["""n AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS v,
+         list_sum(list_transform(embedding,
+             x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT
+                  * floor(x::DOUBLE * 1000000 + 0.5)::BIGINT))::BIGINT AS norm2
+  FROM embeddings
+)""",
+             "c1 AS (SELECT id, v, norm2 AS md FROM n "
+             "ORDER BY norm2 DESC, id LIMIT 1)"]
+    for r in range(2, k + 1):
+        d = f"d{r - 1}"
+        if r == 2:
+            parts.append(
+                f"{d} AS (SELECT n.id, n.v, {dist('n.v', 'c1.v')} AS md\n"
+                f"  FROM n CROSS JOIN c1 WHERE n.id <> c1.id)")
+        else:
+            p, c = f"d{r - 2}", f"c{r - 1}"
+            parts.append(
+                f"{d} AS (SELECT {p}.id, {p}.v, "
+                f"least({p}.md, {dist(p + '.v', c + '.v')}) AS md\n"
+                f"  FROM {p} CROSS JOIN {c} WHERE {p}.id <> {c}.id)")
+        parts.append(f"c{r} AS (SELECT id, v, md FROM {d} "
+                     f"ORDER BY md DESC, id LIMIT 1)")
+    return ",\n".join(parts)
+
+
+def _kcenter_select_sql(k: int = 8) -> str:
+    sel = "\nUNION ALL ".join(
+        f"SELECT {r}::INT AS sel_round, id AS vec_id, md AS dist_usq FROM c{r}"
+        for r in range(1, k + 1))
+    return (f"WITH {_kcenter_ctes(k)}\n"
+            f"SELECT * FROM (\n{sel}\n) ORDER BY sel_round")
+
+
+def _kcenter_assign_sql(k: int = 8) -> str:
+    cent = "\nUNION ALL ".join(
+        f"SELECT {r}::INT AS center_round, id AS center_id, v AS cv FROM c{r}"
+        for r in range(1, k + 1))
+    return f"""WITH {_kcenter_ctes(k)},
+cent AS (
+{cent}
+), asg AS (
+  SELECT id, center_round, center_id, d,
+         row_number() OVER (PARTITION BY id ORDER BY d, center_round) AS rn
+  FROM (SELECT n.id, cent.center_round, cent.center_id,
+               list_sum(list_transform(list_zip(n.v, cent.cv),
+                                       p -> (p[1]-p[2])*(p[1]-p[2])))::BIGINT AS d
+        FROM n CROSS JOIN cent)
+)
+SELECT center_round, center_id,
+       count(*) AS n_assigned, max(d) AS radius_usq
+FROM asg WHERE rn = 1
+GROUP BY center_round, center_id
+ORDER BY center_round
+"""
+
+
+@query("kcenter_coreset_select", _kcenter_select_sql(8))
+def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985; Sener &
+    Savarese ICLR 2018): 8 maximally-spread representatives, each round
+    picking the vector farthest (exact int64 squared L2) from the
+    already-selected set — so round r's dist_usq IS the realized
+    k-center coverage radius after r-1 centers. Complements
+    semdedup_prune: SemDeDup removes redundancy, k-center SELECTS a
+    budget-sized cover (data pruning / eval-set seeding).
+
+    Scale shape: one persisted quantized scan; each of the k rounds is
+    a fused least-of-distances projection (codegen, no UDF) ending in a
+    TakeOrderedAndProject top-1 — k single-row collects total, centers
+    are k x d driver metadata like a codebook. At corpus scale the
+    greedy runs over cluster representatives or a deterministic sample
+    (the composition real coreset pipelines ship)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kcenter_coreset(emb, k=8)
+
+
+@query("kcenter_cover_summary", _kcenter_assign_sql(8))
+def kcenter_cover_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cover quality of the greedy k-center selection: every vector
+    assigned to its nearest selected center (exact int64 squared L2,
+    ties -> earliest-selected), rolled up to per-center population and
+    radius — max(radius_usq) is the k-center objective the selection
+    2-approximates. Assignment is ONE scan against the broadcast 8-row
+    center table, then a k-group hash agg with map-side partials; no
+    data-sized shuffle anywhere."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kcenter_assignments(emb, k=8)
+
+
 @query("ann_sign_lsh_multiprobe", """
 WITH cfg AS (
   SELECT least(62, min(len(embedding)),

@@ -2656,3 +2656,79 @@ def test_procrustes_cov_bound_guard(spark):
 
     with pytest.raises(ValueError, match="covariance bound"):
         S.procrustes_residuals(df, cov_row_bound=20, auto_sample=False)
+
+
+# --- greedy k-center coreset selection (round 9) ------------------------
+
+
+def _np_kcenter(vecs, k):
+    """Independent NumPy replica of the kcenter_select spec: micro-unit
+    int64 quantization, seed = max squared norm (ties lowest id), then
+    argmax of min exact squared L2 to selected (ties lowest id)."""
+    import numpy as np
+    q = np.floor(np.asarray(vecs, dtype=np.float64) * 1_000_000 + 0.5
+                 ).astype(np.int64)
+    ids = np.arange(len(q))
+    norm2 = (q * q).sum(axis=1)
+    order = sorted(range(len(q)), key=lambda i: (-norm2[i], i))
+    sel = [(1, order[0], int(norm2[order[0]]))]
+    centers = [order[0]]
+    md = ((q - q[centers[0]]) ** 2).sum(axis=1)
+    for r in range(2, k + 1):
+        cand = [i for i in ids if i not in {s[1] for s in sel}]
+        if not cand:
+            break
+        best = min(cand, key=lambda i: (-md[i], i))
+        sel.append((r, best, int(md[best])))
+        md = np.minimum(md, ((q - q[best]) ** 2).sum(axis=1))
+    return sel
+
+
+def test_kcenter_matches_numpy_reference(spark):
+    """kcenter_select equals the independent NumPy greedy on planted
+    geometry (4 well-separated directions + jitter): one pick per
+    cluster before any repeats, exact trace equality."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    dirs = np.eye(4, 8) * 2.0
+    vecs = []
+    for c in range(4):
+        for _ in range(5):
+            vecs.append(dirs[c] + 0.05 * rng.standard_normal(8))
+    # match array<float> storage like the semdedup test
+    vecs = np.asarray(vecs, dtype=np.float32).astype(np.float64)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+
+    sel, centers = S.kcenter_select(emb, k=4)
+    assert sel == _np_kcenter(vecs, 4)
+    # spread: the 4 picks cover all 4 planted clusters
+    assert {s[1] // 5 for s in sel} == {0, 1, 2, 3}
+    assert len(centers) == 4 and all(len(c) == 8 for c in centers)
+
+
+def test_kcenter_k_exceeds_corpus(spark):
+    """k larger than the corpus returns every vector once, no repeats."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [1.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    out = S.kcenter_coreset(emb, k=10).collect()
+    assert sorted(r["vec_id"] for r in out) == [0, 1, 2]
+    assert [r["sel_round"] for r in sorted(out, key=lambda r: r["sel_round"])] \
+        == [1, 2, 3]
+
+
+def test_kcenter_cover_summary_consistency(spark, sf_dir):
+    """Cover summary partitions the corpus (counts sum to N) and its
+    realized radius is monotone vs the selection trace: coverage with
+    all 8 centers <= the 8th pick's distance (= radius of 7 centers)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    trace = S.kcenter_coreset(emb, k=8).collect()
+    summary = S.kcenter_assignments(emb, k=8).collect()
+    assert sum(r["n_assigned"] for r in summary) == n
+    last_pick = [r for r in trace if r["sel_round"] == 8][0]["dist_usq"]
+    assert max(r["radius_usq"] for r in summary) <= last_pick
+    # every selected center is its own nearest center -> distance 0 cell
+    assert all(r["radius_usq"] >= 0 for r in summary)

@@ -66,6 +66,7 @@ FOLD_CLASS = [
     "cdc_latest_state_per_user", "sequence_packing_batches",
     "dedup_components", "leakage_safe_split",
     "time_decay_engagement", "trend_slope_by_type",
+    "kcenter_coreset_select", "kcenter_cover_summary",
 ]
 
 

@@ -96,6 +96,9 @@ def scale_dir(src: str, dst: str, factor: int,
     ~17 GB dominated by lineitem; a documents-only one is ~1/10th."""
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # a factor-F derivation is an F-way UNION ALL; DuckDB's default
+    # max_expression_depth (1000) rejects F >= ~1000
+    con.execute(f"SET max_expression_depth TO {max(1000, 4 * factor)}")
 
     todo = TABLES if tables is None else [t for t in TABLES
                                           if t[0] in set(tables)]
