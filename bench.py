@@ -89,6 +89,9 @@ BENCH_QUERIES = [
     "semdedup_fixed_codebook",
     "kcenter_coreset_select",
     "kcenter_cover_summary",
+    "margin_mining_pairs",
+    "zipf_tail_fit",
+    "heaps_vocab_growth",
     "ann_sign_lsh",
     "ann_sign_lsh_multiprobe",
     "ann_ivf_knn",

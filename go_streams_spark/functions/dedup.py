@@ -162,13 +162,21 @@ def minhash_lsh_candidates(df: DataFrame, *, text_col: str = "text",
     bands = band_rows(
         minhash_wide(shingles, id_col=id_col, num_hashes=num_hashes),
         id_col=id_col, rows_per_band=rows_per_band)
-    # shuffle-hash, not broadcast: bands is a corpus-scale intermediate
-    # (num_bands rows per doc). Local parquet stats undersell it (the
-    # explode/window expansion is invisible to size estimates), so
-    # Catalyst would broadcast EACH side of the self-join — five
-    # broadcast exchanges of the whole corpus at 100 TB. The hint pins
-    # the partitioned plan; AQE still splits skewed buckets.
-    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
+    # MERGE, not broadcast and not shuffled-hash: bands is a
+    # corpus-scale intermediate (num_bands rows per doc) whose size
+    # local parquet stats undersell (the explode/window expansion is
+    # invisible to estimates), so un-hinted Catalyst would broadcast
+    # EACH side of the self-join — five broadcast exchanges of the
+    # whole corpus at 100 TB. And an SHJ build map of the band rows is
+    # the measured sf100 OOM (stage-16 HashedRelation failure at 5M
+    # docs x 4 bands over 32 partitions, with the persisted shingle
+    # cache shrinking the unified execution pool — SCALE.md §26).
+    # Sort-merge spills; AQE still splits skewed buckets.
+    # hint applied once, BEFORE aliasing both sides: identical subtrees
+    # canonicalize to one ReusedExchange (a one-sided hint node broke
+    # that, recomputing the whole signature pipeline per side)
+    bands = bands.hint("merge")
+    a, b = bands.alias("a"), bands.alias("b")
     return (a.join(b, ["band", "band_key"])
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
@@ -189,23 +197,33 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, *, text_col: str = "tex
     """
     sh = shingles if shingles is not None else \
         shingle_rows(df, text_col=text_col, id_col=id_col, ngram=ngram)
-    # every join below pins shuffle_hash on the shingle/count side:
-    # those are corpus-scale intermediates whose size the optimizer
-    # underestimates (explode hides behind a small scan), and
-    # broadcasting them is exactly what must not happen at 100 TB
+    # join-strategy pinning, two regimes (both exist because the
+    # optimizer underestimates explode output — a small parquet scan
+    # hides a 20-30x shingle fan-out — and broadcasting a corpus-scale
+    # intermediate is exactly what must not happen at 100 TB):
+    #   * SHINGLE-grain sides (rows ~ tokens x corpus) pin MERGE:
+    #     sort-merge spills; a shuffled-hash build map does not, and at
+    #     sf100 (5M docs, ~117M shingle rows over 32 partitions) the
+    #     ~3.7M-entry per-task maps OOM'd a default heap
+    #     (SparkOutOfMemoryError in HashedRelation — measured, SCALE.md
+    #     §26). AQE's shuffledHashJoinLocalMapThreshold (session.py)
+    #     restores SHJ from RUNTIME sizes for un-hinted joins.
+    #   * DOC-grain sides (one row per doc: counts) keep shuffle_hash:
+    #     per-partition maps are corpus/partitions entries — bounded by
+    #     ops sizing shuffle partitions to volume, never fan-out-sized.
     cnts = sh.groupBy(F.col(id_col).alias("cid")).agg(F.count(F.lit(1)).alias("c"))
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
     sb = sh.select(F.col(id_col).alias("__idb"), F.col("s").alias("s_b"))
-    inter = (candidates.join(sa.hint("shuffle_hash"), "id_a")
-             .join(sb.hint("shuffle_hash"),
+    inter = (candidates.hint("shuffle_hash").join(sa, "id_a")
+             .join(sb.hint("merge"),
                    (F.col("id_b") == F.col("__idb")) & (F.col("s_a") == F.col("s_b")))
              .groupBy("id_a", "id_b")
              .agg(F.count(F.lit(1)).alias("i")))
     out = (inter
            .join(cnts.withColumnRenamed("cid", "id_a").withColumnRenamed("c", "ca")
-                 .hint("shuffle_hash"), "id_a")
+                 .hint("merge"), "id_a")
            .join(cnts.withColumnRenamed("cid", "id_b").withColumnRenamed("c", "cb")
-                 .hint("shuffle_hash"), "id_b"))
+                 .hint("merge"), "id_b"))
     jac = F.round(F.col("i") / F.greatest(F.col("ca") + F.col("cb") - F.col("i"), F.lit(1)), 4)
     return (out.select("id_a", "id_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
@@ -384,7 +402,7 @@ def simhash_pairs(sim: DataFrame, *, id_col: str = "doc_id",
     # signatures.
     bands = (simhash_band_rows(sim, id_col=id_col, bits=bits,
                                max_hamming=max_hamming)
-             .hint("shuffle_hash"))
+             .hint("merge"))
     bands = track_persist(bands)
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
@@ -721,7 +739,13 @@ def prefix_filter_pairs(df: DataFrame, *, text_col: str = "text",
                                     ngram=ngram))
     cnts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("c"))
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("sf"))
-    ranked = (sh.join(freq.hint("shuffle_hash"), "s")
+    # freq is UN-hinted: it sits behind its own shuffle (the groupBy),
+    # so AQE joins it with EXACT runtime stats — broadcast when the
+    # type table is small, partitioned (spillable) when it is
+    # corpus-sized. The underestimate risk that forces pins elsewhere
+    # only exists for un-aggregated explode outputs with no shuffle
+    # boundary in front of the join decision.
+    ranked = (sh.join(freq, "s")
               .withColumn("rnk", F.row_number().over(
                   Window.partitionBy(id_col).orderBy("sf", "s"))))
     # pa and pb below are TWO consumers of this subtree; without a pin
@@ -750,6 +774,11 @@ def prefix_filter_pairs(df: DataFrame, *, text_col: str = "text",
                      F.col("c").alias("ca"))
     pb = pref.select(F.col(id_col).alias("id_b"),
                      F.col("s").alias("s_b"), F.col("c").alias("cb"))
+    # pb keeps the SHJ build: this exact-complete variant is BY CONTRACT
+    # the fleet-memory path (docstring + max_candidate_estimate guard;
+    # the memory-safe production order is setsim_pairs(prefilter='lsh')),
+    # and its prefix-bucket join is the documented 48 GB sf10 surface —
+    # pinning merge here only taxes the gate-scale audits that remain.
     cands = (pa.join(pb.hint("shuffle_hash"),
                      (F.col("s") == F.col("s_b"))
                      & (F.col("id_a") < F.col("id_b"))
@@ -823,7 +852,11 @@ def setsim_pairs(df: DataFrame, *, text_col: str = "text",
     # prefix shingle. Two doc-keyed equi-joins, output linear in the
     # (bounded) candidate count — never a shingle-bucket pair join.
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("sf"))
-    ranked = (sh.join(freq.hint("shuffle_hash"), "s")
+    # freq un-hinted (aggregate output: AQE has exact sizes — see
+    # prefix_filter_pairs); fan-out-sized prefix rows below pin MERGE
+    # (spillable) — the sf100 SHJ-build-OOM class of jaccard_verify's
+    # shingle joins; doc-grain cnts keeps shuffle_hash (bounded maps)
+    ranked = (sh.join(freq, "s")
               .withColumn("rnk", F.row_number().over(
                   Window.partitionBy(id_col).orderBy("sf", "s"))))
     pref = (ranked.join(cnts.hint("shuffle_hash"), id_col)
@@ -832,8 +865,8 @@ def setsim_pairs(df: DataFrame, *, text_col: str = "text",
             .select(F.col(id_col), F.col("s")))
     pa = pref.select(F.col(id_col).alias("id_a"), "s")
     pb = pref.select(F.col(id_col).alias("__idb"), F.col("s").alias("s_b"))
-    cands2 = (cands1.join(pa.hint("shuffle_hash"), "id_a")
-              .join(pb.hint("shuffle_hash"),
+    cands2 = (cands1.hint("shuffle_hash").join(pa, "id_a")
+              .join(pb.hint("merge"),
                     (F.col("id_b") == F.col("__idb"))
                     & (F.col("s") == F.col("s_b")))
               .select("id_a", "id_b").distinct())
@@ -881,8 +914,8 @@ def minhash_quality_report(df: DataFrame, *, text_col: str = "text",
         .agg(F.count(F.lit(1)).alias("c"))
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
     sb = sh.select(F.col(id_col).alias("__idb"), F.col("s").alias("s_b"))
-    inter = (cands.join(sa.hint("shuffle_hash"), "id_a")
-             .join(sb.hint("shuffle_hash"),
+    inter = (cands.hint("shuffle_hash").join(sa, "id_a")
+             .join(sb.hint("merge"),
                    (F.col("id_b") == F.col("__idb"))
                    & (F.col("s_a") == F.col("s_b")))
              .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("i")))
@@ -992,8 +1025,8 @@ def fellegi_sunter_link(df: DataFrame, *, text_col: str = "text",
         .agg(F.count(F.lit(1)).alias("c"))
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
     sb = sh.select(F.col(id_col).alias("__idb"), F.col("s").alias("s_b"))
-    inter = (cands.join(sa.hint("shuffle_hash"), "id_a")
-             .join(sb.hint("shuffle_hash"),
+    inter = (cands.hint("shuffle_hash").join(sa, "id_a")
+             .join(sb.hint("merge"),
                    (F.col("id_b") == F.col("__idb"))
                    & (F.col("s_a") == F.col("s_b")))
              .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("i")))
@@ -1083,7 +1116,7 @@ def dedup_method_eval(df: DataFrame, *, text_col: str = "text",
     bands = (simhash_band_rows(simhash64(df, text_col=text_col,
                                          id_col=id_col),
                                id_col=id_col, bits=64, max_hamming=3)
-             .hint("shuffle_hash"))
+             .hint("merge"))
     bands = track_persist(bands)
     a, b = bands.alias("a"), bands.alias("b")
     shc = (a.join(b, ["band", "band_key"])
@@ -1095,7 +1128,7 @@ def dedup_method_eval(df: DataFrame, *, text_col: str = "text",
                              ngram=3, window=4).select(id_col, "fp_hash")
     df_cap = (fp.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("df"))
               .where(F.col("df") <= 20).select("fp_hash"))
-    f2 = fp.join(df_cap.hint("shuffle_hash"), "fp_hash")
+    f2 = fp.join(df_cap.hint("merge"), "fp_hash")  # fingerprint-grain
     fa = f2.select(F.col(id_col).alias("id_a"), "fp_hash")
     fb = f2.select(F.col(id_col).alias("id_b"), "fp_hash")
     wn = (fa.join(fb, "fp_hash")

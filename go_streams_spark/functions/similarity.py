@@ -363,7 +363,10 @@ def cosine_near_dup_lsh(df: DataFrame, *, id_col: str = "vec_id",
     bands = sign_band_rows(df, id_col=id_col, vec_col=vec_col,
                            nbits=nbits, max_band_hamming=max_band_hamming)
     # shuffle-hash: corpus-scale self-join side, never broadcast
-    a, b = bands.alias("a"), bands.hint("shuffle_hash").alias("b")
+    # merge, same rationale as minhash_lsh_candidates: fan-out-sized
+    # self-join side (nb band rows per vector) — spillable, never an
+    # un-spillable SHJ build map, never a corpus broadcast
+    a, b = bands.alias("a"), bands.hint("merge").alias("b")
     cand = (a.join(b, ["band", "band_key"])
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
@@ -432,7 +435,8 @@ def block_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddin
               k: int = 5, query_blocks: int = 8, index_shards: int = 4,
               round_dp: int = 6,
               exclude_match_col: str | None = None,
-              queries_df: DataFrame | None = None) -> DataFrame:
+              queries_df: DataFrame | None = None,
+              index_df: DataFrame | None = None) -> DataFrame:
     """EXACT cosine top-k for every vector, fully distributed — the
     scale-safe replacement for driver-collect brute force.
 
@@ -480,6 +484,13 @@ def block_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddin
     its true corpus-wide top-k. Cost drops from N^2*d to n_q*N*d; the
     sample frame broadcasts (bounded) into a left-semi prune of the
     query side.
+
+    ``index_df``: when set, a DIFFERENT frame (same id/vec columns)
+    acts as the index side — cross-set kNN (e.g. margin-based bitext
+    mining between two corpus halves). ``df`` stays the query side;
+    the self-match exclusion (``id != id``) only matters when the two
+    id spaces overlap. Exactness/partitioning are unchanged — the
+    blocked product never cared that the two sides were the same frame.
     """
     import numpy as np
     import pandas as pd
@@ -495,6 +506,13 @@ def block_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddin
                      quantized_vec(vec_col, scale).alias("v"), *xcols)
     la = [F.col(exclude_match_col).alias("la")] if exclude_match_col else []
     lb = [F.col(exclude_match_col).alias("lb")] if exclude_match_col else []
+    ibase = base
+    if index_df is not None:
+        if exclude_match_col:
+            index_df = index_df.where(F.col(exclude_match_col).isNotNull())
+        ibase = index_df.select(F.col(id_col),
+                                quantized_vec(vec_col, scale).alias("v"),
+                                *xcols)
     qbase = base
     if queries_df is not None:
         qbase = base.join(F.broadcast(queries_df.select(id_col)),
@@ -502,7 +520,7 @@ def block_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddin
     q = qbase.select(F.pmod(F.col(id_col), F.lit(Q)).cast("int").alias("qb"),
                     F.explode(F.sequence(F.lit(0), F.lit(S - 1))).alias("sb"),
                     F.col(id_col).alias("id_a"), F.col("v").alias("va"), *la)
-    ix = base.select(F.explode(F.sequence(F.lit(0), F.lit(Q - 1))).alias("qb"),
+    ix = ibase.select(F.explode(F.sequence(F.lit(0), F.lit(Q - 1))).alias("qb"),
                      F.pmod(F.col(id_col), F.lit(S)).cast("int").alias("sb"),
                      F.col(id_col).alias("id_b"), F.col("v").alias("vb"), *lb)
 
@@ -2648,3 +2666,72 @@ def kcenter_assignments(df: DataFrame, *, id_col: str = "vec_id",
             .agg(F.count(F.lit(1)).alias("n_assigned"),
                  F.max("d").alias("radius_usq"))
             .orderBy("center_round"))
+
+
+def margin_mining_pairs(df: DataFrame, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding", k: int = 4,
+                        threshold: float = 1.0,
+                        round_dp: int = 6) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining") between the two id-parity
+    halves of an embedding corpus: src = even ids, tgt = odd ids —
+    the bitext-mining shape (two monolingual embedding spaces, find
+    the aligned pairs) over the synthetic table.
+
+    Ratio margin: margin(x, y) = sim(x, y) / ((mean_k sim(x, NN_tgt(x))
+    + mean_k sim(y, NN_src(y))) / 2) — a pair scores high only when the
+    two vectors are much closer to EACH OTHER than to their respective
+    k-th-neighborhood level, which suppresses hubs that plain cosine
+    thresholding mines as false positives. Kept pairs are MUTUAL
+    margin-argmaxes above ``threshold`` (the intersection method of the
+    paper).
+
+    Exactness: sims come from ``block_knn``'s integer micro-unit cosine
+    (bit-identical across engines); the margin is one double division
+    of exact int64 products — numerator 2 * sim_micro * cnt_f * cnt_b,
+    denominator fsum * cnt_b + bsum * cnt_f — so a DuckDB oracle
+    replaying the same formula hash-matches, ties broken on ids.
+
+    Scale shape: two cross-set ``block_knn`` passes (distributed
+    blocked matmul, nothing driver-resident) + hash aggs at query
+    grain + one candidate-grain join; candidates are <= k rows per
+    vector, never the cross product. The exact passes are
+    O(|src| * |tgt| * d) FLOPs by definition — callers at corpus scale
+    swap the candidate generation for ``sign_lsh_knn``/``ivf_knn``
+    (same downstream margin math); ``guard_eval_flops`` on both halves
+    is the caller's pre-flight (see queries.margin_mining_pairs_q).
+    """
+    scale = 10 ** round_dp
+    src = df.where(F.pmod(F.col(id_col), F.lit(2)) == 0)
+    tgt = df.where(F.pmod(F.col(id_col), F.lit(2)) == 1)
+    fwd = block_knn(src, id_col=id_col, vec_col=vec_col, k=k,
+                    round_dp=round_dp, index_df=tgt)
+    bwd = block_knn(tgt, id_col=id_col, vec_col=vec_col, k=k,
+                    round_dp=round_dp, index_df=src)
+    micro = F.round(F.col("sim") * scale).cast("long")
+    f = fwd.select(F.col(id_col).alias("sid"),
+                   F.col("neighbor_id").alias("tid"),
+                   micro.alias("micro"))
+    b = bwd.select(F.col("neighbor_id").alias("sid"),
+                   F.col(id_col).alias("tid"),
+                   micro.alias("micro"))
+    fstat = f.groupBy("sid").agg(F.sum("micro").alias("fsum"),
+                                 F.count(F.lit(1)).alias("fcnt"))
+    bstat = b.groupBy("tid").agg(F.sum("micro").alias("bsum"),
+                                 F.count(F.lit(1)).alias("bcnt"))
+    cand = f.unionByName(b).distinct()
+    num = (F.lit(2) * F.col("micro") * F.col("fcnt") * F.col("bcnt"))
+    den = (F.col("fsum") * F.col("bcnt") + F.col("bsum") * F.col("fcnt"))
+    m = (cand.join(fstat, "sid").join(bstat, "tid")
+         .select("sid", "tid", "micro",
+                 F.round(num.cast("double") / den, 4).alias("margin")))
+    wf = Window.partitionBy("sid").orderBy(F.col("margin").desc(), "tid")
+    wb = Window.partitionBy("tid").orderBy(F.col("margin").desc(), "sid")
+    return (m.withColumn("rf", F.row_number().over(wf))
+            .withColumn("rb", F.row_number().over(wb))
+            .where((F.col("rf") == 1) & (F.col("rb") == 1)
+                   & (F.col("margin") > threshold))
+            .select(F.col("sid").alias("src_id"),
+                    F.col("tid").alias("tgt_id"),
+                    (F.col("micro") / scale).alias("sim"),
+                    "margin"))

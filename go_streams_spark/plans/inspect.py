@@ -174,6 +174,15 @@ def nested_loop_build_rows(df) -> list[int]:
                     return find_bx(m.plan())
                 if mn == "BroadcastExchange":
                     return m
+                if mn == "ReusedExchange":
+                    # a broadcast shared by two consumers (e.g. one
+                    # scalar bounds row cross-joined twice) plans the
+                    # second use as a leaf ReusedExchange — follow it
+                    # to the original exchange for the row metric
+                    try:
+                        return find_bx(m.child())
+                    except Exception:
+                        return None
                 for j in range(m.children().size()):
                     r = find_bx(m.children().apply(j))
                     if r is not None:

@@ -10595,12 +10595,15 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp_hash")
     df_cap = (fp.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("df"))
               .where(F.col("df") <= 20).select("fp_hash"))
-    f2 = fp.join(df_cap.hint("shuffle_hash"), "fp_hash")
+    # fingerprint-grain sides pin MERGE (fan-out-sized: one row per
+    # selected window position — the SHJ-build-OOM class SCALE.md §26
+    # measured at sf100); doc-grain sizes keep shuffle_hash below
+    f2 = fp.join(df_cap.hint("merge"), "fp_hash")
     sizes = f2.groupBy(F.col("doc_id").alias("sid")) \
         .agg(F.count(F.lit(1)).alias("nf"))
     a = f2.select(F.col("doc_id").alias("id_a"), "fp_hash")
     b = f2.select(F.col("doc_id").alias("id_b"), "fp_hash")
-    pairs = (a.join(b.hint("shuffle_hash"), "fp_hash")
+    pairs = (a.join(b.hint("merge"), "fp_hash")
              .where(F.col("id_a") < F.col("id_b"))
              .groupBy("id_a", "id_b")
              .agg(F.count(F.lit(1)).alias("n_shared"))
@@ -12679,3 +12682,233 @@ def diff_in_diff_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell(False, False, "mean_micro").alias("pre_ctrl_micro"),
         cell(False, True, "mean_micro").alias("post_ctrl_micro"),
         did.alias("did_micro"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics for data curation: Zipf tail fit, Heaps vocabulary
+# growth, margin-based bitext mining (round 9)
+# ---------------------------------------------------------------------------
+
+@query("zipf_tail_fit", """
+WITH toks AS (
+  SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT lang, tok, count(*)::BIGINT AS freq FROM toks GROUP BY lang, tok
+), ranked AS (
+  SELECT lang, freq,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY freq DESC, tok) AS rnk
+  FROM tf
+), tail AS (
+  SELECT lang, ln(rnk::DOUBLE) AS x, ln(freq::DOUBLE) AS y
+  FROM ranked WHERE rnk BETWEEN 2 AND 1000
+)
+SELECT lang, count(*)::BIGINT AS n_tail_types,
+       round((count(*) * sum(x * y) - sum(x) * sum(y))
+             / (count(*) * sum(x * x) - sum(x) * sum(x)), 4) AS zipf_slope,
+       round(pow(count(*) * sum(x * y) - sum(x) * sum(y), 2)
+             / ((count(*) * sum(x * x) - sum(x) * sum(x))
+                * (count(*) * sum(y * y) - sum(y) * sum(y))), 4) AS zipf_r2
+FROM tail GROUP BY lang
+""")
+def zipf_tail_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency tail fit per language: OLS slope of
+    ln(freq) on ln(rank) over ranks 2..1000 of the token frequency
+    table (rank 1 excluded — the head word flattens every natural
+    corpus' fit; real pipelines fit the tail). The slope is the Zipf
+    exponent (natural text ~ -1), r^2 the fit quality — a cheap,
+    model-free signal that a corpus shard is templated/boilerplate
+    (slope near 0, low r^2) vs natural (slope near -1, high r^2),
+    used as a shard-level quality gate before expensive filters.
+
+    Scale shape: the token count rides data volume with map-side
+    partials; everything after is VOCABULARY-grain (the rank window
+    partitions by lang — per-lang type tables, never a global funnel),
+    and the regression is a 5-sum closed form in one hash agg. At any
+    corpus size the post-agg work is bounded by tail width x languages.
+    """
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.select("lang",
+                        F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+            .where(F.col("tok") != ""))
+    tf = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), "tok")
+    tail = (tf.withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk").between(2, 1000))
+            .select("lang", F.log(F.col("rnk").cast("double")).alias("x"),
+                    F.log(F.col("freq").cast("double")).alias("y")))
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxy = F.sum(F.col("x") * F.col("y"))
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    return tail.groupBy("lang").agg(
+        n.alias("n_tail_types"),
+        F.round(cov_n / var_x, 4).alias("zipf_slope"),
+        F.round(F.pow(cov_n, F.lit(2)) / (var_x * var_y), 4)
+        .alias("zipf_r2"))
+
+
+@query("heaps_vocab_growth", """
+WITH mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+dtoks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                             x -> x <> '') AS toks
+  FROM documents
+), dbuck AS (
+  SELECT d.doc_id, (d.doc_id * 10) // mx.m AS bucket,
+         len(d.toks)::BIGINT AS n_toks
+  FROM dtoks d CROSS JOIN mx
+), btok AS (
+  SELECT bucket, count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS toks
+  FROM dbuck GROUP BY bucket
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     for i in generate_series(1, len(toks) - 2)])
+    ELSE [] END) AS s
+  FROM dtoks
+), firsts AS (
+  SELECT sh.s, min(db.bucket) AS bucket
+  FROM sh JOIN dbuck db USING (doc_id) GROUP BY sh.s
+), newt AS (
+  SELECT bucket, count(*)::BIGINT AS new_types FROM firsts GROUP BY bucket
+)
+SELECT b.bucket::INT AS bucket, b.n_docs,
+       sum(b.toks) OVER (ORDER BY b.bucket
+                         ROWS UNBOUNDED PRECEDING) AS cum_tokens,
+       coalesce(n.new_types, 0)::BIGINT AS new_types,
+       sum(coalesce(n.new_types, 0)) OVER (ORDER BY b.bucket
+                                           ROWS UNBOUNDED PRECEDING)
+         AS cum_types,
+       round(ln(sum(coalesce(n.new_types, 0))
+                  OVER (ORDER BY b.bucket ROWS UNBOUNDED PRECEDING))
+             / ln(sum(b.toks) OVER (ORDER BY b.bucket
+                                    ROWS UNBOUNDED PRECEDING)), 4)
+         AS heaps_beta
+FROM btok b LEFT JOIN newt n USING (bucket)
+""")
+def heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: distinct 3-gram shingle
+    types vs cumulative token volume across ten corpus deciles (by
+    doc_id), with the realized Heaps exponent ln(V)/ln(N) per prefix —
+    the "is more data still adding new content" saturation diagnostic
+    that decides whether the next 10 TB of a crawl is worth ingesting
+    (a flattening curve means dedup/filtering should tighten instead).
+
+    Scale shape: shingling is the corpus scan (posexplode + lead,
+    whole-stage codegen); first-occurrence is one hash agg at shingle
+    TYPE grain (min bucket — no ordered window over the fact table);
+    the cumulative window sees exactly 10 decile rows (constant grid,
+    under the default SinglePartition bound). The decile bucket is
+    pure doc_id arithmetic against a broadcast 1-row max — no global
+    sort, no ntile over the corpus.
+    """
+    from pyspark.sql import Window
+    docs = _t(spark, sf_dir, "documents")
+    mx = docs.agg((F.max("doc_id") + 1).alias("m"))
+    toks_arr = F.filter(F.split(F.lower("text"), " "),
+                        lambda x: x != "")
+    dbuck = (docs.crossJoin(F.broadcast(mx))
+             .select("doc_id",
+                     F.expr("(doc_id * 10) div m").alias("bucket"),
+                     F.size(toks_arr).cast("long").alias("n_toks")))
+    btok = dbuck.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("toks"))
+    sh = D.shingle_rows(docs, ngram=3)
+    firsts = (sh.join(dbuck.select("doc_id", "bucket"), "doc_id")
+              .groupBy("s").agg(F.min("bucket").alias("bucket")))
+    newt = firsts.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("new_types"))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    nt = F.coalesce("new_types", F.lit(0))
+    return (btok.join(newt, "bucket", "left")
+            .select(F.col("bucket").cast("int").alias("bucket"), "n_docs",
+                    F.sum("toks").over(w).alias("cum_tokens"),
+                    nt.alias("new_types"),
+                    F.sum(nt).over(w).alias("cum_types"),
+                    F.round(F.log(F.sum(nt).over(w))
+                            / F.log(F.sum("toks").over(w)), 4)
+                    .alias("heaps_beta")))
+
+
+@query("margin_mining_pairs", """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS qv,
+         list_sum(list_transform(embedding,
+             x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT
+                  * floor(x::DOUBLE * 1000000 + 0.5)::BIGINT))::BIGINT AS nrm
+  FROM embeddings
+), ps AS (
+  SELECT a.vec_id AS sid, b.vec_id AS tid,
+         floor(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                       p -> p[1] * p[2]))::BIGINT
+               / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000 + 0.5)::BIGINT AS micro
+  FROM v a JOIN v b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+), fwd AS (
+  SELECT sid, tid, micro FROM (
+    SELECT *, row_number() OVER (PARTITION BY sid
+                                 ORDER BY micro DESC, tid) AS r FROM ps)
+  WHERE r <= 4
+), bwd AS (
+  SELECT sid, tid, micro FROM (
+    SELECT *, row_number() OVER (PARTITION BY tid
+                                 ORDER BY micro DESC, sid) AS r FROM ps)
+  WHERE r <= 4
+), fstat AS (
+  SELECT sid, sum(micro)::BIGINT AS fsum, count(*)::BIGINT AS fcnt
+  FROM fwd GROUP BY sid
+), bstat AS (
+  SELECT tid, sum(micro)::BIGINT AS bsum, count(*)::BIGINT AS bcnt
+  FROM bwd GROUP BY tid
+), cand AS (
+  SELECT DISTINCT sid, tid, micro
+  FROM (SELECT * FROM fwd UNION ALL SELECT * FROM bwd)
+), m AS (
+  SELECT c.sid, c.tid, c.micro,
+         round((2 * c.micro * f.fcnt * b.bcnt)::DOUBLE
+               / (f.fsum * b.bcnt + b.bsum * f.fcnt), 4) AS margin
+  FROM cand c JOIN fstat f USING (sid) JOIN bstat b USING (tid)
+), rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY sid
+                            ORDER BY margin DESC, tid) AS rf,
+         row_number() OVER (PARTITION BY tid
+                            ORDER BY margin DESC, sid) AS rb
+  FROM m
+)
+SELECT sid AS src_id, tid AS tgt_id, micro / 1000000.0 AS sim, margin
+FROM rk WHERE rf = 1 AND rb = 1 AND margin > 1.0
+""")
+def margin_mining_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019)
+    between the even/odd id halves of the embedding corpus — the
+    bitext-mining shape that builds translation training pairs from
+    two monolingual embedding spaces. Ratio margin over the k=4
+    neighborhood means suppresses hub vectors; kept pairs are mutual
+    margin-argmaxes above 1.0.
+
+    Exactness: integer micro-unit cosines from the distributed blocked
+    matmul (block_knn, cross-set via index_df); the margin is one
+    double division of exact int64 products, so the oracle replays it
+    bit-for-bit. The exact candidate passes are O(|src|*|tgt|*d) FLOPs
+    and budget-guarded (guard_eval_flops) — at corpus scale swap
+    candidate generation to sign_lsh_knn/ivf_knn, same margin math
+    downstream (the contract the guard's error names)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    S.guard_eval_flops(
+        emb, op="margin_mining_pairs",
+        remedy="Swap candidate generation to sign_lsh_knn/ivf_knn "
+               "(same downstream margin math) past the exact-FLOP "
+               "budget; the exact pass is for gate-scale audits.")
+    return S.margin_mining_pairs(emb, k=4, threshold=1.0)

@@ -33,6 +33,14 @@ def get_spark(app_name: str = "go-streams-spark", extra_conf: dict | None = None
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # convert sort-merge joins to shuffled-hash from RUNTIME map
+        # sizes (not estimates): un-hinted big-big joins keep SMJ's
+        # spill safety at scale but get SHJ speed whenever every
+        # per-partition build actually fits. The corpus-scale merge
+        # hints in dedup/text stay SMJ either way — their build maps
+        # are exactly what OOM'd at sf100 (SCALE.md §26).
+        .config("spark.sql.adaptive.shuffledHashJoinLocalMapThreshold",
+                str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

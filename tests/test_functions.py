@@ -2732,3 +2732,105 @@ def test_kcenter_cover_summary_consistency(spark, sf_dir):
     assert max(r["radius_usq"] for r in summary) <= last_pick
     # every selected center is its own nearest center -> distance 0 cell
     assert all(r["radius_usq"] >= 0 for r in summary)
+
+
+# --- round 9: corpus statistics + margin mining -------------------------
+
+
+def test_margin_mining_planted_pairs(spark):
+    """Planted bitext geometry: two aligned (src, tgt) pairs on
+    orthogonal directions are mined; the decoys (near-orthogonal to
+    everything) are not; the halves are id-parity clean."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.05]),   # src, aligned with 1
+        (1, [1.0, 0.02, 0.0, 0.0]),   # tgt
+        (2, [0.0, 1.0, 0.0, 0.05]),   # src, aligned with 3
+        (3, [0.0, 1.0, 0.03, 0.0]),   # tgt
+        (4, [0.0, 0.0, 1.0, 0.0]),    # src decoy
+        (5, [0.05, 0.05, -0.9, 1.0]), # tgt decoy
+        (6, [0.7, 0.7, 0.0, 0.0]),    # src hub (close to both 1 and 3)
+        (7, [0.0, 0.0, 0.2, -1.0]),   # tgt decoy
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.margin_mining_pairs(emb, k=3, threshold=1.0).collect()
+    got = {(r["src_id"], r["tgt_id"]) for r in out}
+    assert (0, 1) in got and (2, 3) in got
+    # id-parity halves: every mined pair is (even, odd)
+    assert all(s % 2 == 0 and t % 2 == 1 for s, t in got)
+    # mutual-argmax: each src and each tgt appears at most once
+    assert len({s for s, _ in got}) == len(got)
+    assert len({t for _, t in got}) == len(got)
+    # margin of a true aligned pair clears the neighborhood level
+    by_pair = {(r["src_id"], r["tgt_id"]): r["margin"] for r in out}
+    assert by_pair[(0, 1)] > 1.0 and by_pair[(2, 3)] > 1.0
+
+
+def test_block_knn_cross_set_index(spark):
+    """index_df makes block_knn cross-set: neighbors come ONLY from the
+    index frame, and results equal the self-index run filtered to
+    index-side ids (same integer sims, same tie order)."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 6))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") < 10)
+    index = emb.where(F.col("vec_id") >= 10)
+    cross = S.block_knn(queries, k=3, index_df=index).collect()
+    assert cross and all(r["neighbor_id"] >= 10 for r in cross)
+    assert all(r["vec_id"] < 10 for r in cross)
+    # reference: numpy exact cosine of the same quantized integers
+    q = np.floor(vecs.astype(np.float32).astype(np.float64) * 1e6 + 0.5)
+    sims = (q[:10] @ q[10:].T) / (
+        np.sqrt((q[:10] ** 2).sum(1))[:, None]
+        * np.sqrt((q[10:] ** 2).sum(1))[None, :])
+    for r in cross:
+        want = np.floor(sims[r["vec_id"], r["neighbor_id"] - 10] * 1e6
+                        + 0.5) / 1e6
+        assert abs(r["sim"] - want) < 1e-9
+
+
+def test_zipf_tail_fit_planted_slope(spark, tmp_path):
+    """A corpus built with exact 1/r token frequencies fits slope ~ -1
+    with r^2 ~ 1; the head (rank 1) is excluded by construction."""
+    import math
+    words = []
+    for r in range(1, 41):
+        words += [f"w{r:02d}"] * max(200 // r, 1)
+    docs = spark.createDataFrame(
+        [(0, " ".join(words), "en", "src0", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    d = str(tmp_path / "zipfsf")
+    import os
+    os.makedirs(d, exist_ok=True)
+    docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    from go_streams_spark.queries import QUERIES
+    out = QUERIES["zipf_tail_fit"](spark, d).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row["n_tail_types"] == 39          # ranks 2..40
+    assert -1.1 < row["zipf_slope"] < -0.9    # planted exponent
+    assert row["zipf_r2"] > 0.98
+
+
+def test_heaps_vocab_growth_invariants(spark, sf_dir):
+    """The growth curve partitions the corpus: 10 decile rows, docs sum
+    to N, new_types sum to the distinct trigram count, cumulative
+    columns are strictly increasing prefixes of those sums."""
+    from go_streams_spark.queries import QUERIES, _t
+    out = sorted(QUERIES["heaps_vocab_growth"](spark, sf_dir).collect(),
+                 key=lambda r: r["bucket"])
+    docs = _t(spark, sf_dir, "documents")
+    assert [r["bucket"] for r in out] == list(range(10))
+    assert sum(r["n_docs"] for r in out) == docs.count()
+    n_types = D.shingle_rows(docs, ngram=3).select("s").distinct().count()
+    assert sum(r["new_types"] for r in out) == n_types
+    assert out[-1]["cum_types"] == n_types
+    cum_toks = [r["cum_tokens"] for r in out]
+    assert cum_toks == sorted(cum_toks) and cum_toks[0] > 0
+    running = 0
+    for r in out:
+        running += r["new_types"]
+        assert r["cum_types"] == running
+        assert 0.0 < r["heaps_beta"] < 1.0
