@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "margin_mining_pairs",
     "zipf_tail_fit",
     "heaps_vocab_growth",
+    "dedup_containment_pairs",
     "ann_sign_lsh",
     "ann_sign_lsh_multiprobe",
     "ann_ivf_knn",

@@ -229,6 +229,95 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, *, text_col: str = "tex
             .where(F.col("jaccard") >= threshold))
 
 
+def containment_pairs(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", ngram: int = 3,
+                      threshold_micro: int = 700_000,
+                      max_candidate_estimate: int | None = 100_000_000
+                      ) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by Jaccard CONTAINMENT of the smaller
+    shingle set: |A ∩ B| / min(|A|, |B|) >= t — the doc-subsumption
+    detector (a quote, an excerpt, a boilerplate-wrapped copy scores
+    ~1.0 here while symmetric Jaccard dilutes it toward
+    |small| / |large|). The standard second pass of a corpus dedup
+    stack: symmetric Jaccard catches same-size near-dups, containment
+    catches the one-sided copies.
+
+    Blocking is the ONE-SIDED prefix filter (Xiao et al.), not LSH
+    bands: symmetric MinHash is structurally blind to small-into-large
+    containment (the small doc's minhashes are overwhelmingly set by
+    the large doc's filler shingles — a planted full-subsumption pair
+    shares a band with probability ~(|A|/|B|)^3 per band, measured as
+    a test failure before this blocker replaced it). Lossless instead:
+    if |S ∩ B| >= o = ceil(t*|S|), the first |S| - o + 1 shingles of S
+    in rare-first order intersect B, so candidates = (rarity prefix of
+    the potentially-smaller side) equi-joined against ALL shingles —
+    every qualifying pair is generated, recall 1.0 by the lemma. The
+    required-overlap ceiling is exact integer arithmetic
+    ((t_micro * c + 999999) div 1e6 — a DOUBLE ceil disagrees between
+    engines at exact multiples), scores are integer micro-units, so
+    the SQL replay is hash-identical.
+
+    Scale shape: candidate volume is sum over prefix rows of df(s) —
+    rare-first prefixes keep those buckets small, and the same loud
+    ``max_candidate_estimate`` pre-flight as prefix_filter_pairs
+    bounds it from a one-agg histogram before any pair forms. The
+    corpus-scale join sides pin merge (spillable, SCALE.md §26).
+    """
+    from pyspark.sql import Window
+    sh = track_persist(shingle_rows(df, text_col=text_col, id_col=id_col,
+                                    ngram=ngram))
+    cnts = sh.groupBy(F.col(id_col).alias("cid")).agg(
+        F.count(F.lit(1)).alias("c"))
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("sf"))
+    ranked = (sh.join(freq, "s")
+              .withColumn("rnk", F.row_number().over(
+                  Window.partitionBy(id_col).orderBy("sf", "s"))))
+    # required overlap o = ceil(t * c) in EXACT integer micro units;
+    # prefix keeps ranks 1 .. c - o + 1
+    o = F.expr(f"({threshold_micro} * c + 999999) div 1000000")
+    pref = (ranked.join(cnts.withColumnRenamed("cid", id_col)
+                        .hint("shuffle_hash"), id_col)
+            .where(F.col("rnk") <= F.col("c") - o + 1)
+            .select(F.col(id_col), F.col("s")))
+    if max_candidate_estimate is not None:
+        est = (pref.groupBy("s").agg(F.count(F.lit(1)).alias("np"))
+               .join(freq, "s")
+               .agg(F.sum(F.col("np") * (F.col("sf") - 1)).alias("e"))
+               .collect()[0]["e"]) or 0
+        if est > max_candidate_estimate:
+            raise RuntimeError(
+                f"containment_pairs: estimated candidate volume "
+                f"{int(est):,} exceeds max_candidate_estimate="
+                f"{max_candidate_estimate:,}. Containment blocking at "
+                f"this shingle-frequency profile needs executor-fleet "
+                f"memory; drop boilerplate shingles first (a doc-"
+                f"frequency cap upstream) or pass "
+                f"max_candidate_estimate=None to run unguarded.")
+    pa = pref.select(F.col(id_col).alias("pid"), "s")
+    sball = sh.select(F.col(id_col).alias("oid"), F.col("s").alias("s_b"))
+    cands = (pa.join(sball.hint("merge"),
+                     (F.col("s") == F.col("s_b"))
+                     & (F.col("pid") != F.col("oid")))
+             .select(F.least("pid", "oid").alias("id_a"),
+                     F.greatest("pid", "oid").alias("id_b"))
+             .distinct())
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
+    sb = sh.select(F.col(id_col).alias("__idb"), F.col("s").alias("s_b"))
+    inter = (cands.hint("shuffle_hash").join(sa, "id_a")
+             .join(sb.hint("merge"),
+                   (F.col("id_b") == F.col("__idb"))
+                   & (F.col("s_a") == F.col("s_b")))
+             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("i")))
+    out = (inter
+           .join(cnts.withColumnRenamed("cid", "id_a")
+                 .withColumnRenamed("c", "ca").hint("merge"), "id_a")
+           .join(cnts.withColumnRenamed("cid", "id_b")
+                 .withColumnRenamed("c", "cb").hint("merge"), "id_b"))
+    cont = F.expr("(i * 1000000) div greatest(least(ca, cb), 1)")
+    return (out.select("id_a", "id_b", cont.alias("containment_micro"))
+            .where(F.col("containment_micro") >= threshold_micro))
+
+
 def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id",
                         ngram: int = 3, threshold: float = 0.5,
                         num_hashes: int = 12, rows_per_band: int = 3) -> DataFrame:

@@ -12912,3 +12912,57 @@ def margin_mining_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                "(same downstream margin math) past the exact-FLOP "
                "budget; the exact pass is for gate-scale audits.")
     return S.margin_mining_pairs(emb, k=4, threshold=1.0)
+
+
+@query("dedup_containment_pairs", """
+WITH t AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(toks) >= 3 THEN
+      list_distinct([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     for i in generate_series(1, len(toks) - 2)])
+    ELSE [] END) AS s
+  FROM t
+), cnts AS (
+  SELECT doc_id, count(*) AS c FROM sh GROUP BY doc_id
+), freq AS (
+  SELECT s, count(*) AS sf FROM sh GROUP BY s
+), ranked AS (
+  SELECT sh.doc_id, sh.s, cn.c,
+         row_number() OVER (PARTITION BY sh.doc_id
+                            ORDER BY f.sf, sh.s) AS rnk
+  FROM sh JOIN freq f USING (s) JOIN cnts cn ON cn.doc_id = sh.doc_id
+), pref AS (
+  SELECT doc_id, s FROM ranked
+  WHERE rnk <= c - ((700000 * c + 999999) // 1000000) + 1
+), cand AS (
+  SELECT DISTINCT least(p.doc_id, b.doc_id) AS id_a,
+                  greatest(p.doc_id, b.doc_id) AS id_b
+  FROM pref p JOIN sh b ON b.s = p.s AND b.doc_id <> p.doc_id
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+  GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       (i.i * 1000000) // greatest(least(ca.c, cb.c), 1) AS containment_micro
+FROM inter i
+JOIN cnts ca ON ca.doc_id = i.id_a
+JOIN cnts cb ON cb.doc_id = i.id_b
+WHERE (i.i * 1000000) // greatest(least(ca.c, cb.c), 1) >= 700000
+""")
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs — |A ∩ B| / min(|A|,|B|)
+    >= 0.7: the doc-SUBSUMPTION detector (quotes, excerpts,
+    boilerplate-wrapped copies) that symmetric Jaccard dilutes toward
+    |small|/|large|. Blocking is the LOSSLESS one-sided prefix filter
+    (recall 1.0 — symmetric MinHash bands are structurally blind to
+    small-into-large pairs, measured as a test failure before this
+    blocker replaced them; see functions/dedup.py::containment_pairs);
+    exact integer micro-unit scores and overlap ceilings."""
+    docs = _t(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, ngram=3, threshold_micro=700_000)

@@ -2834,3 +2834,28 @@ def test_heaps_vocab_growth_invariants(spark, sf_dir):
         running += r["new_types"]
         assert r["cum_types"] == running
         assert 0.0 < r["heaps_beta"] < 1.0
+
+
+def test_containment_catches_subsumption_jaccard_misses(spark):
+    """A short doc fully contained in a long doc: containment ~ 1.0
+    while symmetric Jaccard is |small|/|large| < 0.5 — the pair the
+    asymmetric pass exists to catch. This planted pair is ALSO the
+    regression pin for the blocker choice: LSH band candidates missed
+    it (the small doc's minhashes are set by the big doc's filler —
+    band-collision probability ~(|A|/|B|)^3), which is why the
+    operator blocks on the lossless one-sided prefix filter."""
+    core = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} w{i} x{i}" for i in range(30))
+    rows = [
+        (0, core),                        # excerpt
+        (1, core + " " + filler),         # wrapping copy: contains all of 0
+        (2, "totally unrelated content about engines and sorting"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cont = {(r["id_a"], r["id_b"]): r["containment_micro"]
+            for r in D.containment_pairs(docs).collect()}
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert cont.get((0, 1), 0) == 1_000_000   # full subsumption
+    assert (0, 1) not in jac                  # diluted below 0.5
+    assert all(2 not in p for p in cont)
