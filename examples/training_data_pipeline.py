@@ -90,6 +90,7 @@ def main():
     curation_round5(spark, sf_dir)
     web_corpus_round5c(spark, sf_dir)
     tokenizer_and_mixing_round8(spark, sf_dir)
+    corpus_statistics_round9(spark, sf_dir)
 
 
 def curation_round5(spark, sf_dir="/root/testdata/sf0.001"):
@@ -177,10 +178,6 @@ def web_corpus_round5c(spark, sf_dir="/root/testdata/sf0.001"):
     assert n_out <= n_kept <= n_in
 
 
-if __name__ == "__main__":
-    main()
-
-
 def tokenizer_and_mixing_round8(spark, sf_dir="/root/testdata/sf0.001"):
     """The round-8 tokenizer + mixing chain: CCNet head/middle/tail
     perplexity terciles per language (keep head+middle), UniMax integer
@@ -237,3 +234,41 @@ def tokenizer_and_mixing_round8(spark, sf_dir="/root/testdata/sf0.001"):
     report = T.wordpiece_segment_report(kept.select("doc_id", "text"),
                                         rounds=4, top_words=8)
     report.orderBy(F.col("freq").desc(), "word").show(8, truncate=False)
+
+
+def corpus_statistics_round9(spark, sf_dir="/root/testdata/sf0.001"):
+    """The round-9 additions composed as the "should we ingest more of
+    this?" report a curation pipeline runs before committing a crawl:
+    containment pass (drop one-sided copies symmetric Jaccard missed),
+    then the two corpus-statistics gates — Zipf tail fit (templated vs
+    natural text per language shard) and the Heaps vocabulary-growth
+    curve (is new data still adding new content). Each stage is
+    oracle-gated on its own in the registry."""
+    from go_streams_spark.functions import dedup as D2
+    from go_streams_spark.queries import QUERIES, _t
+
+    docs = _t(spark, sf_dir, "documents")
+
+    # 1. subsumption pass: containment >= 0.7 catches excerpts and
+    #    boilerplate-wrapped copies; drop the LARGER side's duplicate
+    #    (keep the canonical smaller doc is a policy choice — here we
+    #    keep the lower id, matching the exact-dedup convention)
+    cont = D2.containment_pairs(docs, threshold_micro=700_000)
+    drop = cont.select(F.col("id_b").alias("doc_id")).distinct()
+    kept = docs.join(drop, "doc_id", "left_anti")
+    print(f"containment pass: {docs.count()} -> {kept.count()} docs "
+          f"({cont.count()} subsumption pairs)")
+
+    # 2. shard-quality gate: slope near -1 + high r^2 is natural text;
+    #    slope near 0 flags templated/boilerplate shards
+    QUERIES["zipf_tail_fit"](spark, sf_dir) \
+        .orderBy("lang").show(10, truncate=False)
+
+    # 3. saturation: flattening new_types means the next batch of this
+    #    source adds volume, not content — tighten filters instead
+    QUERIES["heaps_vocab_growth"](spark, sf_dir) \
+        .orderBy("bucket").show(10, truncate=False)
+
+
+if __name__ == "__main__":
+    main()
