@@ -93,6 +93,7 @@ BENCH_QUERIES = [
     "zipf_tail_fit",
     "heaps_vocab_growth",
     "dedup_containment_pairs",
+    "percentiles_by_flag_distributed",
     "ann_sign_lsh",
     "ann_sign_lsh_multiprobe",
     "ann_ivf_knn",

@@ -3295,9 +3295,14 @@ GROUP BY l_returnflag
 """)
 def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles per group (linear interpolation — Spark
-    percentile() == DuckDB quantile_cont). At 100 TB you'd swap to
-    percentile_approx (t-digest, mergeable partials) and lose oracle
-    exactness — the exact form here doubles as that path's test anchor."""
+    percentile() == DuckDB quantile_cont). The aggregation state
+    buffers EVERY value of a group in one task at merge time — fine at
+    dim-table grain, a memory cliff on a fact-sized group. The
+    code-level 100 TB forms are ``percentiles_by_flag_distributed``
+    (EXACT, identical oracle, no per-group materialization — ordinal
+    range-shuffle + offset arithmetic) and percentile_approx (t-digest,
+    mergeable partials, loses oracle exactness); this buffering form
+    doubles as both paths' test anchor."""
     li = _t(spark, sf_dir, "lineitem")
     # one percentile buffer per group (array of quantiles), not three
     return (li.groupBy("l_returnflag")
@@ -12966,3 +12971,71 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integer micro-unit scores and overlap ceilings."""
     docs = _t(spark, sf_dir, "documents")
     return D.containment_pairs(docs, ngram=3, threshold_micro=700_000)
+
+
+@query("percentiles_by_flag_distributed", ORACLE["percentiles_by_flag"])
+def percentiles_by_flag_distributed(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles at fact scale — the code-level form
+    of percentiles_by_flag's "at 100 TB you'd swap" prose. Spark's
+    percentile() buffers every value of a group in one aggregation
+    state; this sibling computes the identical interpolated values
+    with NO per-group materialization:
+
+      1. ``distributed_ordinal`` over (flag, price): range shuffle +
+         local sort + partition-count-bounded offset collect — global
+         positions without the Exchange SinglePartition a global
+         row_number would need;
+      2. per-group base/count (a 3-row agg, broadcast) turns global
+         ordinals into 0-indexed in-group positions;
+      3. the quantile_cont formula r = (n-1)*q picks positions
+         floor(r) and floor(r)+1 (a 9-row broadcast target table),
+         and one filtered join + linear interpolation yields the
+         exact percentile.
+
+    Same oracle as the buffering form — the two must agree to the
+    rounded digit, which is the cross-check that makes this the
+    production path and that one the test anchor."""
+    from .operators import distributed_ordinal
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag",
+                                              "l_extendedprice")
+    ordn = distributed_ordinal(li, order_by=["l_returnflag",
+                                             "l_extendedprice"],
+                               idx="__ord")
+    g = ordn.groupBy("l_returnflag").agg(
+        F.min("__ord").alias("base"), F.count(F.lit(1)).alias("n"))
+    qs = F.array(*[F.lit(q) for q in (0.5, 0.9, 0.99)])
+    tgt = (g.select("l_returnflag", "n",
+                    F.explode(qs).alias("q"))
+           .select("l_returnflag", "q",
+                   F.floor((F.col("n") - 1) * F.col("q")).alias("k"),
+                   ((F.col("n") - 1) * F.col("q")
+                    - F.floor((F.col("n") - 1) * F.col("q")))
+                   .alias("frac")))
+    pos = (ordn.join(F.broadcast(g.select("l_returnflag", "base")),
+                     "l_returnflag")
+           .select("l_returnflag", "l_extendedprice",
+                   (F.col("__ord") - F.col("base")).alias("pos")))
+    picked = (pos.join(F.broadcast(tgt),
+                       (pos["l_returnflag"] == tgt["l_returnflag"])
+                       & ((F.col("pos") == F.col("k"))
+                          | (F.col("pos") == F.col("k") + 1)))
+              .select(pos["l_returnflag"].alias("flag"), "q", "k",
+                      "frac", "pos", "l_extendedprice"))
+    vk = F.max(F.when(F.col("pos") == F.col("k"),
+                      F.col("l_extendedprice")))
+    vk1 = F.max(F.when(F.col("pos") == F.col("k") + 1,
+                       F.col("l_extendedprice")))
+    per_q = (picked.groupBy("flag", "q", "frac")
+             .agg(vk.alias("vk"), vk1.alias("vk1"))
+             .select("flag", "q",
+                     (F.col("vk") + F.col("frac")
+                      * (F.coalesce("vk1", "vk") - F.col("vk")))
+                     .alias("v")))
+    return (per_q.groupBy(F.col("flag").alias("l_returnflag"))
+            .agg(F.round(F.max(F.when(F.col("q") == 0.5, F.col("v"))), 4)
+                 .alias("p50"),
+                 F.round(F.max(F.when(F.col("q") == 0.9, F.col("v"))), 4)
+                 .alias("p90"),
+                 F.round(F.max(F.when(F.col("q") == 0.99, F.col("v"))), 4)
+                 .alias("p99")))
