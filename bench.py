@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "kcenter_coreset_select",
     "kcenter_cover_summary",
     "margin_mining_pairs",
+    "margin_mining_pairs_ann",
     "zipf_tail_fit",
     "heaps_vocab_growth",
     "dedup_containment_pairs",

@@ -2735,3 +2735,74 @@ def margin_mining_pairs(df: DataFrame, *, id_col: str = "vec_id",
                     F.col("tid").alias("tgt_id"),
                     (F.col("micro") / scale).alias("sim"),
                     "margin"))
+
+
+def margin_mining_pairs_ann(df: DataFrame, *, id_col: str = "vec_id",
+                            vec_col: str = "embedding", k: int = 4,
+                            threshold: float = 1.0,
+                            nbits: int | str = "auto",
+                            target_bucket: int = 8,
+                            round_dp: int = 6) -> DataFrame:
+    """The PRODUCTION composition of ``margin_mining_pairs``: identical
+    ratio-margin + mutual-argmax math, but candidates come from the
+    sign-LSH bucket equi-join instead of the exact cross-set matmul —
+    the swap the exact version's FLOP-budget guard names. Candidate
+    volume is per-bucket |src_b| * |tgt_b| with ``auto_nbits`` holding
+    expected occupancy constant as the corpus grows, so the pair work
+    scales with N, not N^2.
+
+    Semantics: the k-neighborhood means are computed over each
+    vector's BUCKETED candidates (its same-bucket cross-parity mates),
+    so margins are relative to the local candidate level — the
+    approximation Artetxe & Schwenk's own large-scale runs make when
+    they score margins over FAISS candidates. Recall is sign-LSH's; a
+    pair in different buckets is not scored (the documented trade the
+    exact twin quantifies). Sims are the exact integer micro-unit
+    cosine; the margin is one double division of exact int64 products;
+    buckets replay in SQL from raw sign bits + the pure-integer
+    auto_nbits formula — the oracle is a verbatim re-derivation.
+    """
+    scale = 10 ** round_dp
+    if nbits == "auto":
+        n, dim = df.select(F.count(F.lit(1)),
+                           F.min(F.size(vec_col))).first()
+        nbits = auto_nbits(max(n or 0, 1), max(dim or 0, 1), target_bucket)
+    base = df.select(F.col(id_col),
+                     quantized_vec(vec_col, scale).alias("qv"),
+                     sign_bucket(vec_col, nbits).alias("bucket"))
+    src = base.where(F.pmod(F.col(id_col), F.lit(2)) == 0)
+    tgt = base.where(F.pmod(F.col(id_col), F.lit(2)) == 1)
+    a = src.select("bucket", F.col(id_col).alias("sid"),
+                   F.col("qv").alias("qa"))
+    b = tgt.select("bucket", F.col(id_col).alias("tid"),
+                   F.col("qv").alias("qb"))
+    micro = F.round(quantized_cosine(F.col("qa"), F.col("qb"), scale)
+                    * scale).cast("long")
+    # each vector owns exactly one bucket, so a pair meets at most once
+    ps = a.join(b, "bucket").select("sid", "tid", micro.alias("micro"))
+    wf0 = Window.partitionBy("sid").orderBy(F.col("micro").desc(), "tid")
+    wb0 = Window.partitionBy("tid").orderBy(F.col("micro").desc(), "sid")
+    fwd = (ps.withColumn("r", F.row_number().over(wf0))
+           .where(F.col("r") <= k).drop("r"))
+    bwd = (ps.withColumn("r", F.row_number().over(wb0))
+           .where(F.col("r") <= k).drop("r"))
+    fstat = fwd.groupBy("sid").agg(F.sum("micro").alias("fsum"),
+                                   F.count(F.lit(1)).alias("fcnt"))
+    bstat = bwd.groupBy("tid").agg(F.sum("micro").alias("bsum"),
+                                   F.count(F.lit(1)).alias("bcnt"))
+    cand = fwd.unionByName(bwd).distinct()
+    num = (F.lit(2) * F.col("micro") * F.col("fcnt") * F.col("bcnt"))
+    den = (F.col("fsum") * F.col("bcnt") + F.col("bsum") * F.col("fcnt"))
+    m = (cand.join(fstat, "sid").join(bstat, "tid")
+         .select("sid", "tid", "micro",
+                 F.round(num.cast("double") / den, 4).alias("margin")))
+    wf = Window.partitionBy("sid").orderBy(F.col("margin").desc(), "tid")
+    wb = Window.partitionBy("tid").orderBy(F.col("margin").desc(), "sid")
+    return (m.withColumn("rf", F.row_number().over(wf))
+            .withColumn("rb", F.row_number().over(wb))
+            .where((F.col("rf") == 1) & (F.col("rb") == 1)
+                   & (F.col("margin") > threshold))
+            .select(F.col("sid").alias("src_id"),
+                    F.col("tid").alias("tgt_id"),
+                    (F.col("micro") / scale).alias("sim"),
+                    "margin"))

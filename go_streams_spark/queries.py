@@ -13039,3 +13039,76 @@ def percentiles_by_flag_distributed(spark: SparkSession,
                  .alias("p90"),
                  F.round(F.max(F.when(F.col("q") == 0.99, F.col("v"))), 4)
                  .alias("p99")))
+
+
+@query("margin_mining_pairs_ann", """
+WITH cfg AS (
+  SELECT least(62, min(len(embedding)),
+               greatest(8, length(bin((count(*) + 7) // 8 - 1))))::INT AS nbits
+  FROM embeddings
+), v AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+                        x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT) AS qv,
+         list_sum(list_transform(embedding,
+             x -> floor(x::DOUBLE * 1000000 + 0.5)::BIGINT
+                  * floor(x::DOUBLE * 1000000 + 0.5)::BIGINT))::BIGINT AS nrm
+  FROM embeddings
+), bv AS (
+  SELECT vec_id, qv, nrm,
+         list_sum(list_transform(range(0, nbits),
+           i -> CASE WHEN embedding[i + 1] >= 0 THEN (1::BIGINT << i)
+                ELSE 0 END))::BIGINT AS bucket
+  FROM v CROSS JOIN cfg
+), ps AS (
+  SELECT a.vec_id AS sid, b.vec_id AS tid,
+         floor(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                       p -> p[1] * p[2]))::BIGINT
+               / (sqrt(a.nrm) * sqrt(b.nrm)) * 1000000 + 0.5)::BIGINT AS micro
+  FROM bv a JOIN bv b
+    ON a.bucket = b.bucket AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+), fwd AS (
+  SELECT sid, tid, micro FROM (
+    SELECT *, row_number() OVER (PARTITION BY sid
+                                 ORDER BY micro DESC, tid) AS r FROM ps)
+  WHERE r <= 4
+), bwd AS (
+  SELECT sid, tid, micro FROM (
+    SELECT *, row_number() OVER (PARTITION BY tid
+                                 ORDER BY micro DESC, sid) AS r FROM ps)
+  WHERE r <= 4
+), fstat AS (
+  SELECT sid, sum(micro)::BIGINT AS fsum, count(*)::BIGINT AS fcnt
+  FROM fwd GROUP BY sid
+), bstat AS (
+  SELECT tid, sum(micro)::BIGINT AS bsum, count(*)::BIGINT AS bcnt
+  FROM bwd GROUP BY tid
+), cand AS (
+  SELECT DISTINCT sid, tid, micro
+  FROM (SELECT * FROM fwd UNION ALL SELECT * FROM bwd)
+), m AS (
+  SELECT c.sid, c.tid, c.micro,
+         round((2 * c.micro * f.fcnt * b.bcnt)::DOUBLE
+               / (f.fsum * b.bcnt + b.bsum * f.fcnt), 4) AS margin
+  FROM cand c JOIN fstat f USING (sid) JOIN bstat b USING (tid)
+), rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY sid
+                            ORDER BY margin DESC, tid) AS rf,
+         row_number() OVER (PARTITION BY tid
+                            ORDER BY margin DESC, sid) AS rb
+  FROM m
+)
+SELECT sid AS src_id, tid AS tgt_id, micro / 1000000.0 AS sim, margin
+FROM rk WHERE rf = 1 AND rb = 1 AND margin > 1.0
+""")
+def margin_mining_pairs_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production composition of margin_mining_pairs: sign-LSH
+    bucket candidates (auto_nbits keeps expected occupancy constant as
+    the corpus grows — pair work scales with N, not N^2) + the
+    identical exact-integer margin math and mutual-argmax selection.
+    This is the swap the exact twin's FLOP-budget guard names; the
+    oracle re-derives buckets, candidates, margins, and the mutual
+    filter verbatim."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.margin_mining_pairs_ann(emb, k=4, threshold=1.0)

@@ -2859,3 +2859,26 @@ def test_containment_catches_subsumption_jaccard_misses(spark):
     assert cont.get((0, 1), 0) == 1_000_000   # full subsumption
     assert (0, 1) not in jac                  # diluted below 0.5
     assert all(2 not in p for p in cont)
+
+
+def test_margin_mining_ann_matches_exact_on_dense_buckets(spark):
+    """On a corpus small enough that auto_nbits floors at 8 bits and
+    the planted aligned pairs share sign buckets, the ANN composition
+    mines the same aligned pairs as the exact twin (same margin math,
+    bucketed candidates)."""
+    rows = [
+        (0, [1.0, 0.3, 0.2, 0.05]),
+        (1, [1.0, 0.28, 0.2, 0.01]),   # aligned with 0, same sign bucket
+        (2, [0.2, 1.0, 0.3, 0.05]),
+        (3, [0.2, 1.0, 0.33, 0.02]),   # aligned with 2, same sign bucket
+        (4, [0.1, 0.1, 1.0, 0.5]),
+        (5, [0.6, 0.5, -0.9, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {(r["src_id"], r["tgt_id"])
+             for r in S.margin_mining_pairs(emb, k=3).collect()}
+    ann = {(r["src_id"], r["tgt_id"])
+           for r in S.margin_mining_pairs_ann(emb, k=3).collect()}
+    assert (0, 1) in ann and (2, 3) in ann
+    assert (0, 1) in exact and (2, 3) in exact
+    assert all(s % 2 == 0 and t % 2 == 1 for s, t in ann)
