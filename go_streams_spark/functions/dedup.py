@@ -184,46 +184,57 @@ def minhash_lsh_candidates(df: DataFrame, *, text_col: str = "text",
             .distinct())
 
 
+def _pair_overlap(candidates: DataFrame, sh: DataFrame, *,
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id_a, id_b, i, ca, cb) per candidate pair: exact shingle-set
+    intersection size plus both set sizes, via DOC-GRAIN shingle
+    arrays.
+
+    r9 plan rewrite, measured on prefix_filter_pairs at sf0.1: the old
+    shape (candidates ⋈ shingle rows of A ⋈ shingle rows of B, then a
+    pair-grain count) materialized a 21.1M-row intermediate whose SMJ
+    sort (45.9 s executor time) and hash agg (1.2 min) dominated the
+    whole query. Here each doc's DISTINCT shingles collect into one
+    per-doc array (state bounded by DOCUMENT length — per-doc, never
+    corpus-sized), the candidate pair joins two doc-grain sides, and
+    |A ∩ B| is one codegen'd ``array_intersect`` per pair — the
+    pair-grain explosion, its shuffle, its sort and its aggregation
+    all disappear. Shuffle volume is unchanged (each pair still moves
+    |A| + |B| shingle strings, as array payload instead of rows).
+
+    Join strategy: doc-grain sides keep shuffle_hash (per-partition
+    build maps are corpus/partitions entries — the bounded class; the
+    fan-out-sized SHINGLE-grain builds that OOM'd sf100 no longer
+    appear in this plan at all). ``i`` is exact: shingle rows are
+    distinct per doc, and ``array_intersect`` returns the distinct
+    common elements.
+    """
+    sets = sh.groupBy(id_col).agg(F.collect_list("s").alias("__ss"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("__ss").alias("__ssa"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("__ss").alias("__ssb"))
+    return (candidates.join(sa.hint("shuffle_hash"), "id_a")
+            .join(sb.hint("shuffle_hash"), "id_b")
+            .select("id_a", "id_b",
+                    F.size(F.array_intersect("__ssa", "__ssb")).alias("i"),
+                    F.size("__ssa").alias("ca"),
+                    F.size("__ssb").alias("cb")))
+
+
 def jaccard_verify(df: DataFrame, candidates: DataFrame, *, text_col: str = "text",
                    id_col: str = "doc_id", ngram: int = 3,
                    threshold: float = 0.5,
                    shingles: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only; keep >= threshold.
 
-    Fully relational: |A ∩ B| via a shingle equi-join restricted to the
-    candidate pairs, |A| and |B| from per-doc counts —
-    jaccard = i / (|A| + |B| - i). Shuffle-hash joins on doc ids;
-    shingle sets never materialize as arrays.
+    |A ∩ B| via the doc-grain array-intersection plan
+    (``_pair_overlap`` — see its docstring for the r9 plan-shape
+    evidence); jaccard = i / (|A| + |B| - i), with |A| = the array
+    size (identical to the former per-doc count join: shingle rows
+    are distinct per doc).
     """
     sh = shingles if shingles is not None else \
         shingle_rows(df, text_col=text_col, id_col=id_col, ngram=ngram)
-    # join-strategy pinning, two regimes (both exist because the
-    # optimizer underestimates explode output — a small parquet scan
-    # hides a 20-30x shingle fan-out — and broadcasting a corpus-scale
-    # intermediate is exactly what must not happen at 100 TB):
-    #   * SHINGLE-grain sides (rows ~ tokens x corpus) pin MERGE:
-    #     sort-merge spills; a shuffled-hash build map does not, and at
-    #     sf100 (5M docs, ~117M shingle rows over 32 partitions) the
-    #     ~3.7M-entry per-task maps OOM'd a default heap
-    #     (SparkOutOfMemoryError in HashedRelation — measured, SCALE.md
-    #     §26). AQE's shuffledHashJoinLocalMapThreshold (session.py)
-    #     restores SHJ from RUNTIME sizes for un-hinted joins.
-    #   * DOC-grain sides (one row per doc: counts) keep shuffle_hash:
-    #     per-partition maps are corpus/partitions entries — bounded by
-    #     ops sizing shuffle partitions to volume, never fan-out-sized.
-    cnts = sh.groupBy(F.col(id_col).alias("cid")).agg(F.count(F.lit(1)).alias("c"))
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
-    sb = sh.select(F.col(id_col).alias("__idb"), F.col("s").alias("s_b"))
-    inter = (candidates.hint("shuffle_hash").join(sa, "id_a")
-             .join(sb.hint("merge"),
-                   (F.col("id_b") == F.col("__idb")) & (F.col("s_a") == F.col("s_b")))
-             .groupBy("id_a", "id_b")
-             .agg(F.count(F.lit(1)).alias("i")))
-    out = (inter
-           .join(cnts.withColumnRenamed("cid", "id_a").withColumnRenamed("c", "ca")
-                 .hint("merge"), "id_a")
-           .join(cnts.withColumnRenamed("cid", "id_b").withColumnRenamed("c", "cb")
-                 .hint("merge"), "id_b"))
+    out = _pair_overlap(candidates, sh, id_col=id_col)
     jac = F.round(F.col("i") / F.greatest(F.col("ca") + F.col("cb") - F.col("i"), F.lit(1)), 4)
     return (out.select("id_a", "id_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
@@ -275,10 +286,16 @@ def containment_pairs(df: DataFrame, *, text_col: str = "text",
     # required overlap o = ceil(t * c) in EXACT integer micro units;
     # prefix keeps ranks 1 .. c - o + 1
     o = F.expr(f"({threshold_micro} * c + 999999) div 1000000")
-    pref = (ranked.join(cnts.withColumnRenamed("cid", id_col)
-                        .hint("shuffle_hash"), id_col)
-            .where(F.col("rnk") <= F.col("c") - o + 1)
-            .select(F.col(id_col), F.col("s")))
+    # pinned (r9): the guard's pre-flight estimate and the candidate
+    # join are TWO consumers of this subtree — unpinned, the
+    # freq-join + per-doc rank window ran once for the estimate and
+    # again inside the main query (plan audit: the window sort is the
+    # most expensive pre-candidate stage)
+    pref = track_persist(
+        ranked.join(cnts.withColumnRenamed("cid", id_col)
+                    .hint("shuffle_hash"), id_col)
+        .where(F.col("rnk") <= F.col("c") - o + 1)
+        .select(F.col(id_col), F.col("s")))
     if max_candidate_estimate is not None:
         est = (pref.groupBy("s").agg(F.count(F.lit(1)).alias("np"))
                .join(freq, "s")
@@ -301,18 +318,11 @@ def containment_pairs(df: DataFrame, *, text_col: str = "text",
              .select(F.least("pid", "oid").alias("id_a"),
                      F.greatest("pid", "oid").alias("id_b"))
              .distinct())
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
-    sb = sh.select(F.col(id_col).alias("__idb"), F.col("s").alias("s_b"))
-    inter = (cands.hint("shuffle_hash").join(sa, "id_a")
-             .join(sb.hint("merge"),
-                   (F.col("id_b") == F.col("__idb"))
-                   & (F.col("s_a") == F.col("s_b")))
-             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("i")))
-    out = (inter
-           .join(cnts.withColumnRenamed("cid", "id_a")
-                 .withColumnRenamed("c", "ca").hint("merge"), "id_a")
-           .join(cnts.withColumnRenamed("cid", "id_b")
-                 .withColumnRenamed("c", "cb").hint("merge"), "id_b"))
+    # exact overlap via the doc-grain array plan (_pair_overlap): the
+    # former shingle-row intersection join is the 21M-row sort+agg the
+    # r9 plan audit killed; i/ca/cb are the same integers, so the
+    # containment ceiling below is hash-identical
+    out = _pair_overlap(cands, sh, id_col=id_col)
     cont = F.expr("(i * 1000000) div greatest(least(ca, cb), 1)")
     return (out.select("id_a", "id_b", cont.alias("containment_micro"))
             .where(F.col("containment_micro") >= threshold_micro))
@@ -529,22 +539,20 @@ def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError("on_nonconverged must be 'raise' or 'warn'")
     # The pair list is the near-dup GRAPH — orders of magnitude smaller
-    # than the corpus pipeline that produced it — so materialize it
-    # once, eagerly, and run the whole iterative loop off that
-    # snapshot: otherwise the first downstream action re-executes the
-    # caller's LSH + verify pipeline into the edge cache. Measured on
-    # dedup_components at sf0.1: 10.6 s (union-symmetrize) -> 6.7 s
-    # steady-state for this form; run-to-run codegen variance is large
-    # (6.7-15 s cold), so the pin matters more than the exact figure.
-    pairs = pairs.select(F.col(src).alias("pa"),
-                         F.col(dst).alias("pb")).localCheckpoint(eager=True)
-    # Symmetrize via ONE explode, not union(pairs, pairs.swap) +
-    # distinct — duplicate edges (or self-loops) cannot change a min,
-    # and the distinct was a needless shuffle. Materialized eagerly so
-    # the explode runs ONCE, not once per propagation pass: before this
-    # pin every iteration's join re-derived the 2x edge set from the
-    # pairs snapshot (at sf10 that re-scan was most of the 98 s
-    # leakage_safe_split wall time).
+    # than the corpus pipeline that produced it — so materialize the
+    # SYMMETRIZED edge set once, eagerly, and run the whole iterative
+    # loop off that snapshot: otherwise the first downstream action
+    # re-executes the caller's LSH + verify pipeline into the edge
+    # cache. (r9: the pairs snapshot itself no longer gets a separate
+    # eager checkpoint — edges is its only consumer, so the upstream
+    # pipeline still runs exactly once, into THIS materialization, and
+    # the loop pays one fewer blocking job.) Symmetrize via ONE
+    # explode, not union(pairs, pairs.swap) + distinct — duplicate
+    # edges (or self-loops) cannot change a min, and the distinct was
+    # a needless shuffle; before this pin every iteration's join
+    # re-derived the 2x edge set (at sf10 that re-scan was most of the
+    # 98 s leakage_safe_split wall time).
+    pairs = pairs.select(F.col(src).alias("pa"), F.col(dst).alias("pb"))
     edges = (pairs.select(F.explode(F.array(
         F.struct(F.col("pa").alias("a"), F.col("pb").alias("b")),
         F.struct(F.col("pb").alias("a"), F.col("pa").alias("b"))))
@@ -582,9 +590,12 @@ def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_
         # old form re-joined new labels against old labels per pass —
         # a second shuffle-join job per iteration that roughly doubled
         # the loop's wall time (measured 8.9 -> 7.0 s for
-        # dedup_components at sf0.001). Here the changed check is a
-        # limit-1 scan over already-materialized partitions, and the
-        # next frontier is a filter over the same materialized frame.
+        # dedup_components at sf0.001). r9: the checkpoint is LAZY and
+        # the changed-row count is the materializing action, fusing
+        # what used to be two blocking jobs per pass (eager-checkpoint
+        # materialization, then a limit-1 scan) into one — the filter
+        # is per-partition, so the count computes and caches every
+        # partition of the snapshot exactly like the eager form did.
         joined = (labels.join(neighbor_min, "id", "left")
                   .select("id",
                           F.least(F.col("component"),
@@ -592,10 +603,10 @@ def connected_components(pairs: DataFrame, *, src: str = "id_a", dst: str = "id_
                           .alias("component"),
                           (F.coalesce("n_comp", F.col("component"))
                            < F.col("component")).alias("__chg"))
-                  .localCheckpoint(eager=True))
+                  .localCheckpoint(eager=False))
         labels = joined.drop("__chg")
         frontier = joined.where("__chg").drop("__chg")
-        if frontier.limit(1).count() == 0:
+        if frontier.count() == 0:
             converged = True
             break
     if not converged:
@@ -784,8 +795,8 @@ def remove_duplicate_spans(df: DataFrame, *, text_col: str = "text",
 def prefix_filter_pairs(df: DataFrame, *, text_col: str = "text",
                         id_col: str = "doc_id", ngram: int = 3,
                         threshold: float = 0.5,
-                        max_candidate_estimate: int | None = 100_000_000
-                        ) -> DataFrame:
+                        max_candidate_estimate: int | None = 100_000_000,
+                        shingles: DataFrame | None = None) -> DataFrame:
     """EXACT set-similarity join (PPJoin/All-Pairs class, Bayardo et
     al. WWW'07; Xiao et al. WWW'08): every pair with n-gram Jaccard >=
     threshold, found WITHOUT the O(N^2) scan and WITHOUT the
@@ -824,8 +835,11 @@ def prefix_filter_pairs(df: DataFrame, *, text_col: str = "text",
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     from pyspark.sql import Window
     from ..plans.caching import track_persist
-    sh = track_persist(shingle_rows(df, text_col=text_col, id_col=id_col,
-                                    ngram=ngram))
+    # ``shingles``: share a caller-persisted shingle-row frame (the
+    # multi-method comparison path — dedup_method_eval builds shingles
+    # once and feeds PPJoin truth AND the MinHash blocker from it)
+    sh = shingles if shingles is not None else track_persist(
+        shingle_rows(df, text_col=text_col, id_col=id_col, ngram=ngram))
     cnts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("c"))
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("sf"))
     # freq is UN-hinted: it sits behind its own shuffle (the groupBy),
@@ -999,23 +1013,11 @@ def minhash_quality_report(df: DataFrame, *, text_col: str = "text",
            .select("id_a", "id_b",
                    F.floor(eq * 1_000_000 / F.lit(num_hashes) + F.lit(0.5))
                    .cast("long").alias("est_micro")))
-    cnts = sh.groupBy(F.col(id_col).alias("cid")) \
-        .agg(F.count(F.lit(1)).alias("c"))
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
-    sb = sh.select(F.col(id_col).alias("__idb"), F.col("s").alias("s_b"))
-    inter = (cands.hint("shuffle_hash").join(sa, "id_a")
-             .join(sb.hint("merge"),
-                   (F.col("id_b") == F.col("__idb"))
-                   & (F.col("s_a") == F.col("s_b")))
-             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("i")))
-    exact = (cands.join(inter, ["id_a", "id_b"], "left")
-             .na.fill({"i": 0})
-             .join(cnts.withColumnRenamed("cid", "id_a")
-                   .withColumnRenamed("c", "ca").hint("shuffle_hash"),
-                   "id_a")
-             .join(cnts.withColumnRenamed("cid", "id_b")
-                   .withColumnRenamed("c", "cb").hint("shuffle_hash"),
-                   "id_b")
+    # exact Jaccard via the doc-grain array plan (_pair_overlap) — the
+    # old shingle-row intersection join + left-join-for-zero-overlap
+    # dance is gone: array_intersect yields i = 0 directly for
+    # candidate pairs sharing a band but no shingle
+    exact = (_pair_overlap(cands, sh, id_col=id_col)
              .select("id_a", "id_b",
                      F.floor(F.col("i") * 1_000_000
                              / F.greatest(F.col("ca") + F.col("cb")
@@ -1196,12 +1198,17 @@ def dedup_method_eval(df: DataFrame, *, text_col: str = "text",
     """
     from .text import winnow_fingerprints
 
+    # ONE shingle build feeds the exact ground truth and the MinHash
+    # blocker (r9: each previously re-derived its own shingle rows —
+    # two extra explode + per-doc-window + distinct passes per run)
+    sh = track_persist(shingle_rows(df, text_col=text_col, id_col=id_col,
+                                    ngram=3))
     truth = track_persist(
         prefix_filter_pairs(df, text_col=text_col, id_col=id_col,
-                            ngram=3, threshold=threshold)
+                            ngram=3, threshold=threshold, shingles=sh)
         .select("id_a", "id_b"))
     mh = minhash_lsh_candidates(df, text_col=text_col, id_col=id_col,
-                                ngram=3)
+                                ngram=3, shingles=sh)
     bands = (simhash_band_rows(simhash64(df, text_col=text_col,
                                          id_col=id_col),
                                id_col=id_col, bits=64, max_hamming=3)

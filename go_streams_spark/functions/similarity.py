@@ -2573,12 +2573,19 @@ def kcenter_select(df: DataFrame, *, id_col: str = "vec_id",
     squared norm), and ``centers`` the k quantized vectors (python
     ints — k x d driver metadata, same class as a codebook).
 
-    Scale shape: the quantized base persists ONCE; each round is one
-    scan with a fused least-of-r-distances projection (whole-stage
-    codegen, no UDF) ending in a TakeOrderedAndProject top-1 — a
-    per-partition partial reduce, k single-row collects total, nothing
-    data-sized at the driver. Total O(k^2*d) work per row; at corpus
-    scale run the greedy over cluster representatives
+    Scale shape: the quantized base persists ONCE; the running
+    min-distance-to-selected-set rides as a persisted ``md`` column
+    updated INCREMENTALLY each round (Gonzalez's classic O(k*N*d)
+    form — round r folds only the NEW center in with one ``least``,
+    instead of re-evaluating all r distances, so the per-round
+    expression and its codegen compile stay constant-size; measured
+    r9: the growing least-of-r form spent ~0.5 s/round in driver-side
+    compile alone). Each round is one scan ending in a
+    TakeOrderedAndProject top-1 — a per-partition partial reduce, k
+    single-row collects total, nothing data-sized at the driver; the
+    superseded round's cache is dropped as soon as the next
+    materializes, so at most two (id, v, md) copies exist at once. At
+    corpus scale run the greedy over cluster representatives
     (``train_codebook`` centroids) or a deterministic sample — the
     composition coreset pipelines actually ship.
     """
@@ -2603,16 +2610,25 @@ def kcenter_select(df: DataFrame, *, id_col: str = "vec_id",
         return [], []
     selected = [(1, seed["id"], int(seed["norm2"]))]
     centers = [list(seed["v"])]
+    # cur carries md = exact int64 squared L2 to the NEAREST selected
+    # center; identical values to the old least-of-all-centers form
+    # (min over the same integer distances, folded one per round)
+    cur = track_persist(base.select("id", "v", _d2(centers[0]).alias("md")))
+    prev = None
     for r in range(2, k + 1):
-        dists = [_d2(c) for c in centers]
-        md = F.least(*dists) if len(dists) > 1 else dists[0]
-        top = (base.where(~F.col("id").isin([s[1] for s in selected]))
-               .select("id", "v", md.alias("md"))
+        top = (cur.where(~F.col("id").isin([s[1] for s in selected]))
                .orderBy(F.desc("md"), "id").first())
+        if prev is not None:
+            prev.unpersist()
         if top is None:  # k exceeds the corpus — return what exists
             break
         selected.append((r, top["id"], int(top["md"])))
         centers.append(list(top["v"]))
+        if r < k:
+            prev = cur
+            cur = track_persist(cur.select(
+                "id", "v",
+                F.least(F.col("md"), _d2(centers[-1])).alias("md")))
     return selected, centers
 
 
@@ -2640,31 +2656,39 @@ def kcenter_assignments(df: DataFrame, *, id_col: str = "vec_id",
     column is the realized k-center objective.
 
     Scale shape: selection as in ``kcenter_select``; assignment is ONE
-    scan against the k-row broadcast center table (k*d ints), a
-    doubly-bounded nested-loop any engine survives, then a k-group hash
-    agg. No data-sized shuffle: the rollup's map-side partials reduce
-    each partition to <= k rows.
+    scan with the k centers as LITERALS in a fused argmin projection —
+    per row, an array of k (d, center_round, center_id) structs whose
+    ``array_min`` (struct order = field order, so min d with
+    earliest-round tie-break, exactly the old window's
+    ``orderBy(d, center_round)``) picks the cell — then a k-group hash
+    agg. r9: this replaces the former crossJoin(broadcast centers) +
+    row_number window, which exploded every vector into k rows and
+    paid a data-sized hash Exchange + per-id sort just to keep row 1;
+    now the only shuffle anywhere is the <= k-row rollup (map-side
+    partials reduce each partition to <= k rows first).
     """
-    spark = df.sparkSession
     selected, centers = kcenter_select(df, id_col=id_col, vec_col=vec_col,
                                        k=k, scale=scale)
-    cent = spark.createDataFrame(
-        [(int(r), int(i), [int(x) for x in v])
-         for (r, i, _), v in zip(selected, centers)],
-        schema="center_round int, center_id long, cv array<long>")
     base = df.select(F.col(id_col).alias("id"),
                      quantized_vec(vec_col, scale).alias("v"))
-    d2 = F.aggregate(
-        F.zip_with("v", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"), lambda a, x: a + x)
-    asg = (base.crossJoin(F.broadcast(cent))
-           .select("id", "center_round", "center_id", d2.alias("d")))
-    w = Window.partitionBy("id").orderBy("d", "center_round")
-    return (asg.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .groupBy("center_round", "center_id")
+
+    def _cell(r: int, cid: int, cv) -> Column:
+        arr = F.array(*[F.lit(int(x)).cast("long") for x in cv])
+        d2 = F.aggregate(
+            F.zip_with("v", arr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda a, x: a + x)
+        return F.struct(d2.alias("d"),
+                        F.lit(int(r)).cast("int").alias("center_round"),
+                        F.lit(int(cid)).cast("long").alias("center_id"))
+
+    best = F.array_min(F.array(*[
+        _cell(r, cid, cv)
+        for (r, cid, _), cv in zip(selected, centers)])).alias("best")
+    return (base.select(best)
+            .groupBy(F.col("best.center_round").alias("center_round"),
+                     F.col("best.center_id").alias("center_id"))
             .agg(F.count(F.lit(1)).alias("n_assigned"),
-                 F.max("d").alias("radius_usq"))
+                 F.max("best.d").alias("radius_usq"))
             .orderBy("center_round"))
 
 

@@ -242,9 +242,12 @@ def _trainer_vocab(df, text_col: str, word_freq):
     derived from the corpus."""
     wf = corpus_word_freq(df, text_col=text_col) if word_freq is None \
         else word_freq.select(F.col("word"), F.col("freq"))
+    # lazy: the trainer's first argmax job (or wordpiece's volume
+    # check) materializes it — one fewer blocking driver job; each
+    # trainer's first action has this frame as its only consumer
     return (wf.select(F.split("word", "").alias("syms"),
                       F.col("freq").alias("tok_cnt"))
-            .localCheckpoint())
+            .localCheckpoint(eager=False))
 
 
 def bpe_train_merges(df=None, *, text_col: str = "text", rounds: int = 5,
@@ -299,8 +302,12 @@ def bpe_train_merges(df=None, *, text_col: str = "text", rounds: int = 5,
                 F.concat(F.slice(acc, 1, F.size(acc) - 1),
                          F.array(F.lit(a + b)))
             ).otherwise(F.concat(acc, F.array(x))))
+        # lazy: round r+1's argmax is the single consumer and
+        # materializes this rewrite inside its own job — halves the
+        # blocking jobs per round vs the eager form (the checkpoint
+        # still truncates lineage exactly the same once computed)
         vocab = (vocab.select(merged.alias("syms"), "tok_cnt")
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))
     return spark.createDataFrame(
         merges, "round int, pair string, a string, b string, cnt long")
 
@@ -1448,15 +1455,32 @@ def wordpiece_train_merges(df=None, *, text_col: str = "text",
     merges: list[tuple] = []
     for r in range(rounds):
         n1 = F.greatest(F.size("syms") - 1, F.lit(0))
-        pairs = (vocab.select(
-            F.explode(F.zip_with(F.slice("syms", 1, n1),
-                                 F.slice("syms", 2, n1),
-                                 lambda a, b: F.struct(a.alias("a"),
-                                                       b.alias("b"))))
-            .alias("p"), "tok_cnt")
-            .groupBy("p").agg(F.sum("tok_cnt").alias("cnt")))
-        syms = (vocab.select(F.explode("syms").alias("s"), "tok_cnt")
-                .groupBy("s").agg(F.sum("tok_cnt").alias("sc")))
+        # ONE tagged-union explode carries both the adjacent-pair rows
+        # (kind 'p') and the symbol rows (kind 's') through a single
+        # scan of the vocabulary and a single
+        # hash agg — r9: the former two-agg form scanned vocab twice
+        # per round, which also forced an EAGER per-round checkpoint
+        # (two concurrent consumers of a lazy one double-compute the
+        # merge fold); with a single consumer the checkpoint goes lazy
+        # and each round collapses to exactly one blocking job. The
+        # '' sentinel in b cannot collide: '' is never a symbol.
+        pair_structs = F.zip_with(
+            F.slice("syms", 1, n1), F.slice("syms", 2, n1),
+            lambda a, b: F.struct(F.lit("p").alias("k"), a.alias("a"),
+                                  b.alias("b")))
+        sym_structs = F.transform(
+            "syms", lambda s: F.struct(F.lit("s").alias("k"),
+                                       s.alias("a"), F.lit("").alias("b")))
+        ex = vocab.select(
+            F.explode(F.concat(pair_structs, sym_structs)).alias("x"),
+            "tok_cnt")
+        counts = ex.groupBy("x").agg(F.sum("tok_cnt").alias("n"))
+        pairs = (counts.where(F.col("x.k") == "p")
+                 .select(F.struct(F.col("x.a").alias("a"),
+                                  F.col("x.b").alias("b")).alias("p"),
+                         F.col("n").alias("cnt")))
+        syms = counts.where(F.col("x.k") == "s").select(
+            F.col("x.a").alias("s"), F.col("n").alias("sc"))
         cand = (pairs
                 .join(F.broadcast(syms.select(F.col("s").alias("__a"),
                                               F.col("sc").alias("ca"))),
@@ -1475,7 +1499,7 @@ def wordpiece_train_merges(df=None, *, text_col: str = "text",
                        int(best["score_micro"])))
         vocab = (vocab.select(_merge_fold("syms", a, b).alias("syms"),
                               "tok_cnt")
-                 .localCheckpoint())
+                 .localCheckpoint(eager=False))
     return spark.createDataFrame(
         merges, "round int, piece string, a string, b string, cnt long, "
                 "score_micro long")
@@ -1704,17 +1728,38 @@ def tokenizer_fertility_compare(df, *, text_col: str = "text",
     from ..plans.caching import track_persist
 
     freq = track_persist(corpus_word_freq(df, text_col=text_col))
+    freq.count()  # materialize ONCE before the concurrent trainers
     top = (freq.where(F.length("word") <= UNIGRAM_MAX_WORD)
            .orderBy(F.col("freq").desc(), "word").limit(top_words))
 
+    # The three trainers are independent given the shared frequency
+    # table, and each is a chain of driver-synchronous tiny jobs
+    # (argmax + checkpoint per round) whose wall time is job LATENCY,
+    # not compute — so run them as concurrent jobs from a small thread
+    # pool (guide §2.6: later jobs back-fill executors the current
+    # job's tail leaves idle). Results are bit-identical: each trainer
+    # reads only the materialized freq cache.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_bpe = pool.submit(
+            lambda: bpe_train_merges(word_freq=freq,
+                                     rounds=rounds).collect())
+        f_wp = pool.submit(
+            lambda: wordpiece_train_merges(word_freq=freq,
+                                           rounds=rounds).collect())
+        f_uni = pool.submit(
+            lambda: unigram_piece_scores(
+                freq.where(F.length("word") <= UNIGRAM_MAX_WORD)))
+        bpe_rows = f_bpe.result()
+        wp_rows = f_wp.result()
+        uni_scores = f_uni.result()
+
     # BPE: rank-order merge replay, pure JVM on the K eval rows
-    bpe_rows = bpe_train_merges(word_freq=freq, rounds=rounds).collect()
     bpe_merges = [(r["a"], r["b"]) for r in bpe_rows]
     bpe_np = F.size(bpe_apply_merges(F.col("word"), bpe_merges))
 
     # WordPiece: likelihood-scored merges + maximal munch
-    wp_rows = wordpiece_train_merges(word_freq=freq,
-                                     rounds=rounds).collect()
     wp_pieces = {r["piece"] for r in wp_rows}
     wp_maxlen = max((len(p) for p in wp_pieces), default=1)
 
@@ -1725,9 +1770,9 @@ def tokenizer_fertility_compare(df, *, text_col: str = "text",
 
     # unigram-LM: Viterbi under the exact corpus piece scores, applied
     # directly to the eval rows (scores come from the same shared
-    # frequency table, length-filtered like the eval set)
-    scores = unigram_piece_scores(
-        freq.where(F.length("word") <= UNIGRAM_MAX_WORD))
+    # frequency table, length-filtered like the eval set; trained in
+    # the concurrent pool above)
+    scores = uni_scores
 
     @pandas_udf("int")
     def _uni_np(words: pd.Series) -> pd.Series:

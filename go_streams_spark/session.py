@@ -39,7 +39,10 @@ def get_spark(app_name: str = "go-streams-spark", extra_conf: dict | None = None
         # per-partition build actually fits. The corpus-scale merge
         # hints in dedup/text stay SMJ either way — their build maps
         # are exactly what OOM'd at sf100 (SCALE.md §26).
-        .config("spark.sql.adaptive.shuffledHashJoinLocalMapThreshold",
+        # (r9 fix: the config key is maxShuffledHashJoinLocalMapThreshold
+        # — the previous key missed the "max" prefix, so the documented
+        # runtime conversion never actually fired)
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
                 str(64 * 1024 * 1024))
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.default.parallelism", str(cpus))
