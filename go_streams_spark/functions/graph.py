@@ -250,11 +250,15 @@ def k_core(edges: DataFrame, *, k: int, src: str = "src", dst: str = "dst",
         # node-grain degree table, materialized ONCE per pass: both the
         # scalar convergence probe and the semi-join filter read it
         # (unmaterialized, the filter's plan would re-run the full
-        # degree aggregation a second time)
+        # degree aggregation a second time). r9: the checkpoint is
+        # LAZY and the probe count is its materializing action — the
+        # filter below then reads the cached partitions, fusing what
+        # was two blocking jobs per pass (checkpoint fill + count)
+        # into one (the connected_components r9 pattern).
         deg = (e.select(F.col("a").alias("node"))
                .unionAll(e.select(F.col("b").alias("node")))
                .groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-               .localCheckpoint())
+               .localCheckpoint(eager=False))
         dropped = deg.where(F.col("d") < k).count()
         if dropped == 0:
             converged = True
@@ -328,9 +332,16 @@ def label_propagation(edges: DataFrame, *, src: str = "src",
     adj = (und.select(F.col("a").alias("u"), F.col("b").alias("v"))
            .unionAll(und.select(F.col("b").alias("u"), F.col("a").alias("v")))
            .localCheckpoint())
+    # r9: per-round checkpoints (and the init) are LAZY — localCheckpoint
+    # truncates the LOGICAL plan to an RDD scan eagerly either way, so
+    # round r+1's plan never replays rounds 1..r regardless; with
+    # eager=False the rounds execute as stages of the CALLER's one
+    # action instead of `iterations` blocking driver jobs. adj stays
+    # eager: it feeds every round (and two union branches), so one
+    # materialization up front avoids any concurrent double-compute.
     labels = (adj.select(F.col("u").alias("node")).distinct()
               .select("node", F.col("node").alias("label"))
-              .localCheckpoint())
+              .localCheckpoint(eager=False))
     w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
     for _ in range(iterations):
         labels = (adj.join(labels.withColumnRenamed("node", "u"), "u")
@@ -339,7 +350,7 @@ def label_propagation(edges: DataFrame, *, src: str = "src",
                   .withColumn("rn", F.row_number().over(w))
                   .where(F.col("rn") == 1)
                   .select("node", "label")
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
     return labels.select("node", F.col("label").alias("community"))
 
 

@@ -360,9 +360,16 @@ def cosine_near_dup_lsh(df: DataFrame, *, id_col: str = "vec_id",
     precision. This is the 100 TB path; ``cosine_near_dup`` is the exact
     quadratic one.
     """
-    bands = sign_band_rows(df, id_col=id_col, vec_col=vec_col,
-                           nbits=nbits, max_band_hamming=max_band_hamming)
-    # shuffle-hash: corpus-scale self-join side, never broadcast
+    # bands carry ONLY (id, band, band_key): the former shape attached
+    # both full vectors to every candidate row, so the pair-dedup
+    # shuffle moved ~1 KB per candidate (guide §2.3/§8 — shuffle keys,
+    # not payloads; at sf0.1's ~9M raw band collisions that was GBs of
+    # shuffled array payload and the source of 5-50 s run-to-run GC
+    # swings). Vectors re-attach AFTER the distinct, via two doc-grain
+    # joins — the id-pair dedup now moves 16 bytes per candidate.
+    bands = (sign_band_rows(df, id_col=id_col, vec_col=vec_col,
+                            nbits=nbits, max_band_hamming=max_band_hamming)
+             .select(F.col(id_col), "band", "band_key"))
     # merge, same rationale as minhash_lsh_candidates: fan-out-sized
     # self-join side (nb band rows per vector) — spillable, never an
     # un-spillable SHJ build map, never a corpus broadcast
@@ -370,10 +377,14 @@ def cosine_near_dup_lsh(df: DataFrame, *, id_col: str = "vec_id",
     cand = (a.join(b, ["band", "band_key"])
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"),
-                    F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
-            .groupBy("id_a", "id_b")
-            .agg(F.first("va").alias("va"), F.first("vb").alias("vb")))
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    vecs = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    # doc-grain sides: bounded per partition, the SHJ-safe class
+    cand = (cand.join(va.hint("shuffle_hash"), "id_a")
+            .join(vb.hint("shuffle_hash"), "id_b"))
     return (cand.select(
                 "id_a", "id_b",
                 F.round(cosine(F.col("va"), F.col("vb")), round_dp).alias("sim"))
@@ -529,6 +540,11 @@ def block_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddin
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64"),
                                  "sim": pd.Series(dtype="float64")})
+        # index side sorted by id so that a STABLE row-wise argsort of
+        # -sims breaks ties id-ascending — exactly the old per-query
+        # np.lexsort((cids, -csims)) order, but fully vectorized (r9:
+        # the Python loop over queries was ~half the cogroup time)
+        ipdf = ipdf.sort_values("id_b")
         qa = np.array(list(qpdf["va"]), dtype=np.float64)
         ib = np.array(list(ipdf["vb"]), dtype=np.float64)
         qids = qpdf["id_a"].to_numpy(dtype=np.int64)
@@ -536,21 +552,24 @@ def block_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embeddin
         # inputs arrive micro-unit quantized; sims are bit-exact in
         # every engine (integer dot/norms + one IEEE division)
         sims = _np_quantized_cosine(qa, ib, scale)
-        qlabels = (qpdf["la"].to_numpy() if exclude_match_col else None)
-        ilabels = (ipdf["lb"].to_numpy() if exclude_match_col else None)
-        out_a, out_b, out_s = [], [], []
-        for j, (qi, row) in enumerate(zip(qids, sims)):
-            mask = iids != qi
-            if exclude_match_col:
-                mask &= ilabels != qlabels[j]
-            cids, csims = iids[mask], row[mask]
-            order = np.lexsort((cids, -csims))[:k]
-            out_a.extend([qi] * len(order))
-            out_b.extend(cids[order])
-            out_s.extend(csims[order])
-        return pd.DataFrame({"id_a": np.array(out_a, dtype="int64"),
-                             "id_b": np.array(out_b, dtype="int64"),
-                             "sim": np.array(out_s, dtype="float64")})
+        # excluded candidates sink below every real sim (cosines are
+        # finite) and are dropped after selection, so a query with
+        # fewer than k valid candidates emits fewer rows — identical
+        # to the old mask-then-topk
+        excl = iids[None, :] == qids[:, None]
+        if exclude_match_col:
+            qlabels = qpdf["la"].to_numpy()
+            ilabels = ipdf["lb"].to_numpy()
+            excl |= ilabels[None, :] == qlabels[:, None]
+        np.copyto(sims, -np.inf, where=excl)
+        kk = min(k, sims.shape[1])
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        svals = np.take_along_axis(sims, order, axis=1).ravel()
+        keep = svals != -np.inf
+        return pd.DataFrame({
+            "id_a": np.repeat(qids, kk)[keep],
+            "id_b": iids[order.ravel()][keep],
+            "sim": svals[keep]})
 
     cand = (q.groupBy("qb", "sb").cogroup(ix.groupBy("qb", "sb"))
             .applyInPandas(_local_topk, schema="id_a long, id_b long, sim double"))

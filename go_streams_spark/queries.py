@@ -10297,9 +10297,15 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hashed = grams.select("doc_id", "source",
                           h(1).alias("h1"), h(14).alias("h2"))
-    ev = hashed.where(F.col("source") == "src0")
-    bits = (ev.select(F.col("h1").alias("b"))
-            .unionAll(ev.select(F.col("h2").alias("b")))
+    # ONE scan of the eval side: explode the two hash columns instead
+    # of unionAll-ing two copies of the gram+md5 pipeline (r9 — the
+    # union ran the whole token-explode + per-doc window + md5 chain
+    # twice for the same rows; bit_or over the exploded bag is the
+    # same bit set). The eval side is eval-suite-bounded, so the
+    # pinned frame is small at any corpus scale.
+    ev = track_persist(hashed.where(F.col("source") == "src0")
+                       .select(F.explode(F.array("h1", "h2")).alias("b")))
+    bits = (ev
             .groupBy((F.col("b") / 32).cast("long").alias("word_idx"))
             .agg(F.expr("bit_or(shiftleft(1, cast(b % 32 as int)))")
                  .alias("bits")))
