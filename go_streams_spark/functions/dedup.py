@@ -992,42 +992,73 @@ def minhash_quality_report(df: DataFrame, *, text_col: str = "text",
     Same bucketed plan class as the dedup pipeline itself (band
     equi-join candidates only, never all pairs); integer micro-unit
     outputs so the report hash-matches the SQL replay exactly.
+
+    Plan shape (r9 rewrite): ONE doc-grain feature frame — per doc,
+    the distinct-shingle array AND the 12 minhash columns out of a
+    single groupBy over the shingle rows — persisted and reused by all
+    three consumers (band rows for candidate generation, the a-side
+    and the b-side of the pair joins). The previous shape persisted
+    only the shingle ROWS and re-derived everything downstream per
+    consumer: the signature aggregation ran twice (est's wide frame +
+    the candidates' band keys), the per-doc set arrays twice
+    (_pair_overlap's two sides), and — the dominant cost — the band
+    self-join + pair-distinct subtree ran TWICE because ``est`` and
+    ``exact`` were joined pair-to-pair at the end (plan audit: the
+    initial plan held two full copies of the candidate subtree under
+    the final SortMergeJoin). Now candidates are generated once, both
+    metrics come out of one select over the same two doc-grain joins,
+    and the final pair-grain SMJ disappears. Same integers, same
+    pairs: inner joins against doc-grain frames keep every candidate
+    row, and est/exact math is unchanged.
     """
     from ..plans.caching import track_persist
 
-    sh = track_persist(shingle_rows(df, text_col=text_col, id_col=id_col,
-                                    ngram=ngram))
-    wide = minhash_wide(sh, id_col=id_col, num_hashes=num_hashes)
-    cands = minhash_lsh_candidates(df, text_col=text_col, id_col=id_col,
-                                   ngram=ngram, num_hashes=num_hashes,
-                                   rows_per_band=rows_per_band, shingles=sh)
-    mh_cols = [c for c in wide.columns if c.startswith("mh")]
-    a = wide.select(F.col(id_col).alias("id_a"),
-                    *[F.col(c).alias(f"a_{c}") for c in mh_cols])
-    b = wide.select(F.col(id_col).alias("id_b"),
-                    *[F.col(c).alias(f"b_{c}") for c in mh_cols])
+    sh = shingle_rows(df, text_col=text_col, id_col=id_col, ngram=ngram)
+    d = F.md5("s")
+    h1 = F.conv(F.substring(d, 1, 15), 16, 10).cast("long")
+    h2 = F.conv(F.substring(d, 16, 15), 16, 10).cast("long") % _CW_MOD
+    mh_aggs = [F.min(F.col("h1") + i * F.col("h2")).alias(f"mh{i}")
+               for i in range(num_hashes)]
+    # doc-grain: one row per doc (array bounded by DOC length — the
+    # _pair_overlap class, never corpus-sized in any one row)
+    feat = track_persist(
+        sh.select(F.col(id_col), F.col("s"), h1.alias("h1"), h2.alias("h2"))
+        .groupBy(id_col)
+        .agg(F.collect_list("s").alias("__ss"), *mh_aggs))
+    mh_cols = [f"mh{i}" for i in range(num_hashes)]
+    keys = [F.md5(F.concat_ws("|", *mh_cols[b:b + rows_per_band]))
+            for b in range(0, num_hashes, rows_per_band)]
+    # merge hint before aliasing, as in minhash_lsh_candidates: band
+    # rows are fan-out-sized (never broadcast / SHJ-build at scale)
+    bands = feat.select(
+        F.col(id_col), F.posexplode(F.array(*keys)).alias("band", "band_key")
+    ).hint("merge")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (a.join(b, ["band", "band_key"])
+             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+             .select(F.col(f"a.{id_col}").alias("id_a"),
+                     F.col(f"b.{id_col}").alias("id_b"))
+             .distinct())
+    fa = feat.select(F.col(id_col).alias("id_a"),
+                     F.col("__ss").alias("__ssa"),
+                     *[F.col(c).alias(f"a_{c}") for c in mh_cols])
+    fb = feat.select(F.col(id_col).alias("id_b"),
+                     F.col("__ss").alias("__ssb"),
+                     *[F.col(c).alias(f"b_{c}") for c in mh_cols])
     eq = sum(F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), 1).otherwise(0)
              for c in mh_cols)
-    est = (cands.join(a.hint("shuffle_hash"), "id_a")
-           .join(b.hint("shuffle_hash"), "id_b")
-           .select("id_a", "id_b",
-                   F.floor(eq * 1_000_000 / F.lit(num_hashes) + F.lit(0.5))
-                   .cast("long").alias("est_micro")))
-    # exact Jaccard via the doc-grain array plan (_pair_overlap) — the
-    # old shingle-row intersection join + left-join-for-zero-overlap
-    # dance is gone: array_intersect yields i = 0 directly for
-    # candidate pairs sharing a band but no shingle
-    exact = (_pair_overlap(cands, sh, id_col=id_col)
-             .select("id_a", "id_b",
-                     F.floor(F.col("i") * 1_000_000
-                             / F.greatest(F.col("ca") + F.col("cb")
-                                          - F.col("i"), F.lit(1))
-                             + F.lit(0.5)).cast("long")
-                     .alias("exact_micro")))
-    return (est.join(exact, ["id_a", "id_b"])
-            .select("id_a", "id_b", "est_micro", "exact_micro",
-                    F.abs(F.col("est_micro") - F.col("exact_micro"))
-                    .alias("abs_err_micro")))
+    i = F.size(F.array_intersect("__ssa", "__ssb"))
+    ca, cb = F.size("__ssa"), F.size("__ssb")
+    est = F.floor(eq * 1_000_000 / F.lit(num_hashes) + F.lit(0.5)) \
+        .cast("long")
+    exact = F.floor(i * 1_000_000
+                    / F.greatest(ca + cb - i, F.lit(1))
+                    + F.lit(0.5)).cast("long")
+    return (cands.join(fa.hint("shuffle_hash"), "id_a")
+            .join(fb.hint("shuffle_hash"), "id_b")
+            .select("id_a", "id_b", est.alias("est_micro"),
+                    exact.alias("exact_micro"),
+                    F.abs(est - exact).alias("abs_err_micro")))
 
 
 # ---------------------------------------------------------------------------

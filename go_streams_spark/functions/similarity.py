@@ -203,21 +203,35 @@ def sign_lsh_knn(df: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embed
         n, dim = df.select(F.count(F.lit(1)),
                            F.min(F.size(vec_col))).first()
         nbits = auto_nbits(max(n or 0, 1), max(dim or 0, 1), target_bucket)
+    # per-VECTOR squared norm folded ONCE here (guide §1.2 step 2 /
+    # the mrl_truncation_eval precedent): the per-PAIR expression used
+    # to be cosine() = dot + two norm folds, i.e. every vector's norm
+    # re-folded once per candidate it meets (~bucket-occupancy times).
+    # Same double (identical fold over the identical array), same
+    # sqrt/division/round — bit-identical sims, one fold per pair.
+    nsq = F.aggregate(F.transform(F.col("v"), lambda x: x * x),
+                      F.lit(0.0), lambda acc, x: acc + x)
     base = df.select(F.col(id_col), as_double(vec_col).alias("v"),
-                     sign_bucket(vec_col, nbits).alias("bucket"))
+                     sign_bucket(vec_col, nbits).alias("bucket")) \
+        .withColumn("nsq", nsq)
     if multi_probe:
         probe_arr = F.array(F.col("bucket"),
                             *[F.col("bucket").bitwiseXOR(F.lit(1 << i))
                               for i in range(nbits)])
         a = base.select(F.explode(probe_arr).alias("bucket"),
-                        F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+                        F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                        F.col("nsq").alias("na"))
     else:
-        a = base.select(F.col("bucket"), F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = base.select(F.col("bucket"), F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+        a = base.select(F.col("bucket"), F.col(id_col).alias("id_a"),
+                        F.col("v").alias("va"), F.col("nsq").alias("na"))
+    b = base.select(F.col("bucket"), F.col(id_col).alias("id_b"),
+                    F.col("v").alias("vb"), F.col("nsq").alias("nb"))
     pairs = (a.join(b, "bucket")
              .where(F.col("id_a") != F.col("id_b"))
              .select("bucket", "id_a", "id_b",
-                     F.round(cosine(F.col("va"), F.col("vb")), round_dp).alias("sim")))
+                     F.round(dot(F.col("va"), F.col("vb"))
+                             / (F.sqrt("na") * F.sqrt("nb")),
+                             round_dp).alias("sim")))
     w = Window.partitionBy("id_a").orderBy(F.col("sim").desc(), F.col("id_b"))
     return (pairs.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
@@ -379,15 +393,26 @@ def cosine_near_dup_lsh(df: DataFrame, *, id_col: str = "vec_id",
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"))
             .distinct())
-    vecs = df.select(F.col(id_col), as_double(vec_col).alias("v"))
-    va = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    # per-vector squared norm folded once on the doc-grain side (not
+    # per candidate pair): same fold over the same doubles -> the
+    # sqrt/division/round below is bit-identical to cosine(), at one
+    # array fold per pair instead of three
+    nsq = F.aggregate(F.transform(F.col("v"), lambda x: x * x),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    vecs = df.select(F.col(id_col), as_double(vec_col).alias("v")) \
+        .withColumn("nsq", nsq)
+    va = vecs.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+                     F.col("nsq").alias("na"))
+    vb = vecs.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+                     F.col("nsq").alias("nb"))
     # doc-grain sides: bounded per partition, the SHJ-safe class
     cand = (cand.join(va.hint("shuffle_hash"), "id_a")
             .join(vb.hint("shuffle_hash"), "id_b"))
     return (cand.select(
                 "id_a", "id_b",
-                F.round(cosine(F.col("va"), F.col("vb")), round_dp).alias("sim"))
+                F.round(dot(F.col("va"), F.col("vb"))
+                        / (F.sqrt("na") * F.sqrt("nb")),
+                        round_dp).alias("sim"))
             .where(F.col("sim") >= threshold))
 
 
