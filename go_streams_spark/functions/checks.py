@@ -341,11 +341,18 @@ def bootstrap_mean_ci(df: DataFrame, *, key_col: str, value_col: str,
         raise ValueError(f"replicates must be >= 4, got {replicates}")
     if not 0 < alpha < 1:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    from ..operators.topology import cpu_widen
     b = F.explode(F.sequence(F.lit(0), F.lit(replicates - 1))).alias("b")
     x = F.col(value_col).cast("long")
     w = poisson_bootstrap_weight(F.col(key_col).cast("string"),
                                  F.col("b").cast("string"))
-    per_rep = (df.select(F.col(key_col), x.alias("x"), b)
+    # cpu_widen: the B-way fan-out + per-(row, b) md5 below fuse into
+    # the SCAN's stage, whose width tracks input bytes — a few-MB
+    # dimension lands on 1 core and the whole bootstrap serializes
+    # (guide §2.4). Widen the slim (key, x) projection first; no-op on
+    # frames already cluster-wide.
+    per_rep = (cpu_widen(df.select(F.col(key_col), x.alias("x")))
+               .select(F.col(key_col), "x", b)
                .select("b", (w * F.col("x")).alias("wx"), w.alias("w"))
                .groupBy("b")
                .agg(F.sum("wx").alias("s"), F.sum("w").alias("n")))
@@ -392,7 +399,11 @@ def bootstrap_mean_ci_grouped(df: DataFrame, *, key_col: str,
     x = F.col(value_col).cast("long")
     w = poisson_bootstrap_weight(F.col(key_col).cast("string"),
                                  F.col("b").cast("string"))
-    per_rep = (df.select(*groups, F.col(key_col), x.alias("x"), b)
+    from ..operators.topology import cpu_widen
+    # same stage-width fix as bootstrap_mean_ci (guide §2.4): widen the
+    # slim projection so the B-way fan-out + md5 use the whole cluster
+    per_rep = (cpu_widen(df.select(*groups, F.col(key_col), x.alias("x")))
+               .select(*groups, F.col(key_col), "x", b)
                .select(*groups, "b", (w * F.col("x")).alias("wx"),
                        w.alias("w"))
                .groupBy(*groups, "b")

@@ -182,7 +182,15 @@ def bigram_lm_doc_scores(df, *, text_col: str = "text",
     # 100 TB this is "materialize the bigram table once" — the standard
     # LM-pipeline intermediate, same decision as the TF-IDF doc-term
     # matrix. Freed via plans.release_tracked() between queries.
-    bg = track_persist(bigram_rows(df, text_col=text_col, id_col=id_col))
+    # NOT cpu_widen'd (guide §1.4 measure-first): widening the raw
+    # (id, text) projection before the explode was tried and REGRESSED
+    # (sf0.1: 1.91 s -> 4.91 s; consumer ccnet_ppl_buckets 1.86 -> 3.69)
+    # — the round-robin exchange of full text bytes plus its
+    # sort-before-repartition costs more than the single-core tokenize
+    # it spreads, and the persist's four consumers parallelize fine
+    # after the (w1,w2) shuffle regardless of scan width.
+    bg = track_persist(bigram_rows(df.select(id_col, text_col),
+                                   text_col=text_col, id_col=id_col))
     model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     first = model.groupBy("w1").agg(F.sum("c12").alias("c1"))
     # distinct words from the MODEL table (vocab-sized), not the corpus
@@ -231,6 +239,10 @@ def corpus_word_freq(df, *, text_col: str = "text"):
     so multi-trainer reports (``tokenizer_fertility_compare``) compute
     and persist it ONCE instead of each trainer re-scanning the raw
     corpus."""
+    # NOT cpu_widen'd (guide §1.4 measure-first): the whitespace
+    # tokenize + partial agg is light per row (0.4 s single-core at
+    # sf0.1) and the widening shuffle of the raw text costs more than
+    # it buys (same measured outcome as bigram_lm_doc_scores).
     return (df.select(F.explode(tokens(F.lower(F.col(text_col))))
                       .alias("word"))
             .groupBy("word").agg(F.count(F.lit(1)).alias("freq")))

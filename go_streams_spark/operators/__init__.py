@@ -4,7 +4,7 @@ from .core import Map, FlatMap, Filter, PassThrough, Flatten
 from .aggregate import running_reduce, running_fold, running_fold_py, final_reduce
 from .batch import batch_by_count, batch_by_time, collect_batches
 from .windows import tumbling_window, sliding_window, session_window, keyed
-from .topology import split, fan_out, round_robin, merge, zip_with
+from .topology import split, fan_out, round_robin, merge, zip_with, cpu_widen
 from .throttle import throttle_options, discard_over_quota
 
 __all__ = [
@@ -12,7 +12,7 @@ __all__ = [
     "running_reduce", "running_fold", "running_fold_py", "final_reduce",
     "batch_by_count", "batch_by_time", "collect_batches",
     "tumbling_window", "sliding_window", "session_window", "keyed",
-    "split", "fan_out", "round_robin", "merge", "zip_with",
+    "split", "fan_out", "round_robin", "merge", "zip_with", "cpu_widen",
     "throttle_options", "discard_over_quota",
 ]
 from .topology import distributed_ordinal, zip_with_distributed  # noqa: E402

@@ -103,13 +103,28 @@ def running_fold_py(fold_fn: Callable, init, *, order_col: str, value_col: str,
     — exactly the reference loop (``flow/fold.go:83-90``) but parallel
     across keys. Keys shuffle once; each group must fit in executor memory
     (same contract as any Spark grouped-map op).
+
+    r9 (guide §4.2): the grouped-map boundary is keyed on a hash BUCKET
+    of ``key_cols``, not the raw key — FlatMapGroupsInPandas pays a
+    per-GROUP Arrow round-trip (~2-4 ms), so one call per key turned a
+    1500-key corpus into seconds of pure group overhead. One call now
+    folds a whole bucket: rows sort by (key, order) and the accumulator
+    resets to ``init`` on key change, which is fold-for-fold identical
+    to the per-key form (each key still folds alone, in order-col
+    order, from the same init). The user fold_fn stays an opaque
+    per-row Python step — that is the operator's contract.
     """
 
     def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order_col)
-        acc = init
+        pdf = (pdf.sort_values([*key_cols, order_col])
+               .drop(columns=["__fold_b"]))
         out = []
-        for v in pdf[value_col]:
+        acc = init
+        prev_key = None
+        for key, v in zip(zip(*(pdf[k] for k in key_cols)), pdf[value_col]):
+            if key != prev_key:
+                acc = init
+                prev_key = key
             acc = fold_fn(v, acc)
             out.append(acc)
         pdf = pdf.copy()
@@ -117,7 +132,13 @@ def running_fold_py(fold_fn: Callable, init, *, order_col: str, value_col: str,
         return pdf
 
     def _apply(df: DataFrame) -> DataFrame:
-        return df.groupBy(*key_cols).applyInPandas(_fold, schema=output_schema)
+        n_buckets = df.sparkSession.sparkContext.defaultParallelism * 2
+        bucketed = df.withColumn(
+            "__fold_b",
+            F.pmod(F.xxhash64(*[F.col(k) for k in key_cols]),
+                   F.lit(n_buckets)))
+        return bucketed.groupBy("__fold_b").applyInPandas(
+            _fold, schema=output_schema)
 
     return Flow(_apply, name="fold_py")
 

@@ -46,6 +46,44 @@ def parse_byte_string(value: str) -> int:
     return int(num) * mult
 
 
+def cpu_widen(df: DataFrame, *, factor: int = 2) -> DataFrame:
+    """Spread a SLIM frame across the cluster before a CPU-heavy
+    per-row stage (a replicate fan-out, a hash derivation, a regex
+    pass) whose cost is decoupled from the frame's byte size.
+
+    File-split parallelism tracks INPUT BYTES (maxPartitionBytes), so
+    a few-MB dimension scan arrives in 1-2 partitions — and any
+    row-multiplying work fused into that stage runs on 1-2 cores while
+    the rest of the cluster idles (measured: the 200x Poisson
+    bootstrap fan-out over a 5k-doc scan ran single-core, 2.2 s of a
+    3.1 s query). This widens to ``factor * defaultParallelism``
+    round-robin partitions, but ONLY when the optimizer's size
+    estimate says the scan is narrower than that — a frame that is
+    already cluster-wide (every at-scale fact) passes through with no
+    shuffle. Same estimator discipline as ``ordinal_index``: CBO
+    sizeInBytes, never ``df.rdd.getNumPartitions()`` (which finalizes
+    the AQE plan and eagerly executes upstream shuffles as side
+    jobs). The unknown-stats sentinel (~2^63 for local in-memory
+    relations) lands in the pass-through branch, which is also the
+    safe branch for frames whose width we cannot see."""
+    spark = df.sparkSession
+    try:
+        target = factor * spark.sparkContext.defaultParallelism
+    except Exception:  # Spark Connect: no sparkContext
+        target = factor * int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+        max_bytes = parse_byte_string(spark.conf.get(
+            "spark.sql.files.maxPartitionBytes"))
+        est_parts = max(1, size // max(max_bytes, 1))
+    except AttributeError:  # Spark Connect: no _jdf
+        return df
+    if est_parts >= target:
+        return df
+    return df.repartition(target)
+
+
 def split(df: DataFrame, predicate: Column) -> tuple[DataFrame, DataFrame]:
     """Disjoint 2-way partition by predicate (``flow/util.go:23-41``).
 

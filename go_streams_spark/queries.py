@@ -3717,24 +3717,48 @@ FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
 """)
 def cogroup_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed COGROUP of two streams (clicks x purchases per user) via
-    applyInPandas cogroup — both sides shuffle once on the key and meet
-    in a single Arrow-batched function; the relational equivalent (two
-    aggs + full outer join) is the oracle."""
+    applyInPandas cogroup — both sides shuffle once and meet in a
+    single Arrow-batched function; the relational equivalent (two aggs
+    + full outer join) is the oracle.
+
+    r9 production composition (guide §4.1/§4.2/§2.2): the naive form
+    shipped every raw event row into Python and called merge once per
+    user (sf0.1: 40k Arrow rows, 1500 per-key calls at ~4 ms each =
+    ~6 s of pure FlatMapCoGroupsInPandas group overhead; the two JVM
+    aggs cost 0.25 s). Now each side is pre-aggregated in the JVM (at
+    most one row per user per side crosses the boundary, and the
+    map-side partial agg shrinks the cogroup shuffle identically) and
+    the cogroup key is a hash BUCKET of the user, so one Python call
+    merges a whole bucket of users vectorized (pandas outer-merge) —
+    ~2x defaultParallelism calls total instead of one per user. Same
+    rows out: the per-user grain is restored inside the merge, and
+    round(sum) is applied after the per-user total exactly as before
+    (the sum was an order-varying hash aggregate in both shapes)."""
     import pandas as pd
     ev = _t(spark, sf_dir, "events")
-    clicks = ev.where("event_type = 'click'").select("user_id", "value")
-    purchases = ev.where("event_type = 'purchase'").select("user_id", "value")
+    n_buckets = spark.sparkContext.defaultParallelism * 2
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).alias("b")
+    clicks = (ev.where("event_type = 'click'")
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("clicks"),
+                   F.round(F.sum("value"), 2).alias("click_value"))
+              .select(bucket, "*"))
+    purchases = (ev.where("event_type = 'purchase'")
+                 .groupBy("user_id")
+                 .agg(F.count(F.lit(1)).alias("purchases"),
+                      F.round(F.sum("value"), 2).alias("purchase_value"))
+                 .select(bucket, "*"))
 
-    def merge(key, c: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "user_id": [key[0]],
-            "clicks": [len(c)],
-            "click_value": [round(float(c["value"].sum()), 2) if len(c) else 0.0],
-            "purchases": [len(p)],
-            "purchase_value": [round(float(p["value"].sum()), 2) if len(p) else 0.0],
-        })
+    def merge(c: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        out = pd.merge(c.drop(columns=["b"]), p.drop(columns=["b"]),
+                       on="user_id", how="outer")
+        for col in ("clicks", "purchases"):
+            out[col] = out[col].fillna(0).astype("int64")
+        for col in ("click_value", "purchase_value"):
+            out[col] = out[col].fillna(0.0)
+        return out
 
-    return (clicks.groupBy("user_id").cogroup(purchases.groupBy("user_id"))
+    return (clicks.groupBy("b").cogroup(purchases.groupBy("b"))
             .applyInPandas(merge,
                            schema="user_id long, clicks long, click_value double, "
                                   "purchases long, purchase_value double"))

@@ -44,6 +44,23 @@ def test_running_fold_py_per_key(spark):
     assert got == {(1, 1): 2.0, (1, 2): 6.0, (2, 1): 5.0}
 
 
+def test_running_fold_py_bucket_resets_acc_between_keys(spark):
+    # r9: groups are bucketed (hash(key) % 2*parallelism) so one Python
+    # call folds MANY keys — the fold must restart from init at every
+    # key boundary inside a bucket. 40 keys on a tiny cluster guarantees
+    # multi-key buckets; a product fold makes cross-key leakage visible
+    # (any carried accumulator multiplies the next key's first value).
+    rows = [(k, o, 2.0) for k in range(40) for o in range(3)]
+    df = spark.createDataFrame(rows, "k int, ord int, value double")
+    out = Source(df).via(running_fold_py(
+        lambda v, acc: acc * v, 1.0, order_col="ord", value_col="value",
+        key_cols=["k"], output_schema="k int, ord int, value double, acc double")).to_df()
+    got = {(r["k"], r["ord"]): r["acc"] for r in out.collect()}
+    assert len(got) == 120
+    for k in range(40):
+        assert (got[(k, 0)], got[(k, 1)], got[(k, 2)]) == (2.0, 4.0, 8.0)
+
+
 def test_final_reduce(spark):
     df = spark.createDataFrame([(i,) for i in range(1, 6)], "value int")
     out = Source(df).via(final_reduce(F.sum("value").alias("s"))).to_df()
