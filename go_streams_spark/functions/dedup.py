@@ -89,6 +89,17 @@ def shingle_rows(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
     slower here); the one shuffle is on the doc id, which later joins
     reuse. This row shape (not per-doc arrays) is what scales: shingle
     state never concentrates in a single row.
+
+    r9 (guide §2.4): the per-doc dedup is a ``groupBy(doc)`` +
+    ``collect_set`` + explode instead of ``.distinct()`` — the window
+    already hash-partitioned rows by the doc id, so the aggregate
+    reuses that exchange and the extra (id, s) shuffle disappears
+    (2 Exchange -> 1). Bonus: the frame (this function is persisted by
+    every caller) comes out PARTITIONED BY the doc id, so downstream
+    doc-grain aggregates (``minhash_wide``, per-doc counts,
+    ``_pair_overlap``'s set build) are exchange-free too. Per-group
+    state is one doc's distinct shingles — the same per-doc bound as
+    the verify arrays.
     """
     from pyspark.sql import Window
     toks = (df.select(F.col(id_col),
@@ -101,7 +112,8 @@ def shingle_rows(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
     gram_col = F.concat_ws(" ", *[F.col(f"t{j}") for j in range(ngram)])
     return (grams.where(F.col(f"t{ngram-1}").isNotNull())
             .select(F.col(id_col), gram_col.alias("s"))
-            .distinct())
+            .groupBy(id_col).agg(F.collect_set("s").alias("__sset"))
+            .select(F.col(id_col), F.explode("__sset").alias("s")))
 
 
 def minhash_wide(shingles: DataFrame, *, id_col: str = "doc_id",
@@ -277,12 +289,17 @@ def containment_pairs(df: DataFrame, *, text_col: str = "text",
     from pyspark.sql import Window
     sh = track_persist(shingle_rows(df, text_col=text_col, id_col=id_col,
                                     ngram=ngram))
-    cnts = sh.groupBy(F.col(id_col).alias("cid")).agg(
-        F.count(F.lit(1)).alias("c"))
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("sf"))
+    # per-doc size c rides the SAME window exchange as the prefix rank
+    # (count over the unordered doc partition) — r9 removed the
+    # separate count aggregate + shuffle_hash join that previously
+    # re-derived it (guide §2.4: two operations keyed the same way
+    # share one exchange). Identical integers: count(*) per doc.
     ranked = (sh.join(freq, "s")
               .withColumn("rnk", F.row_number().over(
-                  Window.partitionBy(id_col).orderBy("sf", "s"))))
+                  Window.partitionBy(id_col).orderBy("sf", "s")))
+              .withColumn("c", F.count(F.lit(1)).over(
+                  Window.partitionBy(id_col))))
     # required overlap o = ceil(t * c) in EXACT integer micro units;
     # prefix keeps ranks 1 .. c - o + 1
     o = F.expr(f"({threshold_micro} * c + 999999) div 1000000")
@@ -292,9 +309,7 @@ def containment_pairs(df: DataFrame, *, text_col: str = "text",
     # again inside the main query (plan audit: the window sort is the
     # most expensive pre-candidate stage)
     pref = track_persist(
-        ranked.join(cnts.withColumnRenamed("cid", id_col)
-                    .hint("shuffle_hash"), id_col)
-        .where(F.col("rnk") <= F.col("c") - o + 1)
+        ranked.where(F.col("rnk") <= F.col("c") - o + 1)
         .select(F.col(id_col), F.col("s")))
     if max_candidate_estimate is not None:
         est = (pref.groupBy("s").agg(F.count(F.lit(1)).alias("np"))
@@ -840,7 +855,6 @@ def prefix_filter_pairs(df: DataFrame, *, text_col: str = "text",
     # once and feeds PPJoin truth AND the MinHash blocker from it)
     sh = shingles if shingles is not None else track_persist(
         shingle_rows(df, text_col=text_col, id_col=id_col, ngram=ngram))
-    cnts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("c"))
     freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("sf"))
     # freq is UN-hinted: it sits behind its own shuffle (the groupBy),
     # so AQE joins it with EXACT runtime stats — broadcast when the
@@ -848,16 +862,21 @@ def prefix_filter_pairs(df: DataFrame, *, text_col: str = "text",
     # corpus-sized. The underestimate risk that forces pins elsewhere
     # only exists for un-aggregated explode outputs with no shuffle
     # boundary in front of the join decision.
+    # per-doc size c rides the SAME window exchange as the prefix rank
+    # (count over the unordered doc partition) — r9 removed the
+    # separate count aggregate + shuffle_hash join that previously
+    # re-derived it (guide §2.4). Identical integers: count(*) per doc.
     ranked = (sh.join(freq, "s")
               .withColumn("rnk", F.row_number().over(
-                  Window.partitionBy(id_col).orderBy("sf", "s"))))
+                  Window.partitionBy(id_col).orderBy("sf", "s")))
+              .withColumn("c", F.count(F.lit(1)).over(
+                  Window.partitionBy(id_col))))
     # pa and pb below are TWO consumers of this subtree; without a pin
     # Catalyst re-runs the freq join + rank window once per side (plan
     # audit: 10 cache scans -> 5). Prefix rows are doc-grain-bounded.
     pref = track_persist(
-        ranked.join(cnts.hint("shuffle_hash"), id_col)
-        .where(F.col("rnk")
-               <= F.col("c") - F.ceil(F.lit(threshold) * F.col("c")) + 1)
+        ranked.where(F.col("rnk")
+                     <= F.col("c") - F.ceil(F.lit(threshold) * F.col("c")) + 1)
         .select(F.col(id_col), F.col("s"), F.col("c")))
     if max_candidate_estimate is not None:
         est = (pref.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
