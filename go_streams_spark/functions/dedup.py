@@ -117,13 +117,20 @@ def shingle_rows(df: DataFrame, *, text_col: str = "text", id_col: str = "doc_id
 
 
 def minhash_wide(shingles: DataFrame, *, id_col: str = "doc_id",
-                 num_hashes: int = 12) -> DataFrame:
+                 num_hashes: int = 12, with_count: bool = False) -> DataFrame:
     """One row per doc with mh0..mh{n-1} minhash columns.
 
     One codegen'd md5 per shingle, Carter-Wegman seed derivation as
     num_hashes conditional-min AGGREGATE COLUMNS in a single pass — no
     seed fan-out join (the 12x row explosion was the cold-path cost),
-    one shuffle by doc with map-side partials.
+    one shuffle by doc with map-side partials (exchange-free when the
+    shingle frame is already partitioned by the doc id, which
+    ``shingle_rows`` now guarantees).
+
+    ``with_count=True`` adds the per-doc shingle-set size as column
+    ``c`` — one more aggregate in the SAME pass, so consumers that
+    need sizes (setsim's length filter) stop paying a separate count
+    aggregate + per-side join (guide §2.4).
     """
     d = F.md5("s")
     h1 = F.conv(F.substring(d, 1, 15), 16, 10).cast("long")
@@ -131,6 +138,8 @@ def minhash_wide(shingles: DataFrame, *, id_col: str = "doc_id",
     pre = shingles.select(F.col(id_col), h1.alias("h1"), h2.alias("h2"))
     aggs = [F.min(F.col("h1") + i * F.col("h2")).alias(f"mh{i}")
             for i in range(num_hashes)]
+    if with_count:
+        aggs.append(F.count(F.lit(1)).alias("c"))
     return pre.groupBy(id_col).agg(*aggs)
 
 
@@ -149,18 +158,24 @@ def band_rows(mh_wide: DataFrame, *, id_col: str = "doc_id",
               rows_per_band: int = 3) -> DataFrame:
     """(doc, band, band_key) rows from the wide signature: band_key =
     md5 of the '|'-joined minhashes of each band. A cheap posexplode of
-    num_bands precomputed keys per doc-row."""
+    num_bands precomputed keys per doc-row. Non-signature extra
+    columns (e.g. ``minhash_wide(with_count=True)``'s ``c``) pass
+    through onto every band row."""
     mh_cols = [c for c in mh_wide.columns if c.startswith("mh")]
+    extras = [c for c in mh_wide.columns
+              if c != id_col and not c.startswith("mh")]
     keys = [F.md5(F.concat_ws("|", *mh_cols[b:b + rows_per_band]))
             for b in range(0, len(mh_cols), rows_per_band)]
     return mh_wide.select(
-        F.col(id_col), F.posexplode(F.array(*keys)).alias("band", "band_key"))
+        F.col(id_col), *[F.col(c) for c in extras],
+        F.posexplode(F.array(*keys)).alias("band", "band_key"))
 
 
 def minhash_lsh_candidates(df: DataFrame, *, text_col: str = "text",
                            id_col: str = "doc_id", ngram: int = 3,
                            num_hashes: int = 12, rows_per_band: int = 3,
-                           shingles: DataFrame | None = None) -> DataFrame:
+                           shingles: DataFrame | None = None,
+                           with_sizes: bool = False) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing >= 1 LSH bucket.
 
     Plan shape: shingle rows -> signature rows -> band rows -> self
@@ -168,11 +183,20 @@ def minhash_lsh_candidates(df: DataFrame, *, text_col: str = "text",
     key-bucketed, never all-pairs; distinct is one extra shuffle on the
     pair. Boilerplate-heavy corpora skew some buckets — AQE skew-join
     splits them at runtime.
+
+    ``with_sizes=True`` adds ``ca``/``cb`` (each side's shingle-set
+    size) to every pair: the size is aggregated in the SAME pass as
+    the signature and rides the band rows, so consumers needing a
+    length filter (setsim) skip a count aggregate and two joins of the
+    candidate table (guide §2.4). The pair set is identical — sizes
+    are functionally dependent on the ids, so the wider distinct
+    dedups the same (id_a, id_b) space.
     """
     if shingles is None:
         shingles = shingle_rows(df, text_col=text_col, id_col=id_col, ngram=ngram)
     bands = band_rows(
-        minhash_wide(shingles, id_col=id_col, num_hashes=num_hashes),
+        minhash_wide(shingles, id_col=id_col, num_hashes=num_hashes,
+                     with_count=with_sizes),
         id_col=id_col, rows_per_band=rows_per_band)
     # MERGE, not broadcast and not shuffled-hash: bands is a
     # corpus-scale intermediate (num_bands rows per doc) whose size
@@ -189,10 +213,12 @@ def minhash_lsh_candidates(df: DataFrame, *, text_col: str = "text",
     # that, recomputing the whole signature pipeline per side)
     bands = bands.hint("merge")
     a, b = bands.alias("a"), bands.alias("b")
+    size_cols = ([F.col("a.c").alias("ca"), F.col("b.c").alias("cb")]
+                 if with_sizes else [])
     return (a.join(b, ["band", "band_key"])
             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
             .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
+                    F.col(f"b.{id_col}").alias("id_b"), *size_cols)
             .distinct())
 
 
@@ -957,16 +983,16 @@ def setsim_pairs(df: DataFrame, *, text_col: str = "text",
     from ..plans.caching import track_persist
     sh = track_persist(shingle_rows(df, text_col=text_col, id_col=id_col,
                                     ngram=ngram))
-    cnts = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("c"))
-    cands0 = minhash_lsh_candidates(df, text_col=text_col, id_col=id_col,
-                                    ngram=ngram, num_hashes=num_hashes,
-                                    rows_per_band=rows_per_band, shingles=sh)
     # length filter: J >= t requires t * max(|A|,|B|) <= min(|A|,|B|);
-    # id order is not size order, so compare least/greatest.
-    ca = cnts.select(F.col(id_col).alias("id_a"), F.col("c").alias("ca"))
-    cb = cnts.select(F.col(id_col).alias("id_b"), F.col("c").alias("cb"))
-    cands1 = (cands0.join(ca.hint("shuffle_hash"), "id_a")
-              .join(cb.hint("shuffle_hash"), "id_b")
+    # id order is not size order, so compare least/greatest. The sizes
+    # ride the band pipeline (with_sizes — aggregated in the signature
+    # pass), so no count aggregate and no per-side join of the
+    # candidate table exists here (r9, guide §2.4; formerly one agg +
+    # two shuffle_hash joins).
+    cands1 = (minhash_lsh_candidates(df, text_col=text_col, id_col=id_col,
+                                     ngram=ngram, num_hashes=num_hashes,
+                                     rows_per_band=rows_per_band,
+                                     shingles=sh, with_sizes=True)
               .where(F.least("ca", "cb")
                      >= F.lit(threshold) * F.greatest("ca", "cb"))
               .select("id_a", "id_b"))
@@ -977,13 +1003,17 @@ def setsim_pairs(df: DataFrame, *, text_col: str = "text",
     # freq un-hinted (aggregate output: AQE has exact sizes — see
     # prefix_filter_pairs); fan-out-sized prefix rows below pin MERGE
     # (spillable) — the sf100 SHJ-build-OOM class of jaccard_verify's
-    # shingle joins; doc-grain cnts keeps shuffle_hash (bounded maps)
+    # shingle joins. Per-doc size c rides the rank window's exchange
+    # (count over the unordered doc partition — same r9 rewrite as
+    # prefix_filter_pairs).
     ranked = (sh.join(freq, "s")
               .withColumn("rnk", F.row_number().over(
-                  Window.partitionBy(id_col).orderBy("sf", "s"))))
-    pref = (ranked.join(cnts.hint("shuffle_hash"), id_col)
-            .where(F.col("rnk")
-                   <= F.col("c") - F.ceil(F.lit(threshold) * F.col("c")) + 1)
+                  Window.partitionBy(id_col).orderBy("sf", "s")))
+              .withColumn("c", F.count(F.lit(1)).over(
+                  Window.partitionBy(id_col))))
+    pref = (ranked.where(
+                F.col("rnk")
+                <= F.col("c") - F.ceil(F.lit(threshold) * F.col("c")) + 1)
             .select(F.col(id_col), F.col("s")))
     pa = pref.select(F.col(id_col).alias("id_a"), "s")
     pb = pref.select(F.col(id_col).alias("__idb"), F.col("s").alias("s_b"))

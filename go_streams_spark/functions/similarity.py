@@ -2168,29 +2168,14 @@ def mrl_truncation_eval(df: DataFrame, *, id_col: str = "vec_id",
         raise ValueError(f"need k >= 1, probe_mod >= 1; got {k}/{probe_mod}")
     scale = 10 ** round_dp
 
-    def _isum(arr):
-        return F.aggregate(arr, F.lit(0).cast("long"),
-                           lambda acc, x: acc + x)
-
-    # per-VECTOR prefix norms precomputed once (corpus-sized, cheap)
-    # so the per-PAIR work is a single product-array fold — norms never
-    # re-fold inside the pair frame
-    # dedupe + sort: a repeated dim would alias two n{d} columns in
+    # dedupe + sort: a repeated dim would alias two sim_t{d} columns in
     # one select and fail at plan time
     dl = sorted({int(x) for x in dims})
     base = df.select(
         F.col(id_col), quantized_vec(vec_col, scale).alias("v"))
-    base = base.select(
-        id_col, "v",
-        *[_isum(F.transform(F.slice("v", 1, d), lambda x: x * x))
-          .alias(f"n{d}") for d in dl],
-        _isum(F.transform(F.col("v"), lambda x: x * x)).alias("nfull"))
-    ncols = [f"n{d}" for d in dl] + ["nfull"]
-    probes = (base.where(F.pmod(F.col(id_col), F.lit(probe_mod)) == 0)
-              .select(F.col(id_col).alias("id_a"), F.col("v").alias("va"),
-                      *[F.col(c).alias(f"a_{c}") for c in ncols]))
-    cands = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
-                        *[F.col(c).alias(f"b_{c}") for c in ncols])
+    probes = base.where(F.pmod(F.col(id_col), F.lit(probe_mod)) == 0) \
+        .select(F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    cands = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
     # probe x corpus as a BUCKETED EQUI-JOIN (block_knn's grid trick),
     # not a broadcast nested loop: candidates key on id % B, probes
     # explode over all B buckets — every pair meets exactly once, the
@@ -2201,50 +2186,107 @@ def mrl_truncation_eval(df: DataFrame, *, id_col: str = "vec_id",
         "qb", F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))))
     cands_k = cands.withColumn(
         "qb", F.pmod(F.col("id_b"), F.lit(blocks)).cast("int"))
-    def _q(dot, na, nb):
-        return (F.floor(dot / (F.sqrt(F.greatest(na, F.lit(1)))
-                               * F.sqrt(F.greatest(nb, F.lit(1))))
-                        * scale + F.lit(0.5)) / float(scale))
 
-    def _pick(side, d_col):
-        out = F.col(f"{side}_nfull")  # unused fallback; every d matches
-        expr = None
-        for d in dl:
-            cond = (d_col == d)
-            expr = (F.when(cond, F.col(f"{side}_n{d}")) if expr is None
-                    else expr.when(cond, F.col(f"{side}_n{d}")))
-        return expr.otherwise(out)
+    # per pair: the |dims| truncated sims and the full sim come out of
+    # ONE vectorized mapInArrow pass (guide §4.2) — the former JVM
+    # higher-order folds (zip_with product + one aggregate per d)
+    # allocated a d-element array per pair and ran interpreted,
+    # measured as the dominant cost (2.3 s of the 4.3 s query at
+    # sf0.1 for 160k pairs). NumPy computes exact int64 segment sums
+    # over the flattened product/square buffers (cumsum + offset
+    # differences — ragged-safe, no fixed-dim assumption), then the
+    # EXACT same IEEE expression as the old `_q` column
+    # (floor(dot / (sqrt(max(na,1)) * sqrt(max(nb,1))) * scale + 0.5)
+    # / scale) in the same operation order — float64 ops are
+    # correctly-rounded in both engines, and every integer input is
+    # below 2^53, so the sims are bit-identical to the JVM/DuckDB
+    # formula.
+    #
+    # r9 (guide §2.3, shuffle fewer bytes): the pair frame also stays
+    # at ONE row per (probe, candidate) with the truncated sims as
+    # COLUMNS — the old shape exploded pairs x dims BEFORE the ranking
+    # shuffle, moving 3x the rows and re-sorting the identical
+    # full-dim ranking rf once per d inside 3x-size partitions. Now
+    # one exchange on id_a carries the slim (id_b, sim_f, sim_t{d}..)
+    # row, rf sorts ONCE, each sim_t{d} sorts once, and the per-d
+    # grain is restored by a stack AFTER the <= |dims|-per-probe
+    # aggregate. Ranks are unchanged: per (id_a, d) the rank order
+    # (sim desc, id_b) runs over the same rows either way.
+    joined = (cands_k.join(probes_x.hint("shuffle_hash"), "qb")
+              .where(F.col("id_a") != F.col("id_b"))
+              .select("id_a", "id_b", "va", "vb"))
 
-    # per pair: ONE componentwise product array; the full-dim sim folds
-    # it once BEFORE the dims explode, the truncated sims fold only the
-    # slice (slice-of-products == products-of-slices, positionwise).
-    # The first cut re-zipped and re-folded vectors AND norms per d —
-    # measured 11.4 s -> 4-7 s at sf0.1 across these two rewrites.
-    pairs = (cands_k.join(probes_x.hint("shuffle_hash"), "qb")
-             .where(F.col("id_a") != F.col("id_b"))
-             .select("id_a", "id_b",
-                     *[c for c in probes_x.columns if c.startswith("a_n")],
-                     *[c for c in cands.columns if c.startswith("b_n")],
-                     F.zip_with("va", "vb", lambda x, y: x * y).alias("pr"))
-             .withColumn("sim_f", _q(_isum(F.col("pr")),
-                                     F.col("a_nfull"), F.col("b_nfull")))
-             .withColumn("d", F.explode(F.array(*[F.lit(d) for d in dl]))))
-    scored = pairs.select(
-        "id_a", "id_b", "d", "sim_f",
-        _q(_isum(F.slice("pr", 1, F.col("d"))),
-           _pick("a", F.col("d")), _pick("b", F.col("d"))).alias("sim_t"))
+    def _pair_sims(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        def _seg(flat_csum, starts, ends):
+            return flat_csum[ends] - flat_csum[starts]
+
+        for b in batches:
+            n = b.num_rows
+            if n == 0:
+                continue
+            va, vb = b.column("va"), b.column("vb")
+            fa = va.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            fb = vb.values.to_numpy(zero_copy_only=False).astype(np.int64)
+            off_a = va.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            off_b = vb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            # int64 cumsums stay exact: |component| <= ~1e6 micro-units
+            # => |product| <= ~1e12, and one Arrow batch holds <= 10k
+            # rows (maxRecordsPerBatch) => < ~1e6 elements, 1e18 < 2^63.
+            lens = np.diff(off_a)
+            if np.any(lens != np.diff(off_b)):
+                raise ValueError("mrl_truncation_eval: pair with "
+                                 "mismatched vector lengths")
+            prod = fa * fb
+            csum_p = np.concatenate(([0], np.cumsum(prod)))
+            csum_a = np.concatenate(([0], np.cumsum(fa * fa)))
+            csum_b = np.concatenate(([0], np.cumsum(fb * fb)))
+            starts_a, ends_a = off_a[:-1], off_a[1:]
+            starts_b, ends_b = off_b[:-1], off_b[1:]
+
+            def _sim(dot, na, nb):
+                s = (dot.astype(np.float64)
+                     / (np.sqrt(np.maximum(na, 1).astype(np.float64))
+                        * np.sqrt(np.maximum(nb, 1).astype(np.float64)))
+                     * scale + 0.5)
+                return np.floor(s) / float(scale)
+
+            cols = {"id_a": b.column("id_a"), "id_b": b.column("id_b")}
+            cols["sim_f"] = pa.array(_sim(
+                _seg(csum_p, starts_a, ends_a),
+                _seg(csum_a, starts_a, ends_a),
+                _seg(csum_b, starts_b, ends_b)))
+            for d in dl:
+                ca = np.minimum(starts_a + d, ends_a)
+                cb = np.minimum(starts_b + d, ends_b)
+                cols[f"sim_t{d}"] = pa.array(_sim(
+                    _seg(csum_p, starts_a, ca),
+                    _seg(csum_a, starts_a, ca),
+                    _seg(csum_b, starts_b, cb)))
+            yield pa.RecordBatch.from_pydict(cols)
+
+    sim_schema = ("id_a long, id_b long, sim_f double, "
+                  + ", ".join(f"sim_t{d} double" for d in dl))
+    pairs = joined.mapInArrow(_pair_sims, sim_schema)
     from pyspark.sql import Window as W
-    wt = W.partitionBy("id_a", "d").orderBy(F.col("sim_t").desc(), "id_b")
-    wf = W.partitionBy("id_a", "d").orderBy(F.col("sim_f").desc(), "id_b")
-    ranked = scored.select(
-        "id_a", "d",
-        F.row_number().over(wt).alias("rt"),
-        F.row_number().over(wf).alias("rf"))
-    return (ranked.groupBy("id_a", "d")
-            .agg(F.sum(F.when((F.col("rt") <= k) & (F.col("rf") <= k), 1)
-                       .otherwise(0)).cast("long").alias("overlap_at_k"))
+    wf = W.partitionBy("id_a").orderBy(F.col("sim_f").desc(), "id_b")
+    ranked = pairs.select(
+        "id_a",
+        F.row_number().over(wf).alias("rf"),
+        *[F.row_number().over(
+            W.partitionBy("id_a").orderBy(F.col(f"sim_t{d}").desc(), "id_b"))
+          .alias(f"rt{d}") for d in dl])
+    per_probe = ranked.groupBy("id_a").agg(
+        *[F.sum(F.when((F.col(f"rt{d}") <= k) & (F.col("rf") <= k), 1)
+                .otherwise(0)).cast("long").alias(f"ov{d}") for d in dl])
+    stack = ", ".join(f"{d}, ov{d}" for d in dl)
+    return (per_probe.selectExpr(
+                "id_a",
+                f"stack({len(dl)}, {stack}) as (trunc_dim, overlap_at_k)")
             .select(F.col("id_a").alias(id_col),
-                    F.col("d").alias("trunc_dim"),
+                    F.col("trunc_dim").cast("int"),
                     "overlap_at_k",
                     F.floor(F.col("overlap_at_k") * 1_000_000 / F.lit(k)
                             + F.lit(0.5)).cast("long")
