@@ -479,8 +479,13 @@ def link_prediction(edges: DataFrame, *, src: str = "src",
            .unionByName(e0.select(F.col("b").alias("node"),
                                   F.col("a").alias("nbr"))))
     adj = track_persist(adj)
-    deg = adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    centers = (adj.join(deg, "node").where(F.col("d") <= hub_cap))
+    # degree rides the node partition the wedge self-join needs anyway
+    # (count over the unordered window) — r9 removed the separate
+    # degree aggregate + join back onto adj (guide §2.4). Same integer
+    # per node.
+    centers = (adj.withColumn("d", F.count(F.lit(1)).over(
+                   Window.partitionBy("node")))
+               .where(F.col("d") <= hub_cap))
     a1 = centers.select("node", F.col("nbr").alias("x"), "d")
     a2 = centers.select("node", F.col("nbr").alias("y"))
     wedges = (a1.join(a2, "node")
