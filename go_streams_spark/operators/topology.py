@@ -77,7 +77,9 @@ def cpu_widen(df: DataFrame, *, factor: int = 2) -> DataFrame:
         max_bytes = parse_byte_string(spark.conf.get(
             "spark.sql.files.maxPartitionBytes"))
         est_parts = max(1, size // max(max_bytes, 1))
-    except AttributeError:  # Spark Connect: no _jdf
+    except (AttributeError, ValueError):
+        # Spark Connect (no _jdf) or an unparseable conf value: the
+        # pass-through branch is the safe one either way
         return df
     if est_parts >= target:
         return df

@@ -2045,6 +2045,94 @@ def test_mrl_truncation_full_dim_is_identity(spark):
     assert all(r["recall_micro"] == 1_000_000 for r in out)
 
 
+def test_mrl_arrow_sims_match_jvm_formula(spark):
+    """r9: the per-pair sims moved from JVM higher-order folds to a
+    numpy mapInArrow pass — pin bit-exactness against the original
+    JVM expression (floor(dot/(sqrt(max(na,1))*sqrt(max(nb,1)))
+    *scale+0.5)/scale over the quantized vectors) on vectors that
+    exercise negatives, zeros and an all-zero prefix (the max(n,1)
+    guard)."""
+    import random
+    from pyspark.sql import functions as F
+    from go_streams_spark.functions.similarity import (
+        mrl_truncation_eval, quantized_vec)
+    rnd = random.Random(13)
+    rows = [(i, ([0.0, 0.0] if i % 5 == 0 else
+                 [rnd.uniform(-1, 1), rnd.uniform(-1, 1)])
+             + [rnd.uniform(-1, 1) for _ in range(6)])
+            for i in range(15)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = {(r["vec_id"], r["trunc_dim"]): (r["overlap_at_k"],
+                                           r["recall_micro"])
+           for r in mrl_truncation_eval(df, dims=(2, 4), k=3,
+                                        probe_mod=3).collect()}
+    # JVM replay of the ORIGINAL formula for the same probes/pairs
+    scale = 10 ** 6
+    base = df.select("vec_id", quantized_vec("embedding", scale).alias("v"))
+    pr = base.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")) \
+        .where(F.pmod("id_a", F.lit(3)) == 0)
+    ca = base.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    pairs = pr.crossJoin(ca).where(F.col("id_a") != F.col("id_b"))
+
+    def isum(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda a, x: a + x)
+
+    def q(dot, na, nb):
+        return (F.floor(dot / (F.sqrt(F.greatest(na, F.lit(1)))
+                               * F.sqrt(F.greatest(nb, F.lit(1))))
+                        * scale + F.lit(0.5)) / float(scale))
+
+    prod = F.zip_with("va", "vb", lambda x, y: x * y)
+    scored = pairs.select(
+        "id_a", "id_b",
+        q(isum(prod), isum(F.transform("va", lambda x: x * x)),
+          isum(F.transform("vb", lambda x: x * x))).alias("sim_f"),
+        *[q(isum(F.slice(prod, 1, d)),
+            isum(F.transform(F.slice("va", 1, d), lambda x: x * x)),
+            isum(F.transform(F.slice("vb", 1, d), lambda x: x * x)))
+          .alias(f"sim_t{d}") for d in (2, 4)])
+    from pyspark.sql import Window as W
+    rf = F.row_number().over(
+        W.partitionBy("id_a").orderBy(F.col("sim_f").desc(), "id_b"))
+    ref = scored.select("id_a", rf.alias("rf"), *[
+        F.row_number().over(W.partitionBy("id_a")
+                            .orderBy(F.col(f"sim_t{d}").desc(), "id_b"))
+        .alias(f"rt{d}") for d in (2, 4)])
+    exp = ref.groupBy("id_a").agg(*[
+        F.sum(F.when((F.col(f"rt{d}") <= 3) & (F.col("rf") <= 3), 1)
+              .otherwise(0)).cast("long").alias(f"ov{d}")
+        for d in (2, 4)]).collect()
+    import math
+    for r in exp:
+        for d in (2, 4):
+            got = out[(r["id_a"], d)]
+            assert got[0] == r[f"ov{d}"]
+            assert got[1] == math.floor(r[f"ov{d}"] * 1_000_000 / 3 + 0.5)
+
+
+def test_minhash_with_sizes_carries_exact_counts(spark):
+    """r9: setsim's length filter reads ca/cb carried through the band
+    join (with_sizes) instead of joining a count aggregate — the pair
+    set must be identical to the plain form and the sizes must equal
+    each doc's distinct-shingle count."""
+    from go_streams_spark.functions.dedup import (
+        minhash_lsh_candidates, shingle_rows)
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"),
+         (3, "a b c d e f g h i"), (4, "x y z w q r s")],
+        "doc_id bigint, text string")
+    plain = {(r["id_a"], r["id_b"])
+             for r in minhash_lsh_candidates(docs).collect()}
+    sized = minhash_lsh_candidates(docs, with_sizes=True).collect()
+    assert {(r["id_a"], r["id_b"]) for r in sized} == plain and plain
+    counts = {r["doc_id"]: r["n"]
+              for r in shingle_rows(docs).groupBy("doc_id")
+              .count().withColumnRenamed("count", "n").collect()}
+    for r in sized:
+        assert r["ca"] == counts[r["id_a"]]
+        assert r["cb"] == counts[r["id_b"]]
+
+
 def test_winnowing_overlap_detects_copied_passage(spark):
     """A passage copied between two otherwise-different docs must
     surface as an overlap pair; full duplicates score containment 1.0;
