@@ -1302,9 +1302,13 @@ def dedup_method_eval(df: DataFrame, *, text_col: str = "text",
            .distinct())
     fp = winnow_fingerprints(df, text_col=text_col, id_col=id_col,
                              ngram=3, window=4).select(id_col, "fp_hash")
-    df_cap = (fp.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("df"))
-              .where(F.col("df") <= 20).select("fp_hash"))
-    f2 = fp.join(df_cap.hint("merge"), "fp_hash")  # fingerprint-grain
+    # doc-frequency cap as a count over the fp_hash partition the pair
+    # self-join below needs anyway (r9, guide §2.4 — formerly a count
+    # aggregate + merge join of the fingerprint rows). Same rows.
+    from pyspark.sql import Window as _W
+    f2 = (fp.withColumn("__df", F.count(F.lit(1)).over(
+              _W.partitionBy("fp_hash")))
+          .where(F.col("__df") <= 20).drop("__df"))  # fingerprint-grain
     fa = f2.select(F.col(id_col).alias("id_a"), "fp_hash")
     fb = f2.select(F.col(id_col).alias("id_b"), "fp_hash")
     wn = (fa.join(fb, "fp_hash")

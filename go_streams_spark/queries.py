@@ -10625,15 +10625,20 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out is bounded by the doc-frequency cap, so the equi-join never
     degenerates on boilerplate grams. Integer counts + one rounded
     division — hash-exact."""
+    from pyspark.sql import Window
     docs = _t(spark, sf_dir, "documents")
     fp = T.winnow_fingerprints(docs, ngram=3, window=4) \
         .select("doc_id", "fp_hash")
-    df_cap = (fp.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("df"))
-              .where(F.col("df") <= 20).select("fp_hash"))
-    # fingerprint-grain sides pin MERGE (fan-out-sized: one row per
-    # selected window position — the SHJ-build-OOM class SCALE.md §26
-    # measured at sf100); doc-grain sizes keep shuffle_hash below
-    f2 = fp.join(df_cap.hint("merge"), "fp_hash")
+    # doc-frequency cap as a count over the fp_hash partition the pair
+    # self-join below needs anyway (r9, guide §2.4 — formerly a count
+    # aggregate + merge join of the fingerprint rows; same rows).
+    # fingerprint-grain pair sides still pin MERGE (fan-out-sized: one
+    # row per selected window position — the SHJ-build-OOM class
+    # SCALE.md §26 measured at sf100); doc-grain sizes keep
+    # shuffle_hash below
+    f2 = (fp.withColumn("__df", F.count(F.lit(1)).over(
+              Window.partitionBy("fp_hash")))
+          .where(F.col("__df") <= 20).drop("__df"))
     sizes = f2.groupBy(F.col("doc_id").alias("sid")) \
         .agg(F.count(F.lit(1)).alias("nf"))
     a = f2.select(F.col("doc_id").alias("id_a"), "fp_hash")
