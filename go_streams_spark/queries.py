@@ -11061,31 +11061,46 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("a"), F.col("l_suppkey").alias("b"))
     bounds = li.agg(F.min("a").alias("la"), F.max("a").alias("ha"),
                     F.min("b").alias("lb"), F.max("b").alias("hb"))
-    q = (li.crossJoin(F.broadcast(bounds))
-         .withColumn("qa", integer_quantize(
-             F.col("a"), F.col("la"), F.col("ha"), bits=8))
-         .withColumn("qb", integer_quantize(
-             F.col("b"), F.col("lb"), F.col("hb"), bits=8))
-         .withColumn("zkey", zorder_key([F.col("qa"), F.col("qb")], bits=8)))
+    # r9 (guide §2.3/§2.4): the two layouts used to share one CHAINED
+    # pipeline — ordinal(zkey) -> re-sort by insertion -> explode x2 ->
+    # aggregate — so the broadcast bounds columns (la/ha/lb/hb/qa/qb)
+    # rode BOTH range shuffles and both ordinal persists, the second
+    # sort additionally carried rz/__n, and every row doubled through
+    # the stats exchange. The layouts are independent: each branch now
+    # range-sorts only the columns its own bucket stats need, the
+    # insertion branch never touches the Morton key at all, and the
+    # union happens at 64-aggregated-rows grain. Same bucket
+    # assignments (identical order keys, identical ntile arithmetic
+    # over the same total), same min/max integers.
+    qz = (li.crossJoin(F.broadcast(bounds))
+          .withColumn("qa", integer_quantize(
+              F.col("a"), F.col("la"), F.col("ha"), bits=8))
+          .withColumn("qb", integer_quantize(
+              F.col("b"), F.col("lb"), F.col("hb"), bits=8))
+          .withColumn("zkey", zorder_key([F.col("qa"), F.col("qb")],
+                                         bits=8))
+          .select("zkey", "l_orderkey", "l_linenumber", "a", "b"))
     oz = distributed_ordinal(
-        q, order_by=["zkey", "l_orderkey", "l_linenumber"],
+        qz, order_by=["zkey", "l_orderkey", "l_linenumber"],
         idx="rz", total_col="__n")
-    ob = distributed_ordinal(
-        oz, order_by=["l_orderkey", "l_linenumber"], idx="ri")
-    bk = ob.select(
-        "a", "b",
-        ntile_arithmetic(F.col("rz"), F.col("__n"), 64).alias("bz"),
-        ntile_arithmetic(F.col("ri"), F.col("__n"), 64).alias("bi"))
-    lng = (bk.select(F.explode(F.array(
-        F.struct(F.lit("zorder").alias("layout"),
-                 F.col("bz").alias("bucket")),
-        F.struct(F.lit("insertion").alias("layout"),
-                 F.col("bi").alias("bucket")))).alias("lb"), "a", "b")
-        .select(F.col("lb.layout").alias("layout"),
-                F.col("lb.bucket").alias("bucket"), "a", "b"))
-    stats = lng.groupBy("layout", "bucket").agg(
-        F.min("a").alias("mna"), F.max("a").alias("mxa"),
-        F.min("b").alias("mnb"), F.max("b").alias("mxb"))
+    oi = distributed_ordinal(
+        li, order_by=["l_orderkey", "l_linenumber"],
+        idx="ri", total_col="__n")
+    stats_z = (oz.select(
+        F.lit("zorder").alias("layout"),
+        ntile_arithmetic(F.col("rz"), F.col("__n"), 64).alias("bucket"),
+        "a", "b")
+        .groupBy("layout", "bucket").agg(
+            F.min("a").alias("mna"), F.max("a").alias("mxa"),
+            F.min("b").alias("mnb"), F.max("b").alias("mxb")))
+    stats_i = (oi.select(
+        F.lit("insertion").alias("layout"),
+        ntile_arithmetic(F.col("ri"), F.col("__n"), 64).alias("bucket"),
+        "a", "b")
+        .groupBy("layout", "bucket").agg(
+            F.min("a").alias("mna"), F.max("a").alias("mxa"),
+            F.min("b").alias("mnb"), F.max("b").alias("mxb")))
+    stats = stats_z.unionByName(stats_i)
     statsl = (stats.select(
         "layout", "bucket", F.lit("part").alias("dim"),
         F.col("mna").alias("mn"), F.col("mxa").alias("mx"))
