@@ -1066,7 +1066,19 @@ def synth_png(df: DataFrame, *, text_col: str = "text",
             yield pd.DataFrame({id_col: pdf[id_col], "image": blobs})
 
     id_type = dict(df.dtypes)[id_col]
-    return df.select(id_col, text_col).mapInPandas(
+    # r9 (guide §2.5 input-width trap): the PNG codec work (deflate +
+    # per-row filters, ~0.6 ms/doc with the decode) is decoupled from
+    # the slim (id, text) scan's byte size — a few-MB dimension scan
+    # arrives in 1-2 splits and the whole synth+decode chain runs on
+    # 1-2 cores. cpu_widen spreads it cluster-wide and self-disables on
+    # frames whose size estimate already spans the cluster. Measured
+    # A/B at sf0.1: png 2.42 -> 1.69 s; the SAME widen on the cheaper
+    # BMP/WAV/AVI synths (no deflate, ~0.1 ms/doc) REGRESSED them
+    # 0.85-1.62 -> 1.98-2.31 s — per-task Python/Arrow startup exceeds
+    # the spread work — so those keep the narrow scan (same rejection
+    # class as the bigram cpu_widen, OPTIMIZATION_r09.md §3).
+    from ..operators.topology import cpu_widen
+    return cpu_widen(df.select(id_col, text_col)).mapInPandas(
         _make, schema=f"{id_col} {id_type}, image binary")
 
 
