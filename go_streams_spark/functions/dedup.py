@@ -1192,24 +1192,19 @@ def fellegi_sunter_link(df: DataFrame, *, text_col: str = "text",
     cands = minhash_lsh_candidates(df, text_col=text_col, id_col=id_col,
                                    ngram=ngram, num_hashes=num_hashes,
                                    rows_per_band=rows_per_band, shingles=sh)
-    cnts = sh.groupBy(F.col(id_col).alias("cid")) \
-        .agg(F.count(F.lit(1)).alias("c"))
-    sa = sh.select(F.col(id_col).alias("id_a"), F.col("s").alias("s_a"))
-    sb = sh.select(F.col(id_col).alias("__idb"), F.col("s").alias("s_b"))
-    inter = (cands.hint("shuffle_hash").join(sa, "id_a")
-             .join(sb.hint("merge"),
-                   (F.col("id_b") == F.col("__idb"))
-                   & (F.col("s_a") == F.col("s_b")))
-             .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("i")))
-    jac = (cands.join(inter, ["id_a", "id_b"], "left")
-           .na.fill({"i": 0})
-           .join(cnts.withColumnRenamed("cid", "id_a")
-                 .withColumnRenamed("c", "ca").hint("shuffle_hash"), "id_a")
-           .join(cnts.withColumnRenamed("cid", "id_b")
-                 .withColumnRenamed("c", "cb").hint("shuffle_hash"), "id_b")
-           .select("id_a", "id_b", F.expr(
-               "(i * 1000000) div greatest(ca + cb - i, 1)")
-               .alias("jaccard_micro")))
+    # exact Jaccard via the doc-grain array plan (_pair_overlap — r9;
+    # formerly candidates x shingle-ROWS of A merge-joined against
+    # shingle rows of B plus a pair-grain count and two per-doc count
+    # joins, the verify-join blowup class this round retired from the
+    # setsim/containment family). Same integers: candidates come from
+    # the minhash blocker over these shingles, so both docs have >= 1
+    # shingle row and the inner doc-grain joins drop exactly the pairs
+    # the old count joins dropped; i/ca/cb are the same distinct-set
+    # sizes.
+    ov = _pair_overlap(cands, sh, id_col=id_col)
+    jac = ov.select("id_a", "id_b", F.expr(
+        "(i * 1000000) div greatest(ca + cb - i, 1)")
+        .alias("jaccard_micro"))
     attrs = df.select(
         F.col(id_col).alias("__aid"), F.col("lang").alias("__lang"),
         F.col("source").alias("__source"), F.col("n_chars").alias("__n"),
