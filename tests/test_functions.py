@@ -2586,6 +2586,29 @@ def test_decode_png_multi_batch_no_duplicates(spark):
                 "spark.sql.execution.arrow.maxRecordsPerBatch", old)
 
 
+def test_synth_png_widens_narrow_input(spark):
+    """The PNG codec chain's cost is decoupled from its slim (id, text)
+    scan bytes, so synth_png spreads a narrow input cluster-wide via
+    cpu_widen (r9; a 1-2-split scan ran the whole synth+decode on 1-2
+    cores). Pin: a single-partition input comes out widened, and the
+    decode stays row-exact through the round-robin exchange."""
+    from go_streams_spark.functions.multimodal import (decode_png_gray,
+                                                       synth_png)
+    # must be a FILE scan: cpu_widen sizes from optimizer statistics,
+    # and in-memory relations hit the unknown-stats pass-through branch
+    path = "/tmp/png_widen_docs.parquet"
+    spark.createDataFrame(
+        [(i, f"doc number {i} text") for i in range(12)],
+        "doc_id long, text string").coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    out = synth_png(docs)
+    target = 2 * spark.sparkContext.defaultParallelism
+    assert out.rdd.getNumPartitions() == target
+    rows = decode_png_gray(out).collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(12))
+
+
 def test_mmr_topk_group_smaller_than_k(spark):
     """A group with fewer members than k emits min(k, n) ranks — no
     padding, no crash."""
