@@ -11061,46 +11061,54 @@ def zorder_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_partkey").alias("a"), F.col("l_suppkey").alias("b"))
     bounds = li.agg(F.min("a").alias("la"), F.max("a").alias("ha"),
                     F.min("b").alias("lb"), F.max("b").alias("hb"))
-    # r9 (guide §2.3/§2.4): the two layouts used to share one CHAINED
-    # pipeline — ordinal(zkey) -> re-sort by insertion -> explode x2 ->
-    # aggregate — so the broadcast bounds columns (la/ha/lb/hb/qa/qb)
-    # rode BOTH range shuffles and both ordinal persists, the second
-    # sort additionally carried rz/__n, and every row doubled through
-    # the stats exchange. The layouts are independent: each branch now
-    # range-sorts only the columns its own bucket stats need, the
-    # insertion branch never touches the Morton key at all, and the
-    # union happens at 64-aggregated-rows grain. Same bucket
-    # assignments (identical order keys, identical ntile arithmetic
-    # over the same total), same min/max integers.
-    qz = (li.crossJoin(F.broadcast(bounds))
-          .withColumn("qa", integer_quantize(
-              F.col("a"), F.col("la"), F.col("ha"), bits=8))
-          .withColumn("qb", integer_quantize(
-              F.col("b"), F.col("lb"), F.col("hb"), bits=8))
-          .withColumn("zkey", zorder_key([F.col("qa"), F.col("qb")],
-                                         bits=8))
-          .select("zkey", "l_orderkey", "l_linenumber", "a", "b"))
+    # r9, revised after a measurement-caught revert: a first rewrite
+    # ran the two layouts as INDEPENDENT slim ordinal branches
+    # (5.60 -> 3.76 s at sf0.1) — but (l_orderkey, l_linenumber) is
+    # NOT unique in the synthetic lineitem (6000 rows / 4599 distinct
+    # keys at sf0.001), so both ntile orderings carry ties and the
+    # audit's min/max stats are pinned on Spark and DuckDB breaking
+    # those ties identically; feeding the insertion ordinal from the
+    # raw scan instead of the z-ranked frame changed the tie arrival
+    # order and flipped one bucket boundary (sweep-caught: 1-row
+    # avg_bucket_span_micro mismatch at sf0.001). The CHAINED ordinal
+    # pipeline therefore stays.
+    # What is kept from the rewrite (provably order-preserving: same
+    # rows, same keys, same arrival order into each range exchange,
+    # stable within-partition sort): the broadcast bounds columns
+    # (la/ha/lb/hb/qa/qb) are dropped BEFORE the first range shuffle
+    # instead of riding both ordinal shuffles and persists (guide
+    # §2.3). A two-aggregate stats split was also tried and dropped —
+    # consuming the ranked frame twice duplicates every
+    # above-the-cache plan subtree (131 -> 235 Exchange nodes); the
+    # explode doubles rows into a map-side partial aggregate, which is
+    # the cheaper half of that trade.
+    q = (li.crossJoin(F.broadcast(bounds))
+         .withColumn("qa", integer_quantize(
+             F.col("a"), F.col("la"), F.col("ha"), bits=8))
+         .withColumn("qb", integer_quantize(
+             F.col("b"), F.col("lb"), F.col("hb"), bits=8))
+         .withColumn("zkey", zorder_key([F.col("qa"), F.col("qb")],
+                                        bits=8))
+         .select("zkey", "l_orderkey", "l_linenumber", "a", "b"))
     oz = distributed_ordinal(
-        qz, order_by=["zkey", "l_orderkey", "l_linenumber"],
+        q, order_by=["zkey", "l_orderkey", "l_linenumber"],
         idx="rz", total_col="__n")
-    oi = distributed_ordinal(
-        li, order_by=["l_orderkey", "l_linenumber"],
-        idx="ri", total_col="__n")
-    stats_z = (oz.select(
-        F.lit("zorder").alias("layout"),
-        ntile_arithmetic(F.col("rz"), F.col("__n"), 64).alias("bucket"),
-        "a", "b")
-        .groupBy("layout", "bucket").agg(
-            F.min("a").alias("mna"), F.max("a").alias("mxa"),
-            F.min("b").alias("mnb"), F.max("b").alias("mxb")))
-    stats_i = (oi.select(
-        F.lit("insertion").alias("layout"),
-        ntile_arithmetic(F.col("ri"), F.col("__n"), 64).alias("bucket"),
-        "a", "b")
-        .groupBy("layout", "bucket").agg(
-            F.min("a").alias("mna"), F.max("a").alias("mxa"),
-            F.min("b").alias("mnb"), F.max("b").alias("mxb")))
-    stats = stats_z.unionByName(stats_i)
+    ob = distributed_ordinal(
+        oz, order_by=["l_orderkey", "l_linenumber"], idx="ri")
+    bk = ob.select(
+        "a", "b",
+        ntile_arithmetic(F.col("rz"), F.col("__n"), 64).alias("bz"),
+        ntile_arithmetic(F.col("ri"), F.col("__n"), 64).alias("bi"))
+    lng = (bk.select(F.explode(F.array(
+        F.struct(F.lit("zorder").alias("layout"),
+                 F.col("bz").alias("bucket")),
+        F.struct(F.lit("insertion").alias("layout"),
+                 F.col("bi").alias("bucket")))).alias("lb"), "a", "b")
+        .select(F.col("lb.layout").alias("layout"),
+                F.col("lb.bucket").alias("bucket"), "a", "b"))
+    stats = lng.groupBy("layout", "bucket").agg(
+        F.min("a").alias("mna"), F.max("a").alias("mxa"),
+        F.min("b").alias("mnb"), F.max("b").alias("mxb"))
     statsl = (stats.select(
         "layout", "bucket", F.lit("part").alias("dim"),
         F.col("mna").alias("mn"), F.col("mxa").alias("mx"))
