@@ -1295,15 +1295,20 @@ def dedup_method_eval(df: DataFrame, *, text_col: str = "text",
            .select(F.col(f"a.{id_col}").alias("id_a"),
                    F.col(f"b.{id_col}").alias("id_b"))
            .distinct())
-    fp = winnow_fingerprints(df, text_col=text_col, id_col=id_col,
-                             ngram=3, window=4).select(id_col, "fp_hash")
-    # doc-frequency cap as a count over the fp_hash partition the pair
-    # self-join below needs anyway (r9, guide §2.4 — formerly a count
-    # aggregate + merge join of the fingerprint rows). Same rows.
-    from pyspark.sql import Window as _W
-    f2 = (fp.withColumn("__df", F.count(F.lit(1)).over(
-              _W.partitionBy("fp_hash")))
-          .where(F.col("__df") <= 20).drop("__df"))  # fingerprint-grain
+    # persisted: the rare-key aggregate and the join probe side are two
+    # consumers of the fingerprint selection pipeline
+    fp = track_persist(
+        winnow_fingerprints(df, text_col=text_col, id_col=id_col,
+                            ngram=3, window=4).select(id_col, "fp_hash"))
+    # doc-frequency cap via partial aggregate + join on the PRE-FILTERED
+    # key set — the SKEW-SAFE shape (r10, guide §2.5): a
+    # count-over-window buffers every occurrence of a boilerplate
+    # fingerprint (power-law key) in ONE window task, and AQE skew
+    # handling never applies to window exchanges. Hot keys drop from
+    # the aggregate OUTPUT before the join. Same rows.
+    rare = (fp.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= 20).select("fp_hash"))
+    f2 = fp.join(rare, "fp_hash")  # fingerprint-grain
     fa = f2.select(F.col(id_col).alias("id_a"), "fp_hash")
     fb = f2.select(F.col(id_col).alias("id_b"), "fp_hash")
     wn = (fa.join(fb, "fp_hash")

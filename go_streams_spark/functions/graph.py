@@ -475,17 +475,25 @@ def link_prediction(edges: DataFrame, *, src: str = "src",
     # caller's whole edge-construction pipeline (a basket explode for
     # the part graph) — without the pin the anti-join branch replays it
     e0 = track_persist(_canonical_undirected(edges, src, dst))
-    adj = (e0.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
-           .unionByName(e0.select(F.col("b").alias("node"),
-                                  F.col("a").alias("nbr"))))
-    adj = track_persist(adj)
-    # degree rides the node partition the wedge self-join needs anyway
-    # (count over the unordered window) — r9 removed the separate
-    # degree aggregate + join back onto adj (guide §2.4). Same integer
-    # per node.
-    centers = (adj.withColumn("d", F.count(F.lit(1)).over(
-                   Window.partitionBy("node")))
-               .where(F.col("d") <= hub_cap))
+    # both directions in ONE pass over the cached edges: explode a
+    # 2-struct array instead of unionByName (which scanned the cache
+    # twice and duplicated every downstream subtree that consumed it)
+    adj = (e0.select(F.explode(F.array(
+               F.struct(F.col("a").alias("node"), F.col("b").alias("nbr")),
+               F.struct(F.col("b").alias("node"), F.col("a").alias("nbr"))))
+           .alias("e")).select("e.node", "e.nbr"))
+    # degree via partial aggregate + join — the SKEW-SAFE shape (r10,
+    # guide §2.5): the r9 count-over-window buffered a hub node's whole
+    # adjacency in ONE window task BEFORE hub_cap could drop it, and
+    # AQE skew handling never applies to window exchanges. The degree
+    # table is node-grain (tiny after map-side partials); AQE
+    # broadcasts it or skew-splits the join at runtime. Same integer
+    # per node; hubs drop from the agg OUTPUT before the join.
+    deg = (adj.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+           .where(F.col("d") <= hub_cap))
+    # persist the capped adjacency: BOTH wedge sides (a1, a2) read it,
+    # and its lineage is the caller's whole edge-construction pipeline
+    centers = track_persist(adj.join(deg, "node"))
     a1 = centers.select("node", F.col("nbr").alias("x"), "d")
     a2 = centers.select("node", F.col("nbr").alias("y"))
     wedges = (a1.join(a2, "node")
@@ -495,12 +503,17 @@ def link_prediction(edges: DataFrame, *, src: str = "src",
                    F.sum(F.expr("1000000 div d")).alias("ra_micro")))
     non_edges = scored.join(
         e0, (scored.x == e0.a) & (scored.y == e0.b), "left_anti")
-    both = (non_edges.select(F.col("x").alias("node"),
-                             F.col("y").alias("candidate"),
-                             "cn", "ra_micro")
-            .unionByName(non_edges.select(
-                F.col("y").alias("node"), F.col("x").alias("candidate"),
-                "cn", "ra_micro")))
+    # emit each surviving pair in both orientations with ONE explode —
+    # the former unionByName replayed the whole wedge+anti-join subtree
+    # once per branch (plan audit r10: the entire pipeline appeared
+    # twice under the final union)
+    both = (non_edges.select(F.explode(F.array(
+                F.struct(F.col("x").alias("node"),
+                         F.col("y").alias("candidate")),
+                F.struct(F.col("y").alias("node"),
+                         F.col("x").alias("candidate"))))
+            .alias("p"), "cn", "ra_micro")
+            .select("p.node", "p.candidate", "cn", "ra_micro"))
     w = Window.partitionBy("node").orderBy(
         F.col("ra_micro").desc(), F.col("cn").desc(), "candidate")
     return (both.withColumn("rank", F.row_number().over(w).cast("int"))

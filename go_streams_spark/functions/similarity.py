@@ -344,36 +344,88 @@ def sign_band_rows(df: DataFrame, *, id_col: str = "vec_id",
     patterns differ in <= max_band_hamming bits share at least one exact
     band. Candidate generation for ``cosine_near_dup_lsh``.
     """
-    nbands = max_band_hamming + 1
-    sizes = [nbits // nbands + (1 if i < nbits % nbands else 0)
-             for i in range(nbands)]
     bucket = sign_bucket(vec_col, nbits)
-    keys, start = [], 0
-    for size in sizes:
-        keys.append(F.shiftright(bucket, start)
-                    .bitwiseAND(F.lit((1 << size) - 1)))
-        start += size
+    keys = [F.shiftright(bucket, start).bitwiseAND(F.lit((1 << size) - 1))
+            for start, size in _band_layout(nbits, max_band_hamming + 1)]
     return df.select(F.col(id_col), as_double(vec_col).alias("v"),
                      F.posexplode(F.array(*keys)).alias("band", "band_key"))
+
+
+def _band_layout(nbits: int, nbands: int) -> list[tuple[int, int]]:
+    """(start_bit, size) of each contiguous pigeonhole band — shared by
+    the band-row explode and the dense scan's in-batch band predicate
+    so the two candidate definitions cannot drift."""
+    sizes = [nbits // nbands + (1 if i < nbits % nbands else 0)
+             for i in range(nbands)]
+    out, start = [], 0
+    for size in sizes:
+        out.append((start, size))
+        start += size
+    return out
 
 
 def cosine_near_dup_lsh(df: DataFrame, *, id_col: str = "vec_id",
                         vec_col: str = "embedding", threshold: float = 0.5,
                         round_dp: int = 6, nbits: int = 16,
-                        max_band_hamming: int = 4) -> DataFrame:
+                        max_band_hamming: int = 4,
+                        dense_switch_micro: int | None = None,
+                        num_blocks: int = 8) -> DataFrame:
     """APPROXIMATE near-dup pairs: banded sign-LSH candidates + exact
-    cosine verify — the bucketed plan that avoids the O(N^2) pair space.
+    cosine verify.
 
-    Candidates = pairs sharing >= 1 exact sign-bit band (equi-join on
-    (band, band_key), shuffle-partitioned); the exact rounded cosine and
-    the ``sim >= threshold`` filter run on candidates only. Recall < 1
-    by design: a pair at cos ~0.5 (60 deg) disagrees on each sign bit
-    w.p. ~1/3, so only pairs whose sign patterns differ in <=
-    ``max_band_hamming`` of ``nbits`` bits are found. Raise
-    max_band_hamming (more, shorter bands) for recall; raise nbits for
-    precision. This is the 100 TB path; ``cosine_near_dup`` is the exact
-    quadratic one.
+    Candidates = pairs sharing >= 1 exact sign-bit band; the exact
+    rounded cosine and the ``sim >= threshold`` filter run on
+    candidates only. Recall < 1 by design: a pair at cos ~0.5 (60 deg)
+    disagrees on each sign bit w.p. ~1/3, so only pairs whose sign
+    patterns differ in <= ``max_band_hamming`` of ``nbits`` bits are
+    found. Raise max_band_hamming (more, shorter bands) for recall;
+    raise nbits for precision.
+
+    TWO physical plans for the same result set (r10, guide §1.1
+    first-principles + §2.5 skew):
+
+    * **bucketed** (default): band rows self-equi-join on
+      (band, band_key), distinct the id pairs, re-attach vectors, JVM
+      cosine per candidate. Right when the bands actually prune — the
+      sparse regime.
+    * **dense blocked scan** (``dense_switch_micro`` set): when a
+      runtime BAND-OCCUPANCY estimate (one tiny agg over the band-key
+      histogram — sum of per-bucket n*(n-1)/2 vs all pairs) shows the
+      bands retain >= dense_switch_micro/1e6 of the whole pair space,
+      the bucketed plan is a false economy: it shuffles and
+      distinct-dedups ~the quadratic pair space as ROWS, then pays two
+      joins and an interpreted array fold per pair. Short wide bands
+      (e.g. the 16-bit/6-band near-dup config: 2-3-bit keys collide
+      w.p. ~1/8-1/4, so ~2/3 of ALL pairs are candidates at ANY corpus
+      size) are structurally in this regime. The dense plan reuses
+      ``cosine_near_dup``'s blocked cogroup pair scan — one BLAS matmul
+      per block pair, bounded per-task memory, no pair-row shuffle at
+      all — with the band predicate evaluated INSIDE the batch from
+      each vector's own sign bucket (xor + per-band mask), which is the
+      same pair set by definition. Hot buckets cannot skew it: work is
+      partitioned by block pair, not by band key.
+
+    ``cosine_near_dup`` is the exact quadratic sibling (recall 1).
     """
+    if dense_switch_micro is not None:
+        import numpy as np
+
+        nbands = max_band_hamming + 1
+        bands_only = sign_band_rows(
+            df, id_col=id_col, vec_col=vec_col, nbits=nbits,
+            max_band_hamming=max_band_hamming).select("band", "band_key")
+        occ = (bands_only.groupBy("band", "band_key")
+               .agg(F.count(F.lit(1)).alias("n"))
+               .agg(F.sum(F.expr("n * (n - 1) div 2")).alias("coll"),
+                    F.sum("n").alias("rows")).collect()[0])
+        n_vec = int(occ["rows"] or 0) // nbands
+        coll = int(occ["coll"] or 0)  # >= |candidates| (multi-band dups)
+        all_pairs = n_vec * (n_vec - 1) // 2
+        if all_pairs > 0 and coll * 1_000_000 >= dense_switch_micro * all_pairs:
+            return _cosine_near_dup_lsh_dense(
+                df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+                round_dp=round_dp, nbits=nbits,
+                max_band_hamming=max_band_hamming, num_blocks=num_blocks)
     # bands carry ONLY (id, band, band_key): the former shape attached
     # both full vectors to every candidate row, so the pair-dedup
     # shuffle moved ~1 KB per candidate (guide §2.3/§8 — shuffle keys,
@@ -414,6 +466,76 @@ def cosine_near_dup_lsh(df: DataFrame, *, id_col: str = "vec_id",
                         / (F.sqrt("na") * F.sqrt("nb")),
                         round_dp).alias("sim"))
             .where(F.col("sim") >= threshold))
+
+
+def _cosine_near_dup_lsh_dense(df: DataFrame, *, id_col: str,
+                               vec_col: str, threshold: float,
+                               round_dp: int, nbits: int,
+                               max_band_hamming: int,
+                               num_blocks: int) -> DataFrame:
+    """Dense-regime plan for ``cosine_near_dup_lsh`` — the SAME result
+    set via ``cosine_near_dup``'s blocked cogroup pair scan (one BLAS
+    matmul per block pair, every unordered block pair met exactly once,
+    bounded per-task memory) with the band-share candidate predicate
+    evaluated in-batch: pair (a, b) is a candidate iff some band of
+    a's sign bucket equals b's — a function of the two buckets alone,
+    so the band-row explode, the pair-row shuffle and the distinct all
+    disappear. See cosine_near_dup for the block-replication scheme."""
+    import numpy as np
+    import pandas as pd
+
+    B = num_blocks
+    layout = _band_layout(nbits, max_band_hamming + 1)
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"),
+                     sign_bucket(vec_col, nbits).alias("bkt"),
+                     F.pmod(F.col(id_col), F.lit(B)).cast("int").alias("blk"))
+    ge = F.filter(F.sequence(F.lit(0), F.lit(B - 1)),
+                  lambda j: j >= F.col("blk"))
+    le = F.filter(F.sequence(F.lit(0), F.lit(B - 1)),
+                  lambda i: i <= F.col("blk"))
+    left = base.select(F.col("blk").alias("bi"), F.explode(ge).alias("bj"),
+                       F.col(id_col).alias("id_l"), F.col("v").alias("vl"),
+                       F.col("bkt").alias("kl"))
+    right = base.select(F.explode(le).alias("bi"), F.col("blk").alias("bj"),
+                        F.col(id_col).alias("id_r"), F.col("v").alias("vr"),
+                        F.col("bkt").alias("kr"))
+
+    def _scan(key, lpdf, rpdf):
+        if lpdf.empty or rpdf.empty:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "sim": pd.Series(dtype="float64")})
+        la = np.array(list(lpdf["vl"]), dtype=np.float64)
+        ra = np.array(list(rpdf["vr"]), dtype=np.float64)
+        il = lpdf["id_l"].to_numpy(dtype=np.int64)
+        ir = rpdf["id_r"].to_numpy(dtype=np.int64)
+        kl = lpdf["kl"].to_numpy(dtype=np.int64)
+        kr = rpdf["kr"].to_numpy(dtype=np.int64)
+        # band-share predicate from the buckets alone: xor the sign
+        # buckets; a shared band is an all-zero band in the xor
+        xor = kl[:, None] ^ kr[None, :]
+        share = np.zeros(xor.shape, dtype=bool)
+        for start, size in layout:
+            share |= ((xor >> start) & ((1 << size) - 1)) == 0
+        # exact oracle formula: raw dot / (norm * norm), rounded —
+        # identical arithmetic to cosine_near_dup's oracle-green scan
+        sims = np.round(
+            (la @ ra.T)
+            / (np.linalg.norm(la, axis=1)[:, None]
+               * np.linalg.norm(ra, axis=1)[None, :]),
+            round_dp)
+        if key[0] == key[1]:
+            mask = il[:, None] < ir[None, :]
+        else:
+            mask = il[:, None] != ir[None, :]
+        ai, bi = np.nonzero((sims >= threshold) & share & mask)
+        ida, idb = il[ai], ir[bi]
+        return pd.DataFrame({"id_a": np.minimum(ida, idb),
+                             "id_b": np.maximum(ida, idb),
+                             "sim": sims[ai, bi]})
+
+    return (left.groupBy("bi", "bj").cogroup(right.groupBy("bi", "bj"))
+            .applyInPandas(_scan, schema="id_a long, id_b long, sim double"))
 
 
 def eval_query_sample(df: DataFrame, *, id_col: str = "vec_id",

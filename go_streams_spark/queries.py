@@ -2540,8 +2540,16 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests (a cos-0.5 pair disagrees per sign bit w.p. ~1/3 — weak
     thresholds are inherently recall-lossy under LSH)."""
     emb = _t(spark, sf_dir, "embeddings")
+    # dense_switch_micro (r10): one band-occupancy agg decides the plan
+    # at runtime — this config's 2-3-bit band keys retain ~2/3 of ALL
+    # pairs at any corpus size (measured: 1.34M of 2.0M at sf0.1), so
+    # the bucketed join's pair-row shuffle + distinct + per-pair
+    # interpreted folds are a false economy; past 1% retention the
+    # blocked BLAS scan with the in-batch band predicate computes the
+    # identical result set for ~1/100 the per-pair cost (guide §4.2).
     return S.cosine_near_dup_lsh(emb, threshold=0.5, nbits=16,
-                                 max_band_hamming=5)
+                                 max_band_hamming=5,
+                                 dense_switch_micro=10_000)
 
 
 @query("multimodal_meta", """
@@ -10625,20 +10633,24 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out is bounded by the doc-frequency cap, so the equi-join never
     degenerates on boilerplate grams. Integer counts + one rounded
     division — hash-exact."""
-    from pyspark.sql import Window
     docs = _t(spark, sf_dir, "documents")
-    fp = T.winnow_fingerprints(docs, ngram=3, window=4) \
-        .select("doc_id", "fp_hash")
-    # doc-frequency cap as a count over the fp_hash partition the pair
-    # self-join below needs anyway (r9, guide §2.4 — formerly a count
-    # aggregate + merge join of the fingerprint rows; same rows).
-    # fingerprint-grain pair sides still pin MERGE (fan-out-sized: one
-    # row per selected window position — the SHJ-build-OOM class
-    # SCALE.md §26 measured at sf100); doc-grain sizes keep
-    # shuffle_hash below
-    f2 = (fp.withColumn("__df", F.count(F.lit(1)).over(
-              Window.partitionBy("fp_hash")))
-          .where(F.col("__df") <= 20).drop("__df"))
+    # persisted: the rare-key aggregate and the join probe side below
+    # are two consumers of the fingerprint selection pipeline
+    fp = track_persist(T.winnow_fingerprints(docs, ngram=3, window=4)
+                       .select("doc_id", "fp_hash"))
+    # doc-frequency cap via partial aggregate + join on the PRE-FILTERED
+    # key set — the SKEW-SAFE shape (r10, guide §2.5): the r9
+    # count-over-window buffered every occurrence of a boilerplate
+    # fingerprint (a power-law key) in ONE window task, and AQE skew
+    # handling never applies to window exchanges. Here hot keys drop
+    # from the aggregate OUTPUT before the join, so the join's build
+    # side is only the rare fingerprints and its probe side skew-splits
+    # under AQE. Same rows. The pair self-join sides still pin MERGE
+    # (fan-out-sized — the SHJ-build-OOM class SCALE.md §26 measured at
+    # sf100); doc-grain sizes keep shuffle_hash below.
+    rare = (fp.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("__df"))
+            .where(F.col("__df") <= 20).select("fp_hash"))
+    f2 = fp.join(rare, "fp_hash")
     sizes = f2.groupBy(F.col("doc_id").alias("sid")) \
         .agg(F.count(F.lit(1)).alias("nf"))
     a = f2.select(F.col("doc_id").alias("id_a"), "fp_hash")

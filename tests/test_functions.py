@@ -168,6 +168,23 @@ def test_cosine_near_dup_lsh_recall_documented(spark, sf_dir):
     assert (10000, 10001) in lsh             # strong pair always found
 
 
+def test_cosine_near_dup_lsh_dense_plan_equivalent(spark, sf_dir):
+    """The r10 dense blocked-scan plan (band predicate evaluated
+    in-batch from the sign buckets) returns EXACTLY the bucketed
+    band-join plan's rows — same pairs, same sims. dense_switch_micro=1
+    forces the occupancy switch; None forces the bucketed plan."""
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding").limit(200))
+    kw = dict(threshold=0.05, nbits=16, max_band_hamming=5)
+    bucketed = {(r["id_a"], r["id_b"]): r["sim"]
+                for r in S.cosine_near_dup_lsh(emb, **kw).collect()}
+    dense = {(r["id_a"], r["id_b"]): r["sim"]
+             for r in S.cosine_near_dup_lsh(
+                 emb, dense_switch_micro=1, **kw).collect()}
+    assert dense == bucketed
+    assert len(bucketed) > 0                 # fixture exercises the path
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame([(1, "the cat!! sat on a mat")], "doc_id long, text string")
     row = df.select(
