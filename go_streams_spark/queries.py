@@ -10634,23 +10634,24 @@ def winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     degenerates on boilerplate grams. Integer counts + one rounded
     division — hash-exact."""
     docs = _t(spark, sf_dir, "documents")
-    # persisted: the rare-key aggregate and the join probe side below
-    # are two consumers of the fingerprint selection pipeline
-    fp = track_persist(T.winnow_fingerprints(docs, ngram=3, window=4)
-                       .select("doc_id", "fp_hash"))
-    # doc-frequency cap via partial aggregate + join on the PRE-FILTERED
-    # key set — the SKEW-SAFE shape (r10, guide §2.5): the r9
-    # count-over-window buffered every occurrence of a boilerplate
-    # fingerprint (a power-law key) in ONE window task, and AQE skew
-    # handling never applies to window exchanges. Here hot keys drop
-    # from the aggregate OUTPUT before the join, so the join's build
-    # side is only the rare fingerprints and its probe side skew-splits
-    # under AQE. Same rows. The pair self-join sides still pin MERGE
-    # (fan-out-sized — the SHJ-build-OOM class SCALE.md §26 measured at
-    # sf100); doc-grain sizes keep shuffle_hash below.
+    fp = T.winnow_fingerprints(docs, ngram=3, window=4) \
+        .select("doc_id", "fp_hash")
+    # doc-frequency cap via partial aggregate + merge join on the
+    # PRE-FILTERED key set — the SKEW-SAFE shape (r10 restores the r8
+    # form per the r9 verdict; guide §2.5): the r9 count-over-window
+    # buffered every occurrence of a boilerplate fingerprint (a
+    # power-law key) in ONE window task, and AQE skew handling never
+    # applies to window exchanges. Here hot keys drop from the
+    # aggregate OUTPUT before the join, the merge join streams +
+    # spills, and AQE skew-splits the probe side. Same rows. (An r10
+    # track_persist of fp measured 2x SLOWER at sf0.1 — the cache-fill
+    # barrier costs more than recomputing the fingerprint pipeline
+    # once per side.) The pair self-join sides below also pin MERGE
+    # (fan-out-sized — the SHJ-build-OOM class SCALE.md §26 measured
+    # at sf100); doc-grain sizes keep shuffle_hash.
     rare = (fp.groupBy("fp_hash").agg(F.count(F.lit(1)).alias("__df"))
             .where(F.col("__df") <= 20).select("fp_hash"))
-    f2 = fp.join(rare, "fp_hash")
+    f2 = fp.join(rare.hint("merge"), "fp_hash")
     sizes = f2.groupBy(F.col("doc_id").alias("sid")) \
         .agg(F.count(F.lit(1)).alias("nf"))
     a = f2.select(F.col("doc_id").alias("id_a"), "fp_hash")
