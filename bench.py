@@ -475,17 +475,51 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    # Opt-in anti-scaling self-check (r10, VERDICT r9 #4): rerun the 10
+    # slowest queries at cpus/4 in a FRESH subprocess JVM and record the
+    # low-core/high-core ratio — a query much FASTER at a quarter of the
+    # cores is anti-scaling (the r9 driver had to assemble this table by
+    # hand from two full bench runs). Off by default: two JVMs would
+    # contend and distort the main lane's numbers.
+    scaling = None
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING") == "1" and cpus >= 4:
+        import subprocess
+        slow10 = sorted(timings, key=timings.get, reverse=True)[:10]
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus // 4))
+        probe = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "scaling_probe.py"),
+             sf_dir, "--runs", str(runs), *slow10],
+            env=env, capture_output=True, text=True)
+        try:
+            low = json.loads(probe.stdout.strip().splitlines()[-1])["queries"]
+            scaling = {
+                "cpus_main": cpus, "cpus_low": cpus // 4,
+                "low_core_fresh_session_min": {q: low[q]["min"] for q in low},
+                # ratio > 1: the query is FASTER with 4x fewer cores
+                "main_over_low_ratio": {
+                    q: round(timings[q] / low[q]["min"], 2)
+                    for q in low if low[q]["min"] > 0},
+            }
+        except Exception as e:  # noqa: BLE001 — diagnostics, not the bench
+            scaling = {"error": f"{type(e).__name__}: {e}",
+                       "stderr_tail": probe.stderr[-500:]}
 
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    detail = None
     with open(detail_path, "w") as f:
-        json.dump(
-            {
+        detail = {
                 "metric": "headline_queries_total_runtime",
                 "value": total,
                 "unit": "sec",
                 "sf": sf_val,
+                "cpus": cpus,
+                "scaling": scaling,
                 "n_queries": len(timings),
                 "runs_per_query": runs,
                 "pipeline_events_per_sec": events_per_sec,
@@ -499,11 +533,14 @@ def main() -> None:
                 "excluded": EXCLUDED,
                 "unaccounted": unaccounted,
                 "registry_count": len(QUERIES),
-            },
-            f,
-            indent=1,
-            sort_keys=True,
-        )
+        }
+        json.dump(detail, f, indent=1, sort_keys=True)
+    # Per-cpus copy (r10, VERDICT r9 #5): BENCH_DETAIL.json is
+    # overwritten by whichever run executed last, which clobbered the
+    # 32-core detail with the driver's 8-core rerun in r9 — keep a
+    # core-count-keyed copy alongside so scaling pairs survive.
+    with open(detail_path.replace(".json", f"_c{cpus}.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
     # Keep the printed line small (driver tail-truncates ~2 KB): summary
     # fields + only the 10 slowest queries inline; full detail on disk.
     slowest = dict(
