@@ -33,17 +33,21 @@ def get_spark(app_name: str = "go-streams-spark", extra_conf: dict | None = None
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # convert sort-merge joins to shuffled-hash from RUNTIME map
-        # sizes (not estimates): un-hinted big-big joins keep SMJ's
-        # spill safety at scale but get SHJ speed whenever every
-        # per-partition build actually fits. The corpus-scale merge
-        # hints in dedup/text stay SMJ either way — their build maps
-        # are exactly what OOM'd at sf100 (SCALE.md §26).
-        # (r9 fix: the config key is maxShuffledHashJoinLocalMapThreshold
-        # — the previous key missed the "max" prefix, so the documented
-        # runtime conversion never actually fired)
-        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-                str(64 * 1024 * 1024))
+        # AQE runtime SMJ->SHJ conversion stays at the Spark DEFAULT
+        # (maxShuffledHashJoinLocalMapThreshold=0, i.e. OFF). r9 turned
+        # it on at 64 MB and the r10 fresh-JVM bisect measured it as a
+        # pure loss on this suite at BOTH driver core counts
+        # (tools/scaling_probe.py, min-of-3 after codegen run, sf0.1):
+        # setsim_prefix_pairs 3.56->2.79 s @32c / 3.90->3.46 @8c,
+        # dedup_containment_pairs 5.42->3.23 / 4.03->2.70,
+        # dedup_method_eval 14.3->10.1 / 13.0->10.5, setsim_pairs_lsh
+        # 3.90->3.01 / 3.26->2.95, embedding_near_dup_lsh 1.11->0.89 /
+        # 1.19->0.90 with the conversion DISABLED — and it was the
+        # prime suspect in the r9 32-core anti-scaling verdict (32
+        # concurrent hash builds stacked in one shared pool alongside
+        # the family's persisted caches). Joins where a hash build is
+        # provably bounded carry explicit shuffle_hash hints; un-hinted
+        # big-big joins keep SMJ's spill safety (guide §3.1).
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.default.parallelism", str(cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
