@@ -334,13 +334,19 @@ def containment_pairs(df: DataFrame, *, text_col: str = "text",
     # freq-join + per-doc rank window ran once for the estimate and
     # again inside the main query (plan audit: the window sort is the
     # most expensive pre-candidate stage)
+    # the prefix rows carry their shingle's corpus frequency sf (from
+    # the ranked join), so the guard estimate below is ONE aggregate
+    # over the persisted frame — r10 removed the estimate's own
+    # groupBy(s) + re-join against freq (guide §2.4; stage profile at
+    # sf0.1/32c: the guard job was 0.64 s of the 4.0 s query). Same
+    # integer: sum over prefix rows of (sf - 1) = sum over s of
+    # np(s) * (sf(s) - 1). The extra int64 column on the pin is noise
+    # next to the shingle strings.
     pref = track_persist(
         ranked.where(F.col("rnk") <= F.col("c") - o + 1)
-        .select(F.col(id_col), F.col("s")))
+        .select(F.col(id_col), F.col("s"), F.col("sf")))
     if max_candidate_estimate is not None:
-        est = (pref.groupBy("s").agg(F.count(F.lit(1)).alias("np"))
-               .join(freq, "s")
-               .agg(F.sum(F.col("np") * (F.col("sf") - 1)).alias("e"))
+        est = (pref.agg(F.sum(F.col("sf") - 1).alias("e"))
                .collect()[0]["e"]) or 0
         if est > max_candidate_estimate:
             raise RuntimeError(
@@ -951,12 +957,26 @@ def setsim_pairs(df: DataFrame, *, text_col: str = "text",
     ``prefilter='lsh'`` (default — the production order at scale): LSH
     band buckets generate candidates (volume bounded by band-bucket
     occupancy — the shape that held exponent 0.55 at sf10), then
-    PPJoin's lossless length + prefix-agreement filters prune them
-    BEFORE the expensive shingle-intersection verify. Exact Jaccard on
-    every surviving candidate; recall is LSH's (probabilistic at the
-    threshold boundary, documented in COVERAGE.md) — within the
-    candidate set, completeness is exact, so the result is precisely
+    PPJoin's lossless LENGTH filter prunes them (free: the set sizes
+    ride the band join). Exact Jaccard on every surviving candidate;
+    recall is LSH's (probabilistic at the threshold boundary,
+    documented in COVERAGE.md) — within the candidate set,
+    completeness is exact, so the result is precisely
     {pairs with J >= t} ∩ {LSH candidates}.
+
+    The r8-r9 shape ALSO ran PPJoin's prefix-agreement filter on the
+    LSH candidates (a true pair must share a rarity-order prefix
+    shingle — lossless, so the result set is identical either way).
+    r10 REMOVED it by measurement: it pruned candidates ~2.5x (8067 ->
+    3136 at sf0.1) but paid a corpus-frequency aggregate, a
+    corpus-scale shingle-rows join, and two per-doc windows to do so —
+    ~2 corpus-scale exchanges to save pair-grain work that the r9
+    doc-grain array verify made cheap. A/B at sf0.1/32c (same session,
+    alternating order, collect-identical results): 3.96 -> 1.96 s
+    (0.49x). Both sides of the tradeoff scale linearly with corpus
+    volume (bucket count grows, occupancy stays — the sf10-measured
+    regime), so the ratio carries; re-confirmed at sf10 (see
+    OPTIMIZATION_r10.md).
 
     ``prefilter=None``: deterministic-complete exact PPJoin
     (prefix_filter_pairs) — guaranteed to find EVERY qualifying pair,
@@ -964,11 +984,9 @@ def setsim_pairs(df: DataFrame, *, text_col: str = "text",
     guarded by ``max_candidate_estimate`` (raises loudly, naming this
     composed path, rather than OOM-thrashing a small driver).
 
-    Both filters applied to the LSH candidates are lossless for true
-    pairs (PPJoin/All-Pairs theorems: J(A,B) >= t implies
-    t*max(|A|,|B|) <= min(|A|,|B|) and the rarity-order prefixes of A
-    and B intersect), so the composed path loses nothing beyond LSH's
-    own candidate recall.
+    The length filter is lossless for true pairs (All-Pairs theorem:
+    J(A,B) >= t implies t*max(|A|,|B|) <= min(|A|,|B|)), so the
+    composed path loses nothing beyond LSH's own candidate recall.
     """
     if prefilter is None:
         return prefix_filter_pairs(
@@ -979,7 +997,6 @@ def setsim_pairs(df: DataFrame, *, text_col: str = "text",
         raise ValueError(f"prefilter must be 'lsh' or None, got {prefilter!r}")
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    from pyspark.sql import Window
     from ..plans.caching import track_persist
     sh = track_persist(shingle_rows(df, text_col=text_col, id_col=id_col,
                                     ngram=ngram))
@@ -988,7 +1005,9 @@ def setsim_pairs(df: DataFrame, *, text_col: str = "text",
     # ride the band pipeline (with_sizes — aggregated in the signature
     # pass), so no count aggregate and no per-side join of the
     # candidate table exists here (r9, guide §2.4; formerly one agg +
-    # two shuffle_hash joins).
+    # two shuffle_hash joins). The prefix-agreement filter that used
+    # to run here was removed in r10 — see the docstring for the
+    # measurement (lossless filter, identical result, 2x query cost).
     cands1 = (minhash_lsh_candidates(df, text_col=text_col, id_col=id_col,
                                      ngram=ngram, num_hashes=num_hashes,
                                      rows_per_band=rows_per_band,
@@ -996,33 +1015,7 @@ def setsim_pairs(df: DataFrame, *, text_col: str = "text",
               .where(F.least("ca", "cb")
                      >= F.lit(threshold) * F.greatest("ca", "cb"))
               .select("id_a", "id_b"))
-    # prefix-agreement filter: a true pair must share a rarity-order
-    # prefix shingle. Two doc-keyed equi-joins, output linear in the
-    # (bounded) candidate count — never a shingle-bucket pair join.
-    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("sf"))
-    # freq un-hinted (aggregate output: AQE has exact sizes — see
-    # prefix_filter_pairs); fan-out-sized prefix rows below pin MERGE
-    # (spillable) — the sf100 SHJ-build-OOM class of jaccard_verify's
-    # shingle joins. Per-doc size c rides the rank window's exchange
-    # (count over the unordered doc partition — same r9 rewrite as
-    # prefix_filter_pairs).
-    ranked = (sh.join(freq, "s")
-              .withColumn("rnk", F.row_number().over(
-                  Window.partitionBy(id_col).orderBy("sf", "s")))
-              .withColumn("c", F.count(F.lit(1)).over(
-                  Window.partitionBy(id_col))))
-    pref = (ranked.where(
-                F.col("rnk")
-                <= F.col("c") - F.ceil(F.lit(threshold) * F.col("c")) + 1)
-            .select(F.col(id_col), F.col("s")))
-    pa = pref.select(F.col(id_col).alias("id_a"), "s")
-    pb = pref.select(F.col(id_col).alias("__idb"), F.col("s").alias("s_b"))
-    cands2 = (cands1.hint("shuffle_hash").join(pa, "id_a")
-              .join(pb.hint("merge"),
-                    (F.col("id_b") == F.col("__idb"))
-                    & (F.col("s") == F.col("s_b")))
-              .select("id_a", "id_b").distinct())
-    return jaccard_verify(df, cands2, text_col=text_col, id_col=id_col,
+    return jaccard_verify(df, cands1, text_col=text_col, id_col=id_col,
                           ngram=ngram, threshold=threshold, shingles=sh)
 
 
